@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture over full snapshots + SCD2 history maintenance.
+  *
+  * Re-expresses the reference's terminal-dimension machinery
+  * (`/root/reference/py_scripts/incr_loading.py:13-129`) as pure
+  * `DataFrame => DataFrame` functions:
+  *
+  *  - `snapshotDiff` = the three CTAS increments (new / deleted / updated,
+  *    `incr_loading.py:14-57`): anti-joins on the key plus an
+  *    any-attribute-differs residual using Spark's null-safe equality
+  *    (`<=>` ≡ `IS NOT DISTINCT FROM`).
+  *  - `scd2Apply` = the five UPDATE/INSERT statements
+  *    (`incr_loading.py:60-129`) rewritten as a single pure computation:
+  *    close open rows of changed/deleted keys at `day − 1`, append fresh
+  *    open rows, append tombstones (`deleted_flg = true`). Spark has no
+  *    in-place UPDATE; the caller atomically swaps the dimension table.
+  *
+  * Scale notes: the snapshot side of a dimension is typically small
+  * relative to the fact tables — but history can be wide. All joins here
+  * key on the dimension key, so at cluster scale the three diff joins and
+  * the semi-join split share one hash partitioning on `keyCol`; Spark
+  * reuses the exchange. `deletedKeys`/`changedKeys` are distinct key sets
+  * (tiny) and are broadcast automatically under AQE.
+  */
+object Cdc {
+
+  /** Matches the reference's `'infinity'::date` open-row sentinel
+    * (`create_tables.sql:50`); Spark has no infinity date. */
+  val OpenDate: Date = Date.valueOf("9999-12-31")
+
+  final case class Diff(added: DataFrame, deleted: DataFrame, changed: DataFrame)
+
+  /** Diff a full snapshot against the accumulated history.
+    *
+    * Reference quirk replicated exactly: `deleted` anti-joins the snapshot
+    * against ALL history versions, not just open ones
+    * (`incr_loading.py:36-39`), and `changed` inner-joins every history
+    * version too (`incr_loading.py:52-56`) — so a key whose old version
+    * matches any historic row still lands in `changed`.
+    */
+  def snapshotDiff(snapshot: DataFrame, hist: DataFrame, keyCol: String,
+                   attrCols: Seq[String]): Diff = {
+    val histKeyed = hist.select(keyCol, attrCols: _*)
+    val added   = snapshot.join(histKeyed, Seq(keyCol), "left_anti")
+    val deleted = histKeyed.join(snapshot, Seq(keyCol), "left_anti").distinct()
+    val anyAttrDiffers = attrCols
+      .map(a => !(snapshot(a) <=> histKeyed(a)))
+      .reduce(_ || _)
+    val changed = snapshot.join(histKeyed,
+        snapshot(keyCol) === histKeyed(keyCol) && anyAttrDiffers, "left_semi")
+    Diff(added, deleted, changed)
+  }
+
+  /** Apply one day's snapshot to an SCD2 history (open rows carry
+    * `effective_to = 9999-12-31`). Returns the new history; caller persists.
+    *
+    * Ordering semantics of the reference are preserved: fresh rows inserted
+    * this very day keep `effective_to = open` because closing only touches
+    * rows that were open BEFORE this application (we close from the input
+    * `hist`, never from rows added here — mirroring how
+    * `incr_loading.py:79-84` runs before the inserts at `:86-101`).
+    */
+  def scd2Apply(hist: DataFrame, snapshot: DataFrame, day: Date,
+                keyCol: String, attrCols: Seq[String]): DataFrame = {
+    val d = snapshotDiff(snapshot, hist, keyCol, attrCols)
+    val closeKeys = d.changed.select(keyCol).distinct()
+      .unionByName(d.deleted.select(keyCol).distinct()).distinct()
+
+    val toClose = hist.join(closeKeys, Seq(keyCol), "left_semi")
+      .where(col("effective_to") === lit(OpenDate))
+      .withColumn("effective_to", date_sub(lit(day), 1))
+    // Complement of `toClose` without a second scan-shape: anti-join on the
+    // same (key ∈ closeKeys AND row-is-open) condition.
+    val untouched = hist.join(closeKeys,
+      hist(keyCol) === closeKeys(keyCol) &&
+        hist("effective_to") === lit(OpenDate), "left_anti")
+
+    def openRow(df: DataFrame, tombstone: Boolean): DataFrame =
+      df.select(col(keyCol) +: attrCols.map(col): _*)
+        .withColumn("effective_from", lit(day))
+        .withColumn("effective_to", lit(OpenDate))
+        .withColumn("deleted_flg", lit(tombstone))
+
+    untouched
+      .unionByName(toClose)
+      .unionByName(openRow(d.added, tombstone = false))
+      .unionByName(openRow(d.changed, tombstone = false))
+      .unionByName(openRow(d.deleted, tombstone = true))
+  }
+}
