@@ -1,0 +1,195 @@
+package graft.queries
+
+import java.sql.Date
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Cdc}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-maintenance operators (SCD2, as-of, sessionization, windows,
+  * set ops) over the testdata tables, with DuckDB oracle twins.
+  */
+object WarehouseQueries {
+  private val D182 = DecimalType(18, 2)
+
+  /** Full SCD2 transition (`incr_loading.py:60-129` as one pure function):
+    * hist₀ = suppliers with suppkey%10≠0 effective from 2021-01-01;
+    * snapshot = suppliers with suppkey%7≠0, balance bumped when %3=0.
+    * Exercises added (close nothing), changed (close+reopen), deleted
+    * (close+tombstone) in a single run. */
+  val q17 = QueryDef.sql("q17_scd2_apply",
+    """WITH hist AS (
+      |  SELECT s_suppkey AS sk, s_name AS name,
+      |         CAST(s_acctbal AS DECIMAL(18,2)) AS bal,
+      |         DATE '2021-01-01' AS effective_from,
+      |         DATE '9999-12-31' AS effective_to, FALSE AS deleted_flg
+      |  FROM supplier WHERE s_suppkey % 10 <> 0),
+      |snap AS (
+      |  SELECT s_suppkey AS sk, s_name AS name,
+      |         CAST(s_acctbal + CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE 0 END
+      |              AS DECIMAL(18,2)) AS bal
+      |  FROM supplier WHERE s_suppkey % 7 <> 0),
+      |added AS (SELECT * FROM snap WHERE sk NOT IN (SELECT sk FROM hist)),
+      |deleted AS (SELECT DISTINCT h.sk, h.name, h.bal FROM hist h
+      |            WHERE h.sk NOT IN (SELECT sk FROM snap)),
+      |changed AS (SELECT s.* FROM snap s JOIN hist h ON s.sk = h.sk
+      |            WHERE s.name IS DISTINCT FROM h.name
+      |               OR s.bal IS DISTINCT FROM h.bal),
+      |closekeys AS (SELECT sk FROM changed UNION SELECT sk FROM deleted),
+      |untouched AS (SELECT * FROM hist
+      |  WHERE NOT (sk IN (SELECT sk FROM closekeys)
+      |             AND effective_to = DATE '9999-12-31')),
+      |closed AS (SELECT sk, name, bal, effective_from,
+      |                  DATE '2021-01-31' AS effective_to, deleted_flg
+      |  FROM hist WHERE sk IN (SELECT sk FROM closekeys)
+      |            AND effective_to = DATE '9999-12-31')
+      |SELECT * FROM untouched
+      |UNION ALL SELECT * FROM closed
+      |UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
+      |  DATE '9999-12-31', FALSE FROM added
+      |UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
+      |  DATE '9999-12-31', FALSE FROM changed
+      |UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
+      |  DATE '9999-12-31', TRUE FROM deleted""")(
+    (s, dir) => {
+      val supp = Tables.supplier(s, dir)
+      val hist0 = supp.where(col("s_suppkey") % 10 =!= 0).select(
+          col("s_suppkey").as("sk"), col("s_name").as("name"),
+          col("s_acctbal").cast(D182).as("bal"))
+        .withColumn("effective_from", lit(Date.valueOf("2021-01-01")))
+        .withColumn("effective_to", lit(Cdc.OpenDate))
+        .withColumn("deleted_flg", lit(false))
+      val snap = supp.where(col("s_suppkey") % 7 =!= 0).select(
+        col("s_suppkey").as("sk"), col("s_name").as("name"),
+        (col("s_acctbal") + when(col("s_suppkey") % 3 === 0, 1).otherwise(0))
+          .cast(D182).as("bal"))
+      Cdc.scd2Apply(hist0, snap, Date.valueOf("2021-02-01"), "sk", Seq("name", "bal"))
+    })
+
+  /** As-of join (union-window formulation — no pair explosion): each
+    * non-purchase event gets the id of the latest at-or-before purchase by
+    * the same user. The oracle states the same semantics with a window. */
+  val q18 = QueryDef.sql("q18_asof_join",
+    """SELECT event_id, user_id, asof_purchase_id FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts, (event_type = 'purchase') DESC, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS asof_purchase_id
+      |  FROM events) t
+      |WHERE event_type <> 'purchase'""")(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val right = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val left = e.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin(left, right, key = "user_id", leftTs = "ts", rightTs = "ts",
+          payloadCols = Seq("purchase_id"))
+        .select("event_id", "user_id", "asof_purchase_id")
+    })
+
+  /** Running aggregate window (frame-based): per-user cumulative event
+    * value; decimal so the cumulative sum is order-exact on both engines. */
+  val q19 = QueryDef.sql("q19_window_running",
+    """SELECT event_id, user_id,
+      |  SUM(CAST(value AS DECIMAL(18,6)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS running_value
+      |FROM events""")(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w).as("running_value"))
+    })
+
+  /** Top-k per group with deterministic tiebreak (rank shape of A1). */
+  val q20 = QueryDef.sql("q20_topk_per_group",
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t WHERE rnk <= 3""")(
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rnk"))
+        .where(col("rnk") <= 3)
+    })
+
+  /** Set operators (UNION / INTERSECT / EXCEPT) in one tagged result. */
+  val q21 = QueryDef.sql("q21_set_ops",
+    """SELECT 'both' AS tag, o_custkey FROM
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |   INTERSECT
+      |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') a
+      |UNION ALL
+      |SELECT 'open_only' AS tag, o_custkey FROM
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |   EXCEPT
+      |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') b""")(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      def ks(st: String) = o.where(col("o_orderstatus") === st).select("o_custkey")
+      ks("O").intersect(ks("F")).withColumn("tag", lit("both"))
+        .unionByName(ks("O").except(ks("F")).withColumn("tag", lit("open_only")))
+        .select("tag", "o_custkey")
+    })
+
+  /** Tumbling time-window aggregation (the batch shape of a Structured
+    * Streaming windowed agg): 1-hour epoch-aligned buckets. */
+  val q22 = QueryDef.sql("q22_tumbling_window",
+    """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+      |    AS win_start,
+      |  event_type, COUNT(*) AS n,
+      |  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+      |FROM events GROUP BY 1, 2""")(
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+      .select(unix_seconds(col("win.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value")))
+
+  /** Sessionization: a new session starts after a >30-min silence per user
+    * (lag + cumulative flag — the batch twin of a streaming session
+    * window / flatMapGroupsWithState). */
+  val q23 = QueryDef.sql("q23_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM g)
+      |SELECT user_id, session_no, COUNT(*) AS n_events,
+      |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us
+      |FROM s GROUP BY user_id, session_no""")(
+    (s, dir) => {
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wo))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("session_no", sum(col("new_sess")).over(wf))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("session_start_us"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23)
+}
