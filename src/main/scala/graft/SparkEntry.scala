@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** All operator queries, each optionally paired with a DuckDB oracle. */
-  private def defs: Seq[QueryDef] = CoreQueries.all ++ WarehouseQueries.all
+  private def defs: Seq[QueryDef] =
+    CoreQueries.all ++ WarehouseQueries.all ++ TextQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity search over the embeddings table. The brute-force queries
+  * carry exact DuckDB oracles (`embedding::DOUBLE[]` upcast first, so
+  * both engines fold doubles in index order); the LSH path is verified
+  * for recall against the exact result in the test suite and checked
+  * rows-only by the driver. */
+object SimilarityQueries {
+
+  /** Exact brute-force cosine top-5 neighbours per vector. */
+  val q32 = QueryDef.sql("q32_cosine_topk",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |      FROM n a JOIN n b ON a.id <> b.id),
+      |r AS (SELECT id_a, id_b, cosine,
+      |        row_number() OVER (PARTITION BY id_a
+      |                           ORDER BY cosine DESC, id_b) AS rnk
+      |      FROM p)
+      |SELECT id_a, id_b, round(cosine, 6) AS sim, rnk FROM r WHERE rnk <= 5""")(
+    (s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 5))
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.45). */
+  val q33 = QueryDef.sql("q33_cosine_neardup",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |      FROM n a JOIN n b ON a.id < b.id)
+      |SELECT id_a, id_b, round(cosine, 6) AS sim FROM p WHERE cosine >= 0.45""")(
+    (s, dir) => Similarity.cosineNearDup(Tables.embeddings(s, dir),
+      "vec_id", "embedding", threshold = 0.45))
+
+  /** LSH-bucketed approximate top-k — the 100 TB path. Rows-only driver
+    * check; recall vs exact is asserted in SimilaritySpec. */
+  val q34 = QueryDef.rowsOnly("q34_ann_lsh")(
+    (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dim = 64, planes = 8, k = 5))
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34)
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators over the documents table,
+  * with DuckDB oracle twins. All hashing is md5-based so the oracle
+  * replays signatures exactly (DuckDB `hash()` is not portable).
+  *
+  * DuckDB dialect notes baked into the oracles:
+  *  - `regexp_replace(..., 'g')` — DuckDB replaces only the first match
+  *    without the flag (Spark always replaces all);
+  *  - k-gram explode via `unnest(range(...))` (no lateral table range);
+  *  - hex→int via `('0x' || h)::BIGINT` ⇔ Spark `conv(h, 16, 10)`.
+  */
+object TextQueries {
+
+  private val NormSql =
+    "(' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ')"
+
+  private def hitsSql(w: String): String = {
+    val needle = s" $w "
+    s"CAST((length(norm) - length(replace(norm, '$needle', ' '))) // ${needle.length - 1} AS INT)"
+  }
+
+  /** Surface statistics (token/punct/digit/upper counts). */
+  val q24 = QueryDef.sql("q24_text_stats",
+    """SELECT doc_id, length(text) AS n_chars,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+      |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+      |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+      |FROM documents""")(
+    (s, dir) => TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text"))
+
+  /** Quality scoring: stopword/punctuation/digit ratios. */
+  val q25 = {
+    val stopwords = TextAnalysis.LangMarkers.flatMap(_._2).distinct
+    val stopSql = stopwords.map(hitsSql).mkString(" + ")
+    QueryDef.sql("q25_text_quality",
+      s"""WITH n AS (SELECT doc_id, text, $NormSql AS norm FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |  round(CAST($stopSql AS DOUBLE)
+         |    / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+         |               ELSE length(string_split_regex(trim(text), '\\s+')) END, 1), 6)
+         |    AS stopword_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |    AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |    AS DOUBLE) / greatest(length(text), 1), 6) AS digit_ratio
+         |FROM n""")(
+      (s, dir) => TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text"))
+  }
+
+  /** Stopword-profile language ID with fixed-priority argmax. */
+  val q26 = {
+    val langs = TextAnalysis.LangMarkers
+    val scoreSql = langs.map { case (lang, words) =>
+      s"  ${words.map(hitsSql).mkString(" + ")} AS score_$lang"
+    }.mkString(",\n")
+    val caseSql = langs.indices.map { i =>
+      val (lang, _) = langs(i)
+      val conds = (s"score_$lang > 0" +:
+        langs.drop(i + 1).map { case (l2, _) => s"score_$lang >= score_$l2" })
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    QueryDef.sql("q26_lang_id",
+      s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+         |s AS (SELECT doc_id,
+         |$scoreSql
+         |FROM n)
+         |SELECT doc_id, score_en, score_de, score_fr, score_es,
+         |  CASE $caseSql ELSE 'und' END AS detected_lang
+         |FROM s""")(
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text"))
+  }
+
+  /** Content fingerprint (md5 of case/whitespace-normalized text). */
+  val q27 = QueryDef.sql("q27_fingerprint",
+    s"SELECT doc_id, md5($NormSql) AS fingerprint FROM documents")(
+    (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"))
+
+  /** Exact dedup groups over a corpus with synthetic re-crawled clones
+    * (every 5th doc re-appears under a shifted id). */
+  val q28 = QueryDef.sql("q28_dedup_exact",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+      |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+      |FROM corpus GROUP BY md5(text)""")(
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactGroups(corpus, "doc_id", "text")
+    })
+
+  /** N-gram (k=8) Jaccard near-dup pairs with stop-shingle removal
+    * (df > 100) and threshold 0.3. */
+  val q29 = QueryDef.sql("q29_ngram_jaccard",
+    """WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+      |        FROM documents)),
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
+      |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2,
+      |  round(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 6) AS jaccard
+      |FROM co JOIN sz s1 ON co.id1 = s1.doc_id JOIN sz s2 ON co.id2 = s2.doc_id
+      |WHERE round(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 6) >= 0.3""")(
+    (s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, maxDf = 100, threshold = 0.3))
+
+  /** MinHash (12 perms) + LSH (4 bands × 3 rows) candidate pairs. */
+  val q30 = {
+    val bands = 4
+    val rpb = 3
+    val hashes = (0 until bands * rpb)
+      .map(i => s"  min(md5('$i|' || s)) AS h$i").mkString(",\n")
+    val bucketSelects = (0 until bands).map { b =>
+      val parts = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    QueryDef.sql("q30_minhash_lsh",
+      s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+         |  FROM (SELECT doc_id, text,
+         |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+         |        FROM documents)),
+         |sig AS (SELECT doc_id,
+         |$hashes
+         |FROM sh GROUP BY doc_id),
+         |buckets AS (
+         |  $bucketSelects)
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""")(
+      (s, dir) => Dedup.minhashLshCandidates(Tables.documents(s, dir),
+        "doc_id", "text", k = 8, bands = bands, rowsPerBand = rpb))
+  }
+
+  /** 16-bit SimHash signature per document. */
+  val q31 = {
+    val bits = 16
+    val ws = (0 until bits)
+      .map(j => s"  SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j")
+      .mkString(",\n")
+    val sig = (0 until bits)
+      .map(j => s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef.sql("q31_simhash",
+      s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |    FROM documents) t WHERE length(tok) > 0),
+         |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+         |      FROM toks),
+         |w AS (SELECT doc_id,
+         |$ws
+         |FROM h GROUP BY doc_id)
+         |SELECT doc_id, $sig AS simhash FROM w""")(
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits))
+  }
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31)
+}
