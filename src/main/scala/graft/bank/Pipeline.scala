@@ -1,0 +1,91 @@
+package graft.bank
+
+import java.sql.Date
+
+import graft.operators.Cdc
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Daily batch orchestration, reference order (`main.py:85-117`):
+  * ingest 3 files → staging views → fact append (blacklist anti-join
+  * dedup, transactions blind append) → SCD2 terminals transition →
+  * staging clear audit rows → four fraud rules appended to REP_FRAUD.
+  * Each day is one call; state lives in the [[Warehouse]].
+  */
+final class Pipeline(wh: Warehouse, seed: Seeds.Seed) {
+  private val spark: SparkSession = wh.spark
+
+  import Pipeline._
+
+  /** Run one day given the three file paths; files are archived after
+    * the run. Returns the batch date. */
+  def runDay(txnPath: String, blacklistPath: String, terminalsPath: String,
+             archiveDir: String): Date = {
+    // --- ingestion to staging (`main.py:43-82`)
+    val (txns, day) = Ingest.transactions(spark, txnPath)
+    val stgTxns = txns.cache()
+    wh.logMeta("stg_transactions", day, stgTxns.count())
+
+    val stgBlacklist = Ingest.blacklist(spark, blacklistPath).cache()
+    wh.logMeta("stg_passport_blacklist", day, stgBlacklist.count())
+
+    val stgTerminals = Ingest.terminals(spark, terminalsPath).cache()
+    wh.logMeta("stg_terminals", day, stgTerminals.count())
+
+    // --- fact updates (`comm_funcs.py:47-78`)
+    val blFact = wh.readOr(FactBlacklist, Schemas.factPassportBlacklist)
+    val blNew = stgBlacklist.join(blFact.select("passport"),
+      Seq("passport"), "left_anti")
+    wh.append(FactBlacklist, blNew.select("date", "passport"))
+    wh.append(FactTransactions, stgTxns.select(
+      Schemas.factTransactions.fieldNames.map(col).toSeq: _*))
+
+    // --- SCD2 terminals dimension (`incr_loading.py`)
+    val hist = wh.readOr(DimTerminals, Schemas.dimTerminalsHist)
+    val newHist = Cdc.scd2Apply(hist, stgTerminals, day,
+      keyCol = "terminal_id",
+      attrCols = Seq("terminal_type", "terminal_city", "terminal_address"))
+    wh.overwrite(DimTerminals, newHist
+      .select(Schemas.dimTerminalsHist.fieldNames.map(col).toSeq: _*))
+
+    // --- staging clear audit (`comm_funcs.py:28-44`)
+    Seq("stg_transactions", "stg_terminals", "stg_passport_blacklist")
+      .foreach(t => wh.logMeta(s"CLEAR_$t", day, 0))
+
+    // --- fraud mart (`loading_rep_fraud.py`): rules read the FULL
+    // accumulated fact table each day, like the reference.
+    val facts = wh.read(FactTransactions).cache()
+    val blAll = wh.read(FactBlacklist)
+    val dim = wh.read(DimTerminals)
+
+    def appendRule(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val cached = df.cache()
+      val n = cached.count() // S15: rowcount before append, single compute
+      wh.append(RepFraud, cached)
+      wh.logMeta(name, day, n)
+      cached.unpersist()
+    }
+    appendRule("REP_FRAUD_passport", FraudRules.rule1(facts, blAll, seed, day))
+    appendRule("REP_FRAUD_contract", FraudRules.rule2(facts, seed, day))
+    appendRule("REP_FRAUD_diff_cities", FraudRules.rule3(facts, dim, seed,
+      wh.readOr(RepFraud, Schemas.repFraud), day))
+    appendRule("REP_FRAUD_attempt_amount", FraudRules.rule4(facts, seed,
+      wh.readOr(RepFraud, Schemas.repFraud), day))
+
+    stgTxns.unpersist(); stgBlacklist.unpersist(); stgTerminals.unpersist()
+    facts.unpersist()
+
+    // --- archive consumed files (`main.py:66,74,82`)
+    Seq(txnPath, blacklistPath, terminalsPath)
+      .foreach(Ingest.archive(_, archiveDir))
+    day
+  }
+}
+
+object Pipeline {
+  val FactTransactions = "dwh_fact_transactions"
+  val FactBlacklist = "dwh_fact_passport_blacklist"
+  val DimTerminals = "dwh_dim_terminals_hist"
+  val RepFraud = "rep_fraud"
+  val MetaLoading = "meta_loading"
+}

@@ -1,0 +1,63 @@
+package graft.bank
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Date
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Parquet-backed warehouse layer: the Spark replacement for the
+  * reference's PostgreSQL schema (`comm_funcs.py:10`). Tables live as
+  * parquet directories under a root; facts append, dimensions swap
+  * atomically (write-new → move), since Spark cannot overwrite a table
+  * it is currently reading (the SCD2 dimension is input AND output of
+  * the same transition — SURVEY §7 hard-part 2).
+  *
+  * At cluster scale the same layer maps onto object storage with a
+  * rename-free committer or a table format; the call sites don't change.
+  */
+final class Warehouse(val spark: SparkSession, val root: String) {
+  Files.createDirectories(Paths.get(root))
+
+  private def dir(name: String): Path = Paths.get(root, name)
+
+  def exists(name: String): Boolean = Files.exists(dir(name))
+
+  def read(name: String): DataFrame = spark.read.parquet(dir(name).toString)
+
+  /** Read if present, else an empty frame with the given schema. */
+  def readOr(name: String, schema: StructType): DataFrame =
+    if (exists(name)) read(name)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  def append(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(dir(name).toString)
+
+  /** Atomic replace: write to `<name>.tmp`, delete old, move in. The
+    * source plan is fully materialized before the old directory goes
+    * away, so self-referencing rewrites (SCD2) are safe. */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    val tmp = Paths.get(root, s"$name.tmp")
+    deleteRecursive(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    deleteRecursive(dir(name))
+    Files.move(tmp, dir(name))
+  }
+
+  def drop(name: String): Unit = deleteRecursive(dir(name))
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+
+  /** META_LOADING audit sink (`comm_funcs.py:13-18`). */
+  def logMeta(tableName: String, eventDt: Date, rowsProcessed: Long,
+              status: String = "SUCCESS"): Unit = {
+    val row = Row(tableName, eventDt, rowsProcessed.toInt, status)
+    append("meta_loading", spark.createDataFrame(
+      java.util.List.of(row), Schemas.metaLoading))
+  }
+}

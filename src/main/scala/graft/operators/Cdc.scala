@@ -52,8 +52,13 @@ object Cdc {
     val anyAttrDiffers = attrCols
       .map(a => !(snapshot(a) <=> histKeyed(a)))
       .reduce(_ || _)
-    val changed = snapshot.join(histKeyed,
-        snapshot(keyCol) === histKeyed(keyCol) && anyAttrDiffers, "left_semi")
+    // Inner join (not semi): a snapshot row differing from N historic
+    // versions appears N times, exactly like the reference's CTAS
+    // (`incr_loading.py:44-57`) — the multiplicity flows into the
+    // re-insert step and is part of the replicated semantics.
+    val changed = snapshot.alias("s").join(histKeyed,
+        snapshot(keyCol) === histKeyed(keyCol) && anyAttrDiffers, "inner")
+      .select(snapshot(keyCol) +: attrCols.map(a => snapshot(a)): _*)
     Diff(added, deleted, changed)
   }
 

@@ -67,28 +67,38 @@ object Similarity {
     if (((digest(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
   }
 
-  /** `planes`-bit random-hyperplane bucket key of a vector column. */
-  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+  /** `planes`-bit random-hyperplane bucket key for hash table `table`. */
+  def lshBucket(vec: Column, dim: Int, planes: Int, table: Int): Column =
     (0 until planes).map { j =>
-      val signs = array((0 until dim).map(d => lit(planeSign(j, d))): _*)
+      val signs = array((0 until dim).map(d =>
+        lit(planeSign(table * planes + j, d))): _*)
       when(dot(vec, signs) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates share an LSH bucket; exact cosine +
-    * rank within the candidate set. Recall grows with fewer planes
-    * (bigger buckets) — planes is the precision/cost dial. */
+  /** Approximate top-k with multi-table LSH: `tables` independent
+    * `planes`-bit hash tables; a pair is a candidate if it collides in
+    * ANY table (union via explode + distinct). For true neighbours at
+    * angle θ the per-table collision rate is (1−θ/π)^planes, so recall
+    * ≈ 1−(1−p)^tables while the candidate count stays ~n·tables·(n/2^planes)
+    * instead of n² — the dial that survives 100 TB. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              dim: Int, planes: Int, k: Int): DataFrame = {
+              dim: Int, planes: Int, tables: Int, k: Int): DataFrame = {
     val v = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), dim, planes))
-    val a = v.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("bucket"))
-    val b = v.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
+    val bucketed = v.withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col("v"), dim, planes, t).as("b"))): _*)))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val pairs = bucketed.select(col("id").as("id_a"), col("t"), col("b"))
+      .join(bucketed.select(col("id").as("id_b"), col("t"), col("b")),
+        Seq("t", "b"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b"))
-    a.join(b, Seq("bucket")).where(col("id_a") =!= col("id_b"))
+    pairs
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

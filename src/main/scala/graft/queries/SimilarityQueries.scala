@@ -40,7 +40,7 @@ object SimilarityQueries {
     * check; recall vs exact is asserted in SimilaritySpec. */
   val q34 = QueryDef.rowsOnly("q34_ann_lsh")(
     (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir),
-      "vec_id", "embedding", dim = 64, planes = 8, k = 5))
+      "vec_id", "embedding", dim = 64, planes = 6, tables = 16, k = 5))
 
   val all: Seq[QueryDef] = Seq(q32, q33, q34)
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n")).toMap
+    assert(g == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("ngram jaccard finds the planted near-duplicate only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " tail"),          // near-dup of 1
+      (3L, "completely different content with other words entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", k = 5,
+      maxDf = 100, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH candidates cover high-jaccard pairs (sf0.001 docs)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", k = 8,
+      maxDf = 100, threshold = 0.6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text", k = 8,
+      bands = 4, rowsPerBand = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} pairs")
+  }
+
+  test("simhash: identical text -> distance 0, near text -> small distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (4L, "totally unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, "doc_id", "text")
+    val m = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <
+      java.lang.Long.bitCount(m(1L) ^ m(4L)))
+  }
+
+  test("LSH ANN reaches decent recall vs brute force (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+      dim = 64, planes = 6, tables = 16, k = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"6x16 LSH recall $recall")
+    // multi-bucket candidate set must be far smaller than all-pairs
+    assert(approx.size <= exact.size)
+  }
+}
