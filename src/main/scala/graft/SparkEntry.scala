@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All operator queries, each optionally paired with a DuckDB oracle. */
   private def defs: Seq[QueryDef] =
-    CoreQueries.all ++ WarehouseQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+    CoreQueries.all ++ WarehouseQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

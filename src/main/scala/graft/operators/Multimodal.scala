@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, processed
+  * partition-wise (the Scala analog of `mapInPandas` — one iterator per
+  * partition, vectorizable batch work inside).
+  *
+  * The decode step is a clearly-marked STUB: real image/audio codecs are
+  * not available in this container, so `decodeStub` derives a
+  * deterministic fake feature vector from the bytes. Everything around
+  * it — schema, partitioning, batch iteration, output shape — is real
+  * and is what a production decode UDF would plug into.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_bytes", IntegerType),
+      StructField("declared_lang", StringType))))))
+
+  /** Build a media corpus from the documents table: the text payload
+    * stands in for encoded media bytes (deterministic fake). */
+  def corpusFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("bytes"),
+      struct(
+        col("source"),
+        length(col("text")).cast("int").as("n_bytes"),
+        col("lang").as("declared_lang")).as("meta"))
+
+  final case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
+                                feature: Array[Float])
+
+  /** Partition-wise "decode + feature extract". STUB: the feature is a
+    * 8-bin byte histogram (normalized) instead of a real decoded
+    * embedding — swap the body for a codec call in production; the
+    * signature and batch shape stay the same. */
+  def decodeStub(media: DataFrame): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup would open the codec once here
+        it.map { case (id, kind, bytes) =>
+          val hist = new Array[Float](8)
+          var i = 0
+          while (i < bytes.length) {
+            hist((bytes(i) & 0xff) >> 5) += 1f
+            i += 1
+          }
+          val n = math.max(bytes.length, 1).toFloat
+          var j = 0
+          while (j < 8) { hist(j) /= n; j += 1 }
+          MediaFeature(id, kind, bytes.length, hist)
+        }
+      }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th 16-byte
+    * chunk becomes a frame row (explode plumbing; a real impl samples
+    * decoded frames the same way). */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media.where(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest((length(col("bytes")) / lit(16 * stride)).cast("int") - 1, lit(0)))))
+      .select(col("media_id"), col("frame_idx"),
+        col("bytes").substr(col("frame_idx") * lit(16 * stride) + 1, lit(16))
+          .as("frame_bytes"))
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators. The reference is a daily micro-batch
+  * pipeline (files appear, get processed in date order, move to an
+  * archive — `main.py:85-100`); these are its streaming-native twins:
+  *
+  *  - `fileStream`: the checkpointed file source replacing the manual
+  *    archive `.backup` bookkeeping;
+  *  - `tumblingCounts`: event-time windowed aggregation with a watermark
+  *    (late data beyond the watermark is dropped, the streaming analog
+  *    of the blacklist's idempotent re-delivery handling);
+  *  - `sessionize`: custom state machine via flatMapGroupsWithState —
+  *    the unbounded-state shape (SCD2-like "current version per key")
+  *    that mapGroupsWithState exists for.
+  *
+  * All transforms work identically on batch DataFrames (same API), which
+  * is how the specs validate them against the batch twins (q22/q23).
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+
+  // public: the state encoder's generated code instantiates it
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Checkpointed file source over a directory of parquet drops. */
+  def fileStream(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+
+  /** Tumbling event-time window counts with a watermark. */
+  def tumblingCounts(events: DataFrame, windowLen: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Stateful sessionization: a session closes after `gapSeconds` of
+    * silence per user (event-time, via state timeout on processing when
+    * streaming; exact when replayed in order). Emits closed sessions. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // within one trigger, events of a group arrive unordered
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[Session]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last > gapMs =>
+                closed += Session(user, new Timestamp(s.start),
+                  new Timestamp(s.last), s.n)
+                st = SessionState(t, t, 1)
+              case s => st = s.copy(last = math.max(s.last, t), n = s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
+  /** Flush any open sessions from a finished sessionize run (batch use:
+    * the final open session per user). Streaming would use a timeout;
+    * batch replays call this once at the end. */
+  def openSessions(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val byUser = events.toDF()
+      .withColumn("t", unix_micros(col("ts")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    byUser
+      .withColumn("prev", lag(col("t"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("t") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_no")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("max_sess", max(col("sess_no")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .where(col("sess_no") === col("max_sess"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .as[Session]
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+    Streams.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+    Streams.Event(3, ts("2024-01-01 11:30:00"), 1, "view", 3.0), // new session
+    Streams.Event(4, ts("2024-01-01 10:05:00"), 2, "click", 4.0),
+    Streams.Event(5, ts("2024-01-01 12:00:00"), 1, "view", 5.0)) // same session as 3
+
+  test("tumbling window agg over a MemoryStream matches expectations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(events: _*)
+    val q = Streams.tumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling_out")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01 10:00:00.0", "click") -> 3L,
+      ("2024-01-01 11:00:00.0", "view") -> 1L,
+      ("2024-01-01 12:00:00.0", "view") -> 1L))
+  }
+
+  test("stateful sessionize emits closed sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    // batch 1: user 1 first session + user 2
+    mem.addData(events(0), events(1), events(3))
+    q.processAllAvailable()
+    // batch 2: user 1 jumps 80 min -> closes session 1
+    mem.addData(events(2))
+    q.processAllAvailable()
+    // batch 3: 30 min later, same session continues -> nothing closes
+    mem.addData(events(4))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_out").as[Streams.Session].collect()
+    assert(closed.toSeq == Seq(
+      Streams.Session(1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)))
+  }
+
+  test("batch openSessions flushes the trailing session per user") {
+    import spark.implicits._
+    val open = Streams.openSessions(events.toDS(), gapSeconds = 1800)
+      .collect().map(s => s.user_id -> s).toMap
+    assert(open(1L).n_events == 2) // events 3 and 5
+    assert(open(1L).session_start == ts("2024-01-01 11:30:00"))
+    assert(open(2L).n_events == 1)
+  }
+}
