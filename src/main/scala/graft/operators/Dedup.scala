@@ -43,14 +43,21 @@ object Dedup {
     * both sides of the oracle). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int, maxDf: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val dfCounts = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // stop-shingle removal: anti-join against high-df shingles
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select("s")
-    val rare = sh.join(hot, Seq("s"), "left_anti")
+    val rare = sh.join(dfCounts.where(col("df") > maxDf).select("s"),
+      Seq("s"), "left_anti")
     val sizes = rare.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = rare.select(col(idCol).as("id1"), col("s"))
-    val b = rare.select(col(idCol).as("id2"), col("s"))
+    // Pure optimization: df=1 shingles cannot produce a pair, so the
+    // self-join only reads shingles with 2 ≤ df ≤ maxDf. Sizes above
+    // still count every retained shingle (the Jaccard denominator is
+    // unchanged), so results are identical — just a smaller join.
+    val joinable = sh.join(
+      dfCounts.where(col("df") >= 2 && col("df") <= maxDf).select("s"),
+      Seq("s"), "left_semi")
+    val a = joinable.select(col(idCol).as("id1"), col("s"))
+    val b = joinable.select(col(idCol).as("id2"), col("s"))
     val common = a.join(b, Seq("s")).where(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
     common
@@ -67,10 +74,18 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int, numHashes: Int): DataFrame = {
     val sh = shingles(df, idCol, textCol, k)
-    val aggs = (0 until numHashes).map { i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("s")).cast("binary"))).as(s"h$i")
-    }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // md5 is the expensive part: hash each DISTINCT shingle value once
+    // (numHashes md5s over ~|vocabulary| strings instead of ~Σ doc-size),
+    // then broadcast-join the small hash table back to (doc, shingle).
+    val hashed = sh.select("s").distinct()
+      .select(col("s") +: (0 until numHashes).map { i =>
+        md5(concat(lit(i.toString), lit("|"), col("s")).cast("binary")).as(s"v$i")
+      }: _*)
+    // no broadcast hint: the vocabulary size is data-dependent, AQE
+    // converts to broadcast at runtime when it's small enough
+    val joined = sh.join(hashed, Seq("s"))
+    val aggs = (0 until numHashes).map(i => min(col(s"v$i")).as(s"h$i"))
+    joined.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH candidate pairs: signatures banded `bands` ×

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns: native codegen'd
+    * expression ([[graft.functions.VectorExpressions.dotNative]]) —
+    * strict left-to-right summation, bit-identical to the equivalent
+    * `aggregate(zip_with(...))` fold but with no per-row allocation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotNative(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
