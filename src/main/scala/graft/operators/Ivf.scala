@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.operators.Similarity.dot
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour search: partition
+  * the corpus into `nlist` KMeans cells, then search only the `nprobe`
+  * cells closest to each query vector.
+  *
+  * This is the other classic ANN scale path next to LSH
+  * ([[Similarity.lshTopK]]): candidates ≈ n·(nprobe/nlist) per query
+  * instead of n, with recall controlled by nprobe. Centroids are tiny
+  * (nlist × dim) and broadcast; the candidate join is an ordinary
+  * equi-join on the cell id.
+  */
+object Ivf {
+
+  /** Approximate top-k by cosine using an IVF index built on the same
+    * corpus (self-join ANN, the dedup/similarity-search shape). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("vec", array_to_vector(col("v")))
+
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("vec").setPredictionCol("cell")
+      .fit(v)
+
+    // corpus side: primary cell per vector
+    val indexed = model.transform(v).select("id", "v", "nrm", "cell")
+
+    // query side: nprobe nearest cells via broadcast centroid distances
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val centroidDf = indexed.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    val wProbe = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cell"))
+    val probes = indexed.select(col("id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("dist2",
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), col("cell"))
+
+    val wTop = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b"))
+    probes
+      .join(indexed.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell")), Seq("cell"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select("id_a", "id_b", "cosine").distinct()
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("sim"),
+        col("rnk"))
+  }
+}

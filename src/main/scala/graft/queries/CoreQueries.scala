@@ -279,6 +279,25 @@ object CoreQueries {
           col("e3.event_id").as("id3"), col("e1.user_id").as("user_id"))
     })
 
+  /** J8 again via the range-bucketed rewrite (graft.operators.BandJoin):
+    * same oracle as q13 — both formulations must hash-match it. At scale
+    * the bucketed plan replaces the per-key quadratic fan-out with
+    * adjacent-Δ-bucket joins. */
+  val q38 = QueryDef.sql("q38_band_pairs_bucketed",
+    """SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id,
+      |  epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+      |FROM events e1
+      |JOIN events e2 ON e1.user_id = e2.user_id AND e1.ts < e2.ts
+      |  AND epoch_us(e2.ts) - epoch_us(e1.ts) < 3600000000""")(
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      graft.operators.BandJoin.pairsWithin(e, "user_id", "ts",
+          3600L * 1000000L, Seq("event_id"))
+        .select(col("event_id_1").as("id1"), col("event_id_2").as("id2"),
+          col("user_id"),
+          (unix_micros(col("ts_2")) - unix_micros(col("ts_1"))).as("gap_us"))
+    })
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16)
+    q09, q10, q11, q12, q13, q14, q15, q16, q38)
 }

@@ -42,5 +42,11 @@ object SimilarityQueries {
     (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir),
       "vec_id", "embedding", dim = 64, planes = 6, tables = 16, k = 5))
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34)
+  /** IVF ANN (KMeans cells + nprobe search) — rows-only; recall vs
+    * exact asserted in IvfSpec. */
+  val q39 = QueryDef.rowsOnly("q39_ann_ivf")(
+    (s, dir) => graft.operators.Ivf.ivfTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4))
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39)
 }

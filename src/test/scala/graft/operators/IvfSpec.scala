@@ -1,0 +1,21 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("IVF ANN recall vs brute force (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Ivf.ivfTopK(emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    assert(approx.size <= exact.size)
+  }
+}
