@@ -41,12 +41,15 @@ object Ivf {
     }.toSeq
     val centroidDf = indexed.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid")
+      .withColumn("cnorm2", dot(col("centroid"), col("centroid")))
     val wProbe = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cell"))
+    // ‖v−c‖² = ‖v‖² − 2⟨v,c⟩ + ‖c‖²; both norms are hoisted (one per
+    // vector / per centroid), so the cross join pays a single dot each
     val probes = indexed.select(col("id"), col("v"), col("nrm"))
       .crossJoin(broadcast(centroidDf))
       .withColumn("dist2",
-        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("centroid")) +
-          dot(col("centroid"), col("centroid")))
+        col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("centroid")) +
+          col("cnorm2"))
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nprobe)
       .select(col("id").as("id_a"), col("v").as("va"),
