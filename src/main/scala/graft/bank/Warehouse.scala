@@ -31,8 +31,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (exists(name)) read(name)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  def append(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(dir(name).toString)
+  def append(name: String, df: DataFrame,
+             partitionCols: Seq[String] = Nil): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
+      .parquet(dir(name).toString)
 
   /** Atomic replace: write to `<name>.tmp`, delete old, move in. The
     * source plan is fully materialized before the old directory goes

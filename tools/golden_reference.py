@@ -270,7 +270,7 @@ def main():
     ok = True
     ok &= diff(con, "dwh_fact_transactions",
         "SELECT * FROM dwh_fact_transactions",
-        f"SELECT transaction_id, transaction_date, card_num, oper_type, amount, oper_result, terminal FROM '{wh}/dwh_fact_transactions/*.parquet'")
+        f"SELECT transaction_id, transaction_date, card_num, oper_type, amount, oper_result, terminal FROM '{wh}/dwh_fact_transactions/**/*.parquet'")
     ok &= diff(con, "dwh_fact_passport_blacklist",
         "SELECT * FROM dwh_fact_passport_blacklist",
         f"SELECT date, passport FROM '{wh}/dwh_fact_passport_blacklist/*.parquet'")
