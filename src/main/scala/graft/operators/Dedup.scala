@@ -22,13 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-char shingles per document: (id, s). */
+  /** Distinct k-char shingles per document: (id, s). Per-document
+    * dedup happens inside one row (`array_distinct` over the shingle
+    * array) — no shuffle at all, unlike `explode().distinct()` which
+    * would shuffle every (doc, shingle) pair. Documents are bounded
+    * (text columns), so the per-row array is small. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), col(textCol))
-      .withColumn("i",
-        explode(sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0)))))
-      .select(col(idCol), col(textCol).substr(col("i"), lit(k)).as("s"))
-      .distinct()
+    df.select(col(idCol),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))),
+        i => col(textCol).substr(i, lit(k))))).as("s"))
 
   /** Exact duplicate groups by content hash: one row per distinct text
     * with the kept (minimum) id and the duplicate count. */

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General-analytics operators beyond the reference's surface: grouping
+  * sets (rollup/cube), pivot-style conditional aggregation, exact
+  * percentiles. Each with a DuckDB oracle. */
+object AnalyticsQueries {
+  private val D182 = DecimalType(18, 2)
+
+  /** ROLLUP hierarchy totals (returnflag → linestatus). */
+  val q40 = QueryDef.sql("q40_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")(
+    (s, dir) => Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(D182)).as("sum_qty"),
+        count(lit(1)).as("n")))
+
+  /** CUBE over two order dimensions. */
+  val q41 = QueryDef.sql("q41_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")(
+    (s, dir) => Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(sum(col("o_totalprice").cast(D182)).as("sum_price"),
+        count(lit(1)).as("n")))
+
+  /** Pivot: event counts per user fanned out by event_type. Expressed
+    * as conditional aggregation so the oracle is plain ANSI SQL (the
+    * Spark side uses the real pivot operator over a fixed value list —
+    * fixed, so no extra values-discovery job runs). */
+  val q42 = QueryDef.sql("q42_pivot",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events GROUP BY user_id""")(
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view")))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ⇔
+    * DuckDB `quantile_cont`, both linear interpolation). */
+  val q43 = QueryDef.sql("q43_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5)  AS p50,
+      |  quantile_cont(l_quantity, 0.9)  AS p90
+      |FROM lineitem GROUP BY l_returnflag""")(
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90")))
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43)
+}
