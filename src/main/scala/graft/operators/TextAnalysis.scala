@@ -96,4 +96,39 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       md5(normalized(col(textCol)).cast("binary")).as("fingerprint"))
+
+  /** BPE-ish subword-boundary token count: letter runs, digit runs and
+    * punctuation runs count separately (the pre-tokenization split every
+    * BPE vocabulary starts from). Regex kept in the RE2 ∩ Java subset so
+    * the DuckDB oracle replays it. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Winnowing document fingerprints (the rolling-hash scheme used for
+    * plagiarism/near-dup detection): hash every k-gram, slide a window
+    * of `w` consecutive hashes, keep each window's minimum; the distinct
+    * minima are the fingerprint set. Guarantees any match of length ≥
+    * w + k − 1 shares a fingerprint. Hashes are md5-prefix ints so the
+    * oracle reproduces them exactly. */
+  def winnowing(df: DataFrame, idCol: String, textCol: String,
+                k: Int, w: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))),
+          i => col(textCol).substr(i, lit(k)))).as(Seq("pos", "g")))
+      .withColumn("h", conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("n_grams", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .withColumn("winmin", min(col("h")).over(win))
+      // windows that would run past the end are not full windows
+      .where(col("pos") <= col("n_grams") - w)
+      .select(col(idCol), col("winmin").as("fp"))
+      .distinct()
+  }
 }

@@ -172,5 +172,32 @@ object TextQueries {
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits))
   }
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31)
+  /** BPE-ish pre-tokenization count (letter/digit/punct runs). */
+  val q44 = QueryDef.sql("q44_bpeish_tokens",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+      |    AS n_bpeish
+      |FROM documents""")(
+    (s, dir) => Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish")))
+
+  /** Winnowing rolling-hash fingerprints (k=5, w=4). */
+  val q45 = QueryDef.sql("q45_winnowing",
+    """WITH grams AS (
+      |  SELECT doc_id, i - 1 AS pos, substring(text, i, 5) AS g
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS i
+      |        FROM documents)),
+      |h AS (SELECT doc_id, pos,
+      |        ('0x' || substring(md5(g), 1, 8))::BIGINT AS h FROM grams),
+      |m AS (SELECT doc_id, pos,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin,
+      |        count(*) OVER (PARTITION BY doc_id) AS n_grams
+      |      FROM h)
+      |SELECT DISTINCT doc_id, winmin AS fp FROM m WHERE pos <= n_grams - 4""")(
+    (s, dir) => TextAnalysis.winnowing(Tables.documents(s, dir),
+      "doc_id", "text", k = 5, w = 4))
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q44, q45)
 }
