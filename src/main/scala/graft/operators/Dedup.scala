@@ -44,25 +44,34 @@ object Dedup {
     * Returns (id1, id2, jaccard) for pairs ≥ threshold, id1 < id2.
     * Jaccard is computed over the FILTERED shingle sets (consistent on
     * both sides of the oracle). */
+  /** Inverted index: one row per shingle with the sorted list of doc
+    * ids containing it. The single shuffle every shingle-set operator
+    * shares (cached; plan-equal calls reuse one materialization). */
+  private[graft] def invertedIndex(df: DataFrame, idCol: String,
+                                   textCol: String, k: Int): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .groupBy("s").agg(sort_array(collect_list(col(idCol))).as("docs"))
+      .cache()
+
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int, maxDf: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
-    val dfCounts = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    // stop-shingle removal: anti-join against high-df shingles
-    val rare = sh.join(dfCounts.where(col("df") > maxDf).select("s"),
-      Seq("s"), "left_anti")
-    val sizes = rare.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // Pure optimization: df=1 shingles cannot produce a pair, so the
-    // self-join only reads shingles with 2 ≤ df ≤ maxDf. Sizes above
-    // still count every retained shingle (the Jaccard denominator is
-    // unchanged), so results are identical — just a smaller join.
-    val joinable = sh.join(
-      dfCounts.where(col("df") >= 2 && col("df") <= maxDf).select("s"),
-      Seq("s"), "left_semi")
-    val a = joinable.select(col(idCol).as("id1"), col("s"))
-    val b = joinable.select(col(idCol).as("id2"), col("s"))
-    val common = a.join(b, Seq("s")).where(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+    // Single pass over the inverted index — no shingle self-join at all:
+    //  - df(shingle) = size(docs);
+    //  - sizes: explode retained (df ≤ maxDf) postings, count per doc —
+    //    the Jaccard denominator, so stop-shingle removal stays part of
+    //    the semantics;
+    //  - co-occurrence: expand in-row doc pairs for 2 ≤ df ≤ maxDf
+    //    (df = 1 cannot pair; the maxDf cap bounds expansion at df²).
+    val inv = invertedIndex(df, idCol, textCol, k)
+    val kept = inv.where(size(col("docs")) <= maxDf)
+    val sizes = kept.select(explode(col("docs")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = kept.where(size(col("docs")) >= 2)
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("c"))
     common
       .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), "id1")
       .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), "id2")
@@ -72,28 +81,34 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signature: numHashes md5-min values over the shingle set.
-    * Hash family i = md5(i || '|' || shingle) — portable and uniform. */
+  /** 2^59 — modulus for the double-hashing family below; keeps
+    * h1 + 11·(h2 mod M) well inside the positive long range. */
+  private val HashMod = 576460752303423488L
+
+  /** MinHash signature: numHashes min values over the shingle set.
+    * Hash family via Kirsch–Mitzenmacher double hashing from ONE md5 per
+    * shingle: h1/h2 = two 60-bit md5 halves, hashᵢ = h1 + i·(h2 mod 2^59).
+    * One pass, no vocabulary join, long aggregation (portable: the
+    * oracle replays the same formula). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
-    // md5 is the expensive part: hash each DISTINCT shingle value once
-    // (numHashes md5s over ~|vocabulary| strings instead of ~Σ doc-size),
-    // then broadcast-join the small hash table back to (doc, shingle).
-    val hashed = sh.select("s").distinct()
-      .select(col("s") +: (0 until numHashes).map { i =>
-        md5(concat(lit(i.toString), lit("|"), col("s")).cast("binary")).as(s"v$i")
-      }: _*)
-    // no broadcast hint: the vocabulary size is data-dependent, AQE
-    // converts to broadcast at runtime when it's small enough
-    val joined = sh.join(hashed, Seq("s"))
-    val aggs = (0 until numHashes).map(i => min(col(s"v$i")).as(s"h$i"))
-    joined.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hashed = shingles(df, idCol, textCol, k)
+      .withColumn("md", md5(col("s").cast("binary")))
+      .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long") % HashMod)
+    val aggs = (0 until numHashes)
+      .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH candidate pairs: signatures banded `bands` ×
     * `rowsPerBand`; docs sharing any band key are candidates.
-    * Returns distinct (id1, id2), id1 < id2. */
+    * Returns distinct (id1, id2), id1 < id2.
+    *
+    * Pairs are generated by grouping ids per (band, key) and expanding
+    * in-bucket combinations with array expressions — ONE scan of the
+    * signature, no self-join (a self-join would race both sides into
+    * the uncached signature plan and compute it twice). */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol, k, bands * rowsPerBand)
@@ -105,10 +120,21 @@ object Dedup {
     val buckets = sig.select(col(idCol),
         explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = buckets.select(col(idCol).as("id1"), col("band"), col("key"))
-    val r = buckets.select(col(idCol).as("id2"), col("band"), col("key"))
-    l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    pairsFromBuckets(buckets, idCol, Seq("band", "key"))
+  }
+
+  /** Distinct ordered pairs (id1 < id2) of ids sharing a bucket, via
+    * collect_list + in-row combination expansion (single pass). */
+  private[graft] def pairsFromBuckets(buckets: DataFrame, idCol: String,
+                                      bucketCols: Seq[String]): DataFrame = {
+    val ids = sort_array(collect_list(col(idCol)))
+    buckets.groupBy(bucketCols.map(col): _*)
+      .agg(ids.as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2")).distinct()
   }
 
   /** SimHash signature over distinct whitespace tokens: `bits`-wide

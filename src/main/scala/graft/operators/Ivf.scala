@@ -26,14 +26,15 @@ object Ivf {
     val v = emb.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
-      .withColumn("vec", array_to_vector(col("v")))
+      .withColumn("vec", array_to_vector(col("v"))).cache()
 
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("vec").setPredictionCol("cell")
       .fit(v)
 
-    // corpus side: primary cell per vector
-    val indexed = model.transform(v).select("id", "v", "nrm", "cell")
+    // corpus side: primary cell per vector (cached: probe and candidate
+    // sides both read it)
+    val indexed = model.transform(v).select("id", "v", "nrm", "cell").cache()
 
     // query side: nprobe nearest cells via broadcast centroid distances
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>

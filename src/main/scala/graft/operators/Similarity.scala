@@ -35,8 +35,9 @@ object Similarity {
   /** Pairwise cosine over all ordered pairs (a ≠ b), with per-vector norms
     * precomputed once (not per pair). */
   def cosineAllPairs(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // cached: norms are computed once per vector, not once per side
     val v = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"))).cache()
     val a = v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("id_a") =!= col("id_b"))
@@ -87,11 +88,14 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               dim: Int, planes: Int, tables: Int, k: Int): DataFrame = {
     val v = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"))).cache()
+    // cached: the pair join reads the bucket table twice; without the
+    // cache every plane dot product would run again per side
     val bucketed = v.withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(col("v"), dim, planes, t).as("b"))): _*)))
       .select(col("id"), col("v"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
+      .cache()
     val pairs = bucketed.select(col("id").as("id_a"), col("t"), col("b"))
       .join(bucketed.select(col("id").as("id_b"), col("t"), col("b")),
         Seq("t", "b"))

@@ -113,22 +113,17 @@ object TextAnalysis {
     * oracle reproduces them exactly. */
   def winnowing(df: DataFrame, idCol: String, textCol: String,
                 k: Int, w: Int): DataFrame = {
-    val grams = df.select(col(idCol),
-        posexplode(transform(
-          sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))),
-          i => col(textCol).substr(i, lit(k)))).as(Seq("pos", "g")))
-      .withColumn("h", conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
-        .cast("long"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("n_grams", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
-      .withColumn("winmin", min(col("h")).over(win))
-      // windows that would run past the end are not full windows
-      .where(col("pos") <= col("n_grams") - w)
-      .select(col(idCol), col("winmin").as("fp"))
-      .distinct()
+    // One expression chain per document — no window functions and no
+    // shuffle at all (dedup is per-doc, like Dedup.shingles): hash every
+    // k-gram, take each full w-window's min via slice, distinct minima.
+    val hashes = transform(
+      sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))),
+      i => conv(substring(md5(col(textCol).substr(i, lit(k)).cast("binary")),
+        1, 8), 16, 10).cast("long"))
+    df.select(col(idCol), hashes.as("hs")) // materialize hashes once/row
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(0))),
+          j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
   }
 }

@@ -127,7 +127,7 @@ object TextQueries {
     val bands = 4
     val rpb = 3
     val hashes = (0 until bands * rpb)
-      .map(i => s"  min(md5('$i|' || s)) AS h$i").mkString(",\n")
+      .map(i => s"  min(h1 + $i * h2) AS h$i").mkString(",\n")
     val bucketSelects = (0 until bands).map { b =>
       val parts = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sig"
@@ -137,9 +137,14 @@ object TextQueries {
          |  FROM (SELECT doc_id, text,
          |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
          |        FROM documents)),
+         |hh AS (SELECT doc_id,
+         |         ('0x' || substring(md, 1, 15))::BIGINT AS h1,
+         |         ('0x' || substring(md, 17, 15))::BIGINT
+         |           % 576460752303423488 AS h2
+         |       FROM (SELECT doc_id, md5(s) AS md FROM sh) t),
          |sig AS (SELECT doc_id,
          |$hashes
-         |FROM sh GROUP BY doc_id),
+         |FROM hh GROUP BY doc_id),
          |buckets AS (
          |  $bucketSelects)
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
