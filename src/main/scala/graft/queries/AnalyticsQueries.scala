@@ -65,5 +65,16 @@ object AnalyticsQueries {
         expr("percentile(l_quantity, 0.5)").as("p50"),
         expr("percentile(l_quantity, 0.9)").as("p90")))
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43)
+  /** Sketch aggregates: HyperLogLog++ distinct counts and quantile
+    * sketches — sketch internals differ per engine, so this is a
+    * rows-only driver check; AnalyticsSpec asserts accuracy vs exact. */
+  val q46 = QueryDef.rowsOnly("q46_sketches")(
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
+          .as("price_quantiles")))
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46)
 }
