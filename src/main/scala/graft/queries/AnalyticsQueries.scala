@@ -76,5 +76,21 @@ object AnalyticsQueries {
         expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
           .as("price_quantiles")))
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46)
+  /** Semi-structured extraction: schema-on-read over the JSON `props`
+    * column (`from_json` with an explicit schema ⇔ DuckDB json_extract),
+    * then a typed aggregation. */
+  val q47 = QueryDef.sql("q47_json_extract",
+    """SELECT event_type,
+      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+      |  COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_null
+      |FROM events GROUP BY event_type""")(
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_null")))
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47)
 }
