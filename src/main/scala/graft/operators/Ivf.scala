@@ -56,17 +56,11 @@ object Ivf {
       .select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("na"), col("cell"))
 
-    val wTop = Window.partitionBy(col("id_a"))
-      .orderBy(col("cosine").desc, col("id_b"))
-    probes
+    Similarity.rankTopK(probes
       .join(indexed.select(col("id").as("id_b"), col("v").as("vb"),
         col("nrm").as("nb"), col("cell")), Seq("cell"))
       .where(col("id_a") =!= col("id_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .select("id_a", "id_b", "cosine").distinct()
-      .withColumn("rnk", row_number().over(wTop))
-      .where(col("rnk") <= k)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("sim"),
-        col("rnk"))
+      .select("id_a", "id_b", "cosine").distinct(), k)
   }
 }

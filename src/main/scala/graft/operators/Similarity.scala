@@ -47,14 +47,23 @@ object Similarity {
 
   /** Exact top-k neighbours per vector by cosine, deterministic tiebreak
     * on neighbour id. */
-  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("cosine").desc, col("id_b"))
-    cosineAllPairs(emb, idCol, vecCol)
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("sim"), col("rnk"))
-  }
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    rankTopK(cosineAllPairs(emb, idCol, vecCol), k)
+
+  /** Shared tail: best-k neighbours per id_a from (id_a, id_b, cosine)
+    * via the bounded [[graft.functions.TopKAggregate]] — map-side
+    * partial top-k means the shuffle carries n·k rows, not all pairs
+    * (a row_number window would sort every candidate). Ordering matches
+    * the window formulation exactly: cosine DESC, id_b ASC. */
+  private[operators] def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .groupBy(col("id_a"))
+      .agg(graft.functions.TopKAggregate
+        .topkByScore(col("cosine"), col("id_b"), k).as("nn"))
+      .select(col("id_a"), posexplode(col("nn")).as(Seq("i", "e")))
+      .select(col("id_a"), col("e.id").as("id_b"),
+        round(col("e.score"), 6).as("sim"),
+        (col("i") + 1).cast("int").as("rnk"))
 
   /** Near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
@@ -101,14 +110,9 @@ object Similarity {
         Seq("t", "b"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("cosine").desc, col("id_b"))
-    pairs
+    rankTopK(pairs
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("sim"), col("rnk"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb"))), k)
   }
 }
