@@ -92,10 +92,14 @@ object Dedup {
     * oracle replays the same formula). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int, numHashes: Int): DataFrame = {
-    val hashed = shingles(df, idCol, textCol, k)
+    // Built on the (cached, shared with ngramJaccard) inverted index:
+    // hash each DISTINCT shingle once (|vocabulary| md5s, not one per
+    // posting), then fan the hash out over the posting list in-row.
+    val hashed = invertedIndex(df, idCol, textCol, k)
       .withColumn("md", md5(col("s").cast("binary")))
       .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long") % HashMod)
+      .select(explode(col("docs")).as(idCol), col("h1"), col("h2"))
     val aggs = (0 until numHashes)
       .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
