@@ -191,5 +191,31 @@ object WarehouseQueries {
           min(unix_micros(col("ts"))).as("session_start_us"))
     })
 
-  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23)
+  /** Native session_window (Spark's built-in session aggregation) —
+    * checked against the same lag/cumsum SQL as q23, proving the two
+    * sessionization formulations agree. */
+  val q48 = QueryDef.sql("q48_session_window_native",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM g)
+      |SELECT user_id,
+      |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_no""")(
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events")))
+
+  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48)
 }
