@@ -2,6 +2,7 @@ package graft.bank
 
 import java.sql.Date
 
+import graft.operators.BandJoin
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -70,37 +71,54 @@ object FraudRules {
     out(joined, col("transaction_date"), "invalid contract", reportDt)
   }
 
+  /** One side of a self band join: every column except the key gets a
+    * `_n` suffix so two (or three) sides coexist without aliases. */
+  private def sided(txns: DataFrame, n: Int): DataFrame =
+    txns.columns.foldLeft(txns)((d, c) =>
+      if (c == "card_num") d else d.withColumnRenamed(c, s"${c}_$n"))
+
+  /** Same-card ordered pairs within Δ: naive equi+residual (the
+    * reference's plan — optimal at its data shapes) or the Δ-bucketed
+    * rewrite (`operators.BandJoin` — the hot-key-safe 100 TB plan).
+    * Identical semantics either way (BucketedRulesSpec proves it on the
+    * fixture byte-for-byte). */
+  private def bandPairs(a: DataFrame, b: DataFrame, i: Int, j: Int,
+                        deltaUs: Long, bucketed: Boolean): DataFrame =
+    if (bucketed)
+      BandJoin.joinWithin(a, b, "card_num",
+        s"transaction_date_$i", s"transaction_date_$j", deltaUs)
+    else
+      a.join(b, Seq("card_num"))
+        .where(col(s"transaction_date_$i") < col(s"transaction_date_$j") &&
+          unix_micros(col(s"transaction_date_$j")) -
+            unix_micros(col(s"transaction_date_$i")) < deltaUs)
+
   /** Rule 3 — operations in different cities within one hour
     * (`loading_rep_fraud.py:64-92`): same-card pair band join + SCD2
     * as-of residual on both endpoints + city-differs filter.
     * Postgres compares timestamp to date at midnight; `effective_to`
     * (a date) is cast to timestamp for the BETWEEN bound. */
   def rule3(txns: DataFrame, termHist: DataFrame, seed: Seeds.Seed,
-            repFraud: DataFrame, reportDt: Date): DataFrame = {
-    val t1 = txns.as("t1")
-    val t2 = txns.as("t2")
-    val pairs = t1.join(t2,
-      col("t1.card_num") === col("t2.card_num") &&
-        col("t1.transaction_date") < col("t2.transaction_date") &&
-        unix_micros(col("t2.transaction_date")) -
-          unix_micros(col("t1.transaction_date")) < 3600L * 1000000L)
-    val th1 = termHist.as("th1")
-    val th2 = termHist.as("th2")
+            repFraud: DataFrame, reportDt: Date,
+            bucketed: Boolean = false): DataFrame = {
+    val pairs = bandPairs(sided(txns, 1), sided(txns, 2), 1, 2,
+      3600L * 1000000L, bucketed)
+    def th(n: Int): DataFrame = termHist.columns.foldLeft(termHist)(
+      (d, c) => d.withColumnRenamed(c, s"${c}_h$n"))
     val located = pairs
-      .join(th1, col("t1.terminal") === col("th1.terminal_id") &&
-        col("t1.transaction_date") >= col("th1.effective_from").cast("timestamp") &&
-        col("t1.transaction_date") <= col("th1.effective_to").cast("timestamp"))
-      .join(th2, col("t2.terminal") === col("th2.terminal_id") &&
-        col("t2.transaction_date") >= col("th2.effective_from").cast("timestamp") &&
-        col("t2.transaction_date") <= col("th2.effective_to").cast("timestamp"))
-      .where(col("th1.terminal_city") =!= col("th2.terminal_city") &&
-        col("t2.oper_result") === "SUCCESS")
+      .join(th(1), col("terminal_1") === col("terminal_id_h1") &&
+        col("transaction_date_1") >= col("effective_from_h1").cast("timestamp") &&
+        col("transaction_date_1") <= col("effective_to_h1").cast("timestamp"))
+      .join(th(2), col("terminal_2") === col("terminal_id_h2") &&
+        col("transaction_date_2") >= col("effective_from_h2").cast("timestamp") &&
+        col("transaction_date_2") <= col("effective_to_h2").cast("timestamp"))
+      .where(col("terminal_city_h1") =!= col("terminal_city_h2") &&
+        col("oper_result_2") === "SUCCESS")
     val enriched = located
-      .join(broadcast(seed.cards.select("card_num", "account")),
-        col("t2.card_num") === seed.cards("card_num"))
+      .join(broadcast(seed.cards.select("card_num", "account")), Seq("card_num"))
       .join(broadcast(seed.accounts.select("account", "client")), Seq("account"))
       .join(broadcast(seed.clients), col("client") === col("client_id"))
-    val candidates = out(enriched, col("t2.transaction_date"),
+    val candidates = out(enriched, col("transaction_date_2"),
       "ops in diff cities less one hour", reportDt)
       .dropDuplicates("event_dt", "passport")
     antiJoinExisting(candidates, repFraud, "ops in diff cities less one hour")
@@ -110,31 +128,23 @@ object FraudRules {
     * REJECT → REJECT → SUCCESS with strictly decreasing amounts, all
     * gaps and the total span under 20 minutes. */
   def rule4(txns: DataFrame, seed: Seeds.Seed, repFraud: DataFrame,
-            reportDt: Date): DataFrame = {
-    def us(a: String) = unix_micros(col(s"$a.transaction_date"))
+            reportDt: Date, bucketed: Boolean = false): DataFrame = {
     val limit = 1200L * 1000000L
-    val t1 = txns.as("t1")
-    val t2 = txns.as("t2")
-    val t3 = txns.as("t3")
-    val chain = t1
-      .join(t2, col("t1.card_num") === col("t2.card_num") &&
-        col("t1.transaction_date") < col("t2.transaction_date") &&
-        us("t2") - us("t1") < limit)
-      .join(t3, col("t2.card_num") === col("t3.card_num") &&
-        col("t2.transaction_date") < col("t3.transaction_date") &&
-        us("t3") - us("t2") < limit)
-      .where(col("t1.oper_result") === "REJECT" &&
-        col("t2.oper_result") === "REJECT" &&
-        col("t3.oper_result") === "SUCCESS" &&
-        col("t1.amount") > col("t2.amount") &&
-        col("t2.amount") > col("t3.amount") &&
-        us("t3") - us("t1") < limit)
+    def us(n: Int) = unix_micros(col(s"transaction_date_$n"))
+    val chain = bandPairs(
+        bandPairs(sided(txns, 1), sided(txns, 2), 1, 2, limit, bucketed),
+        sided(txns, 3), 2, 3, limit, bucketed)
+      .where(col("oper_result_1") === "REJECT" &&
+        col("oper_result_2") === "REJECT" &&
+        col("oper_result_3") === "SUCCESS" &&
+        col("amount_1") > col("amount_2") &&
+        col("amount_2") > col("amount_3") &&
+        us(3) - us(1) < limit)
     val enriched = chain
-      .join(broadcast(seed.cards.select("card_num", "account")),
-        col("t3.card_num") === seed.cards("card_num"))
+      .join(broadcast(seed.cards.select("card_num", "account")), Seq("card_num"))
       .join(broadcast(seed.accounts.select("account", "client")), Seq("account"))
       .join(broadcast(seed.clients), col("client") === col("client_id"))
-    val candidates = out(enriched, col("t3.transaction_date"),
+    val candidates = out(enriched, col("transaction_date_3"),
       "amount guessing", reportDt)
       .dropDuplicates("event_dt", "passport")
     antiJoinExisting(candidates, repFraud, "amount guessing")

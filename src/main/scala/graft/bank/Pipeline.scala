@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * Each day is one call; state lives in the [[Warehouse]].
   */
 final class Pipeline(wh: Warehouse, seed: Seeds.Seed,
-                     incrementalRules12: Boolean = false) {
+                     incrementalRules12: Boolean = false,
+                     bucketedBandJoins: Boolean = false) {
   private val spark: SparkSession = wh.spark
 
   import Pipeline._
@@ -80,9 +81,9 @@ final class Pipeline(wh: Warehouse, seed: Seeds.Seed,
     appendRule("REP_FRAUD_passport", FraudRules.rule1(facts12, blAll, seed, day))
     appendRule("REP_FRAUD_contract", FraudRules.rule2(facts12, seed, day))
     appendRule("REP_FRAUD_diff_cities", FraudRules.rule3(facts, dim, seed,
-      wh.readOr(RepFraud, Schemas.repFraud), day))
+      wh.readOr(RepFraud, Schemas.repFraud), day, bucketedBandJoins))
     appendRule("REP_FRAUD_attempt_amount", FraudRules.rule4(facts, seed,
-      wh.readOr(RepFraud, Schemas.repFraud), day))
+      wh.readOr(RepFraud, Schemas.repFraud), day, bucketedBandJoins))
 
     stgTxns.unpersist(); stgBlacklist.unpersist(); stgTerminals.unpersist()
     facts.unpersist()
