@@ -204,5 +204,27 @@ object TextQueries {
     (s, dir) => TextAnalysis.winnowing(Tables.documents(s, dir),
       "doc_id", "text", k = 5, w = 4))
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q44, q45)
+  /** Fuzzy matching with blocking: candidate pairs share a blocking key
+    * (p_brand) and are kept when edit distance ≤ 3 — the classic
+    * record-linkage shape (blocking bounds the pair space; Levenshtein
+    * is exact on both engines). */
+  val q49 = QueryDef.sql("q49_fuzzy_match",
+    """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""")(
+    (s, dir) => {
+      val a = Tables.part(s, dir).select(col("p_partkey").as("id1"),
+        col("p_brand"), col("p_name").as("name1"))
+      val b = Tables.part(s, dir).select(col("p_partkey").as("id2"),
+        col("p_brand"), col("p_name").as("name2"))
+      a.join(b, Seq("p_brand")).where(col("id1") < col("id2"))
+        .withColumn("dist", levenshtein(col("name1"), col("name2")))
+        .where(col("dist") <= 3)
+        .select("id1", "id2", "dist")
+    })
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
+    q44, q45, q49)
 }
