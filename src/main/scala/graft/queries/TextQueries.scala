@@ -212,14 +212,23 @@ object TextQueries {
     """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
       |  levenshtein(a.p_name, b.p_name) AS dist
       |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  ON a.p_brand = b.p_brand
+      |  AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+      |  AND a.p_partkey < b.p_partkey
+      |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
       |WHERE levenshtein(a.p_name, b.p_name) <= 3""")(
     (s, dir) => {
-      val a = Tables.part(s, dir).select(col("p_partkey").as("id1"),
-        col("p_brand"), col("p_name").as("name1"))
-      val b = Tables.part(s, dir).select(col("p_partkey").as("id2"),
-        col("p_brand"), col("p_name").as("name2"))
-      a.join(b, Seq("p_brand")).where(col("id1") < col("id2"))
+      def side(n: Int) = Tables.part(s, dir).select(
+        col("p_partkey").as(s"id$n"),
+        col("p_brand"), col("p_name").as(s"name$n"),
+        length(col("p_name")).as(s"len$n"),
+        substring(col("p_name"), 1, 1).as("initial"))
+      // two-key blocking (brand + first character) bounds the candidate
+      // space; the exact length band (necessary for dist ≤ 3) then runs
+      // before any levenshtein is computed
+      side(1).join(side(2), Seq("p_brand", "initial"))
+        .where(col("id1") < col("id2") &&
+          abs(col("len1") - col("len2")) <= 3)
         .withColumn("dist", levenshtein(col("name1"), col("name2")))
         .where(col("dist") <= 3)
         .select("id1", "id2", "dist")
