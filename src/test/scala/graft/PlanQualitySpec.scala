@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality guards: the properties that matter at cluster scale must
+  * survive refactors — filters/projections reaching the parquet scan,
+  * dimensions broadcast, band joins keeping their equi keys (no
+  * accidental cartesian/nested-loop plans outside the intentional
+  * brute-force baselines). */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter and projection are pushed to the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThan(l_quantity,45"), p)
+    assert(!p.contains("l_comment")) // pruned read schema
+  }
+
+  test("q11: all four dimension joins broadcast; no shuffle for dims") {
+    val p = plan("q11_join_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("band joins keep equi keys — never cartesian") {
+    for (q <- Seq("q13_band_pairs", "q16_triple_band", "q38_band_pairs_bucketed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated")
+    }
+  }
+
+  test("the only nested-loop plans are the intentional all-pairs baselines") {
+    val allowed = Set("q32_cosine_topk", "q33_cosine_neardup", "q39_ann_ivf")
+    for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}
