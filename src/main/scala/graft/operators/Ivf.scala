@@ -28,7 +28,7 @@ object Ivf {
       .withColumn("nrm", Similarity.norm(col("v")))
       .withColumn("vec", array_to_vector(col("v"))).cache()
 
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("vec").setPredictionCol("cell")
       .fit(v)
 
