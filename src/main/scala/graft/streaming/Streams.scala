@@ -38,6 +38,14 @@ object Streams {
                  schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
 
+  /** Streaming exactly-once dedup: duplicate event ids arriving within
+    * the watermark horizon are dropped across micro-batches (the
+    * streaming twin of the blacklist anti-join idempotence,
+    * `comm_funcs.py:50-54`). */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
   /** Tumbling event-time window counts with a watermark. */
   def tumblingCounts(events: DataFrame, windowLen: String,
                      watermark: String): DataFrame =

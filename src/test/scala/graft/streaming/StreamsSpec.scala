@@ -82,6 +82,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(total == events.size)
   }
 
+  test("streaming dedup drops re-delivered events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.dedupStream(mem.toDF(), "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(events(0), events(1))
+    q.processAllAvailable()
+    mem.addData(events(1), events(2)) // event 2 re-delivered
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("batch openSessions flushes the trailing session per user") {
     import spark.implicits._
     val open = Streams.openSessions(events.toDS(), gapSeconds = 1800)
