@@ -13,23 +13,23 @@ object AnalyticsQueries {
   /** ROLLUP hierarchy totals (returnflag → linestatus). */
   val q40 = QueryDef.sql("q40_rollup",
     """SELECT l_returnflag, l_linestatus,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")(
     (s, dir) => Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity").cast(D182)).as("sum_qty"),
+      .agg(sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"),
         count(lit(1)).as("n")))
 
   /** CUBE over two order dimensions. */
   val q41 = QueryDef.sql("q41_cube",
     """SELECT o_orderstatus, o_orderpriority,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |  COUNT(*) AS n
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")(
     (s, dir) => Tables.orders(s, dir)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(sum(col("o_totalprice").cast(D182)).as("sum_price"),
+      .agg(sum(col("o_totalprice").cast(D182)).cast("double").as("sum_price"),
         count(lit(1)).as("n")))
 
   /** Pivot: event counts per user fanned out by event_type. Expressed
@@ -67,21 +67,26 @@ object AnalyticsQueries {
 
   /** Sketch aggregates: HyperLogLog++ distinct counts and quantile
     * sketches — sketch internals differ per engine, so this is a
-    * rows-only driver check; AnalyticsSpec asserts accuracy vs exact. */
+    * rows-only driver check; AnalyticsSpec asserts accuracy vs exact.
+    * The quantile pair is flattened to scalar p50/p99 columns (the
+    * driver harness sorts rows in pandas and cannot hash array cells). */
   val q46 = QueryDef.rowsOnly("q46_sketches")(
     (s, dir) => Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
-          .as("price_quantiles")))
+          .as("pq"))
+      .select(col("l_returnflag"), col("approx_orders"),
+        element_at(col("pq"), 1).as("p50"),
+        element_at(col("pq"), 2).as("p99")))
 
   /** Semi-structured extraction: schema-on-read over the JSON `props`
     * column (`from_json` with an explicit schema ⇔ DuckDB json_extract),
     * then a typed aggregation. */
   val q47 = QueryDef.sql("q47_json_extract",
     """SELECT event_type,
-      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
       |  COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_null
       |FROM events GROUP BY event_type""")(

@@ -11,6 +11,14 @@ import org.apache.spark.sql.types.DecimalType
   * Conventions for cross-engine hash parity:
   *  - aggregates over doubles are cast to DECIMAL before summing (exact,
   *    order-insensitive) — never sum raw doubles across a shuffle;
+  *  - but every FINAL decimal column is cast to DOUBLE at the output
+  *    boundary (and likewise in the oracle SQL): the driver harness reads
+  *    Spark parquet with pandas (DECIMAL → object) and DuckDB via .df()
+  *    (DECIMAL/HUGEINT → float64), so only DOUBLE⇔DOUBLE and
+  *    BIGINT⇔BIGINT hash-match. The decimal→double cast is deterministic
+  *    (exact unscaled < 2^53, one correctly-rounded division) so both
+  *    engines produce bit-identical doubles;
+  *  - DuckDB integer SUMs widen to HUGEINT → wrap in CAST(... AS BIGINT);
   *  - time arithmetic uses integer epoch micros (`unix_micros` ⇔
   *    DuckDB `epoch_us`), never fractional seconds;
   *  - every computed column is aliased identically on both sides.
@@ -37,42 +45,42 @@ object CoreQueries {
     """SELECT c_custkey,
       |  concat(c_name, ' ', coalesce(c_mktsegment, '')) AS fio,
       |  'master' AS src,
-      |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
       |FROM customer""")(
     (s, dir) => Tables.customer(s, dir).select(
       col("c_custkey"),
       concat(col("c_name"), lit(" "), coalesce(col("c_mktsegment"), lit(""))).as("fio"),
       lit("master").as("src"),
-      col("c_acctbal").cast(D182).as("bal")))
+      col("c_acctbal").cast(D182).cast("double").as("bal")))
 
   /** S2: decimal-comma normalization (`main.py:49`): string amount with a
     * comma separator → DECIMAL(10,2). */
   val q03 = QueryDef.sql("q03_decimal_comma",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(replace(replace(CAST(l_quantity AS VARCHAR), '.', ','), ',', '.')
-      |       AS DECIMAL(10,2)) AS amount
+      |  CAST(CAST(replace(replace(CAST(l_quantity AS VARCHAR), '.', ','), ',', '.')
+      |       AS DECIMAL(10,2)) AS DOUBLE) AS amount
       |FROM lineitem""")(
     (s, dir) => Tables.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       regexp_replace(
         regexp_replace(col("l_quantity").cast("string"), lit("\\."), lit(",")),
         lit(","), lit("."))
-        .cast(DecimalType(10, 2)).as("amount")))
+        .cast(DecimalType(10, 2)).cast("double").as("amount")))
 
   /** Aggregation (TPC-H Q1 shape): map-side partial agg + one shuffle on
     * the two grouping keys; decimal sums are exact at any parallelism. */
   val q04 = QueryDef.sql("q04_agg_groupby",
     """SELECT l_returnflag, l_linestatus,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""")(
     (s, dir) => Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(D182)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(D182)).as("sum_base_price"),
+        sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D182)).cast("double").as("sum_base_price"),
         count(lit(1)).as("count_order")))
 
   /** S4/A3: batch-date extraction — deterministic `min` instead of the
@@ -138,7 +146,8 @@ object CoreQueries {
       |         CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
       |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_custkey)
       |SELECT a.cust, a.n_ord AS n_ord_a, b.n_ord AS n_ord_b,
-      |       a.max_price AS max_price_a, b.max_price AS max_price_b
+      |       CAST(a.max_price AS DOUBLE) AS max_price_a,
+      |       CAST(b.max_price AS DOUBLE) AS max_price_b
       |FROM snap_a a JOIN snap_b b ON a.cust = b.cust
       |WHERE a.n_ord IS DISTINCT FROM b.n_ord
       |   OR a.max_price IS DISTINCT FROM b.max_price""")(
@@ -155,7 +164,8 @@ object CoreQueries {
            !(col("a.max_price") <=> col("b.max_price"))))
         .select(col("a.cust").as("cust"),
           col("a.n_ord").as("n_ord_a"), col("b.n_ord").as("n_ord_b"),
-          col("a.max_price").as("max_price_a"), col("b.max_price").as("max_price_b"))
+          col("a.max_price").cast("double").as("max_price_a"),
+          col("b.max_price").cast("double").as("max_price_b"))
     })
 
   /** J6: the cards→accounts→clients master chain
@@ -163,7 +173,7 @@ object CoreQueries {
     * Dims are broadcast: the only shuffle is the final group-by. */
   val q11 = QueryDef.sql("q11_join_chain",
     """SELECT n.n_name, COUNT(*) AS n_items,
-      |  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem l
       |JOIN orders o   ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -179,7 +189,7 @@ object CoreQueries {
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_items"),
-           sum(col("l_extendedprice").cast(D182)).as("sum_price")))
+           sum(col("l_extendedprice").cast(D182)).cast("double").as("sum_price")))
 
   /** J7: left-outer blacklist-style lookup with a filtering join condition
     * (`loading_rep_fraud.py:28`): negative-balance customers as the

@@ -15,21 +15,39 @@ object MultimodalQueries {
   val q35 = QueryDef.sql("q35_media_meta",
     """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |            ELSE 'video' END AS kind,
-      |  COUNT(*) AS n, SUM(length(text)) AS total_bytes
+      |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY 1""")(
     (s, dir) => Multimodal.corpusFromDocuments(Tables.documents(s, dir))
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("total_bytes")))
 
-  /** Partition-wise decode-stub features (rows-only: stub output). */
+  /** Partition-wise decode-stub features (rows-only: stub output).
+    * The 8-bin feature vector is flattened to scalar f0..f7 columns —
+    * the driver harness sorts rows in pandas and cannot hash array
+    * cells, so array outputs must never reach the driver boundary. */
   val q36 = QueryDef.rowsOnly("q36_media_decode")(
-    (s, dir) => Multimodal.decodeStub(
-      Multimodal.corpusFromDocuments(Tables.documents(s, dir))).toDF())
+    (s, dir) => {
+      val flat = Multimodal.decodeStub(
+        Multimodal.corpusFromDocuments(Tables.documents(s, dir))).toDF()
+      val bins = (0 until 8).map(i =>
+        element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
+      flat.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ bins: _*)
+    })
 
-  /** Frame sampling of video payloads (rows-only). */
-  val q37 = QueryDef.rowsOnly("q37_media_frames")(
+  /** Frame sampling of video payloads. The stub "frames" are
+    * deterministic substring arithmetic over ASCII payloads, so a full
+    * DuckDB oracle is expressible (frames hex-encoded on both sides;
+    * stride 4 → one 16-byte frame per 64 payload bytes, at least one). */
+  val q37 = QueryDef.sql("q37_media_frames",
+    """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+      |  hex(CAST(substring(text, CAST(i*64+1 AS INT), 16) AS BLOB)) AS frame_hex
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(greatest(CAST(floor(length(text)/64.0) AS BIGINT), 1))) AS i
+      |      FROM documents WHERE doc_id % 3 = 2) t""")(
     (s, dir) => Multimodal.frameSample(
-      Multimodal.corpusFromDocuments(Tables.documents(s, dir)), stride = 4))
+        Multimodal.corpusFromDocuments(Tables.documents(s, dir)), stride = 4)
+      .select(col("media_id"), col("frame_idx"),
+        hex(col("frame_bytes")).as("frame_hex")))
 
   val all: Seq[QueryDef] = Seq(q35, q36, q37)
 }

@@ -45,14 +45,16 @@ object WarehouseQueries {
       |                  DATE '2021-01-31' AS effective_to, deleted_flg
       |  FROM hist WHERE sk IN (SELECT sk FROM closekeys)
       |            AND effective_to = DATE '9999-12-31')
-      |SELECT * FROM untouched
-      |UNION ALL SELECT * FROM closed
-      |UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
-      |  DATE '9999-12-31', FALSE FROM added
-      |UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
-      |  DATE '9999-12-31', FALSE FROM changed
-      |UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
-      |  DATE '9999-12-31', TRUE FROM deleted""")(
+      |SELECT sk, name, CAST(bal AS DOUBLE) AS bal, effective_from,
+      |       effective_to, deleted_flg FROM (
+      |  SELECT * FROM untouched
+      |  UNION ALL SELECT * FROM closed
+      |  UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
+      |    DATE '9999-12-31', FALSE FROM added
+      |  UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
+      |    DATE '9999-12-31', FALSE FROM changed
+      |  UNION ALL SELECT sk, name, bal, DATE '2021-02-01',
+      |    DATE '9999-12-31', TRUE FROM deleted) u""")(
     (s, dir) => {
       val supp = Tables.supplier(s, dir)
       val hist0 = supp.where(col("s_suppkey") % 10 =!= 0).select(
@@ -66,6 +68,8 @@ object WarehouseQueries {
         (col("s_acctbal") + when(col("s_suppkey") % 3 === 0, 1).otherwise(0))
           .cast(D182).as("bal"))
       Cdc.scd2Apply(hist0, snap, Date.valueOf("2021-02-01"), "sk", Seq("name", "bal"))
+        // exact decimal compares inside scd2Apply; DOUBLE only at the boundary
+        .withColumn("bal", col("bal").cast("double"))
     })
 
   /** As-of join (union-window formulation — no pair explosion): each
@@ -97,16 +101,17 @@ object WarehouseQueries {
     * value; decimal so the cumulative sum is order-exact on both engines. */
   val q19 = QueryDef.sql("q19_window_running",
     """SELECT event_id, user_id,
-      |  SUM(CAST(value AS DECIMAL(18,6)))
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS running_value
+      |    AS DOUBLE) AS running_value
       |FROM events""")(
     (s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir).select(col("event_id"), col("user_id"),
-        sum(col("value").cast(DecimalType(18, 6))).over(w).as("running_value"))
+        sum(col("value").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("running_value"))
     })
 
   /** Top-k per group with deterministic tiebreak (rank shape of A1). */
@@ -149,12 +154,12 @@ object WarehouseQueries {
     """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
       |    AS win_start,
       |  event_type, COUNT(*) AS n,
-      |  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""")(
     (s, dir) => Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select(unix_seconds(col("win.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value")))
 
@@ -173,7 +178,8 @@ object WarehouseQueries {
       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                        ROWS UNBOUNDED PRECEDING) AS session_no
       |  FROM g)
-      |SELECT user_id, session_no, COUNT(*) AS n_events,
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |  COUNT(*) AS n_events,
       |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us
       |FROM s GROUP BY user_id, session_no""")(
     (s, dir) => {

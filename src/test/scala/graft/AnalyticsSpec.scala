@@ -15,7 +15,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val approx = queries.AnalyticsQueries.q46.fn(spark, sf)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getSeq[Double](2).head)).toMap
+        (r.getLong(1), r.getDouble(2))).toMap
     for ((flag, (n, p50)) <- exact) {
       val (an, ap50) = approx(flag)
       assert(math.abs(an - n).toDouble / n < 0.05, s"$flag HLL: $an vs $n")
