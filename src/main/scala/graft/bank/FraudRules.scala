@@ -77,11 +77,11 @@ object FraudRules {
     txns.columns.foldLeft(txns)((d, c) =>
       if (c == "card_num") d else d.withColumnRenamed(c, s"${c}_$n"))
 
-  /** Same-card ordered pairs within Δ: naive equi+residual (the
-    * reference's plan — optimal at its data shapes) or the Δ-bucketed
-    * rewrite (`operators.BandJoin` — the hot-key-safe 100 TB plan).
-    * Identical semantics either way (BucketedRulesSpec proves it on the
-    * fixture byte-for-byte). */
+  /** Same-card ordered pairs within Δ: the Δ-bucketed rewrite
+    * (`operators.BandJoin` — the hot-key-safe 100 TB plan, the default)
+    * or the naive equi+residual (the reference's plan — fine at its data
+    * shapes, quadratic on a hot key). Identical semantics either way
+    * (BucketedRulesSpec proves it on the fixture byte-for-byte). */
   private def bandPairs(a: DataFrame, b: DataFrame, i: Int, j: Int,
                         deltaUs: Long, bucketed: Boolean): DataFrame =
     if (bucketed)
@@ -100,7 +100,7 @@ object FraudRules {
     * (a date) is cast to timestamp for the BETWEEN bound. */
   def rule3(txns: DataFrame, termHist: DataFrame, seed: Seeds.Seed,
             repFraud: DataFrame, reportDt: Date,
-            bucketed: Boolean = false): DataFrame = {
+            bucketed: Boolean = true): DataFrame = {
     val pairs = bandPairs(sided(txns, 1), sided(txns, 2), 1, 2,
       3600L * 1000000L, bucketed)
     def th(n: Int): DataFrame = termHist.columns.foldLeft(termHist)(
@@ -128,7 +128,7 @@ object FraudRules {
     * REJECT → REJECT → SUCCESS with strictly decreasing amounts, all
     * gaps and the total span under 20 minutes. */
   def rule4(txns: DataFrame, seed: Seeds.Seed, repFraud: DataFrame,
-            reportDt: Date, bucketed: Boolean = false): DataFrame = {
+            reportDt: Date, bucketed: Boolean = true): DataFrame = {
     val limit = 1200L * 1000000L
     def us(n: Int) = unix_micros(col(s"transaction_date_$n"))
     val chain = bandPairs(

@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   */
 final class Pipeline(wh: Warehouse, seed: Seeds.Seed,
                      incrementalRules12: Boolean = false,
-                     bucketedBandJoins: Boolean = false) {
+                     // Δ-bucketed band joins are the default: byte-identical
+                     // to the naive plan on the fixture (BucketedRulesSpec)
+                     // and the only formulation that survives hot keys at
+                     // scale (89.1 s → 1.1 s on one hot card, SCALING.md).
+                     // `false` restores the reference's naive plan.
+                     bucketedBandJoins: Boolean = true) {
   private val spark: SparkSession = wh.spark
 
   import Pipeline._

@@ -35,6 +35,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("fraud rule 3 default plan is the Δ-bucketed band join") {
+    import org.apache.spark.sql.Row
+    def empty(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val seed = graft.bank.Seeds.Seed(
+      cards = empty(graft.bank.Schemas.cards),
+      accounts = empty(graft.bank.Schemas.accounts),
+      clients = empty(graft.bank.Schemas.clients))
+    val p = graft.bank.FraudRules.rule3(
+      empty(graft.bank.Schemas.factTransactions),
+      empty(graft.bank.Schemas.dimTerminalsHist), seed,
+      empty(graft.bank.Schemas.repFraud), java.sql.Date.valueOf("2021-03-01"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__bucket"), s"default rule3 lost the bucketed plan: $p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     val allowed = Set("q32_cosine_topk", "q33_cosine_neardup", "q39_ann_ivf")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

@@ -6,14 +6,14 @@ import graft.SparkTestSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The Δ-bucketed band-join plan for rules 3/4 (the 100 TB path, see
-  * SCALING.md) must produce the exact same fraud mart as the naive plan
-  * on the reference fixture. */
+  * SCALING.md) is the DEFAULT; it must produce the exact same fraud
+  * mart as the reference's naive plan on the fixture. */
 class BucketedRulesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val refData = "/root/reference/data/data"
   private val days = Seq("01032021", "02032021", "03032021")
 
-  private def replay(bucketed: Boolean): Warehouse = {
+  private def replay(bucketed: Option[Boolean]): Warehouse = {
     val work = Files.createTempDirectory("bucketspec").toString
     val inbox = Paths.get(work, "inbox")
     Files.createDirectories(inbox)
@@ -26,7 +26,10 @@ class BucketedRulesSpec extends AnyFunSuite {
     }
     val wh = new Warehouse(spark, Paths.get(work, "wh").toString)
     val seed = Seeds.load(spark, "/root/reference/data/ddl_dml.sql")
-    val pipe = new Pipeline(wh, seed, bucketedBandJoins = bucketed)
+    val pipe = bucketed match {
+      case Some(b) => new Pipeline(wh, seed, bucketedBandJoins = b)
+      case None    => new Pipeline(wh, seed) // the default path
+    }
     days.foreach { d =>
       pipe.runDay(
         inbox.resolve(s"transactions_$d.txt").toString,
@@ -37,12 +40,12 @@ class BucketedRulesSpec extends AnyFunSuite {
     wh
   }
 
-  test("bucketed rules 3/4 replay the fixture byte-for-byte") {
+  test("default (bucketed) rules 3/4 replay the fixture byte-for-byte") {
     def rows(wh: Warehouse) = wh.read(Pipeline.RepFraud)
       .collect().map(_.toString).sorted.toSeq
-    val naive = rows(replay(bucketed = false))
-    val bucketed = rows(replay(bucketed = true))
+    val naive = rows(replay(bucketed = Some(false)))
+    val default = rows(replay(bucketed = None))
     assert(naive.size == 1100)
-    assert(bucketed == naive)
+    assert(default == naive)
   }
 }
