@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * with the union-sort trick instead of a join:
   *
   *   union(left, right) → window over (key ORDER BY ts, rightFirst) →
-  *   last_value(right payload IGNORE NULLS) → filter left rows.
+  *   last_value(right payload STRUCT IGNORE NULLS) → filter left rows.
+  *
+  * The payload is carried as a struct (non-null per right row) so a right
+  * row whose payload VALUE is null still wins as the most recent match.
   *
   * This never builds join pairs, so a key with n left × m right rows costs
   * O(n+m log(n+m)) inside one shuffle partition instead of O(n·m) — the
@@ -36,34 +39,43 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val t = "__asof_ts"
     val side = "__asof_side" // 0 = right (sorts first at equal ts), 1 = left
+    val p = "__asof_p"
+    // The payload travels inside a struct that is non-null for every
+    // right row (and null for left rows): `last(..., ignoreNulls)` then
+    // always picks the MOST RECENT right row, even when that row's
+    // payload value is legitimately NULL — flat per-column last() would
+    // skip it and surface a stale older payload instead.
+    val pType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
 
     val l = left
       .withColumn(t, col(leftTs))
       .withColumn(side, lit(1))
       .select(Seq(col(key), col(t), col(side)) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(pType).as(p): _*)
     val r = right
       .withColumn(t, col(rightTs))
       .withColumn(side, lit(0))
       .select(Seq(col(key), col(t), col(side)) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"asof_$c")): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as(p): _*)
 
-    // Payload columns join the ordering as a tiebreak so that two right
-    // rows sharing (key, ts) resolve deterministically (left rows carry
-    // nulls there and are unaffected — their payload is ignored anyway).
+    // The payload struct joins the ordering as a tiebreak so that two
+    // right rows sharing (key, ts) resolve deterministically (left rows
+    // carry a null struct there and are unaffected).
     val w = Window.partitionBy(col(key))
-      .orderBy(col(t) +: col(side) +: payloadCols.map(c => col(s"asof_$c")): _*)
+      .orderBy(col(t), col(side), col(p))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = l.unionByName(r)
       .select(Seq(col(key), col(side)) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payloadCols.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        last(col(p), ignoreNulls = true).over(w).as(p): _*)
 
-    filled.where(col(side) === 1).drop(side)
-      .select((leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))): _*)
+    filled.where(col(side) === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(p).getField(c).as(s"asof_$c")): _*)
   }
 
   /** Convenience for the common "latest right id/time" projection. */

@@ -46,11 +46,26 @@ object Dedup {
     * both sides of the oracle). */
   /** Inverted index: one row per shingle with the sorted list of doc
     * ids containing it. The single shuffle every shingle-set operator
-    * shares (cached; plan-equal calls reuse one materialization). */
+    * shares (cached; plan-equal calls reuse one materialization).
+    *
+    * The shuffle key is NOT the shingle string but its two 60-bit md5
+    * halves (h1, h2) — 16 fixed bytes with long comparisons instead of
+    * variable-length UTF8 strings, computed map-side so the groupBy
+    * shuffles only longs. h2 rides along pre-reduced (mod 2^59) because
+    * [[minhashSignature]] needs exactly that pair; [[ngramJaccard]] just
+    * treats (h1, h2) as an opaque 120-bit shingle identity. A collision
+    * between distinct shingles needs equal 120 md5 bits — negligible at
+    * any vocabulary size this engine will see (~2^-60 at a billion
+    * distinct shingles), and the DuckDB oracles replay the exact same
+    * md5-derived formula where it is observable (q30). */
   private[graft] def invertedIndex(df: DataFrame, idCol: String,
                                    textCol: String, k: Int): DataFrame =
     shingles(df, idCol, textCol, k)
-      .groupBy("s").agg(sort_array(collect_list(col(idCol))).as("docs"))
+      .withColumn("md", md5(col("s").cast("binary")))
+      .select(col(idCol),
+        conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(col("md"), 17, 15), 16, 10).cast("long") % HashMod).as("h2"))
+      .groupBy("h1", "h2").agg(sort_array(collect_list(col(idCol))).as("docs"))
       .cache()
 
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
@@ -92,13 +107,15 @@ object Dedup {
     * oracle replays the same formula). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int, numHashes: Int): DataFrame = {
-    // Built on the (cached, shared with ngramJaccard) inverted index:
-    // hash each DISTINCT shingle once (|vocabulary| md5s, not one per
-    // posting), then fan the hash out over the posting list in-row.
+    // h1 < 2^60 and i·(h2 mod 2^59) must stay inside a signed long:
+    // 2^60 + 14·2^59 < 2^63 holds, 15 would not — enforce, don't assume
+    // (Spark wraps silently; the DuckDB oracle raises on overflow).
+    require(numHashes <= 14,
+      s"numHashes=$numHashes would overflow the 64-bit double-hash family (max 14)")
+    // Built on the (cached, shared with ngramJaccard) inverted index,
+    // whose key IS the (h1, h2) md5-half pair this family needs — fan it
+    // out over the posting list in-row, no further hashing.
     val hashed = invertedIndex(df, idCol, textCol, k)
-      .withColumn("md", md5(col("s").cast("binary")))
-      .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long") % HashMod)
       .select(explode(col("docs")).as(idCol), col("h1"), col("h2"))
     val aggs = (0 until numHashes)
       .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))

@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   * merge expressions explicitly so misuse is visible at the call site.
   *
   * `saltedJoin` replicates the (small) right side `salt` times so a
-  * skewed left key's rows distribute over `salt` tasks: left gets a
-  * random-but-deterministic salt from a hash of its row, right is
-  * exploded over all salts.
+  * skewed left key's rows distribute over `salt` tasks.
+  *
+  * The salt mixes a per-row disambiguator (`monotonically_increasing_id`)
+  * into the row hash: fully identical rows — the most common hot-key
+  * pathology — still spread over all salt buckets (a pure row-content
+  * hash would send every copy to one bucket and the mitigation would
+  * degenerate to the unsalted plan). Salt assignment therefore varies
+  * run-to-run with partitioning, but every aggregate/join result is
+  * salt-invariant by construction.
   */
 object Skew {
 
@@ -25,7 +31,8 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      salt: Int): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salt.toLong)))
+      pmod(xxhash64(df.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
+        lit(salt.toLong)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
     partial.groupBy(col(key))
@@ -39,7 +46,8 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int): DataFrame = {
     val l = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salt.toLong)))
+      pmod(xxhash64(big.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
+        lit(salt.toLong)))
     val r = small.withColumn("__salt",
       explode(array((0 until salt).map(lit(_)): _*)))
     l.join(r, Seq(key, "__salt")).drop("__salt")

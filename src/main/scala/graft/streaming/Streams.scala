@@ -41,10 +41,13 @@ object Streams {
   /** Streaming exactly-once dedup: duplicate event ids arriving within
     * the watermark horizon are dropped across micro-batches (the
     * streaming twin of the blacklist anti-join idempotence,
-    * `comm_funcs.py:50-54`). */
+    * `comm_funcs.py:50-54`). Uses `dropDuplicatesWithinWatermark` so the
+    * dedup state is EVICTED once an id ages past the horizon — a plain
+    * `dropDuplicates("event_id")` would grow state unboundedly because
+    * the event-time column is not part of the dedup key. */
   def dedupStream(events: DataFrame, watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Tumbling event-time window counts with a watermark. */
   def tumblingCounts(events: DataFrame, windowLen: String,
@@ -82,6 +85,57 @@ object Streams {
           }
           if (st != null) state.update(st)
           closed.result().iterator
+      }
+  }
+
+  /** True-streaming sessionization: like [[sessionize]], but an open
+    * session is ALSO emitted once the event-time watermark passes its
+    * last event + gap — no more events can extend it at that point, so
+    * the emission is exact, not heuristic. State for the emitted session
+    * is removed, bounding state size by the number of LIVE sessions.
+    *
+    * Streaming-only (event-time timeout needs a watermark); batch
+    * replays use [[sessionize]] + [[openSessions]] instead — identical
+    * output by construction, which is what the spec asserts. */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long,
+                       watermark: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the session can never grow — close it
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start),
+              new Timestamp(s.last), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.last > gapMs =>
+                  closed += Session(user, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n)
+                  st = SessionState(t, t, 1)
+                case s => st = s.copy(last = math.max(s.last, t), n = s.n + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // a timeout timestamp may not sit at/behind the watermark;
+              // if the horizon already passed, fire at watermark+1ms
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.result().iterator
+          }
       }
   }
 

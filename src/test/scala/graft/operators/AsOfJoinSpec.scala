@@ -44,4 +44,15 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("asof_purchase_id").as[Long].head()
     assert(got == 9L) // payload tiebreak: highest sorts last -> wins
   }
+
+  test("a most-recent right row with a NULL payload value wins") {
+    val left = Seq((1L, 10L, ts("2021-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(7L), 10L, ts("2021-01-01 10:00:00")),
+      (None: Option[Long], 10L, ts("2021-01-01 11:00:00")) // newer, null payload
+    ).toDF("purchase_id", "user_id", "ts").select("user_id", "ts", "purchase_id")
+    val got = AsOfJoin(left, right, "user_id", "ts", "ts", Seq("purchase_id"))
+      .select("asof_purchase_id").as[Option[Long]].head()
+    assert(got.isEmpty, "stale non-null payload must not shadow the newest right row")
+  }
 }

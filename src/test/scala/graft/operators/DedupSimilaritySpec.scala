@@ -57,16 +57,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       java.lang.Long.bitCount(m(1L) ^ m(4L)))
   }
 
-  test("LSH ANN reaches decent recall vs brute force (sf0.001)") {
-    val emb = Tables.embeddings(spark, sf)
+  test("fused LshBuckets expression matches the per-plane formulation") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    val tables = 3; val planes = 5
+    val unfused = emb.select(col("vec_id"), array((0 until tables).map(t =>
+      Similarity.lshBucket(col("v"), 64, planes, t)): _*).as("keys"))
+    val fused = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .lshBucketsNative(col("v"), 64, planes, tables).as("keys"))
+    val a = unfused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
+  test("LSH ANN recall >= 0.85 vs brute force (sf0.01, q34 parameters)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
-      dim = 64, planes = 6, tables = 16, k = 5)
+      dim = 64, planes = 9, tables = 28, k = 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
-    assert(recall >= 0.5, s"6x16 LSH recall $recall")
-    // multi-bucket candidate set must be far smaller than all-pairs
+    // corpus geometry ceiling: the testdata embeddings are isotropic, so
+    // 0.85 here ≈ 0.93 at sf0.1 (recall rises with n); see SCALING.md
+    assert(recall >= 0.85, s"9x28 multiprobe LSH recall $recall")
     assert(approx.size <= exact.size)
   }
 }

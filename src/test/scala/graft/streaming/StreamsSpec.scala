@@ -61,6 +61,33 @@ class StreamsSpec extends AnyFunSuite {
       Streams.Session(1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)))
   }
 
+  test("sessionizeStream closes open sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionizeStream(mem.toDS(), gapSeconds = 1800,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_to_out").start()
+    // batch 1: user 1 session of two events; watermark after batch = 10:10
+    mem.addData(events(0), events(1))
+    q.processAllAvailable()
+    // batch 2: an unrelated user far in the future pushes the watermark
+    // past 10:10 + 30min — user 1's OPEN session must now time out and
+    // emit, with no user-1 event ever closing it
+    mem.addData(Streams.Event(99, ts("2024-01-01 23:00:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    // one more empty-ish advance so the timeout fires against the new watermark
+    mem.addData(Streams.Event(100, ts("2024-01-01 23:59:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_to_out").as[Streams.Session].collect()
+      .filter(_.user_id == 1L).toSeq
+    assert(got == Seq(
+      Streams.Session(1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)),
+      s"open session should emit on watermark passing last+gap, got $got")
+  }
+
   test("checkpointed file stream processes drops incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("filestream").toString
