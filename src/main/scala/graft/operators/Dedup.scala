@@ -48,24 +48,24 @@ object Dedup {
     * ids containing it. The single shuffle every shingle-set operator
     * shares (cached; plan-equal calls reuse one materialization).
     *
-    * The shuffle key is NOT the shingle string but its two 60-bit md5
-    * halves (h1, h2) — 16 fixed bytes with long comparisons instead of
-    * variable-length UTF8 strings, computed map-side so the groupBy
-    * shuffles only longs. h2 rides along pre-reduced (mod 2^59) because
-    * [[minhashSignature]] needs exactly that pair; [[ngramJaccard]] just
-    * treats (h1, h2) as an opaque 120-bit shingle identity. A collision
-    * between distinct shingles needs equal 120 md5 bits — negligible at
-    * any vocabulary size this engine will see (~2^-60 at a billion
-    * distinct shingles), and the DuckDB oracles replay the exact same
-    * md5-derived formula where it is observable (q30). */
+    * The GROUPING key is `xxhash64(s)` (one codegen'd long, computed
+    * map-side) rather than the shingle string — long comparisons in the
+    * aggregate hash map instead of UTF8 compares. The string itself
+    * rides along as `min(s)` (= THE s of the group absent a 64-bit
+    * collision) because [[minhashSignature]] md5s it — but only once per
+    * DISTINCT shingle post-aggregation, which is the cheap side: this
+    * corpus has ~13k distinct shingles behind 1.35M postings, and
+    * hashing per posting instead measurably regresses (md5+conv per
+    * posting benched 5.8 s vs 3.9 s for the whole of q29 at sf0.1).
+    * A 64-bit key collision merges two shingles' posting lists; at a
+    * billion distinct shingles that is ~0.03 expected collisions —
+    * acceptable for dedup semantics and documented here. */
   private[graft] def invertedIndex(df: DataFrame, idCol: String,
                                    textCol: String, k: Int): DataFrame =
     shingles(df, idCol, textCol, k)
-      .withColumn("md", md5(col("s").cast("binary")))
-      .select(col(idCol),
-        conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h1"),
-        (conv(substring(col("md"), 17, 15), 16, 10).cast("long") % HashMod).as("h2"))
-      .groupBy("h1", "h2").agg(sort_array(collect_list(col(idCol))).as("docs"))
+      .groupBy(xxhash64(col("s")).as("xh"))
+      .agg(min(col("s")).as("s"),
+        sort_array(collect_list(col(idCol))).as("docs"))
       .cache()
 
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
@@ -112,10 +112,14 @@ object Dedup {
     // (Spark wraps silently; the DuckDB oracle raises on overflow).
     require(numHashes <= 14,
       s"numHashes=$numHashes would overflow the 64-bit double-hash family (max 14)")
-    // Built on the (cached, shared with ngramJaccard) inverted index,
-    // whose key IS the (h1, h2) md5-half pair this family needs — fan it
-    // out over the posting list in-row, no further hashing.
+    // Built on the (cached, shared with ngramJaccard) inverted index:
+    // hash each DISTINCT shingle once (|vocabulary| md5s, not one per
+    // posting — see the invertedIndex doc for the measured difference),
+    // then fan the hash out over the posting list in-row.
     val hashed = invertedIndex(df, idCol, textCol, k)
+      .withColumn("md", md5(col("s").cast("binary")))
+      .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long") % HashMod)
       .select(explode(col("docs")).as(idCol), col("h1"), col("h2"))
     val aggs = (0 until numHashes)
       .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
