@@ -24,11 +24,22 @@ import org.apache.spark.sql.types._
   * forever.
   *
   * Result: `array<struct<score double, id bigint>>` sorted best-first.
+  *
+  * With `distinctIds` the aggregate ALSO deduplicates: an id already in
+  * the buffer is skipped. Sound only when every occurrence of an id
+  * within a group carries the SAME score (deterministic scoring — e.g.
+  * LSH candidate pairs that collide in several hash tables); it lets a
+  * caller feed a candidate multiset straight into the aggregate instead
+  * of paying a separate `distinct()` exchange first. Dedup is bounded
+  * too: only ids currently among the best k are compared (an O(k) scan
+  * per row), so a duplicate beyond the current top-k is dropped by the
+  * score bound before identity ever matters.
   */
 case class TopKByScore(
     scoreExpr: Expression,
     idExpr: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
@@ -43,11 +54,18 @@ case class TopKByScore(
 
   private def add(buf: mutable.PriorityQueue[(Double, Long)],
                   e: (Double, Long)): Unit = {
-    if (buf.size < k) buf.enqueue(e)
-    else {
+    if (buf.size < k) {
+      if (!(distinctIds && buf.exists(_._2 == e._2))) buf.enqueue(e)
+    } else {
       val worst = buf.head
       val better = e._1 > worst._1 || (e._1 == worst._1 && e._2 < worst._2)
-      if (better) { buf.dequeue(); buf.enqueue(e) }
+      // a duplicate id always carries the same score, so if it is
+      // "better" than the worst kept entry it must already be in the
+      // buffer — the O(k) identity scan only runs for rows that beat
+      // the score bound
+      if (better && !(distinctIds && buf.exists(_._2 == e._2))) {
+        buf.dequeue(); buf.enqueue(e)
+      }
     }
   }
 
@@ -113,5 +131,13 @@ object TopKAggregate {
     import org.apache.spark.sql.graftshim.Shim
     Shim.column(TopKByScore(Shim.expression(score), Shim.expression(id), k)
       .toAggregateExpression())
+  }
+
+  /** Like [[topkByScore]] but id-deduplicating — for candidate
+    * MULTISETS with deterministic per-id scores (see `distinctIds`). */
+  def topkByScoreDistinct(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(TopKByScore(Shim.expression(score), Shim.expression(id), k,
+      distinctIds = true).toAggregateExpression())
   }
 }

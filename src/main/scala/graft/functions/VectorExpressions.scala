@@ -142,6 +142,96 @@ case class LshBuckets(child: Expression, dim: Int, planes: Int, tables: Int)
     copy(child = newChild)
 }
 
+/** Query-directed multiprobe keys (Lv et al., VLDB'07): per table, the
+  * base bucket plus `flips` perturbed buckets obtained by flipping the
+  * planes with the SMALLEST |dot| margin — the planes a true neighbour
+  * most plausibly landed on the other side of. Against blind all-bit
+  * flipping this concentrates the probe budget where the collision
+  * probability mass actually is, so the same recall needs a fraction of
+  * the candidate pairs.
+  *
+  * Output layout: `tables × (flips+1)` longs; entry `t*(flips+1)` is
+  * table t's base bucket, followed by its `flips` perturbations
+  * (ascending margin). Same deterministic md5 plane family as
+  * [[LshBuckets]] — a probe key equals the neighbour's [[LshBuckets]]
+  * base key whenever they truly collide, which is what the bucket
+  * equi-join tests.
+  *
+  * The margin bookkeeping makes hand-rolled codegen noisy, so codegen
+  * emits one call into [[computeProbes]] (JIT-compiled Scala, same
+  * triple loop) instead of inlining it — still inside whole-stage
+  * codegen, no interpreted expression fallback. */
+case class LshProbes(child: Expression, dim: Int, planes: Int, tables: Int,
+                     flips: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  require(flips >= 0 && flips <= planes,
+    s"flips=$flips must be within [0, planes=$planes]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_probes"
+
+  // flattened [plane][dim]; deterministic, rebuilt per JVM (not shipped)
+  @transient private lazy val signs: Array[Double] =
+    Array.tabulate(tables * planes * dim)(i =>
+      graft.operators.Similarity.planeSign(i / dim, i % dim))
+
+  def computeProbes(v: ArrayData): Array[Long] = {
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](tables * (flips + 1))
+    val margin = new Array[Double](planes)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var j = 0
+      while (j < planes) {
+        val base = (t * planes + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * signs(base + i); i += 1 }
+        margin(j) = math.abs(s)
+        if (s > 0) key |= 1L << j
+        j += 1
+      }
+      val off = t * (flips + 1)
+      out(off) = key
+      var used = 0L
+      var f = 0
+      while (f < flips) {
+        var bestJ = 0
+        var bestA = Double.MaxValue
+        j = 0
+        while (j < planes) {
+          if (((used >> j) & 1L) == 0L && margin(j) < bestA) {
+            bestA = margin(j); bestJ = j
+          }
+          j += 1
+        }
+        used |= 1L << bestJ
+        out(off + 1 + f) = key ^ (1L << bestJ)
+        f += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(computeProbes(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("lshProbesExpr", this,
+        classOf[LshProbes].getName)
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$self.computeProbes($v));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshProbes =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** `Column` wrapper for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
@@ -153,4 +243,10 @@ object VectorExpressions {
   def lshBucketsNative(vec: Column, dim: Int, planes: Int, tables: Int): Column =
     org.apache.spark.sql.graftshim.Shim.column(LshBuckets(
       org.apache.spark.sql.graftshim.Shim.expression(vec), dim, planes, tables))
+
+  /** `Column` wrapper for [[LshProbes]]: `tables×(flips+1)` probe keys. */
+  def lshProbesNative(vec: Column, dim: Int, planes: Int, tables: Int,
+                      flips: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(LshProbes(
+      org.apache.spark.sql.graftshim.Shim.expression(vec), dim, planes, tables, flips))
 }

@@ -72,17 +72,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("LSH ANN recall >= 0.85 vs brute force (sf0.01, q34 parameters)") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+  test("LshProbes: base bucket first, each perturbation flips exactly one distinct bit") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    val tables = 4; val planes = 6; val flips = 3
+    val rows = emb.select(
+        graft.functions.VectorExpressions.lshBucketsNative(col("v"), 64, planes, tables).as("base"),
+        graft.functions.VectorExpressions.lshProbesNative(col("v"), 64, planes, tables, flips).as("probes"))
+      .collect()
+    for (r <- rows) {
+      val base = r.getSeq[Long](0); val probes = r.getSeq[Long](1)
+      assert(probes.size == tables * (flips + 1))
+      for (t <- 0 until tables) {
+        val group = probes.slice(t * (flips + 1), (t + 1) * (flips + 1))
+        assert(group.head == base(t), "probe group must start with the base bucket")
+        val flipped = group.tail.map(_ ^ base(t))
+        assert(flipped.forall(f => java.lang.Long.bitCount(f) == 1),
+          "each perturbation flips exactly one plane")
+        assert(flipped.distinct.size == flips, "perturbed planes are distinct")
+      }
+    }
+  }
+
+  test("LSH ANN recall >= 0.9 vs brute force (sf0.1, q34 parameters)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
-      dim = 64, planes = 9, tables = 28, k = 5)
+      dim = 64, planes = 7, tables = 20, k = 5, multiprobe = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
-    // corpus geometry ceiling: the testdata embeddings are isotropic, so
-    // 0.85 here ≈ 0.93 at sf0.1 (recall rises with n); see SCALING.md
-    assert(recall >= 0.85, s"9x28 multiprobe LSH recall $recall")
+    // deterministic (md5 planes, fixed corpus): 0.956 measured at sf0.1,
+    // 0.917 at sf0.01; the frontier scan behind the choice is in SCALING.md
+    assert(recall >= 0.9, s"7x20 margin-multiprobe LSH recall $recall")
     assert(approx.size <= exact.size)
   }
 }
