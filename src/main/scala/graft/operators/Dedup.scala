@@ -184,9 +184,9 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist.
-    * All-pairs formulation for modest n; at corpus scale, band the
-    * signature (pigeonhole: dist ≤ d ⇒ some ⌈bits/(d+1)⌉-bit band equal)
-    * and bucket-join like LSH. */
+    * All-pairs formulation — the EXACT BASELINE that verifies
+    * [[simhashPairsBanded]], kept deliberately; the banded form is the
+    * default and the one that survives corpus scale. */
   def simhashPairs(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
     val a = sig.select(col(idCol).as("id1"), col("simhash").as("s1"))
     val b = sig.select(col(idCol).as("id2"), col("simhash").as("s2"))
@@ -194,5 +194,42 @@ object Dedup {
       .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .where(col("dist") <= maxDist)
       .select("id1", "id2", "dist")
+  }
+
+  /** [[simhashPairs]] without the n² crossJoin, SAME results: split the
+    * `bits`-wide signature into `maxDist+1` disjoint bands — by the
+    * pigeonhole principle two signatures within Hamming distance
+    * `maxDist` agree EXACTLY on at least one band — bucket-join on
+    * (band, band bits), verify the true distance in-bucket, and
+    * deduplicate pairs that collide in several bands. Exact semantics
+    * (not approximate), so the DuckDB all-pairs oracle replays it
+    * verbatim (q50); the quadratic term drops from n² to Σ bucket²
+    * per band. Pair expansion happens in-row per bucket (single scan,
+    * no self-join — the same shape as [[pairsFromBuckets]], carrying
+    * the signature through so the distance check needs no re-join. */
+  def simhashPairsBanded(sig: DataFrame, idCol: String, maxDist: Int,
+                         bits: Int = 16): DataFrame = {
+    val bands = maxDist + 1
+    val w = (bits + bands - 1) / bands
+    val bandCols = (0 until bands).map { b =>
+      val width = math.min(w, bits - b * w)
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * w)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }
+    sig.select(col(idCol).as("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+              .as("dist")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.dist").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
   }
 }

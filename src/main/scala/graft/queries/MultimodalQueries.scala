@@ -21,18 +21,46 @@ object MultimodalQueries {
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("total_bytes")))
 
-  /** Partition-wise decode-stub features (rows-only: stub output).
-    * The 8-bin feature vector is flattened to scalar f0..f7 columns —
-    * the driver harness sorts rows in pandas and cannot hash array
-    * cells, so array outputs must never reach the driver boundary. */
-  val q36 = QueryDef.rowsOnly("q36_media_decode")(
-    (s, dir) => {
-      val flat = Multimodal.decodeStub(
-        Multimodal.corpusFromDocuments(Tables.documents(s, dir))).toDF()
-      val bins = (0 until 8).map(i =>
-        element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
-      flat.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ bins: _*)
-    })
+  /** Partition-wise decode-stub features. The 8-bin feature vector is
+    * flattened to scalar f0..f7 columns — the driver harness sorts rows
+    * in pandas and cannot hash array cells, so array outputs must never
+    * reach the driver boundary.
+    *
+    * FULL oracle despite the mapPartitions stub: the fake feature is a
+    * normalized byte histogram over ASCII payloads, and DuckDB's
+    * FLOAT/FLOAT division is true single-precision — so
+    * `CAST(cnt AS FLOAT)/CAST(len AS FLOAT)` replays the stub's
+    * `Float` arithmetic bit-for-bit (verified across boundary cases),
+    * and the final CAST AS DOUBLE is exact widening on both engines. */
+  val q36 = {
+    val cnts = (0 until 8)
+      .map(j => s"  count(*) FILTER (WHERE bin = $j) AS c$j").mkString(",\n")
+    val fs = (0 until 8)
+      .map(j => s"  CAST(CAST(c$j AS FLOAT) / CAST(length(d.text) AS FLOAT) AS DOUBLE) AS f$j")
+      .mkString(",\n")
+    QueryDef.sql("q36_media_decode",
+      s"""WITH chars AS (
+         |  SELECT doc_id,
+         |    (ascii(substring(text, CAST(i AS INT), 1)) >> 5) AS bin
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, length(text) + 1)) AS i FROM documents) t),
+         |hist AS (SELECT doc_id,
+         |$cnts
+         |  FROM chars GROUP BY doc_id)
+         |SELECT d.doc_id AS media_id,
+         |  CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |       ELSE 'video' END AS kind,
+         |  CAST(length(d.text) AS INT) AS n_bytes,
+         |$fs
+         |FROM documents d JOIN hist h ON d.doc_id = h.doc_id""".stripMargin)(
+      (s, dir) => {
+        val flat = Multimodal.decodeStub(
+          Multimodal.corpusFromDocuments(Tables.documents(s, dir))).toDF()
+        val bins = (0 until 8).map(i =>
+          element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
+        flat.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ bins: _*)
+      })
+  }
 
   /** Frame sampling of video payloads. The stub "frames" are
     * deterministic substring arithmetic over ASCII payloads, so a full

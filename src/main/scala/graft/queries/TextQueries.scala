@@ -177,6 +177,39 @@ object TextQueries {
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits))
   }
 
+  /** Banded SimHash near-dup pairs: 32-bit signature split into 4
+    * disjoint 8-bit bands; pigeonhole (dist ≤ 3 ⇒ ≥ 1 band equal) makes
+    * the bucket join EXACT, so the DuckDB oracle replays it as a plain
+    * all-pairs self-join — same rows, but the Spark plan never builds
+    * n² pairs. */
+  val q50 = {
+    val bits = 32
+    val ws = (0 until bits)
+      .map(j => s"  SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j")
+      .mkString(",\n")
+    val sig = (0 until bits)
+      .map(j => s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef.sql("q50_simhash_banded",
+      s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |    FROM documents) t WHERE length(tok) > 0),
+         |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+         |      FROM toks),
+         |w AS (SELECT doc_id,
+         |$ws
+         |FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, $sig AS simhash FROM w)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)(
+      (s, dir) => Dedup.simhashPairsBanded(
+        Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits),
+        "doc_id", maxDist = 3, bits = bits))
+  }
+
   /** BPE-ish pre-tokenization count (letter/digit/punct runs). */
   val q44 = QueryDef.sql("q44_bpeish_tokens",
     """SELECT doc_id,
@@ -235,5 +268,5 @@ object TextQueries {
     })
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49)
+    q44, q45, q49, q50)
 }

@@ -57,6 +57,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       java.lang.Long.bitCount(m(1L) ^ m(4L)))
   }
 
+  test("banded simhash pairs ≡ all-pairs crossJoin (pigeonhole exactness)") {
+    val docs = Tables.documents(spark, sf)
+    val sig32 = Dedup.simhash(docs, "doc_id", "text", bits = 32)
+    val exact = Dedup.simhashPairs(sig32, "doc_id", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashPairsBanded(sig32, "doc_id", maxDist = 3, bits = 32)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == exact)
+    assert(exact.nonEmpty, "fixture must exercise the operator")
+  }
+
   test("fused LshBuckets expression matches the per-plane formulation") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"), transform(col("embedding"),
