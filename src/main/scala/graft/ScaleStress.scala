@@ -82,8 +82,9 @@ object ScaleStress {
     println(s"embeddings: ${emb.count()} rows")
     time("cosine brute force top-5")(
       Similarity.cosineTopK(emb, "vec_id", "embedding", 5).count())
-    time("LSH top-5 (6 planes x 16 tables)")(
-      Similarity.lshTopK(emb, "vec_id", "embedding", 64, 6, 16, 5).count())
+    // planes auto-sized: ceil(log2(n/16)) = 10 at 16k vectors
+    time("LSH top-5 (auto planes, 20 tables, 4 margin probes)")(
+      Similarity.lshTopKAuto(emb, "vec_id", "embedding", 64, 5).count())
     // nlist ~ sqrt(n): candidate work per query ~ n * nprobe / nlist
     time("IVF top-5 (nlist 128, nprobe 8)")(
       Ivf.ivfTopK(emb, "vec_id", "embedding", 5, 128, 8).count())

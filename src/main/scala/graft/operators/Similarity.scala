@@ -150,4 +150,21 @@ object Similarity {
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
     rankTopK(scored, k, distinctIds = true)
   }
+
+  /** [[lshTopK]] with `planes` sized from the corpus: planes =
+    * ⌈log₂(n / targetOccupancy)⌉ keeps expected bucket occupancy near
+    * `targetOccupancy` as n grows — the LSH analog of IVF's nlist ≈ √n
+    * rule, and the reason a parameterization tuned at one scale rots at
+    * another (7 planes is right at n=2000 and drowns at n=16000, where
+    * 10 planes runs 5× faster than brute force; SCALING.md). Costs one
+    * `count()` job up front — the same price [[Ivf.ivfTopK]] pays for
+    * its KMeans fit. */
+  def lshTopKAuto(emb: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, k: Int, tables: Int = 20, multiprobe: Int = 4,
+                  targetOccupancy: Int = 16): DataFrame = {
+    val n = math.max(emb.count(), 1L)
+    val planes = math.max(4, math.min(24,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt))
+    lshTopK(emb, idCol, vecCol, dim, planes, tables, k, multiprobe)
+  }
 }

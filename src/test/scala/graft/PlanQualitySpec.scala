@@ -52,6 +52,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q34 LSH plan: joins broadcast, one shuffle (the top-k aggregation)") {
+    val df = SparkEntry.queries("q34_ann_lsh")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    // post-execution: what AQE actually chose
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"LSH pair generation must not reintroduce shuffle exchanges: $p")
+    assert(p.contains("partial_topk_by_score"),
+      "top-k must aggregate map-side before the exchange")
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     val allowed = Set("q32_cosine_topk", "q33_cosine_neardup", "q39_ann_ivf")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

@@ -106,6 +106,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lshTopKAuto sizes planes from the corpus and keeps recall") {
+    val emb = Tables.embeddings(spark, sf) // n=500 -> planes = ceil(log2(500/16)) = 5
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = Similarity.lshTopKAuto(emb, "vec_id", "embedding", dim = 64, k = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(auto.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"auto-sized LSH recall $recall")
+  }
+
   test("LSH ANN recall >= 0.9 vs brute force (sf0.1, q34 parameters)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
