@@ -163,15 +163,19 @@ object Dedup {
   }
 
   /** SimHash signature over distinct whitespace tokens: `bits`-wide
-    * (default 16). Token hash = first 8 md5 hex chars as a 32-bit int;
-    * signature bit j set iff Σ_tokens (bit j set ? +1 : −1) > 0. */
+    * (default 16). Token hash = md5 hex prefix (8 chars / 32 bits for
+    * bits ≤ 32, 15 chars / 60 bits above — the widest prefix that fits
+    * a signed long, same trick as the MinHash family); signature bit j
+    * set iff Σ_tokens (bit j set ? +1 : −1) > 0. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits=$bits outside [1, 60]")
+    val hexLen = if (bits <= 32) 8 else 15
     val toks = df
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .where(length(col("tok")) > 0)
       .distinct()
-      .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+      .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, hexLen), 16, 10)
         .cast("long"))
     val weightAggs = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"w$j")
@@ -211,25 +215,46 @@ object Dedup {
                          bits: Int = 16): DataFrame = {
     val bands = maxDist + 1
     val w = (bits + bands - 1) / bands
+    // Collapse to DISTINCT signatures first: template-heavy corpora
+    // carry many identical token sets (identical signatures at any
+    // width), and banding doc-level rows would re-expand every such
+    // cluster once per band only for the final distinct to undo it.
+    // Distance-0 pairs are emitted straight from the cluster; banding
+    // runs at signature level, pairs are deduplicated at signature
+    // level (small), and doc ids fan back out in-row at the very end.
+    val groups = sig.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val within = groups.where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        lit(0).as("dist"))
     val bandCols = (0 until bands).map { b =>
       val width = math.min(w, bits - b * w)
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * w)
           .bitwiseAND(lit((1L << width) - 1)).as("key"))
     }
-    sig.select(col(idCol).as("id"), col("simhash"),
-        explode(array(bandCols: _*)).as("bk"))
+    val sigPairs = groups
+      .select(col("simhash"), col("ids"), explode(array(bandCols: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("simhash"), col("ids")))).as("ms"))
       .where(size(col("ms")) > 1)
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+          y => struct(x.getField("simhash").as("s1"), x.getField("ids").as("ids1"),
+            y.getField("simhash").as("s2"), y.getField("ids").as("ids2"),
             bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
               .as("dist")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.dist").as("dist"))
-      .where(col("dist") <= maxDist)
-      .distinct()
+      .select(col("p.*"))
+      .where(col("dist") <= maxDist) // dist >= 1 here: signatures differ
+      .distinct() // signature-level dedup (multi-band collisions) — small
+    val cross = sigPairs
+      .select(explode(flatten(transform(col("ids1"), x =>
+        transform(col("ids2"), y => struct(least(x, y).as("id1"),
+          greatest(x, y).as("id2")))))).as("p"), col("dist"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("dist"))
+    within.unionByName(cross)
   }
 }

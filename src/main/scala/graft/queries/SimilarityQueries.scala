@@ -47,11 +47,11 @@ object SimilarityQueries {
       "vec_id", "embedding", dim = 64, planes = 7, tables = 20, k = 5,
       multiprobe = 4))
 
-  /** IVF ANN (KMeans cells + nprobe search) — rows-only; recall vs
-    * exact asserted in IvfSpec. */
+  /** IVF ANN (KMeans cells + nprobe search), auto-sized nlist ≈ √n —
+    * rows-only; recall vs exact asserted in IvfSpec. */
   val q39 = QueryDef.rowsOnly("q39_ann_ivf")(
-    (s, dir) => graft.operators.Ivf.ivfTopK(Tables.embeddings(s, dir),
-      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4))
+    (s, dir) => graft.operators.Ivf.ivfTopKAuto(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 5))
 
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39)
 }

@@ -177,13 +177,16 @@ object TextQueries {
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits))
   }
 
-  /** Banded SimHash near-dup pairs: 32-bit signature split into 4
-    * disjoint 8-bit bands; pigeonhole (dist ≤ 3 ⇒ ≥ 1 band equal) makes
+  /** Banded SimHash near-dup pairs: 60-bit signature split into 4
+    * disjoint 15-bit bands; pigeonhole (dist ≤ 3 ⇒ ≥ 1 band equal) makes
     * the bucket join EXACT, so the DuckDB oracle replays it as a plain
     * all-pairs self-join — same rows, but the Spark plan never builds
-    * n² pairs. */
+    * n² pairs (and collapses identical-signature clusters before
+    * banding — template corpora are full of them). 60 bits rather than
+    * 32 because a narrow simhash saturates on template text: at 32 bits
+    * a third of ALL pairs sat within distance 3. */
   val q50 = {
-    val bits = 32
+    val bits = 60
     val ws = (0 until bits)
       .map(j => s"  SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j")
       .mkString(",\n")
@@ -195,7 +198,7 @@ object TextQueries {
          |    SELECT doc_id,
          |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
          |    FROM documents) t WHERE length(tok) > 0),
-         |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+         |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
          |      FROM toks),
          |w AS (SELECT doc_id,
          |$ws

@@ -59,10 +59,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("banded simhash pairs ≡ all-pairs crossJoin (pigeonhole exactness)") {
     val docs = Tables.documents(spark, sf)
-    val sig32 = Dedup.simhash(docs, "doc_id", "text", bits = 32)
-    val exact = Dedup.simhashPairs(sig32, "doc_id", maxDist = 3)
+    val sig60 = Dedup.simhash(docs, "doc_id", "text", bits = 60)
+    val exact = Dedup.simhashPairs(sig60, "doc_id", maxDist = 3)
       .as[(Long, Long, Int)].collect().toSet
-    val banded = Dedup.simhashPairsBanded(sig32, "doc_id", maxDist = 3, bits = 32)
+    val banded = Dedup.simhashPairsBanded(sig60, "doc_id", maxDist = 3, bits = 60)
       .as[(Long, Long, Int)].collect().toSet
     assert(banded == exact)
     assert(exact.nonEmpty, "fixture must exercise the operator")

@@ -18,4 +18,16 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
     assert(approx.size <= exact.size)
   }
+
+  test("ivfTopKAuto (nlist ~ sqrt(n)) keeps recall at sf0.01") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // n=500 -> nlist=23, nprobe=4
+    val approx = Ivf.ivfTopKAuto(emb, "vec_id", "embedding", k = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"auto IVF recall $recall")
+    assert(approx.size <= exact.size)
+  }
 }
