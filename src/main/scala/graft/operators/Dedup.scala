@@ -23,15 +23,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct k-char shingles per document: (id, s). Per-document
-    * dedup happens inside one row (`array_distinct` over the shingle
-    * array) — no shuffle at all, unlike `explode().distinct()` which
-    * would shuffle every (doc, shingle) pair. Documents are bounded
-    * (text columns), so the per-row array is small. */
+    * dedup happens inside one row — no shuffle at all, unlike
+    * `explode().distinct()` which would shuffle every (doc, shingle)
+    * pair. Uses the fused [[graft.functions.ShingleArray]] expression:
+    * the composable `array_distinct(transform(sequence(...), substr))`
+    * is semantically identical but runs as interpreted lambdas
+    * (CodegenFallback) and measured 2.7 s of q29's ~5.5 s by itself. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))),
-        i => col(textCol).substr(i, lit(k))))).as("s"))
+      explode(graft.functions.TextExpressions
+        .shingleArray(col(textCol), k)).as("s"))
 
   /** Exact duplicate groups by content hash: one row per distinct text
     * with the kept (minimum) id and the duplicate count. */

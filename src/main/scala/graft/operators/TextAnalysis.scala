@@ -112,18 +112,14 @@ object TextAnalysis {
     * w + k − 1 shares a fingerprint. Hashes are md5-prefix ints so the
     * oracle reproduces them exactly. */
   def winnowing(df: DataFrame, idCol: String, textCol: String,
-                k: Int, w: Int): DataFrame = {
-    // One expression chain per document — no window functions and no
+                k: Int, w: Int): DataFrame =
+    // One fused expression per document — no window functions and no
     // shuffle at all (dedup is per-doc, like Dedup.shingles): hash every
-    // k-gram, take each full w-window's min via slice, distinct minima.
-    val hashes = transform(
-      sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))),
-      i => conv(substring(md5(col(textCol).substr(i, lit(k)).cast("binary")),
-        1, 8), 16, 10).cast("long"))
-    df.select(col(idCol), hashes.as("hs")) // materialize hashes once/row
-      .select(col(idCol),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(0))),
-          j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
-  }
+    // k-gram, take each full w-window's min, distinct minima. The
+    // composable chain (transform/slice/array_min over interpreted
+    // lambdas) computes the same set; [[graft.functions.WinnowArray]]
+    // does it in one JIT-compiled pass (q45 3.9 s → 1.95 s at sf0.1; SCALING.md).
+    df.select(col(idCol),
+      explode(graft.functions.TextExpressions
+        .winnowArray(col(textCol), k, w)).as("fp"))
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fused shingle/winnowing expressions must produce exactly the
+  * same (id, value) sets as the composable higher-order-function
+  * formulations they replaced — over the real corpus, not toy rows. */
+class TextExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ShingleArray ≡ array_distinct(transform(sequence, substr)) on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val k = 8
+    val composable = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(0))),
+          i => col("text").substr(i, lit(k))))).as("s"))
+      .as[(Long, String)].collect().toSet
+    val fused = docs.select(col("doc_id"),
+        explode(TextExpressions.shingleArray(col("text"), k)).as("s"))
+      .as[(Long, String)].collect().toSet
+    assert(fused == composable)
+  }
+
+  test("ShingleArray: short and empty texts follow substr clamping") {
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "abcdefgh"), (4L, "abcdefghi"))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextExpressions.shingleArray(col("text"), 8).as("ss"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("abc"))      // shorter than k -> whole text
+    assert(got(2L) == Seq(""))         // empty -> one empty shingle
+    assert(got(3L) == Seq("abcdefgh")) // exactly k
+    assert(got(4L) == Seq("abcdefgh", "bcdefghi"))
+  }
+
+  test("WinnowArray ≡ composable winnowing chain on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val (k, w) = (5, 4)
+    val hashes = transform(
+      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(0))),
+      i => conv(substring(md5(col("text").substr(i, lit(k)).cast("binary")),
+        1, 8), 16, 10).cast("long"))
+    val composable = docs.select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(0))),
+          j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    val fused = docs.select(col("doc_id"),
+        explode(TextExpressions.winnowArray(col("text"), k, w)).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    assert(fused == composable)
+  }
+
+  test("WinnowArray: texts with fewer than w k-grams fingerprint to nothing") {
+    val df = Seq((1L, "abcdefg"), (2L, "")).toDF("id", "text") // 3 k-grams < w=4
+    val got = df.select(col("id"),
+        TextExpressions.winnowArray(col("text"), 5, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty)
+  }
+}
