@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine-replayable sketches.
+  *
+  * Spark's native sketches (`approx_count_distinct` HLL++,
+  * `approx_percentile` GK) are the production path (q46) but their
+  * internals are engine-specific — no oracle can replay them. These
+  * operators implement the same two ideas from md5 hashing and exact
+  * integer arithmetic, so a DuckDB oracle reproduces every bit (q51):
+  *
+  *  - [[hllDistinct]]: textbook HyperLogLog (Flajolet et al. 2007, raw
+  *    estimator, no small/large-range correction — document, don't
+  *    hide; the bucket count is sized so tested scales stay in the raw
+  *    regime). The float-sensitive register sum Σ 2^-ρ is computed in
+  *    an EXACT integer domain (Σ 2^(RemBits+1−ρ) over a BIGINT, total
+  *    ≤ 2^61 — never rounds), making the estimate independent of
+  *    aggregation order; the only float ops are IEEE-exact-rounded
+  *    multiply/divide on identical literals, which agree across engines
+  *    (unlike libm ln/log2, deliberately avoided — ρ itself is a
+  *    comparison chain, not a logarithm).
+  *  - [[bottomKSample]]: bottom-k-by-hash sampling — the k rows with
+  *    the smallest md5 of a unique key form a uniform sample usable for
+  *    quantile estimation. Deterministic: same corpus → same sample on
+  *    any engine. Implemented with a row_number window (fine up to the
+  *    tested scales); at extreme scale the same bounded TopKAggregate
+  *    that backs cosine top-k is the drop-in (score = −hash).
+  *
+  * At 100 TB both are one shuffle: HLL reduces map-side to
+  * (group, bucket, max ρ) — at most groups × 1024 rows cross the wire.
+  */
+object Sketches {
+
+  /** m = 256 buckets: small enough that every tested scale (≥ ~1k
+    * distinct per group at sf0.001) sits in the RAW-estimator regime —
+    * the small-range linear-counting correction needs ln(), which is
+    * libm-dependent and not bit-stable across engines, so the sketch
+    * deliberately stays where the correction is unnecessary (std error
+    * 1.04/√256 = 6.5%). */
+  val BucketBits = 8
+  val Buckets: Int = 1 << BucketBits // 256
+  val RemBits: Int = 60 - BucketBits // 52 remainder bits
+  /** Exact-integer register weight of an EMPTY bucket: 2^(RemBits+1)
+    * (ρ = 0); a bucket with register ρ weighs 2^(RemBits+1-ρ). */
+  val EmptyWeight: Long = 1L << (RemBits + 1)
+  /** Raw-estimator bias constant α_m, from the SAME literal arithmetic
+    * the oracle uses (IEEE ops on identical literals —
+    * engine-independent). */
+  def alphaExpr: Column = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(Buckets.toDouble))
+  def alphaSql: String =
+    s"(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / ${Buckets.toDouble}::DOUBLE))"
+
+  /** 60-bit md5 prefix of a column (the widest that fits a signed
+    * long) — same family as MinHash/SimHash. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** ρ = position of the first set bit in the 50-bit remainder
+    * (1-based from the top), 51 if the remainder is zero. A comparison
+    * chain, NOT floor(log2(...)) — libm logarithms are not bit-stable
+    * across engines; comparisons are. */
+  def rho(r: Column): Column =
+    (1 to RemBits).foldRight(lit(RemBits + 1): Column) { (i, els) =>
+      when(r >= lit(1L << (RemBits - i)), lit(i)).otherwise(els)
+    }
+
+  /** The same ρ chain as DuckDB SQL (for oracle construction). */
+  def rhoSql(r: String): String =
+    (1 to RemBits).map(i => s"WHEN $r >= ${1L << (RemBits - i)} THEN $i")
+      .mkString("CASE ", " ", s" ELSE ${RemBits + 1} END")
+
+  /** Per-group HyperLogLog distinct estimate of `valueCol` as
+    * `hll_<valueCol>` (DOUBLE, raw estimator). */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = hash60(col(valueCol))
+    val registers = df
+      .select(col(groupCol), shiftright(h, RemBits).as("bucket"),
+        h.bitwiseAND(lit((1L << RemBits) - 1)).as("r"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(rho(col("r"))).as("rho"))
+    // Σ 2^-ρ in the exact integer domain: Σ 2^(RemBits+1-ρ), empty
+    // buckets contribute 2^(RemBits+1) each (ρ = 0 ⇔ weight 1); the
+    // total stays ≤ m·2^(RemBits+1) = 2^61 — never rounds in a long
+    registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("present"),
+        sum(expr(s"shiftleft(1L, ${RemBits + 1} - rho)")).as("s_present"))
+      .select(col(groupCol),
+        (alphaExpr * lit(Buckets.toDouble) * lit(Buckets.toDouble) *
+          lit(EmptyWeight.toDouble) /
+          (col("s_present") + (lit(Buckets.toLong) - col("present")) * lit(EmptyWeight))
+            .cast("double")).as(s"hll_$valueCol"))
+  }
+
+  /** The k rows per group with the smallest 60-bit md5 of `keyCol`
+    * (a unique row key) — a deterministic uniform sample. */
+  def bottomKSample(df: DataFrame, groupCol: String, keyCol: Column,
+                    k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+    df.withColumn("__h", hash60(keyCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__h", "__rn")
+  }
+}

@@ -81,6 +81,59 @@ object AnalyticsQueries {
         element_at(col("pq"), 1).as("p50"),
         element_at(col("pq"), 2).as("p99")))
 
+  /** Deterministic portable sketches — the oracle-checkable twin of
+    * q46: md5-based HyperLogLog (raw estimator, exact integer register
+    * sum — see [[graft.operators.Sketches]]) and bottom-k-by-hash
+    * quantile estimation. Every arithmetic step is either exact integer
+    * or IEEE exact-rounded on identical literals, so DuckDB replays the
+    * estimates bit-for-bit. */
+  val q51 = {
+    import graft.operators.Sketches
+    val rhoCase = Sketches.rhoSql(s"(h & ${(1L << Sketches.RemBits) - 1})")
+    val m = Sketches.Buckets
+    val ew = Sketches.EmptyWeight
+    QueryDef.sql("q51_sketches_portable",
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |reg AS (SELECT l_returnflag, h >> ${Sketches.RemBits} AS bucket,
+         |    max($rhoCase) AS rho
+         |  FROM h GROUP BY l_returnflag, h >> ${Sketches.RemBits}),
+         |agg AS (SELECT l_returnflag, count(*) AS present,
+         |    SUM(1::BIGINT << (${Sketches.RemBits + 1} - rho)) AS s_present
+         |  FROM reg GROUP BY l_returnflag),
+         |hll AS (SELECT l_returnflag,
+         |    ${Sketches.alphaSql}
+         |      * ${m.toDouble}::DOUBLE * ${m.toDouble}::DOUBLE * ${ew.toDouble}::DOUBLE
+         |      / CAST(s_present + ($m - present) * $ew AS DOUBLE)
+         |      AS hll_orders
+         |  FROM agg),
+         |smp AS (SELECT l_returnflag, l_extendedprice,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY
+         |      ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+         |        CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT) AS rn
+         |  FROM lineitem),
+         |q AS (SELECT l_returnflag,
+         |    quantile_cont(l_extendedprice, 0.5)  AS sample_p50,
+         |    quantile_cont(l_extendedprice, 0.99) AS sample_p99
+         |  FROM smp WHERE rn <= 500 GROUP BY l_returnflag)
+         |SELECT hll.l_returnflag, hll_orders, sample_p50, sample_p99
+         |FROM hll JOIN q ON hll.l_returnflag = q.l_returnflag""".stripMargin)(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val hll = Sketches.hllDistinct(li, "l_returnflag", "l_orderkey")
+          .withColumnRenamed("hll_l_orderkey", "hll_orders")
+        val sample = Sketches.bottomKSample(li, "l_returnflag",
+          concat(col("l_orderkey").cast("string"), lit("|"),
+            col("l_linenumber").cast("string")), k = 500)
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("sample_p50"),
+            expr("percentile(l_extendedprice, 0.99)").as("sample_p99"))
+        hll.join(sample, "l_returnflag")
+      })
+  }
+
   /** Semi-structured extraction: schema-on-read over the JSON `props`
     * column (`from_json` with an explicit schema ⇔ DuckDB json_extract),
     * then a typed aggregation. */
@@ -97,5 +150,5 @@ object AnalyticsQueries {
       .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
         count(when(col("k").isNull, 1)).as("n_null")))
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51)
 }

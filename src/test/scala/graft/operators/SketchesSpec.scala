@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("deterministic HLL estimates distinct counts within HLL error bounds") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.hllDistinct(li, "l_returnflag", "l_orderkey")
+      .as[(String, Double)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, e) <- est) {
+      val rel = math.abs(e - exact(k)) / exact(k)
+      // m=256 -> theoretical std error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+      assert(rel <= 0.20, s"$k: est $e vs exact ${exact(k)} (rel $rel)")
+    }
+  }
+
+  test("bottom-k sample is deterministic and uniform enough for quantiles") {
+    val li = Tables.lineitem(spark, sf)
+    def sample() = Sketches.bottomKSample(li, "l_returnflag",
+      concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")), k = 200)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      .as[(String, Long, Long)].collect().toSet
+    val s1 = sample(); val s2 = sample()
+    assert(s1 == s2, "same corpus must give the same sample")
+    // sample quantile tracks the exact quantile on a unimodal column
+    val exactP50 = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .as[(String, Double)].collect().toMap
+    val sampleP50 = Sketches.bottomKSample(li, "l_returnflag",
+      concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")), k = 200)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .as[(String, Double)].collect().toMap
+    for ((k, p) <- sampleP50) {
+      val rel = math.abs(p - exactP50(k)) / exactP50(k)
+      assert(rel <= 0.25, s"$k: sample p50 $p vs exact ${exactP50(k)}")
+    }
+  }
+}
