@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, leakage-safe dataset splitting — the train/val/test
+  * assignment step of a training-data pipeline.
+  *
+  * Assignment is a pure function of the SPLIT KEY's md5 (bucket =
+  * hash mod `denom`), so:
+  *  - it is reproducible across runs, engines and cluster sizes (no
+  *    rand(), no row order dependence — a DuckDB oracle replays it
+  *    exactly, q52);
+  *  - splitting BY A GROUP KEY (user, document source, session) puts
+  *    every row of the group in the same split — the standard fix for
+  *    train/test leakage through correlated rows;
+  *  - new data routes consistently: a user stays in their split as
+  *    more of their rows arrive (the property random sampling lacks).
+  *
+  * Zero shuffle: the assignment is a per-row expression; only whatever
+  * aggregation the caller does afterwards exchanges data.
+  */
+object Split {
+
+  /** 60-bit md5 prefix bucketed to [0, denom). */
+  def hashBucket(key: Column, denom: Int): Column =
+    pmod(conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(denom.toLong))
+
+  /** Split label for `key` given cumulative percentage cut points,
+    * e.g. `Seq("train" -> 80, "val" -> 90, "test" -> 100)`. */
+  def splitLabel(key: Column, cuts: Seq[(String, Int)], denom: Int = 100): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == denom,
+      s"cut points must end at $denom, got $cuts")
+    val b = hashBucket(key, denom)
+    cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, cut), els) =>
+      when(b < cut, name).otherwise(els)
+    }
+  }
+
+  /** The same bucketing as DuckDB SQL (for oracle construction). */
+  def hashBucketSql(key: String, denom: Int): String =
+    s"(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % $denom)"
+}

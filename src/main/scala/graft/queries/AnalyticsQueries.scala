@@ -150,5 +150,24 @@ object AnalyticsQueries {
       .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
         count(when(col("k").isNull, 1)).as("n_null")))
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51)
+  /** Deterministic leakage-safe train/val/test split (80/10/10 by
+    * user_id hash — every event of a user lands in one split; see
+    * [[graft.operators.Split]]). Pure hash arithmetic, full oracle. */
+  val q52 = {
+    import graft.operators.Split
+    val b = Split.hashBucketSql("user_id", 100)
+    QueryDef.sql("q52_hash_split",
+      s"""SELECT CASE WHEN $b < 80 THEN 'train'
+         |            WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1""".stripMargin)(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("split", Split.splitLabel(col("user_id"),
+          Seq("train" -> 80, "val" -> 90, "test" -> 100)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users")))
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52)
 }
