@@ -14,13 +14,40 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  /** Integer from a literal argument (e.g. `shingle_array(text, 8)`). */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal argument, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "dot_product takes exactly 2 arguments")
-        DotProduct(exprs.head, exprs(1))
-      }))
+    def inject(name: String, clazz: Class[_], arity: Int)
+              (build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == arity, s"$name takes exactly $arity arguments")
+          build(exprs)
+        }))
+
+    inject("dot_product", classOf[DotProduct], 2)(e => DotProduct(e.head, e(1)))
+    inject("lsh_buckets", classOf[LshBuckets], 4)(e =>
+      LshBuckets(e.head, intArg(e(1), "lsh_buckets"),
+        intArg(e(2), "lsh_buckets"), intArg(e(3), "lsh_buckets")))
+    inject("lsh_probes", classOf[LshProbes], 5)(e =>
+      LshProbes(e.head, intArg(e(1), "lsh_probes"), intArg(e(2), "lsh_probes"),
+        intArg(e(3), "lsh_probes"), intArg(e(4), "lsh_probes")))
+    inject("shingle_array", classOf[ShingleArray], 2)(e =>
+      ShingleArray(e.head, intArg(e(1), "shingle_array")))
+    inject("winnow_array", classOf[WinnowArray], 3)(e =>
+      WinnowArray(e.head, intArg(e(1), "winnow_array"), intArg(e(2), "winnow_array")))
+    inject("topk_by_score", classOf[TopKByScore], 3)(e =>
+      TopKByScore(e.head, e(1), intArg(e(2), "topk_by_score"))
+        .toAggregateExpression())
   }
 }

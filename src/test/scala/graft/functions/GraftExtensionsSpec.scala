@@ -19,4 +19,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     df.createOrReplaceTempView("vecs")
     assert(spark.sql("SELECT dot_product(a, b) FROM vecs").head().getDouble(0) == 0.5)
   }
+
+  test("every custom expression is callable from SQL") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox", Array.fill(64)(0.5)))
+      .toDF("id", "text", "v").createOrReplaceTempView("t")
+    val row = spark.sql(
+      """SELECT size(lsh_buckets(v, 64, 5, 3))  AS n_buckets,
+        |       size(lsh_probes(v, 64, 5, 3, 2)) AS n_probes,
+        |       size(shingle_array(text, 8))     AS n_shingles,
+        |       size(winnow_array(text, 5, 4))   AS n_fps
+        |FROM t""".stripMargin).head()
+    assert(row.getInt(0) == 3)
+    assert(row.getInt(1) == 9) // 3 tables x (1 base + 2 flips)
+    assert(row.getInt(2) == "the quick brown fox".length - 7)
+    assert(row.getInt(3) >= 1)
+    val agg = spark.sql(
+      """SELECT topk_by_score(s, i, 2) FROM VALUES (1.0d, 10L), (3.0d, 11L),
+        |(2.0d, 12L) AS v(s, i)""".stripMargin).head().getSeq[Any](0)
+    assert(agg.size == 2)
+  }
 }
