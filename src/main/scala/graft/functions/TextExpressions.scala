@@ -78,6 +78,13 @@ case class WinnowArray(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_array"
 
+  // one digest instance per thread, not per row (digest() self-resets);
+  // MessageDigest is not thread-safe, and expression instances are
+  // shared across tasks
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def compute(s: UTF8String): GenericArrayData = {
     val len = s.numChars()
     val m = if (len >= k) len - k + 1 else 0
@@ -85,7 +92,7 @@ case class WinnowArray(child: Expression, k: Int, w: Int)
     // k-gram hashes: first 4 md5 bytes as an unsigned 32-bit value —
     // identical to conv(substring(md5(g), 1, 8), 16, 10) in the
     // composable form and '0x'||substring(md5(g),1,8) in the oracle
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {

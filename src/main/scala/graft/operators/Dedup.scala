@@ -223,8 +223,13 @@ object Dedup {
     // Distance-0 pairs are emitted straight from the cluster; banding
     // runs at signature level, pairs are deduplicated at signature
     // level (small), and doc ids fan back out in-row at the very end.
+    // cached: `within` and the banded branch both read `groups`; without
+    // the cache the whole upstream signature pipeline (token explode +
+    // distinct + bit-weight aggregation) would run twice — same
+    // cache-miss-race lesson as the inverted index above
     val groups = sig.groupBy(col("simhash"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .cache()
     val within = groups.where(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),

@@ -58,10 +58,10 @@ object Sketches {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** ρ = position of the first set bit in the 50-bit remainder
-    * (1-based from the top), 51 if the remainder is zero. A comparison
-    * chain, NOT floor(log2(...)) — libm logarithms are not bit-stable
-    * across engines; comparisons are. */
+  /** ρ = position of the first set bit in the `RemBits`-bit (52-bit)
+    * remainder (1-based from the top), RemBits+1 = 53 if the remainder
+    * is zero. A comparison chain, NOT floor(log2(...)) — libm
+    * logarithms are not bit-stable across engines; comparisons are. */
   def rho(r: Column): Column =
     (1 to RemBits).foldRight(lit(RemBits + 1): Column) { (i, els) =>
       when(r >= lit(1L << (RemBits - i)), lit(i)).otherwise(els)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot keys — the manual dials used when
@@ -16,23 +16,37 @@ import org.apache.spark.sql.functions._
   * `saltedJoin` replicates the (small) right side `salt` times so a
   * skewed left key's rows distribute over `salt` tasks.
   *
-  * The salt mixes a per-row disambiguator (`monotonically_increasing_id`)
-  * into the row hash: fully identical rows — the most common hot-key
-  * pathology — still spread over all salt buckets (a pure row-content
-  * hash would send every copy to one bucket and the mitigation would
-  * degenerate to the unsalted plan). Salt assignment therefore varies
-  * run-to-run with partitioning, but every aggregate/join result is
-  * salt-invariant by construction.
+  * Salt choice is a determinism trade-off, exposed explicitly:
+  *
+  *  - default (`spreadIdenticalRows = false`): salt = hash of the row
+  *    CONTENT. Deterministic under task retry and partial-stage
+  *    recomputation — a recomputed map task assigns every row the same
+  *    salt it had before, so a shuffle-fetch failure can never double-
+  *    count or drop a row. Limitation: fully IDENTICAL rows all share
+  *    one salt bucket, so a hot key consisting of exact duplicates is
+  *    not spread.
+  *  - `spreadIdenticalRows = true`: mixes `monotonically_increasing_id`
+  *    into the salt, which spreads exact duplicates too — but the id
+  *    depends on row order within a partition, so salt assignment is
+  *    NOT stable across recomputation. Only safe when the input is a
+  *    deterministic scan (parquet files, checkpointed data), where
+  *    Spark replays identical partitions; never hang it off a shuffle.
   */
 object Skew {
+
+  private def saltCol(cols: Seq[Column], salt: Int,
+                      spreadIdenticalRows: Boolean): Column = {
+    val mix = if (spreadIdenticalRows) cols :+ monotonically_increasing_id()
+              else cols
+    pmod(xxhash64(mix: _*), lit(salt.toLong))
+  }
 
   /** Two-phase (salted) sum/count aggregation over a possibly-skewed
     * key. Returns one row per key with `sum_<c>` / `cnt` columns. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-                     salt: Int): DataFrame = {
+                     salt: Int, spreadIdenticalRows: Boolean = false): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
-        lit(salt.toLong)))
+      saltCol(df.columns.map(col).toSeq, salt, spreadIdenticalRows))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
     partial.groupBy(col(key))
@@ -44,10 +58,9 @@ object Skew {
     * the small (right) side out over every salt value. Semantically an
     * inner equi-join on `key`. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salt: Int): DataFrame = {
+                 salt: Int, spreadIdenticalRows: Boolean = false): DataFrame = {
     val l = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
-        lit(salt.toLong)))
+      saltCol(big.columns.map(col).toSeq, salt, spreadIdenticalRows))
     val r = small.withColumn("__salt",
       explode(array((0 until salt).map(lit(_)): _*)))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Split {
 
-  /** 60-bit md5 prefix bucketed to [0, denom). */
+  /** 60-bit md5 prefix ([[Sketches.hash60]] — ONE definition of the
+    * parity-critical hash) bucketed to [0, denom). */
   def hashBucket(key: Column, denom: Int): Column =
-    pmod(conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long"), lit(denom.toLong))
+    pmod(Sketches.hash60(key), lit(denom.toLong))
 
   /** Split label for `key` given cumulative percentage cut points,
     * e.g. `Seq("train" -> 80, "val" -> 90, "test" -> 100)`. */

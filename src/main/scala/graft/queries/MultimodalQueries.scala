@@ -35,8 +35,11 @@ object MultimodalQueries {
   val q36 = {
     val cnts = (0 until 8)
       .map(j => s"  count(*) FILTER (WHERE bin = $j) AS c$j").mkString(",\n")
+    // COALESCE + greatest: a zero-length payload has no char rows (the
+    // hist CTE drops it) but the stub still emits it with f* = 0/1 = 0.0
     val fs = (0 until 8)
-      .map(j => s"  CAST(CAST(c$j AS FLOAT) / CAST(length(d.text) AS FLOAT) AS DOUBLE) AS f$j")
+      .map(j => s"  CAST(CAST(COALESCE(c$j, 0) AS FLOAT) / " +
+        s"CAST(greatest(length(d.text), 1) AS FLOAT) AS DOUBLE) AS f$j")
       .mkString(",\n")
     QueryDef.sql("q36_media_decode",
       s"""WITH chars AS (
@@ -52,7 +55,7 @@ object MultimodalQueries {
          |       ELSE 'video' END AS kind,
          |  CAST(length(d.text) AS INT) AS n_bytes,
          |$fs
-         |FROM documents d JOIN hist h ON d.doc_id = h.doc_id""".stripMargin)(
+         |FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id""".stripMargin)(
       (s, dir) => {
         val flat = Multimodal.decodeStub(
           Multimodal.corpusFromDocuments(Tables.documents(s, dir))).toDF()

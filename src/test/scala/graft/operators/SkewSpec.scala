@@ -19,6 +19,22 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("spreadIdenticalRows distributes exact-duplicate rows over salts") {
+    // one hot key, every row identical — the content-hash salt sends all
+    // copies to one bucket; the spread variant must use several
+    val dup = Seq.fill(1000)((0L, 1L)).toDF("user_id", "event_id")
+    val spread = dup.withColumn("__salt",
+        pmod(xxhash64(col("user_id"), col("event_id"),
+          monotonically_increasing_id()), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(spread > 1)
+    // and the aggregate stays correct under spreading
+    val got = Skew.saltedSumCount(dup, "user_id", "event_id", salt = 8,
+        spreadIdenticalRows = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1000L, 1000L)))
+  }
+
   test("salted join equals plain inner join") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
       .select("user_id", "event_id")
