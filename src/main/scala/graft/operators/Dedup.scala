@@ -163,6 +163,58 @@ object Dedup {
       .select(col("p.id1"), col("p.id2")).distinct()
   }
 
+  /** Incremental exact dedup: the delta rows whose content fingerprint
+    * does not already exist in the corpus, plus in-delta dedup (first
+    * id per new fingerprint wins). This is the shape a continuously
+    * ingested training corpus needs — the corpus side reduces to ONE
+    * distinct-fingerprint set (a shuffle of |corpus| hashes, amortized
+    * by storing fingerprints precomputed), never all pairs.
+    *
+    * Anti-join + per-fingerprint min keep everything hash-partitioned
+    * on the fingerprint — one co-partitioned exchange each side. */
+  def incrementalExact(corpus: DataFrame, delta: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val fp = md5(col(textCol).cast("binary"))
+    val known = corpus.select(fp.as("h")).distinct()
+    delta.select(col(idCol), fp.as("h"))
+      .join(known, Seq("h"), "left_anti")
+      .groupBy(col("h")).agg(min(col(idCol)).as("keep_id"))
+  }
+
+  /** Incremental MinHash-LSH candidates: near-dup candidate pairs of a
+    * delta against corpus ∪ delta, WITHOUT re-pairing the corpus
+    * against itself. Signatures are banded exactly like
+    * [[minhashLshCandidates]]; a candidate pair must involve ≥ 1 delta
+    * doc (delta×corpus or delta×delta — corpus×corpus pairs were
+    * already known when the corpus was built). Returns distinct
+    * (id1, id2), id1 < id2, id2 always the delta side of a cross pair.
+    *
+    * Scale shape: the corpus side of the bucket join carries only
+    * (band, key, id) — at 100 TB the banded keys of the existing corpus
+    * are exactly what an incremental pipeline would persist. */
+  def incrementalLshCandidates(corpus: DataFrame, delta: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    def buckets(df: DataFrame) = {
+      val sig = minhashSignature(df, idCol, textCol, k, bands * rowsPerBand)
+      val bandCols = (0 until bands).map { b =>
+        val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", parts: _*).cast("binary")).as("key"))
+      }
+      sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val d = buckets(delta)
+    val c = buckets(corpus)
+    val crossPairs = c.select(col(idCol).as("id1"), col("band"), col("key"))
+      .join(d.select(col(idCol).as("id2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("id1"), col("id2"))
+    val deltaPairs = pairsFromBuckets(d, idCol, Seq("band", "key"))
+    crossPairs.unionByName(deltaPairs).distinct()
+  }
+
   /** SimHash signature over distinct whitespace tokens: `bits`-wide
     * (default 16). Token hash = md5 hex prefix (8 chars / 32 bits for
     * bits ≤ 32, 15 chars / 60 bits above — the widest prefix that fits

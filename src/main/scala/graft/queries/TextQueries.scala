@@ -213,6 +213,73 @@ object TextQueries {
         "doc_id", maxDist = 3, bits = bits))
   }
 
+  /** Incremental exact dedup: fingerprints of the 20% "delta" slice not
+    * already present in the 80% "corpus" slice (continuous-ingestion
+    * shape — the corpus side is one distinct-set, never re-paired). */
+  val q53 = QueryDef.sql("q53_incremental_exact",
+    """WITH known AS (SELECT DISTINCT md5(text) AS h
+      |              FROM documents WHERE doc_id % 10 < 8),
+      |d AS (SELECT doc_id, md5(text) AS h
+      |      FROM documents WHERE doc_id % 10 >= 8)
+      |SELECT h, min(doc_id) AS keep_id
+      |FROM d WHERE h NOT IN (SELECT h FROM known)
+      |GROUP BY h""".stripMargin)(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalExact(
+        docs.where(pmod(col("doc_id"), lit(10)) < 8),
+        docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+        "doc_id", "text")
+    })
+
+  /** Incremental MinHash-LSH candidates: delta×corpus ∪ delta×delta
+    * near-dup candidates, never corpus×corpus (those were known when
+    * the corpus was built). Same 12-perm / 4×3 banding as q30. */
+  val q54 = {
+    val bands = 4
+    val rpb = 3
+    val hashes = (0 until bands * rpb)
+      .map(i => s"  min(h1 + $i * h2) AS h$i").mkString(",\n")
+    val bucketSelects = (0 until bands).map { b =>
+      val parts = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    QueryDef.sql("q54_incremental_lsh",
+      s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+         |  FROM (SELECT doc_id, text,
+         |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+         |        FROM documents)),
+         |hh AS (SELECT doc_id,
+         |         ('0x' || substring(md, 1, 15))::BIGINT AS h1,
+         |         ('0x' || substring(md, 17, 15))::BIGINT
+         |           % 576460752303423488 AS h2
+         |       FROM (SELECT doc_id, md5(s) AS md FROM sh) t),
+         |sig AS (SELECT doc_id,
+         |$hashes
+         |FROM hh GROUP BY doc_id),
+         |buckets AS (
+         |  $bucketSelects),
+         |cross_pairs AS (
+         |  SELECT c.doc_id AS id1, d.doc_id AS id2
+         |  FROM buckets c JOIN buckets d
+         |    ON c.band = d.band AND c.key = d.key
+         |  WHERE c.doc_id % 10 < 8 AND d.doc_id % 10 >= 8),
+         |delta_pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 >= 8)
+         |SELECT DISTINCT id1, id2 FROM (
+         |  SELECT * FROM cross_pairs UNION ALL SELECT * FROM delta_pairs)""".stripMargin)(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalLshCandidates(
+          docs.where(pmod(col("doc_id"), lit(10)) < 8),
+          docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", k = 8, bands = bands, rowsPerBand = rpb)
+      })
+  }
+
   /** BPE-ish pre-tokenization count (letter/digit/punct runs). */
   val q44 = QueryDef.sql("q44_bpeish_tokens",
     """SELECT doc_id,
@@ -271,5 +338,5 @@ object TextQueries {
     })
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49, q50)
+    q44, q45, q49, q50, q53, q54)
 }

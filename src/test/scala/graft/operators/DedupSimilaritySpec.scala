@@ -57,6 +57,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       java.lang.Long.bitCount(m(1L) ^ m(4L)))
   }
 
+  test("incremental dedup ≡ full-corpus dedup restricted to delta-touching pairs") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+    val delta = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+    val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+    // LSH candidates: full run, restricted to pairs touching the delta
+    val full = Dedup.minhashLshCandidates(docs, "doc_id", "text", 8, 4, 3)
+      .as[(Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+      .map(p => Set(p._1, p._2))
+    val incr = Dedup.incrementalLshCandidates(corpus, delta, "doc_id", "text", 8, 4, 3)
+      .as[(Long, Long)].collect().toSet
+      .map((p: (Long, Long)) => Set(p._1, p._2))
+    assert(incr == full)
+    // exact: a delta doc whose text already exists in the corpus is dropped
+    val incrExact = Dedup.incrementalExact(corpus, delta, "doc_id", "text")
+    val knownH = corpus.select(md5(col("text").cast("binary")).as("h"))
+      .distinct().as[String].collect().toSet
+    val got = incrExact.as[(String, Long)].collect()
+    assert(got.forall { case (h, _) => !knownH(h) })
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
   test("banded simhash pairs ≡ all-pairs crossJoin (pigeonhole exactness)") {
     val docs = Tables.documents(spark, sf)
     val sig60 = Dedup.simhash(docs, "doc_id", "text", bits = 60)
