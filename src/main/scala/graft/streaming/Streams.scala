@@ -88,6 +88,32 @@ object Streams {
       }
   }
 
+  /** Streaming band join — the live twin of fraud rules 3/4
+    * (`loading_rep_fraud.py:74-76`): pairs of events on the same key
+    * within `deltaSeconds`, computed as a watermarked stream-stream
+    * self-join. Spark turns the time-range predicate into join state
+    * bounded by the watermark: each side keeps only `watermark` +
+    * `deltaSeconds` of history per key, so state size is proportional
+    * to the RATE, not the stream's age — the property that lets the
+    * fraud rules run continuously instead of re-scanning a warehouse
+    * table per day.
+    *
+    * Output: (key, ts_1, id_1, ts_2, id_2) with 0 < ts_2 − ts_1 <
+    * deltaSeconds — the same pair semantics as
+    * [[graft.operators.BandJoin.pairsWithin]], which the spec asserts
+    * against the batch result on a replayed stream. */
+  def bandJoinStream(events: DataFrame, keyCol: String, idCol: String,
+                     deltaSeconds: Long, watermark: String): DataFrame = {
+    val a = events.select(col(keyCol).as("key"), col("ts").as("ts_1"),
+      col(idCol).as("id_1")).withWatermark("ts_1", watermark).as("l")
+    val b = events.select(col(keyCol).as("key"), col("ts").as("ts_2"),
+      col(idCol).as("id_2")).withWatermark("ts_2", watermark).as("r")
+    a.join(b, expr(
+      s"l.key = r.key AND ts_2 > ts_1 AND " +
+        s"ts_2 < ts_1 + INTERVAL $deltaSeconds SECONDS"))
+      .select(col("l.key"), col("ts_1"), col("id_1"), col("ts_2"), col("id_2"))
+  }
+
   /** True-streaming sessionization: like [[sessionize]], but an open
     * session is ALSO emitted once the event-time watermark passes its
     * last event + gap — no more events can extend it at that point, so

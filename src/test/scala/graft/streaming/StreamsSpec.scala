@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -86,6 +87,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == Seq(
       Streams.Session(1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)),
       s"open session should emit on watermark passing last+gap, got $got")
+  }
+
+  test("streaming band join matches the batch band join on a replayed stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bandEvents = Seq(
+      Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Streams.Event(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0),  // pairs with 1
+      Streams.Event(3, ts("2024-01-01 10:50:00"), 1, "view", 3.0),   // pairs with 2
+      Streams.Event(4, ts("2024-01-01 10:10:00"), 2, "click", 4.0),
+      Streams.Event(5, ts("2024-01-01 10:30:00"), 2, "click", 5.0),  // pairs with 4
+      Streams.Event(6, ts("2024-01-01 13:00:00"), 1, "view", 6.0))   // too late for all
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.bandJoinStream(mem.toDF(), "user_id", "event_id",
+        deltaSeconds = 3600, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("band_out").start()
+    // micro-batches split in event-time order: nothing arrives behind
+    // the watermark, so the streaming result must equal the batch twin
+    mem.addData(bandEvents(0), bandEvents(1), bandEvents(3)) // up to 10:20
+    q.processAllAvailable()
+    mem.addData(bandEvents(4), bandEvents(2), bandEvents(5))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("band_out")
+      .select("key", "id_1", "id_2").as[(Long, Long, Long)].collect().toSet
+    // batch twin over the same events
+    val batch = graft.operators.BandJoin.pairsWithin(
+        bandEvents.toDS().toDF().select("user_id", "ts", "event_id"),
+        "user_id", "ts", 3600L * 1000000L, Seq("event_id"))
+      .select(col("user_id"), col("event_id_1"), col("event_id_2"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got == Set((1L, 1L, 2L), (1L, 1L, 3L), (1L, 2L, 3L), (2L, 4L, 5L)))
   }
 
   test("checkpointed file stream processes drops incrementally") {
