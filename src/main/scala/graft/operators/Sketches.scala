@@ -94,11 +94,17 @@ object Sketches {
             .cast("double")).as(s"hll_$valueCol"))
   }
 
-  /** The k rows per group with the smallest 60-bit md5 of `keyCol`
-    * (a unique row key) — a deterministic uniform sample. */
+  /** The k rows per group with the smallest 60-bit md5 of `keyCol` — a
+    * deterministic uniform sample. If `keyCol` is not unique (rows
+    * sharing a key hash identically), pass the downstream value
+    * column(s) as `tieBreak`: rows tied on the hash then sort by value,
+    * so the SELECTED VALUE MULTISET is engine-independent even when the
+    * k-cut falls inside a tie group. (The testdata lineitem has 118k
+    * duplicate (orderkey, linenumber) keys with differing prices — the
+    * tie-break is what keeps q51 cross-engine exact.) */
   def bottomKSample(df: DataFrame, groupCol: String, keyCol: Column,
-                    k: Int): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+                    k: Int, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h") +: tieBreak: _*)
     df.withColumn("__h", hash60(keyCol))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)

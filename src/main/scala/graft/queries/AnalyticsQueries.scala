@@ -112,7 +112,8 @@ object AnalyticsQueries {
          |smp AS (SELECT l_returnflag, l_extendedprice,
          |    row_number() OVER (PARTITION BY l_returnflag ORDER BY
          |      ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
-         |        CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT) AS rn
+         |        CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT,
+         |      l_extendedprice) AS rn
          |  FROM lineitem),
          |q AS (SELECT l_returnflag,
          |    quantile_cont(l_extendedprice, 0.5)  AS sample_p50,
@@ -126,7 +127,8 @@ object AnalyticsQueries {
           .withColumnRenamed("hll_l_orderkey", "hll_orders")
         val sample = Sketches.bottomKSample(li, "l_returnflag",
           concat(col("l_orderkey").cast("string"), lit("|"),
-            col("l_linenumber").cast("string")), k = 500)
+            col("l_linenumber").cast("string")), k = 500,
+          tieBreak = Seq(col("l_extendedprice")))
           .groupBy("l_returnflag")
           .agg(expr("percentile(l_extendedprice, 0.5)").as("sample_p50"),
             expr("percentile(l_extendedprice, 0.99)").as("sample_p99"))
