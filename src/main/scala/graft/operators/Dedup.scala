@@ -195,18 +195,43 @@ object Dedup {
   def incrementalLshCandidates(corpus: DataFrame, delta: DataFrame,
                                idCol: String, textCol: String,
                                k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    def buckets(df: DataFrame) = {
-      val sig = minhashSignature(df, idCol, textCol, k, bands * rowsPerBand)
-      val bandCols = (0 until bands).map { b =>
-        val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-        struct(lit(b).as("band"),
-          md5(concat_ws("|", parts: _*).cast("binary")).as("key"))
-      }
-      sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val d = lshBuckets(delta, idCol, textCol, k, bands, rowsPerBand)
+    val c = lshBuckets(corpus, idCol, textCol, k, bands, rowsPerBand)
+    incrementalFromBuckets(c, d, idCol)
+  }
+
+  /** [[incrementalLshCandidates]] when corpus and delta live in ONE
+    * table with a membership flag — the usual physical layout. MinHash
+    * signatures are per-document (independent of the rest of the
+    * corpus), so they are computed in a single pass over the whole
+    * table: one inverted index, shared via the cache with every other
+    * shingle operator on the same input, instead of one per slice. */
+  def incrementalLshCandidatesFlagged(docs: DataFrame, isDelta: Column,
+                                      idCol: String, textCol: String,
+                                      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val flags = docs.select(col(idCol), isDelta.as("__is_delta"))
+    val b = lshBuckets(docs, idCol, textCol, k, bands, rowsPerBand)
+      .join(flags, idCol)
+    incrementalFromBuckets(
+      b.where(!col("__is_delta")).drop("__is_delta"),
+      b.where(col("__is_delta")).drop("__is_delta"), idCol)
+  }
+
+  /** Banded (band, key) bucket memberships of each document. */
+  private def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, k, bands * rowsPerBand)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", parts: _*).cast("binary")).as("key"))
     }
-    val d = buckets(delta)
-    val c = buckets(corpus)
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def incrementalFromBuckets(c: DataFrame, d: DataFrame,
+                                     idCol: String): DataFrame = {
     val crossPairs = c.select(col(idCol).as("id1"), col("band"), col("key"))
       .join(d.select(col(idCol).as("id2"), col("band"), col("key")),
         Seq("band", "key"))

@@ -271,13 +271,9 @@ object TextQueries {
          |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 >= 8)
          |SELECT DISTINCT id1, id2 FROM (
          |  SELECT * FROM cross_pairs UNION ALL SELECT * FROM delta_pairs)""".stripMargin)(
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        Dedup.incrementalLshCandidates(
-          docs.where(pmod(col("doc_id"), lit(10)) < 8),
-          docs.where(pmod(col("doc_id"), lit(10)) >= 8),
-          "doc_id", "text", k = 8, bands = bands, rowsPerBand = rpb)
-      })
+      (s, dir) => Dedup.incrementalLshCandidatesFlagged(
+        Tables.documents(s, dir), pmod(col("doc_id"), lit(10)) >= 8,
+        "doc_id", "text", k = 8, bands = bands, rowsPerBand = rpb))
   }
 
   /** BPE-ish pre-tokenization count (letter/digit/punct runs). */

@@ -71,6 +71,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
       .map((p: (Long, Long)) => Set(p._1, p._2))
     assert(incr == full)
+    // the single-pass flagged variant is the same operator
+    val flagged = Dedup.incrementalLshCandidatesFlagged(docs,
+        pmod(col("doc_id"), lit(10)) >= 8, "doc_id", "text", 8, 4, 3)
+      .as[(Long, Long)].collect().toSet
+      .map((p: (Long, Long)) => Set(p._1, p._2))
+    assert(flagged == full)
     // exact: a delta doc whose text already exists in the corpus is dropped
     val incrExact = Dedup.incrementalExact(corpus, delta, "doc_id", "text")
     val knownH = corpus.select(md5(col("text").cast("binary")).as("h"))
