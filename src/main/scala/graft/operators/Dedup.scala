@@ -136,18 +136,9 @@ object Dedup {
     * signature, no self-join (a self-join would race both sides into
     * the uncached signature plan and compute it twice). */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, k, bands * rowsPerBand)
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", parts: _*).cast("binary")).as("key"))
-    }
-    val buckets = sig.select(col(idCol),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    pairsFromBuckets(buckets, idCol, Seq("band", "key"))
-  }
+                           k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    pairsFromBuckets(lshBuckets(df, idCol, textCol, k, bands, rowsPerBand),
+      idCol, Seq("band", "key"))
 
   /** Distinct ordered pairs (id1 < id2) of ids sharing a bucket, via
     * collect_list + in-row combination expansion (single pass). */
@@ -187,7 +178,9 @@ object Dedup {
     * [[minhashLshCandidates]]; a candidate pair must involve ≥ 1 delta
     * doc (delta×corpus or delta×delta — corpus×corpus pairs were
     * already known when the corpus was built). Returns distinct
-    * (id1, id2), id1 < id2, id2 always the delta side of a cross pair.
+    * (id1, id2) with id1 < id2 — the same ordered-pair convention as
+    * [[minhashLshCandidates]], so outputs of full and incremental runs
+    * union/deduplicate cleanly.
     *
     * Scale shape: the corpus side of the bucket join carries only
     * (band, key, id) — at 100 TB the banded keys of the existing corpus
@@ -210,8 +203,11 @@ object Dedup {
                                       idCol: String, textCol: String,
                                       k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val flags = docs.select(col(idCol), isDelta.as("__is_delta"))
+    // cached: both slices below filter this one frame — uncached, the
+    // signature aggregation + banding would run once per slice
     val b = lshBuckets(docs, idCol, textCol, k, bands, rowsPerBand)
       .join(flags, idCol)
+      .cache()
     incrementalFromBuckets(
       b.where(!col("__is_delta")).drop("__is_delta"),
       b.where(col("__is_delta")).drop("__is_delta"), idCol)
@@ -230,14 +226,26 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  private def incrementalFromBuckets(c: DataFrame, d: DataFrame,
+  private def incrementalFromBuckets(c: DataFrame, dRaw: DataFrame,
                                      idCol: String): DataFrame = {
-    val crossPairs = c.select(col(idCol).as("id1"), col("band"), col("key"))
-      .join(d.select(col(idCol).as("id2"), col("band"), col("key")),
+    // cached: the delta buckets feed both the cross join and the
+    // in-delta pair expansion — uncached, the whole signature pipeline
+    // would run once per consumer (the trap documented at
+    // minhashLshCandidates and simhashPairsBanded)
+    val d = dRaw.cache()
+    // id1 < id2 like every other pair producer (a corpus id is not
+    // necessarily smaller than a delta id)
+    val crossPairs = c.select(col(idCol).as("a"), col("band"), col("key"))
+      .join(d.select(col(idCol).as("b"), col("band"), col("key")),
         Seq("band", "key"))
-      .select(col("id1"), col("id2"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"))
+      .distinct()
     val deltaPairs = pairsFromBuckets(d, idCol, Seq("band", "key"))
-    crossPairs.unionByName(deltaPairs).distinct()
+    // no final distinct: a cross pair holds exactly one corpus doc, a
+    // delta pair none — the branches are disjoint and each already
+    // deduplicated
+    crossPairs.unionByName(deltaPairs)
   }
 
   /** SimHash signature over distinct whitespace tokens: `bits`-wide

@@ -222,7 +222,7 @@ object TextQueries {
       |d AS (SELECT doc_id, md5(text) AS h
       |      FROM documents WHERE doc_id % 10 >= 8)
       |SELECT h, min(doc_id) AS keep_id
-      |FROM d WHERE h NOT IN (SELECT h FROM known)
+      |FROM d WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.h = d.h)
       |GROUP BY h""".stripMargin)(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -260,7 +260,8 @@ object TextQueries {
          |buckets AS (
          |  $bucketSelects),
          |cross_pairs AS (
-         |  SELECT c.doc_id AS id1, d.doc_id AS id2
+         |  SELECT least(c.doc_id, d.doc_id) AS id1,
+         |         greatest(c.doc_id, d.doc_id) AS id2
          |  FROM buckets c JOIN buckets d
          |    ON c.band = d.band AND c.key = d.key
          |  WHERE c.doc_id % 10 < 8 AND d.doc_id % 10 >= 8),

@@ -62,20 +62,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
     val delta = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
     val deltaIds = delta.select("doc_id").as[Long].collect().toSet
-    // LSH candidates: full run, restricted to pairs touching the delta
+    // LSH candidates: full run, restricted to pairs touching the delta —
+    // ordered-pair equality (both producers guarantee id1 < id2)
     val full = Dedup.minhashLshCandidates(docs, "doc_id", "text", 8, 4, 3)
       .as[(Long, Long)].collect().toSet
       .filter(p => deltaIds(p._1) || deltaIds(p._2))
-      .map(p => Set(p._1, p._2))
     val incr = Dedup.incrementalLshCandidates(corpus, delta, "doc_id", "text", 8, 4, 3)
       .as[(Long, Long)].collect().toSet
-      .map((p: (Long, Long)) => Set(p._1, p._2))
     assert(incr == full)
     // the single-pass flagged variant is the same operator
     val flagged = Dedup.incrementalLshCandidatesFlagged(docs,
         pmod(col("doc_id"), lit(10)) >= 8, "doc_id", "text", 8, 4, 3)
       .as[(Long, Long)].collect().toSet
-      .map((p: (Long, Long)) => Set(p._1, p._2))
     assert(flagged == full)
     // exact: a delta doc whose text already exists in the corpus is dropped
     val incrExact = Dedup.incrementalExact(corpus, delta, "doc_id", "text")

@@ -27,9 +27,15 @@ class SketchesSpec extends AnyFunSuite {
 
   test("bottom-k sample is deterministic and uniform enough for quantiles") {
     val li = Tables.lineitem(spark, sf)
+    // the (orderkey, linenumber) key is NOT unique in the testdata
+    // (1161 duplicate keys with differing prices at sf0.001), so the
+    // q51-style tie-break is load-bearing here too: without it, which
+    // rows of a hash-tie group land inside the k-cut depends on
+    // partition order
+    val tb = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     def sample() = Sketches.bottomKSample(li, "l_returnflag",
       concat(col("l_orderkey").cast("string"), lit("|"),
-        col("l_linenumber").cast("string")), k = 200)
+        col("l_linenumber").cast("string")), k = 200, tieBreak = tb)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
       .as[(String, Long, Long)].collect().toSet
     val s1 = sample(); val s2 = sample()
@@ -40,7 +46,7 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
     val sampleP50 = Sketches.bottomKSample(li, "l_returnflag",
       concat(col("l_orderkey").cast("string"), lit("|"),
-        col("l_linenumber").cast("string")), k = 200)
+        col("l_linenumber").cast("string")), k = 200, tieBreak = tb)
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
       .as[(String, Double)].collect().toMap
