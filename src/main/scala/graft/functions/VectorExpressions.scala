@@ -232,6 +232,123 @@ case class LshProbes(child: Expression, dim: Int, planes: Int, tables: Int,
     copy(child = newChild)
 }
 
+/** Block-nested-loop exact cosine kernel: given two BLOCKS of vectors
+  * (arrays of `struct<id bigint, v array<double>>`), emit for every
+  * left vector its best `k` right neighbours within this block pair —
+  * `array<struct<id_a, id_b, cosine>>`, to be merged across block pairs
+  * by the bounded [[TopKByScore]] aggregate.
+  *
+  * This is how exact all-pairs similarity survives scale: the row-level
+  * crossJoin ([[graft.operators.Similarity.cosineAllPairs]]) evaluates
+  * one expression tree per PAIR — n² virtual-call row handoffs dominate
+  * long before the arithmetic does. Blocking turns the same n²·d work
+  * into blocks² dense kernels over primitive arrays (unpacked once per
+  * block pair, cache-resident), exactly the shape of a matrix-multiply
+  * tile — and neither side ever needs to fit in memory, because blocks
+  * pair up one at a time.
+  *
+  * Bit-parity: per-vector norms and per-pair dots use the same strict
+  * index-order folds as [[DotProduct]], and the local top-k uses the
+  * same (cosine DESC, id ASC) order as [[TopKByScore]], so the merged
+  * result is identical to the crossJoin formulation row-for-row — the
+  * two share one DuckDB oracle.
+  *
+  * Codegen emits one call into [[compute]] (JIT-compiled Scala) — the
+  * kernel stays inside whole-stage codegen without inlining a page of
+  * generated Java, same pattern as [[LshProbes]]. */
+case class BlockTopK(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+  require(k >= 1, s"k=$k must be positive")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("cosine", DoubleType))), containsNull = false)
+  override def prettyName: String = "block_topk"
+
+  private def unpack(block: ArrayData): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val n = block.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val nrms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = block.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toDoubleArray()
+      vecs(i) = v
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      nrms(i) = math.sqrt(s)
+      i += 1
+    }
+    (ids, vecs, nrms)
+  }
+
+  def compute(ra: ArrayData, rb: ArrayData): GenericArrayData = {
+    val (idsA, vecsA, nrmA) = unpack(ra)
+    val (idsB, vecsB, nrmB) = unpack(rb)
+    val out = new java.util.ArrayList[Any](idsA.length * k)
+    // per left vector: bounded insertion top-k, best-first, ordered
+    // (cosine DESC, id ASC) — the same order TopKByScore merges with
+    val topS = new Array[Double](k)
+    val topI = new Array[Long](k)
+    var a = 0
+    while (a < idsA.length) {
+      val va = vecsA(a)
+      val na = nrmA(a)
+      var cnt = 0
+      var b = 0
+      while (b < idsB.length) {
+        if (idsB(b) != idsA(a)) {
+          val vb = vecsB(b)
+          val d = math.min(va.length, vb.length)
+          var s = 0.0
+          var i = 0
+          while (i < d) { s += va(i) * vb(i); i += 1 }
+          val cos = s / (na * nrmB(b))
+          val id = idsB(b)
+          if (cnt < k ||
+              cos > topS(cnt - 1) || (cos == topS(cnt - 1) && id < topI(cnt - 1))) {
+            var pos = math.min(cnt, k - 1)
+            while (pos > 0 &&
+                   (cos > topS(pos - 1) || (cos == topS(pos - 1) && id < topI(pos - 1)))) {
+              topS(pos) = topS(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
+            }
+            topS(pos) = cos; topI(pos) = id
+            if (cnt < k) cnt += 1
+          }
+        }
+        b += 1
+      }
+      var j = 0
+      while (j < cnt) {
+        out.add(InternalRow(idsA(a), topI(j), topS(j)))
+        j += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("blockTopKExpr", this,
+        classOf[BlockTopK].getName)
+      s"${ev.value} = $self.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BlockTopK =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** `Column` wrapper for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
@@ -243,6 +360,13 @@ object VectorExpressions {
   def lshBucketsNative(vec: Column, dim: Int, planes: Int, tables: Int): Column =
     org.apache.spark.sql.graftshim.Shim.column(LshBuckets(
       org.apache.spark.sql.graftshim.Shim.expression(vec), dim, planes, tables))
+
+  /** `Column` wrapper for [[BlockTopK]]: per-left-vector local top-k
+    * over one block pair. */
+  def blockTopKNative(ra: Column, rb: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(BlockTopK(
+      org.apache.spark.sql.graftshim.Shim.expression(ra),
+      org.apache.spark.sql.graftshim.Shim.expression(rb), k))
 
   /** `Column` wrapper for [[LshProbes]]: `tables×(flips+1)` probe keys. */
   def lshProbesNative(vec: Column, dim: Int, planes: Int, tables: Int,

@@ -68,6 +68,41 @@ object Similarity {
         round(col("e.score"), 6).as("sim"),
         (col("i") + 1).cast("int").as("rnk"))
 
+  /** Exact top-k by BLOCK nested loop — same result as [[cosineTopK]]
+    * row-for-row (same strict fold order, same (cosine DESC, id ASC)
+    * selection; they share one oracle), but the n² pair enumeration runs
+    * as blocks² dense kernels over primitive arrays
+    * ([[graft.functions.BlockTopK]]) instead of n² per-row expression
+    * evaluations.
+    *
+    * Scale shape: vectors are hash-assigned to `blocks` groups (one
+    * shuffle of n rows), block pairs enumerate via a blocks² cross join
+    * of SMALL sides (each row = one packed block), and each kernel emits
+    * ≤ |block|·k candidates — the merge shuffle carries n·k·blocks rows
+    * after map-side partial top-k, never n². Neither side needs to fit
+    * in memory, unlike a broadcast formulation: blocks pair up one at a
+    * time, so this is the exact-search plan that still runs when the
+    * corpus is 100 TB (the work is still O(n²·d) — that is what "exact"
+    * costs; the point is the constant factor and that nothing OOMs).
+    * Block count should grow ~ n/4096 so kernels stay cache-resident. */
+  def cosineTopKBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int, blocks: Int = 32): DataFrame = {
+    // cached: both sides of the block-pair cross join read the packed
+    // blocks — uncached, the pack aggregation would run twice
+    val packed = emb
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .groupBy(pmod(xxhash64(col("id")), lit(blocks.toLong)).as("blk"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("rows"))
+      .cache()
+    val pairs = packed.select(col("rows").as("ra"))
+      .crossJoin(packed.select(col("rows").as("rb")))
+      .select(explode(graft.functions.VectorExpressions
+        .blockTopKNative(col("ra"), col("rb"), k)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cosine").as("cosine"))
+    rankTopK(pairs, k)
+  }
+
   /** Near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double): DataFrame =

@@ -53,5 +53,25 @@ object SimilarityQueries {
     (s, dir) => graft.operators.Ivf.ivfTopKAuto(Tables.embeddings(s, dir),
       "vec_id", "embedding", k = 5))
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39)
+  /** Exact top-5 again, by the BLOCK-nested-loop kernel — bit-identical
+    * to q32 (they share this oracle; the driver hash proves the kernel
+    * against an independent engine), at a fraction of the row-handoff
+    * overhead. This is the exact-search formulation that scales: dense
+    * primitive-array tiles instead of n² per-row expression evaluations.
+    * See [[graft.operators.Similarity.cosineTopKBlocked]]. */
+  val q55 = QueryDef.sql("q55_cosine_topk_blocked",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |      FROM n a JOIN n b ON a.id <> b.id),
+      |r AS (SELECT id_a, id_b, cosine,
+      |        row_number() OVER (PARTITION BY id_a
+      |                           ORDER BY cosine DESC, id_b) AS rnk
+      |      FROM p)
+      |SELECT id_a, id_b, round(cosine, 6) AS sim, rnk FROM r WHERE rnk <= 5""")(
+    (s, dir) => Similarity.cosineTopKBlocked(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 5))
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55)
 }

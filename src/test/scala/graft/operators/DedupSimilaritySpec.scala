@@ -156,4 +156,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"7x20 margin-multiprobe LSH recall $recall")
     assert(approx.size <= exact.size)
   }
+
+  test("blocked exact top-k ≡ crossJoin exact top-k, row for row") {
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val reference = rows(Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5))
+    // blocks = 7: does not divide n, exercises uneven block sizes
+    val blocked = rows(Similarity.cosineTopKBlocked(emb, "vec_id", "embedding",
+      k = 5, blocks = 7))
+    assert(reference.nonEmpty)
+    assert(blocked == reference)
+  }
 }
