@@ -213,6 +213,44 @@ object TextQueries {
         "doc_id", maxDist = 3, bits = bits))
   }
 
+  /** Near-dup CLUSTERING: the step between pair generation and corpus
+    * pruning. Connected components over the verified q29 Jaccard pairs
+    * (large-star/small-star — O(log² n) rounds, never
+    * diameter-bound; see [[graft.operators.Graph]]), then every doc
+    * labelled with its component minimum and whether it is the kept
+    * canonical. The oracle replays the fixpoint with a recursive
+    * transitive-closure CTE — exact because components are exact. */
+  val q56 = QueryDef.sql("q56_dedup_clusters",
+    """WITH RECURSIVE
+      |sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+      |        FROM documents)),
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
+      |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT id1, id2
+      |  FROM co JOIN sz s1 ON co.id1 = s1.doc_id JOIN sz s2 ON co.id2 = s2.doc_id
+      |  WHERE round(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 6) >= 0.3),
+      |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+      |          UNION SELECT id2 AS u, id1 AS v FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.id)
+      |SELECT id AS doc_id, min(lab) AS cluster, min(lab) = id AS keep
+      |FROM reach GROUP BY id""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Graph.dedupClusters(docs, "doc_id",
+        Dedup.ngramJaccard(docs, "doc_id", "text",
+          k = 8, maxDf = 100, threshold = 0.3), "id1", "id2")
+    })
+
   /** Incremental exact dedup: fingerprints of the 20% "delta" slice not
     * already present in the 80% "corpus" slice (continuous-ingestion
     * shape — the corpus side is one distinct-set, never re-paired). */
@@ -335,5 +373,5 @@ object TextQueries {
     })
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49, q50, q53, q54)
+    q44, q45, q49, q50, q53, q54, q56)
 }

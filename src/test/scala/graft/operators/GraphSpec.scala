@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("triangle + pair + isolated-by-absence") {
+    val m = components(Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 9L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("long chain converges to one component (diameter >> rounds)") {
+    // path graph 0-1-2-…-40: naive propagation needs 40 rounds,
+    // star-contraction needs O(log² n)
+    val edges = (0L until 40L).map(i => (i, i + 1))
+    val m = components(edges)
+    assert(m.size == 41 && m.values.forall(_ == 0L))
+  }
+
+  test("duplicate edges, reversed edges and self-loops are normalized") {
+    val m = components(Seq((5L, 4L), (4L, 5L), (5L, 5L), (4L, 5L)))
+    assert(m == Map(4L -> 4L, 5L -> 4L))
+  }
+
+  test("two same-size components keep distinct minima") {
+    val m = components(Seq((10L, 11L), (11L, 12L), (20L, 21L), (21L, 22L)))
+    assert(m.filterKeys(_ < 20).values.toSet == Set(10L))
+    assert(m.filterKeys(_ >= 20).values.toSet == Set(20L))
+  }
+
+  test("dedupClusters: every doc labelled, canonical keeps, duplicates dropped") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id1", "id2")
+    val out = Graph.dedupClusters(docs, "doc_id", pairs, "id1", "id2")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, true), (2L, 2L, true), (3L, 3L, true),
+      (4L, 2L, false), (5L, 2L, false)))
+  }
+}
