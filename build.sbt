@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: local[32] makes the one JVM both driver and all 32 executor
+  // threads; at sf0.1 the bench/test session holds dozens of cached
+  // frames across 50+ queries, and an 8g heap spent more time in GC +
+  // TaskMemoryManager allocation retries than in query work (the
+  // machine has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

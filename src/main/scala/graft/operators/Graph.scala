@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   * min-label propagation whose round count is the graph diameter (a
   * pathological duplicate chain — doc A near-dups B near-dups C … —
   * would take O(n) propagation rounds). Each round is two shuffles of
-  * the edge set, nothing driver-side except the convergence test; at
-  * cluster scale the per-round frames would be reliably checkpointed
-  * instead of cached (lineage truncation), which is the only change a
-  * 1000-executor deployment needs.
+  * the edge set, nothing driver-side except the convergence test.
+  * Per-round frames are locally CHECKPOINTED, not merely cached: a
+  * cache truncates re-execution but not the analyzed plan, and each
+  * round's plan embeds the previous round's several times over
+  * (largeStar references the edge set twice, the convergence test twice
+  * more), so with caching alone the plan tree grows exponentially with
+  * rounds and OOMs the driver. At cluster scale swap `localCheckpoint`
+  * for a reliable `checkpoint` (executor loss must not drop partitions)
+  * — same shape, same truncation.
   *
   * Both phases are deterministic set transforms, so the fixpoint (a
   * star per component, every member pointing at the component minimum)
@@ -69,14 +74,16 @@ object Graph {
     * in practice on dedup graphs. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 25): DataFrame = {
+    // localCheckpoint (eager), NOT cache — see the plan-growth note in
+    // the class doc. Old rounds' blocks are freed by the ContextCleaner
+    // once the previous round's frame goes unreferenced.
     var e = canon(edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v"))).cache()
+      col(dstCol).cast("long").as("v"))).localCheckpoint()
     var converged = e.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).cache()
+      val next = smallStar(largeStar(e)).localCheckpoint()
       converged = next.exceptAll(e).unionByName(e.exceptAll(next)).isEmpty
-      e.unpersist()
       e = next
       round += 1
     }

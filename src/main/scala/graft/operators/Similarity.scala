@@ -103,6 +103,24 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** L2-normalize + symmetric int8 quantization, exploded to one row
+    * per (vector, dimension): q = ⌊x/‖v‖·127 + 0.5⌋ (zero vectors map
+    * to all-zero codes). The storage/compute shape every large ANN
+    * index ships — 4× smaller than float32, dot products in integer
+    * SIMD — expressed as pure codegen'd per-row arithmetic: norm is one
+    * strict fold ([[dot]]), quantization one posexplode + floor, no
+    * shuffle at all. Every step (fold order, sqrt, IEEE divide/multiply,
+    * floor) is exact-rounded and order-fixed, so the DuckDB oracle
+    * replays the codes bit-for-bit (q60). */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col(idCol), col("nrm"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col(idCol), col("i"),
+        when(col("nrm") === 0, 0)
+          .otherwise(floor(col("x") / col("nrm") * 127.0 + 0.5).cast("int"))
+          .as("q"))
+
   /** Near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double): DataFrame =

@@ -41,4 +41,15 @@ object Split {
   /** The same bucketing as DuckDB SQL (for oracle construction). */
   def hashBucketSql(key: String, denom: Int): String =
     s"(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % $denom)"
+
+  /** Deterministic Bernoulli-by-hash keep predicate: true for a
+    * `ppm`-parts-per-million slice of keys. `ppm` may be any expression
+    * (e.g. a per-stratum rate), which makes this the building block for
+    * STRATIFIED sampling — downsample overrepresented classes at
+    * per-class rates while every decision stays a pure function of the
+    * key: reproducible across runs/engines/cluster sizes, and stable
+    * under reruns (a kept row stays kept), unlike `rand()`-based
+    * `df.sample` whose selection is seed-and-partitioning dependent. */
+  def sampleKeep(key: Column, ppm: Column): Column =
+    hashBucket(key, 1000000) < ppm
 }

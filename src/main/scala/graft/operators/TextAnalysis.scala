@@ -122,4 +122,104 @@ object TextAnalysis {
     df.select(col(idCol),
       explode(graft.functions.TextExpressions
         .winnowArray(col(textCol), k, w)).as("fp"))
+
+  /** Within-document repetition metrics — the Gopher-style cheap
+    * signals that flag templated/spammy text before it reaches
+    * dedup or training:
+    *  - `dup_token_ratio`: 1 − distinct/total tokens (0 for empty docs);
+    *  - `top_bigram_frac`: occurrences of the most frequent word bigram
+    *    over the n−1 bigram slots (0 when fewer than 2 tokens).
+    * All arithmetic is exact-integer-then-one-IEEE-division, so the
+    * DuckDB oracle replays it bit-for-bit (q59).
+    *
+    * Scale shape: bigram expansion happens in-row over the token array
+    * (no window sort); the two aggregations key on (doc, bigram) and
+    * doc — per-key cardinality is bounded by DOCUMENT LENGTH, never
+    * corpus size, so partitions stay small at any scale. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = trim(lower(col(textCol)))
+    val arr = when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+    val base = df.select(col(idCol), arr.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("d", size(array_distinct(col("toks"))))
+    val bigrams = base.where(col("n") >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), " +
+          "(x, i) -> concat(x, ' ', element_at(toks, i + 2)))")).as("bigram"))
+    val top = bigrams.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("topc"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n").as("n_tokens"),
+        round(when(col("n") > 0,
+          (col("n") - col("d")).cast("double") / col("n"))
+          .otherwise(0.0), 6).as("dup_token_ratio"),
+        round(when(col("n") >= 2,
+          coalesce(col("topc"), lit(0L)).cast("double") / (col("n") - 1))
+          .otherwise(0.0), 6).as("top_bigram_frac"))
+  }
+
+  /** PII redaction patterns, kept inside the RE2 ∩ Java regex subset
+    * (no backreferences, no lookaround) so the same pattern text runs
+    * unchanged on Spark, DuckDB, and the usual scan engines. Order
+    * matters when redacting: the SSN shape is also a valid phone-ish
+    * digit run, so ids are replaced before phones. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnPattern   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  /** Masked text: emails → `<EMAIL>`, SSN-shaped ids → `<ID>`, phone
+    * number runs → `<PHONE>`. Pure per-row regexp_replace chain —
+    * codegen'd, embarrassingly parallel, no shuffle. The synthetic
+    * corpus carries no PII (so no catalog query), but the operator is
+    * exercised by PiiSpec on adversarial fixtures. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        SsnPattern, "<ID>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-document PII hit counts (same patterns as [[redactPii]]). */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).as("n_email"),
+      size(regexp_extract_all(col(textCol), lit(SsnPattern), lit(0))).as("n_ssn"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).as("n_phone"))
+
+  /** Top-`k` characteristic terms per document by tf·idf, with a
+    * LINEAR inverse-document-frequency weight: score = tf · N / df.
+    * The classical log-idf weight is avoided deliberately — libm
+    * logarithms are not bit-stable across engines (see q51's HLL for
+    * the same rule) — and the linear weight keeps every arithmetic step
+    * exact-int-then-one-IEEE-division, so the DuckDB oracle replays
+    * scores bit-for-bit. Ranking within a document differs from log-idf
+    * only in how strongly rarity is rewarded; both are standard
+    * keyword-extraction weightings.
+    *
+    * Scale shape: tf is one (doc, term) aggregation; df one term
+    * aggregation; N rides in as a one-row broadcast (no driver action,
+    * no collect); the final top-k window partitions BY DOCUMENT, whose
+    * term count is bounded by document length — partitions stay small
+    * at any corpus size, so the window never becomes the wide-shuffle
+    * row_number trap the similarity queries avoid with TopKAggregate. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .join(broadcast(n))
+      .withColumn("score",
+        round((col("tf") * col("n")).cast("double") / col("df"), 6))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("term"))))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rnk"))
+  }
 }

@@ -171,5 +171,34 @@ object AnalyticsQueries {
           countDistinct(col("user_id")).as("n_users")))
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52)
+  /** Deterministic STRATIFIED sampling: per-language keep rates (en is
+    * overrepresented in the corpus, so it is downsampled hardest) where
+    * every keep decision is a pure hash of the key — reproducible across
+    * runs, engines and cluster sizes, and monotone in the rate (a kept
+    * row stays kept when the rate grows — backfill-stable), unlike
+    * `df.sample` whose selection depends on seed AND partitioning. The
+    * id-sum per stratum makes the oracle verify WHICH rows were kept,
+    * not just how many. See [[graft.operators.Split.sampleKeep]]. */
+  val q58 = {
+    import graft.operators.Split
+    val b = Split.hashBucketSql("doc_id", 1000000)
+    QueryDef.sql("q58_stratified_sample",
+      s"""WITH r AS (SELECT lang, doc_id,
+         |  CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000
+         |       ELSE 1000000 END AS rate
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM r WHERE $b < rate GROUP BY lang""".stripMargin)(
+      (s, dir) => {
+        val rate = when(col("lang") === "en", 250000)
+          .when(col("lang") === "zh", 500000).otherwise(1000000)
+        Tables.documents(s, dir)
+          .where(Split.sampleKeep(col("doc_id"), rate))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      })
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58)
 }

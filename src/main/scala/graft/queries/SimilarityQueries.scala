@@ -73,5 +73,21 @@ object SimilarityQueries {
     (s, dir) => Similarity.cosineTopKBlocked(Tables.embeddings(s, dir),
       "vec_id", "embedding", k = 5))
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55)
+  /** L2-normalize + int8-quantize every embedding, one row per (vector,
+    * dimension): q = ⌊x/‖v‖·127 + 0.5⌋. Fold order, sqrt and IEEE
+    * divide/multiply are exact-rounded and order-fixed on both engines,
+    * so the codes replay bit-for-bit. */
+  val q60 = QueryDef.sql("q60_embed_quantize",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |e AS (SELECT vec_id, nrm, v, unnest(range(1, len(v) + 1)) AS i FROM n)
+      |SELECT vec_id, CAST(i - 1 AS INT) AS i,
+      |  CAST(CASE WHEN nrm = 0 THEN 0
+      |       ELSE floor(v[CAST(i AS INT)] / nrm * 127.0::DOUBLE + 0.5::DOUBLE)
+      |       END AS INT) AS q
+      |FROM e""")(
+    (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir),
+      "vec_id", "embedding"))
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60)
 }

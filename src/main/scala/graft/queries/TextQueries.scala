@@ -251,6 +251,57 @@ object TextQueries {
           k = 8, maxDf = 100, threshold = 0.3), "id1", "id2")
     })
 
+  /** Top-3 characteristic terms per document by linear-idf tf·idf
+    * (score = tf·N/df — exact integer products, one IEEE division; the
+    * log weight would not replay bit-stably across engines). */
+  val q57 = QueryDef.sql("q57_tfidf_topterms",
+    """WITH toks AS (SELECT doc_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |    FROM documents) t WHERE length(term) > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term,
+      |        round(CAST(tf.tf * n.n AS DOUBLE) / df.df, 6) AS score
+      |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score,
+      |        row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, term) AS rnk
+      |      FROM s)
+      |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""")(
+    (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir),
+      "doc_id", "text", k = 3))
+
+  /** Within-doc repetition metrics (duplicate-token ratio, top-bigram
+    * fraction) — the Gopher-style template/spam signals. Exact integer
+    * counts + one IEEE division per metric; bigrams expand in-row from
+    * the token array (1-indexed list arithmetic on the DuckDB side). */
+  val q59 = QueryDef.sql("q59_repetition",
+    """WITH tk AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+      |  FROM documents),
+      |b AS (SELECT doc_id, toks, len(toks) AS n,
+      |        len(list_distinct(toks)) AS d FROM tk),
+      |bg AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, n),
+      |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]))
+      |          AS bigram
+      |       FROM b WHERE n >= 2),
+      |tc AS (SELECT doc_id, max(c) AS topc FROM (
+      |         SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+      |       GROUP BY 1)
+      |SELECT b.doc_id, n AS n_tokens,
+      |  round(CASE WHEN n > 0 THEN CAST(n - d AS DOUBLE) / n
+      |        ELSE CAST(0 AS DOUBLE) END, 6) AS dup_token_ratio,
+      |  round(CASE WHEN n >= 2 THEN CAST(coalesce(topc, 0) AS DOUBLE) / (n - 1)
+      |        ELSE CAST(0 AS DOUBLE) END, 6) AS top_bigram_frac
+      |FROM b LEFT JOIN tc ON b.doc_id = tc.doc_id""")(
+    (s, dir) => TextAnalysis.repetition(Tables.documents(s, dir),
+      "doc_id", "text"))
+
   /** Incremental exact dedup: fingerprints of the 20% "delta" slice not
     * already present in the 80% "corpus" slice (continuous-ingestion
     * shape — the corpus side is one distinct-set, never re-paired). */
@@ -373,5 +424,5 @@ object TextQueries {
     })
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49, q50, q53, q54, q56)
+    q44, q45, q49, q50, q53, q54, q56, q57, q59)
 }

@@ -35,4 +35,29 @@ class SplitSpec extends AnyFunSuite {
     assert(math.abs(d1("val") / total - 0.10) < 0.02, d1.toString)
     assert(math.abs(d1("test") / total - 0.10) < 0.02, d1.toString)
   }
+
+  test("sampleKeep is deterministic, rate-tracking, and rerun-stable") {
+    val keys = spark.range(20000).toDF("k")
+    def kept(ppm: Int) = keys
+      .where(Split.sampleKeep(col("k"), lit(ppm)))
+      .as[Long].collect().toSet
+    val k25 = kept(250000)
+    assert(k25 == kept(250000), "same rate must select the same keys")
+    // 20k keys at 25%: 4 sigma ≈ 1.2pp
+    assert(math.abs(k25.size / 20000.0 - 0.25) < 0.02, k25.size.toString)
+    // monotone in the rate: a kept row stays kept when the rate grows
+    // (the property that makes hash sampling rerun/backfill-stable)
+    assert(k25.subsetOf(kept(500000)))
+  }
+
+  test("sampleKeep supports per-stratum rates (stratified downsample)") {
+    // 10k 'en' rows downsampled to ~20%, 1k 'de' rows kept at 100%
+    val rows = spark.range(11000)
+      .withColumn("lang", when(col("id") < 10000, "en").otherwise("de"))
+    val rate = when(col("lang") === "en", 200000).otherwise(1000000)
+    val got = rows.where(Split.sampleKeep(col("id"), rate))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got("de") == 1000L, got.toString)
+    assert(math.abs(got("en") / 10000.0 - 0.20) < 0.02, got.toString)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tfidfTopTerms: hand-computed linear-idf scores and tie-breaks") {
+    val docs = Seq(
+      ("d1", "a b a"),
+      ("d2", "b c"),
+      ("d3", "c c d")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(String, String, Double, Int)].collect().toSet
+    // N=3; df: a=1 b=2 c=2 d=1; score = tf*N/df
+    val want = Set(
+      ("d1", "a", 6.0, 1), ("d1", "b", 1.5, 2),
+      ("d2", "b", 1.5, 1), ("d2", "c", 1.5, 2), // tie broken by term asc
+      ("d3", "c", 3.0, 1), ("d3", "d", 3.0, 2)
+    )
+    assert(got == want)
+  }
+
+  test("repetition: hand-computed ratios, empty and single-token edges") {
+    val docs = Seq(
+      ("d1", "a a a a"),       // n=4 d=1: dup 0.75; top bigram "a a" 3/3
+      ("d2", "a b c d"),       // n=4 d=4: dup 0; bigrams unique 1/3
+      ("d3", ""),              // empty: all zeros
+      ("d4", "  solo  "),      // n=1: no bigram slots
+      ("d5", "x y x y x")      // n=5 d=2: dup 0.6; "x y" 2/4 = 0.5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "doc_id", "text")
+      .as[(String, Int, Double, Double)].collect().toSet
+    val want = Set(
+      ("d1", 4, 0.75, 1.0),
+      ("d2", 4, 0.0, 0.333333),
+      ("d3", 0, 0.0, 0.0),
+      ("d4", 1, 0.0, 0.0),
+      ("d5", 5, 0.6, 0.5))
+    assert(got == want)
+  }
+
+  test("quantizeInt8: codes bounded, zero vector maps to zero codes") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f)),        // norm 5 → 0.6, 0.8 → 76, 102
+      (2L, Array(0.0f, 0.0f)),        // zero vector
+      (3L, Array(-1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 76), (1L, 1, 102),
+      (2L, 0, 0), (2L, 1, 0),
+      (3L, 0, -90), (3L, 1, 90)))
+  }
+
+  test("tfidfTopTerms: rank never exceeds k and is dense per document") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+    val bad = out.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.collect_set("rnk").as("rs"))
+      .where(org.apache.spark.sql.functions
+        .array_sort($"rs") =!= org.apache.spark.sql.functions
+        .sequence(org.apache.spark.sql.functions.lit(1),
+          org.apache.spark.sql.functions.size($"rs")))
+      .count()
+    assert(bad == 0)
+    assert(out.where($"rnk" > 3).count() == 0)
+  }
+}
