@@ -49,5 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("topk_by_score", classOf[TopKByScore], 3)(e =>
       TopKByScore(e.head, e(1), intArg(e(2), "topk_by_score"))
         .toAggregateExpression())
+    inject("pair_array", classOf[PairArray], 1)(e => PairArray(e.head))
   }
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+
+/** Fused in-bucket pair expansion.
+  *
+  * Every bucket-join dedup operator (n-gram Jaccard postings, MinHash
+  * band buckets, incremental-LSH delta buckets) expands the ordered
+  * pairs of a sorted id array in-row. The composable formulation —
+  * `explode(flatten(transform(ids, (x, i) => transform(slice(ids,
+  * i + 2, size(ids)), y => struct(x, y)))))` — is correct but every
+  * element runs through three interpreted lambda layers plus two
+  * intermediate array copies (Spark's higher-order functions are
+  * CodegenFallback). This expression emits the same
+  * `array<struct<id1, id2>>` in one JIT-compiled loop with a single
+  * output allocation, preserving order (lexicographic in input
+  * positions), so `explode` over it is a drop-in replacement.
+  *
+  * Long ids only — the only id type the corpus operators use; callers
+  * with non-long ids keep the composable form
+  * ([[graft.operators.Dedup.pairsFromBuckets]] picks per input type).
+  */
+object PairExpressions {
+  /** Ordered pairs (by position) of a sorted `array<long>` column. */
+  def pairArray(ids: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(PairArray(
+      org.apache.spark.sql.graftshim.Shim.expression(ids)))
+}
+
+case class PairArray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pair_array"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_array expects array<bigint>, got $other")
+    }
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = InternalRow(a, arr.getLong(j))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("pairExpr", this, classOf[PairArray].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PairArray =
+    copy(child = newChild)
+}

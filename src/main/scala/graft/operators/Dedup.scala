@@ -83,9 +83,7 @@ object Dedup {
     val sizes = kept.select(explode(col("docs")).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val common = kept.where(size(col("docs")) >= 2)
-      .select(explode(flatten(transform(col("docs"), (x, i) =>
-        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(explode(expandPairs(kept, "docs")).as("p"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("c"))
     common
@@ -140,17 +138,34 @@ object Dedup {
     pairsFromBuckets(lshBuckets(df, idCol, textCol, k, bands, rowsPerBand),
       idCol, Seq("band", "key"))
 
+  /** Ordered-pair expansion of a sorted id-array column: the fused
+    * [[graft.functions.PairArray]] loop for long ids (the corpus
+    * operators' only id type — three interpreted lambda layers
+    * collapse into one JIT-compiled pass), the composable
+    * transform/slice chain for anything else. Both produce identical
+    * `array<struct<id1, id2>>` in identical order (PairExpressionsSpec
+    * asserts equality). */
+  private[graft] def expandPairs(df: DataFrame, arrCol: String): Column =
+    df.schema(arrCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) =>
+        graft.functions.PairExpressions.pairArray(col(arrCol))
+      case _ =>
+        flatten(transform(col(arrCol), (x, i) =>
+          transform(slice(col(arrCol), i + lit(2), size(col(arrCol))),
+            y => struct(x.as("id1"), y.as("id2")))))
+    }
+
   /** Distinct ordered pairs (id1 < id2) of ids sharing a bucket, via
     * collect_list + in-row combination expansion (single pass). */
   private[graft] def pairsFromBuckets(buckets: DataFrame, idCol: String,
                                       bucketCols: Seq[String]): DataFrame = {
     val ids = sort_array(collect_list(col(idCol)))
-    buckets.groupBy(bucketCols.map(col): _*)
+    val grouped = buckets.groupBy(bucketCols.map(col): _*)
       .agg(ids.as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+    grouped
+      .select(explode(expandPairs(grouped, "ids")).as("p"))
       .select(col("p.id1"), col("p.id2")).distinct()
   }
 
