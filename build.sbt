@@ -26,10 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g: local[32] makes the one JVM both driver and all 32 executor
-  // threads; at sf0.1 the bench/test session holds dozens of cached
-  // frames across 50+ queries, and an 8g heap spent more time in GC +
-  // TaskMemoryManager allocation retries than in query work (the
-  // machine has 128 GiB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Conservative default that builds anywhere; local[32] makes the one
+  // JVM both driver and all 32 executor threads, so a bench run on a
+  // big machine should opt into more via SPARK_DRIVER_MEM (Bench and
+  // Verify also clear per-query caches, which is what used to force a
+  // 24g default).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

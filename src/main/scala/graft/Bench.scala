@@ -42,8 +42,14 @@ object Bench {
           .linesIterator.take(1).mkString.take(200)
         System.err.println(s"[bench] $name FAILED: ${errors(name)}")
       }
-      name -> (if (errors.contains(name)) -1.0
-               else (System.nanoTime() - t0) / 1e9)
+      val elapsed = if (errors.contains(name)) -1.0
+                    else (System.nanoTime() - t0) / 1e9
+      // Release the caches operators populate (packed blocks, LSH
+      // indexes, IVF cells, …) — untimed, so each query is charged its
+      // OWN cache build but storage doesn't accumulate across the run
+      // and no query inherits a predecessor's warm cache.
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

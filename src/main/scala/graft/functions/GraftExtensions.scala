@@ -50,5 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopKByScore(e.head, e(1), intArg(e(2), "topk_by_score"))
         .toAggregateExpression())
     inject("pair_array", classOf[PairArray], 1)(e => PairArray(e.head))
+    inject("simhash_text", classOf[SimhashText], 2)(e =>
+      SimhashText(e.head, intArg(e(1), "simhash_text")))
   }
 }

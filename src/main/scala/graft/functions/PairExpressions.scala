@@ -51,7 +51,16 @@ case class PairArray(child: Expression) extends UnaryExpression {
 
   def compute(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Long arithmetic: n*(n-1)/2 overflows Int at n ≥ 46341, which
+    // would surface as a NegativeArraySizeException on a degenerate
+    // bucket (e.g. a band full of identical documents). Fail with the
+    // actual cause instead — callers bound bucket size (maxDf, band
+    // width) but MUST see a clear error when a corpus defeats those.
+    val pairs = n.toLong * (n - 1) / 2
+    if (pairs > Int.MaxValue - 8) throw new IllegalArgumentException(
+      s"pair_array bucket too large: $n ids -> $pairs pairs exceeds array " +
+        "capacity; cap bucket cardinality (maxDf / band width) before expansion")
+    val out = new Array[Any](pairs.toInt)
     var idx = 0
     var i = 0
     while (i < n) {

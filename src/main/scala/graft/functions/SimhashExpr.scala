@@ -8,8 +8,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused per-row SimHash.
   *
-  * The composable formulation ([[graft.operators.Dedup.simhash]]'s
-  * original body) tokenizes with an explode, deduplicates (doc, token)
+  * The composable formulation ([[graft.operators.Dedup.simhashAgg]])
+  * tokenizes with an explode, deduplicates (doc, token)
   * with a corpus-wide DISTINCT shuffle, and folds bit weights with a
   * `bits`-accumulator aggregation — two full shuffles of every token in
   * the corpus to compute a value that only ever depends on ONE row's

@@ -267,9 +267,26 @@ object Dedup {
     * (default 16). Token hash = md5 hex prefix (8 chars / 32 bits for
     * bits ≤ 32, 15 chars / 60 bits above — the widest prefix that fits
     * a signed long, same trick as the MinHash family); signature bit j
-    * set iff Σ_tokens (bit j set ? +1 : −1) > 0. */
+    * set iff Σ_tokens (bit j set ? +1 : −1) > 0.
+    *
+    * Computed by the fused single-pass [[graft.functions.SimhashText]]
+    * expression — zero shuffles, one JIT-compiled pass per document.
+    * [[simhashAgg]] is the composable two-shuffle formulation kept as
+    * the verification baseline; SimhashSpec asserts bit-equality of the
+    * two forms on the documents corpus and edge-case fixtures. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 16): DataFrame = {
+              bits: Int = 16): DataFrame =
+    df.select(col(idCol),
+        graft.functions.SimhashExpr.simhashText(col(textCol), bits).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** The original explode → distinct → weight-sum aggregation form of
+    * [[simhash]]: two corpus-wide shuffles of every token to compute a
+    * per-row value. Kept ONLY as the independently-derived baseline the
+    * fused expression is verified against (SimhashSpec); not used by
+    * any query. */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String,
+                 bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 60, s"bits=$bits outside [1, 60]")
     val hexLen = if (bits <= 32) 8 else 15
     val toks = df

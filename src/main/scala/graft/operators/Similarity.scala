@@ -88,7 +88,10 @@ object Similarity {
   def cosineTopKBlocked(emb: DataFrame, idCol: String, vecCol: String,
                         k: Int, blocks: Int = 32): DataFrame = {
     // cached: both sides of the block-pair cross join read the packed
-    // blocks — uncached, the pack aggregation would run twice
+    // blocks — uncached, the pack aggregation would run twice. The
+    // cache lives until the session releases it (Bench/Verify call
+    // spark.catalog.clearCache() per query); a long-lived session
+    // embedding this operator should do the same after the action.
     val packed = emb
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .groupBy(pmod(xxhash64(col("id")), lit(blocks.toLong)).as("blk"))

@@ -44,4 +44,15 @@ class PairExpressionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("pair_array") ||
       err.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("pair_array fails loudly (not NegativeArraySize) on an overflow-sized bucket") {
+    // n*(n-1)/2 overflows Int at n >= 46341; the check runs before any
+    // allocation so a direct compute() call is cheap
+    val big = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill[Any](66000)(0L))
+    val err = intercept[IllegalArgumentException] {
+      PairArray(org.apache.spark.sql.catalyst.expressions.Literal(1L)).compute(big)
+    }
+    assert(err.getMessage.contains("bucket too large"))
+  }
 }
