@@ -52,5 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("pair_array", classOf[PairArray], 1)(e => PairArray(e.head))
     inject("simhash_text", classOf[SimhashText], 2)(e =>
       SimhashText(e.head, intArg(e(1), "simhash_text")))
+    inject("repetition_stats", classOf[RepetitionStats], 1)(e =>
+      RepetitionStats(e.head))
+    inject("minhash_sig", classOf[MinHashSig], 3)(e =>
+      MinHashSig(e.head, intArg(e(1), "minhash_sig"),
+        intArg(e(2), "minhash_sig")))
   }
 }

@@ -39,6 +39,17 @@ object TextExpressions {
   def winnowArray(text: Column, k: Int, w: Int): Column =
     org.apache.spark.sql.graftshim.Shim.column(WinnowArray(
       org.apache.spark.sql.graftshim.Shim.expression(text), k, w))
+
+  /** Per-row repetition counters `struct<n, d, topc>` — see
+    * [[RepetitionStats]]. */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(RepetitionStats(
+      org.apache.spark.sql.graftshim.Shim.expression(text)))
+
+  /** Per-row MinHash signature `array<long>` — see [[MinHashSig]]. */
+  def minhashSig(text: Column, k: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(MinHashSig(
+      org.apache.spark.sql.graftshim.Shim.expression(text), k, numHashes))
 }
 
 case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
@@ -128,5 +139,169 @@ case class WinnowArray(child: Expression, k: Int, w: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): WinnowArray =
+    copy(child = newChild)
+}
+
+/** Fused within-doc repetition counters.
+  *
+  * The composable formulation ([[graft.operators.TextAnalysis
+  * .repetitionAgg]]) explodes every bigram of every document into a
+  * corpus-wide (doc, bigram) aggregation, re-aggregates per doc, and
+  * joins the result back to the token counts — two full shuffles plus
+  * a join for values that only ever depend on ONE row's text. This
+  * expression computes the same counters in a single JIT-compiled pass
+  * per document: tokenize (trim/lower/`\s+` split, empty tokens KEPT —
+  * exactly `split(trim(lower(text)), "\s+")`), count distinct tokens,
+  * count the modal bigram in a per-row hash map. Zero shuffles;
+  * TextAnalysisSpec asserts row-for-row equality with the aggregation
+  * form on the corpus and edge-case fixtures.
+  *
+  * Returns `struct(n int, d int, topc bigint)`: token count, distinct
+  * token count, modal-bigram multiplicity (null when n < 2 — the
+  * aggregation form's left-join miss).
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("d", IntegerType, nullable = false),
+    StructField("topc", LongType, nullable = true)))
+  override def prettyName: String = "repetition_stats"
+
+  @transient private lazy val ws =
+    java.util.regex.Pattern.compile("\\s+")
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // trim() is Spark's space-only trim; toLowerCase is UTF8String-
+    // native — identical to trim(lower(text)). An all-spaces text trims
+    // to "" (n = 0); other whitespace survives and splits like the
+    // composable form (leading/trailing empty tokens kept, limit -1).
+    val t = s.trim().toLowerCase().toString
+    if (t.isEmpty)
+      return org.apache.spark.sql.catalyst.InternalRow(0, 0, null)
+    val toks = ws.split(t, -1)
+    val n = toks.length
+    val seen = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { seen.add(toks(i)); i += 1 }
+    if (n < 2)
+      return org.apache.spark.sql.catalyst.InternalRow(n, seen.size, null)
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var topc = 0L
+    i = 0
+    while (i < n - 1) {
+      val bg = toks(i) + " " + toks(i + 1)
+      val c = counts.merge(bg, 1, Integer.sum)
+      if (c > topc) topc = c.toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, seen.size,
+      java.lang.Long.valueOf(topc))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("repExpr", this,
+        classOf[RepetitionStats].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+/** Fused per-row MinHash signature.
+  *
+  * The composable formulation ([[graft.operators.Dedup
+  * .minhashSignatureAgg]]) routes every (shingle, doc) posting through
+  * the corpus-wide inverted-index shuffle and a per-doc min
+  * aggregation — a full shuffle of the posting list to compute a value
+  * that only depends on ONE row's text (the index pays off only when a
+  * plan-equal cached copy is already warm from a Jaccard run). This
+  * expression computes the signature in a single JIT-compiled pass per
+  * document: distinct k-shingles (same first-occurrence scan as
+  * [[ShingleArray]]), one raw md5 per shingle, running minima of the
+  * Kirsch–Mitzenmacher double-hash family hashᵢ = h1 + i·(h2 mod 2^59)
+  * with h1/h2 = the two 60-bit md5 halves — bit-identical to the
+  * aggregation form (and the DuckDB oracles' replay) because the md5
+  * prefix extraction matches `conv(substring(md5(s), 1|17, 15), 16,
+  * 10)` exactly. The round-1 measurement that ruled out per-posting
+  * hashing was about INTERPRETED md5+conv Spark expressions; a raw
+  * digest of a k-byte shingle inside one JIT loop costs ~µs per
+  * document and buys back the entire posting shuffle.
+  *
+  * Zero shuffles; MinHashSpec asserts signature equality with the
+  * aggregation form on the corpus and edge cases. Never null: every
+  * text (even empty) has ≥ 1 shingle, like the composable form.
+  */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k=$k must be positive")
+  // 2^60 + 13·2^59 < 2^63; 15 hashes would overflow (same bound,
+  // same reasoning as the aggregation form)
+  require(numHashes >= 1 && numHashes <= 14,
+    s"numHashes=$numHashes outside [1, 14] (64-bit double-hash family)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minhash_sig"
+
+  private val HashMod = 576460752303423488L // 2^59
+
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val md = mdLocal.get()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val len = s.numChars()
+    val n = if (len <= k) 1 else len - k + 1
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var i = 1
+    while (i <= n) {
+      val sh = s.substringSQL(i, k)
+      if (seen.add(sh)) {
+        val d = md.digest(sh.getBytes)
+        // h1 = first 15 hex chars (60 bits), h2 = hex chars 17..31:
+        // identical to conv(substring(md5(s), 1, 15), 16, 10) and
+        // conv(substring(md5(s), 17, 15), 16, 10) % 2^59
+        var h1 = 0L
+        var j = 0
+        while (j < 7) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
+        h1 = (h1 << 4) | ((d(7) >> 4) & 0xfL)
+        var h2 = 0L
+        j = 8
+        while (j < 15) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
+        h2 = ((h2 << 4) | ((d(15) >> 4) & 0xfL)) % HashMod
+        var q = 0
+        var h = h1
+        while (q < numHashes) {
+          if (h < sig(q)) sig(q) = h
+          h += h2
+          q += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("minhashExpr", this,
+        classOf[MinHashSig].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }

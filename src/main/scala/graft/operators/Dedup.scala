@@ -101,11 +101,31 @@ object Dedup {
 
   /** MinHash signature: numHashes min values over the shingle set.
     * Hash family via Kirsch–Mitzenmacher double hashing from ONE md5 per
-    * shingle: h1/h2 = two 60-bit md5 halves, hashᵢ = h1 + i·(h2 mod 2^59).
-    * One pass, no vocabulary join, long aggregation (portable: the
-    * oracle replays the same formula). */
+    * shingle: h1/h2 = two 60-bit md5 halves, hashᵢ = h1 + i·(h2 mod 2^59)
+    * (portable: the oracle replays the same formula).
+    *
+    * Computed by the fused single-pass [[graft.functions.MinHashSig]]
+    * expression — zero shuffles, one JIT-compiled scan per document.
+    * [[minhashSignatureAgg]] is the inverted-index formulation kept as
+    * the verification baseline; MinHashSpec asserts signature equality
+    * of the two forms on the corpus and edge cases. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int, numHashes: Int): DataFrame = {
+    val sig = graft.functions.TextExpressions
+      .minhashSig(col(textCol), k, numHashes)
+    val fields = (0 until numHashes).map(i =>
+      element_at(col("__sig"), i + 1).as(s"h$i"))
+    df.select(col(idCol), sig.as("__sig"))
+      .select(col(idCol) +: fields: _*)
+  }
+
+  /** The original inverted-index formulation of [[minhashSignature]]:
+    * a corpus-wide posting shuffle + per-doc min aggregation for a
+    * per-row value. Kept ONLY as the independently-derived baseline
+    * the fused expression is verified against (MinHashSpec); not used
+    * by any query. */
+  def minhashSignatureAgg(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, numHashes: Int): DataFrame = {
     // h1 < 2^60 and i·(h2 mod 2^59) must stay inside a signed long:
     // 2^60 + 14·2^59 < 2^63 holds, 15 would not — enforce, don't assume
     // (Spark wraps silently; the DuckDB oracle raises on overflow).

@@ -79,12 +79,20 @@ object Graph {
     // once the previous round's frame goes unreferenced.
     var e = canon(edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))).localCheckpoint()
-    var converged = e.isEmpty
+    var eCount = e.count()
+    var converged = eCount == 0
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = next.exceptAll(e).unionByName(e.exceptAll(next)).isEmpty
+      val nextCount = next.count()
+      // Both sides are canonical distinct sets, so unequal cardinality
+      // already proves non-convergence — the exact (and 2-shuffle)
+      // set-equality test only runs on the final round or two where
+      // counts have stabilized.
+      converged = nextCount == eCount &&
+        next.exceptAll(e).unionByName(e.exceptAll(next)).isEmpty
       e = next
+      eCount = nextCount
       round += 1
     }
     if (!converged)

@@ -137,6 +137,23 @@ object TextAnalysis {
     * doc — per-key cardinality is bounded by DOCUMENT LENGTH, never
     * corpus size, so partitions stay small at any scale. */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val r = graft.functions.TextExpressions.repetitionStats(col(textCol))
+    df.select(col(idCol), r.as("r"))
+      .select(col(idCol), col("r.n").as("n_tokens"),
+        round(when(col("r.n") > 0,
+          (col("r.n") - col("r.d")).cast("double") / col("r.n"))
+          .otherwise(0.0), 6).as("dup_token_ratio"),
+        round(when(col("r.n") >= 2,
+          coalesce(col("r.topc"), lit(0L)).cast("double") / (col("r.n") - 1))
+          .otherwise(0.0), 6).as("top_bigram_frac"))
+  }
+
+  /** The original explode → count → re-aggregate → join formulation of
+    * [[repetition]]: two corpus-wide shuffles plus a join for per-row
+    * values. Kept ONLY as the independently-derived baseline the fused
+    * [[graft.functions.RepetitionStats]] expression is verified against
+    * (TextAnalysisSpec); not used by any query. */
+  def repetitionAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = trim(lower(col(textCol)))
     val arr = when(length(t) === 0, array().cast("array<string>"))
       .otherwise(split(t, "\\s+"))

@@ -43,6 +43,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("fused repetition ≡ aggregation form on the sf0.001 corpus + edge cases") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Double, Double)].collect().toSet
+    val edges = Seq(
+      ("e1", "a a a a"), ("e2", ""), ("e3", "  solo  "),
+      ("e4", " \t "),              // non-space whitespace: empty tokens kept
+      ("e5", "A a  B b"),          // lower + multi-space
+      ("e6", "x y x y x y x y")
+    ).toDF("doc_id", "text")
+    assert(rows(TextAnalysis.repetition(edges, "doc_id", "text")) ==
+      rows(TextAnalysis.repetitionAgg(edges, "doc_id", "text")))
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("doc_id", $"doc_id".cast("string"))
+    assert(rows(TextAnalysis.repetition(docs, "doc_id", "text")) ==
+      rows(TextAnalysis.repetitionAgg(docs, "doc_id", "text")))
+  }
+
   test("quantizeInt8: codes bounded, zero vector maps to zero codes") {
     val emb = Seq(
       (1L, Array(3.0f, 4.0f)),        // norm 5 → 0.6, 0.8 → 76, 102
