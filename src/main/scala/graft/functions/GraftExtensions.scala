@@ -57,5 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("minhash_sig", classOf[MinHashSig], 3)(e =>
       MinHashSig(e.head, intArg(e(1), "minhash_sig"),
         intArg(e(2), "minhash_sig")))
+    inject("token_ngrams", classOf[TokenNgrams], 2)(e =>
+      TokenNgrams(e.head, intArg(e(1), "token_ngrams")))
   }
 }

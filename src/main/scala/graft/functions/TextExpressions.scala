@@ -50,6 +50,12 @@ object TextExpressions {
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     org.apache.spark.sql.graftshim.Shim.column(MinHashSig(
       org.apache.spark.sql.graftshim.Shim.expression(text), k, numHashes))
+
+  /** Distinct word n-grams, first-occurrence order — see
+    * [[TokenNgrams]]. */
+  def tokenNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(TokenNgrams(
+      org.apache.spark.sql.graftshim.Shim.expression(text), n))
 }
 
 case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
@@ -303,5 +309,67 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Distinct word n-grams (space-joined, first-occurrence order) over
+  * the nonempty whitespace tokens of `text` — the unit of benchmark
+  * decontamination (an eval-set n-gram occurring in a training doc
+  * marks contamination). Tokenization is the corpus standard:
+  * trim/lower/`\s+` split, empty tokens dropped. A text with fewer
+  * than n tokens has no n-grams (empty array). One JIT-compiled pass
+  * per row, zero shuffles; the composable
+  * transform/sequence/array_distinct chain is interpreted
+  * (CodegenFallback) and TextExpressionsSpec asserts equality. */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n=$n must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+
+  @transient private lazy val ws =
+    java.util.regex.Pattern.compile("\\s+")
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val toks0 = ws.split(s.trim().toLowerCase().toString, -1)
+    var m = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) m += 1; i += 1 }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var j = 0
+    i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(j) = toks0(i); j += 1 }
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2)
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var g = 0
+      while (g < n) {
+        if (g > 0) sb.append(' ')
+        sb.append(toks(i + g))
+        g += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("ngramExpr", this,
+        classOf[TokenNgrams].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
     copy(child = newChild)
 }

@@ -349,6 +349,89 @@ case class BlockTopK(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Block-nested-loop exact cosine NEAR-DUP kernel: given two blocks of
+  * vectors (same packed shape as [[BlockTopK]]), emit every cross pair
+  * with id_a < id_b and cosine ≥ threshold. The ordered-id filter makes
+  * each unordered pair surface in exactly ONE of the two symmetric
+  * block pairs of the blocks² cross join (and once within a diagonal
+  * block), so no downstream distinct is needed. Same strict index-order
+  * folds as [[DotProduct]]/[[BlockTopK]], so results are bit-identical
+  * to the crossJoin formulation
+  * ([[graft.operators.Similarity.cosineNearDup]]) and share its DuckDB
+  * oracle. */
+case class BlockNearDup(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("cosine", DoubleType))), containsNull = false)
+  override def prettyName: String = "block_neardup"
+
+  private def unpack(block: ArrayData): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val n = block.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val nrms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = block.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toDoubleArray()
+      vecs(i) = v
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      nrms(i) = math.sqrt(s)
+      i += 1
+    }
+    (ids, vecs, nrms)
+  }
+
+  def compute(ra: ArrayData, rb: ArrayData): GenericArrayData = {
+    val (idsA, vecsA, nrmA) = unpack(ra)
+    val (idsB, vecsB, nrmB) = unpack(rb)
+    val out = new java.util.ArrayList[Any]()
+    var a = 0
+    while (a < idsA.length) {
+      val va = vecsA(a)
+      val na = nrmA(a)
+      val ia = idsA(a)
+      var b = 0
+      while (b < idsB.length) {
+        if (ia < idsB(b)) {
+          val vb = vecsB(b)
+          val d = math.min(va.length, vb.length)
+          var s = 0.0
+          var i = 0
+          while (i < d) { s += va(i) * vb(i); i += 1 }
+          val cos = s / (na * nrmB(b))
+          if (cos >= threshold) out.add(InternalRow(ia, idsB(b), cos))
+        }
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("blockNearDupExpr", this,
+        classOf[BlockNearDup].getName)
+      s"${ev.value} = $self.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BlockNearDup =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** `Column` wrapper for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
@@ -367,6 +450,13 @@ object VectorExpressions {
     org.apache.spark.sql.graftshim.Shim.column(BlockTopK(
       org.apache.spark.sql.graftshim.Shim.expression(ra),
       org.apache.spark.sql.graftshim.Shim.expression(rb), k))
+
+  /** `Column` wrapper for [[BlockNearDup]]: threshold pairs over one
+    * block pair, id_a < id_b. */
+  def blockNearDupNative(ra: Column, rb: Column, threshold: Double): Column =
+    org.apache.spark.sql.graftshim.Shim.column(BlockNearDup(
+      org.apache.spark.sql.graftshim.Shim.expression(ra),
+      org.apache.spark.sql.graftshim.Shim.expression(rb), threshold))
 
   /** `Column` wrapper for [[LshProbes]]: `tables×(flips+1)` probe keys. */
   def lshProbesNative(vec: Column, dim: Int, planes: Int, tables: Int,

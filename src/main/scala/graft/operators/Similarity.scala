@@ -124,6 +124,32 @@ object Similarity {
           .otherwise(floor(col("x") / col("nrm") * 127.0 + 0.5).cast("int"))
           .as("q"))
 
+  /** [[cosineNearDup]] without the row-level n² crossJoin, SAME
+    * results: vectors pack into hash blocks, block pairs enumerate via
+    * a blocks² cross join of one-row-per-block sides, and the
+    * [[graft.functions.BlockNearDup]] kernel emits each qualifying
+    * unordered pair exactly once (the id_a < id_b filter picks one of
+    * the two symmetric block pairs) — no distinct, no row handoffs per
+    * pair, bounded memory at any corpus size. Bit-identical to
+    * [[cosineNearDup]] (same strict folds, same rounding);
+    * DedupSimilaritySpec asserts row-for-row equality. */
+  def cosineNearDupBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, blocks: Int = 32): DataFrame = {
+    // cached: both sides of the block-pair cross join read the packed
+    // blocks (see cosineTopKBlocked — Bench/Verify clear per query)
+    val packed = emb
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .groupBy(pmod(xxhash64(col("id")), lit(blocks.toLong)).as("blk"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("rows"))
+      .cache()
+    packed.select(col("rows").as("ra"))
+      .crossJoin(packed.select(col("rows").as("rb")))
+      .select(explode(graft.functions.VectorExpressions
+        .blockNearDupNative(col("ra"), col("rb"), threshold)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(col("p.cosine"), 6).as("sim"))
+  }
+
   /** Near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double): DataFrame =

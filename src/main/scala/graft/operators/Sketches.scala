@@ -94,6 +94,48 @@ object Sketches {
             .cast("double")).as(s"hll_$valueCol"))
   }
 
+  /** Count-min-sketch heavy hitters: CMS counters (`depth` hash rows ×
+    * `width` buckets) over one row per item OCCURRENCE, plus the CMS
+    * estimate (min over the item's `depth` counters — always ≥ the
+    * true count) for the `topK` items by true count (ties broken by
+    * item value). Hash family is the portable Kirsch–Mitzenmacher
+    * double hash from the two 60-bit md5 halves — the same md5-prefix
+    * arithmetic as the MinHash family, so a DuckDB oracle replays the
+    * counters and estimates exactly.
+    *
+    * Scale shape: true counts are ONE map-side-combined shuffle of the
+    * vocabulary; the counter table is a fixed depth×width aggregate
+    * (broadcast-sized by construction) — the sketch is what a pipeline
+    * ships between stages, the exact counts here double as the
+    * verification twin. */
+  def heavyHittersCms(df: DataFrame, itemCol: String, depth: Int = 4,
+                      width: Int = 1024, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 14,
+      s"depth=$depth outside [1, 14] (64-bit double-hash family)")
+    require(width >= 1, s"width=$width must be positive")
+    val counts = df.groupBy(col(itemCol)).agg(count(lit(1)).as("true_c"))
+    // cached: counters and the top-k probe both read the hashed vocab
+    // (Bench/Verify clear per-query caches)
+    val hashed = counts
+      .withColumn("md", md5(col(itemCol).cast("string").cast("binary")))
+      .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long")
+        % lit(576460752303423488L))
+      .drop("md")
+      .cache()
+    def withBuckets(d: DataFrame): DataFrame = d
+      .select(col(itemCol), col("true_c"), col("h1"), col("h2"),
+        explode(sequence(lit(0L), lit((depth - 1).toLong))).as("i"))
+      .withColumn("bucket", pmod(col("h1") + col("i") * col("h2"), lit(width.toLong)))
+    val counters = withBuckets(hashed)
+      .groupBy(col("i"), col("bucket")).agg(sum(col("true_c")).as("cnt"))
+    val top = hashed.orderBy(col("true_c").desc, col(itemCol)).limit(topK)
+    withBuckets(top)
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col(itemCol), col("true_c"))
+      .agg(min(col("cnt")).as("est_c"))
+  }
+
   /** The k rows per group with the smallest 60-bit md5 of `keyCol` — a
     * deterministic uniform sample. If `keyCol` is not unique (rows
     * sharing a key hash identically), pass the downstream value

@@ -52,4 +52,36 @@ object Split {
     * `df.sample` whose selection is seed-and-partitioning dependent. */
   def sampleKeep(key: Column, ppm: Column): Column =
     hashBucket(key, 1000000) < ppm
+
+  /** Concat-and-chunk sequence packing: documents in `orderCol` order
+    * within each `partCol` group are laid head-to-tail and cut into
+    * training sequences of `budget` tokens — a doc starts sequence
+    * `⌊(cumulative tokens before it) / budget⌋`. Returns one row per
+    * (group, seq_id) with doc/token counts and the first doc id. This
+    * is the standard "concatenate then chunk" packing of LLM training
+    * pipelines, made deterministic (no greedy bin state) so it is
+    * reproducible and oracle-replayable.
+    *
+    * Scale shape: ONE window partitioned by `partCol` (shard key:
+    * language, source, date bucket) — cumulative sums run partition-
+    * parallel; nothing is globally ordered. Token counts come from a
+    * per-row expression in the same scan. A pipeline with heavily
+    * skewed groups should pre-split the shard key (salt high-volume
+    * languages by date) — the operator composes, it does not global-
+    * sort. */
+  def packChunks(df: DataFrame, partCol: String, orderCol: String,
+                 tokens: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(partCol), col(orderCol), tokens.cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tok")).cast("double") / budget).cast("long"))
+      .groupBy(col(partCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+        min(col(orderCol)).as("first_doc"))
+  }
 }

@@ -176,6 +176,39 @@ object TextAnalysis {
           .otherwise(0.0), 6).as("top_bigram_frac"))
   }
 
+  /** Benchmark decontamination: corpus documents whose distinct word
+    * `n`-gram sets overlap a benchmark (eval-set) document collection
+    * by at least `threshold` — the docs a training pipeline must drop
+    * so evaluation stays honest. Returns (id, n_grams, hits, ratio)
+    * for flagged docs; ratio = |doc grams ∩ benchmark grams| /
+    * |doc grams| (rounded 6 in the output, UNROUNDED in the filter).
+    *
+    * Scale shape: n-gram extraction is the fused zero-shuffle
+    * [[graft.functions.TokenNgrams]] scan; the benchmark gram set is
+    * small by nature (eval sets, not corpora) and broadcasts, so the
+    * whole operator is one corpus scan + one per-doc aggregation — no
+    * corpus-side shuffle-join. Drop the broadcast hint if a benchmark
+    * ever outgrows executor memory; the plan degrades to a hash join
+    * on the gram, still shuffle-partitioned, never all-pairs. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int, threshold: Double): DataFrame = {
+    val grams = graft.functions.TextExpressions.tokenNgrams(col(textCol), n)
+    val benchGrams = bench.select(explode(grams).as("gram")).distinct()
+    // distinct-gram count comes from the array length in the same scan
+    // — no corpus-wide (doc, gram) aggregation for a per-row value
+    val sz = corpus.select(col(idCol), size(grams).cast("long").as("n_grams"))
+      .where(col("n_grams") > 0)
+    val hits = corpus.select(col(idCol), explode(grams).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    sz.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("ratio"))
+      .where(col("hits").cast("double") / col("n_grams") >= threshold)
+  }
+
   /** PII redaction patterns, kept inside the RE2 ∩ Java regex subset
     * (no backreferences, no lookaround) so the same pattern text runs
     * unchanged on Spark, DuckDB, and the usual scan engines. Order

@@ -89,5 +89,33 @@ object SimilarityQueries {
     (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir),
       "vec_id", "embedding"))
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60)
+  /** Semantic dedup (SemDeDup shape): exact-cosine near-dup pairs from
+    * the blocked kernel (the plan that survives corpus scale — no
+    * row-level crossJoin) clustered into connected components; every
+    * vector is labelled with its component minimum and whether it is
+    * the kept canonical. Pairs, components and labels are all exact,
+    * so the oracle replays the fixpoint with a recursive transitive-
+    * closure CTE (same pattern as q56's text-side clustering). */
+  val q61 = QueryDef.sql("q61_semantic_dedup",
+    """WITH RECURSIVE
+      |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |pairs AS (SELECT a.id AS id1, b.id AS id2
+      |          FROM n a JOIN n b ON a.id < b.id
+      |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45),
+      |edges AS (SELECT id1 AS u, id2 AS w FROM pairs
+      |          UNION SELECT id2 AS u, id1 AS w FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.w = r.id)
+      |SELECT id AS vec_id, min(lab) AS cluster, min(lab) = id AS keep
+      |FROM reach GROUP BY id""")(
+    (s, dir) => graft.operators.Graph.dedupClusters(
+      Tables.embeddings(s, dir), "vec_id",
+      Similarity.cosineNearDupBlocked(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45),
+      "id_a", "id_b"))
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61)
 }

@@ -423,6 +423,92 @@ object TextQueries {
         .select("id1", "id2", "dist")
     })
 
+  /** Benchmark decontamination: corpus docs (doc_id % 19 ≠ 0) whose
+    * distinct word-3-gram sets overlap the "benchmark" slice
+    * (doc_id % 19 = 0) by ≥ 5% — the eval-set leak filter every
+    * training pipeline runs. Grams from the fused zero-shuffle
+    * TokenNgrams scan; the benchmark gram set broadcasts. */
+  val q62 = QueryDef.sql("q62_decontaminate",
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+      |          || ' ' || toks[CAST(i + 2 AS INT)] AS gram
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |            FROM tk WHERE len(toks) >= 3)),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 0),
+      |docg AS (SELECT doc_id, gram FROM g WHERE doc_id % 19 <> 0),
+      |sz AS (SELECT doc_id, count(*) AS n_grams FROM docg GROUP BY 1),
+      |h AS (SELECT doc_id, count(*) AS hits
+      |      FROM docg JOIN bench USING (gram) GROUP BY 1)
+      |SELECT s.doc_id, n_grams, coalesce(hits, 0) AS hits,
+      |  round(CAST(coalesce(hits, 0) AS DOUBLE) / n_grams, 6) AS ratio
+      |FROM sz s LEFT JOIN h USING (doc_id)
+      |WHERE CAST(coalesce(hits, 0) AS DOUBLE) / n_grams >= 0.05::DOUBLE""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(19)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(19)) === 0),
+        "doc_id", "text", n = 3, threshold = 0.05)
+    })
+
+  /** Concat-and-chunk sequence packing: docs in id order within each
+    * language cut into 2048-token training sequences. One window per
+    * language partition — cumulative sums run partition-parallel. */
+  val q63 = QueryDef.sql("q63_pack_chunks",
+    """WITH t AS (SELECT lang, doc_id,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                    x -> len(x) > 0)) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT lang, doc_id, n_tok,
+      |        sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT lang,
+      |  CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+      |  min(doc_id) AS first_doc
+      |FROM c GROUP BY 1, 2""")(
+    (s, dir) => graft.operators.Split.packChunks(
+      Tables.documents(s, dir), "lang", "doc_id",
+      expr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''))"),
+      budget = 2048))
+
+  /** Count-min-sketch heavy hitters over every token occurrence:
+    * 4×1024 portable counters (md5-halves double hash), estimates for
+    * the top-20 tokens by true count. est_c ≥ true_c always; the gap
+    * is the sketch's collision error, replayed exactly by the oracle. */
+  val q64 = QueryDef.sql("q64_heavy_hitters",
+    """WITH tok AS (SELECT unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0))
+      |    AS token FROM documents),
+      |c AS (SELECT token, count(*) AS true_c FROM tok GROUP BY token),
+      |hh AS (SELECT token, true_c,
+      |        ('0x' || substring(md5(token), 1, 15))::BIGINT AS h1,
+      |        ('0x' || substring(md5(token), 17, 15))::BIGINT
+      |          % 576460752303423488 AS h2
+      |       FROM c),
+      |r AS (SELECT token, true_c, i, (h1 + i * h2) % 1024 AS bucket
+      |      FROM hh, (SELECT unnest(range(4)) AS i)),
+      |counters AS (SELECT i, bucket, CAST(sum(true_c) AS BIGINT) AS cnt
+      |             FROM r GROUP BY 1, 2),
+      |top AS (SELECT token FROM c ORDER BY true_c DESC, token LIMIT 20)
+      |SELECT r.token, r.true_c, min(cs.cnt) AS est_c
+      |FROM top t
+      |JOIN r ON r.token = t.token
+      |JOIN counters cs ON cs.i = r.i AND cs.bucket = r.bucket
+      |GROUP BY 1, 2""")(
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      graft.operators.Sketches.heavyHittersCms(toks, "token",
+        depth = 4, width = 1024, topK = 20)
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49, q50, q53, q54, q56, q57, q59)
+    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64)
 }

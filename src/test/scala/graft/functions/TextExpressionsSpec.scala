@@ -65,4 +65,28 @@ class TextExpressionsSpec extends AnyFunSuite {
       .as[(Long, Seq[Long])].collect().toMap
     assert(got(1L).isEmpty && got(2L).isEmpty)
   }
+
+  test("TokenNgrams ≡ composable filter/transform chain on the corpus + edges") {
+    val n = 3
+    def composable(df: org.apache.spark.sql.DataFrame) = {
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+      val cnt = size(toks) - (n - 1)
+      val grams = when(cnt >= 1, array_distinct(
+          transform(sequence(lit(1), greatest(cnt, lit(1))),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+      df.select(col("doc_id"), explode(grams).as("g"))
+        .as[(Long, String)].collect().toSet
+    }
+    def fused(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          explode(TextExpressions.tokenNgrams(col("text"), n)).as("g"))
+        .as[(Long, String)].collect().toSet
+    val docs = Tables.documents(spark, sf)
+    assert(fused(docs) == composable(docs))
+    val edges = Seq((1L, "a b"), (2L, ""), (3L, "  x   y  z  "),
+      (4L, "p q p q p q")).toDF("doc_id", "text")
+    assert(fused(edges) == composable(edges))
+    assert(fused(edges).count(_._1 == 4L) == 2) // distinct: "p q p", "q p q"
+  }
 }

@@ -169,4 +169,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(reference.nonEmpty)
     assert(blocked == reference)
   }
+
+  test("blocked near-dup ≡ crossJoin near-dup, each pair exactly once") {
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSeq
+    val reference = rows(Similarity.cosineNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4))
+    val blocked = rows(Similarity.cosineNearDupBlocked(emb, "vec_id", "embedding",
+      threshold = 0.4, blocks = 7))
+    assert(reference.nonEmpty)
+    // Seq (not Set) comparison after sort: catches double-emitted pairs
+    assert(blocked.sorted == reference.sorted)
+  }
 }

@@ -55,4 +55,26 @@ class SketchesSpec extends AnyFunSuite {
       assert(rel <= 0.25, s"$k: sample p50 $p vs exact ${exactP50(k)}")
     }
   }
+
+  test("CMS heavy hitters: estimates dominate true counts, tight at this size") {
+    val toks = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val got = Sketches.heavyHittersCms(toks, "token", depth = 4,
+      width = 1024, topK = 10)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 10)
+    val exact = toks.groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    for ((t, trueC, estC) <- got) {
+      assert(trueC == exact(t), s"$t true count")
+      assert(estC >= trueC, s"$t: CMS estimate $estC below true $trueC")
+      // vocabulary << depth*width here, so collisions should be rare
+      assert(estC <= trueC * 2, s"$t: estimate $estC implausibly loose")
+    }
+    // the reported items are exactly the true top-10 (count desc, token asc)
+    val want = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+      .map(_._1).toSet
+    assert(got.map(_._1).toSet == want)
+  }
 }

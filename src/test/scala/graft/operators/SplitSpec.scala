@@ -60,4 +60,25 @@ class SplitSpec extends AnyFunSuite {
     assert(got("de") == 1000L, got.toString)
     assert(math.abs(got("en") / 10000.0 - 0.20) < 0.02, got.toString)
   }
+
+  test("packChunks: hand-computed packing, partition isolation, full coverage") {
+    val docs = Seq(
+      // lang a, budget 10: docs of 4,4,4 tokens -> cum-before 0,4,8 ->
+      // seqs 0,0,0? no: floor(0/10)=0, floor(4/10)=0, floor(8/10)=0;
+      // then 5 tokens at cum-before 12 -> seq 1
+      ("a", 1L, "w w w w"), ("a", 2L, "w w w w"), ("a", 3L, "w w w w"),
+      ("a", 4L, "w w w w w"),
+      ("b", 5L, "w w w w w w w w w w w w"), // 12 > budget alone: seq 0
+      ("b", 6L, "w")                        // cum-before 12 -> seq 1
+    ).toDF("lang", "doc_id", "text")
+    val got = Split.packChunks(docs, "lang", "doc_id",
+      expr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''))"),
+      budget = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 3L, 12L, 1L), ("a", 1L, 1L, 5L, 4L),
+      ("b", 0L, 1L, 12L, 5L), ("b", 1L, 1L, 1L, 6L)))
+    // every doc lands in exactly one pack: doc counts sum to the corpus
+    assert(got.toSeq.map(_._3).sum == 6L)
+  }
 }

@@ -60,6 +60,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       rows(TextAnalysis.repetitionAgg(docs, "doc_id", "text")))
   }
 
+  test("decontaminate: planted overlap flagged, clean docs not") {
+    val bench = Seq((100L, "the secret benchmark question about turtles"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the full benchmark 3-gram run -> high overlap
+      (1L, "prefix words the secret benchmark question about turtles suffix"),
+      // shares no 3-gram
+      (2L, "entirely unrelated content with different words here"),
+      // shares exactly one 3-gram out of its own four
+      (3L, "the secret benchmark of unrelated following text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, threshold = 0.2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L)._3 == 4L) // the 4 benchmark-run grams hit
+    assert(got(3L)._3 == 1L && got(3L)._2 == 5L)
+    // threshold is exclusive of lower overlaps
+    val none = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(none.isEmpty)
+  }
+
   test("quantizeInt8: codes bounded, zero vector maps to zero codes") {
     val emb = Seq(
       (1L, Array(3.0f, 4.0f)),        // norm 5 → 0.6, 0.8 → 76, 102
