@@ -64,11 +64,32 @@ class PlanQualitySpec extends AnyFunSuite {
       "top-k must aggregate map-side before the exchange")
   }
 
+  test("fused per-row operators plan with ZERO shuffle exchanges") {
+    // simhash (q31) and repetition (q59) collapsed from corpus-wide
+    // aggregations to single-pass expressions — a regression that
+    // reintroduces an exchange is a 100 TB shuffle of the whole corpus
+    for (q <- Seq("q31_simhash", "q59_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q reintroduced a shuffle: $p")
+    }
+  }
+
+  test("q30 MinHash-LSH: only the bucket-group and pair-distinct shuffles remain") {
+    val p = plan("q30_minhash_lsh")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"signature computation must stay shuffle-free: $p")
+  }
+
+  test("q62 decontamination: benchmark gram set joins broadcast") {
+    val p = plan("q62_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     // q55's cross join is at BLOCK granularity (blocks² rows, each row
     // one packed block) — bounded by construction, not an n² row plan
     val allowed = Set("q32_cosine_topk", "q33_cosine_neardup", "q39_ann_ivf",
-      "q55_cosine_topk_blocked")
+      "q55_cosine_topk_blocked", "q61_semantic_dedup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
