@@ -50,6 +50,30 @@ object Similarity {
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     rankTopK(cosineAllPairs(emb, idCol, vecCol), k)
 
+  /** Retrieval: exact top-k corpus neighbours for each QUERY vector —
+    * the cross-table shape (a small query batch against a large
+    * corpus), distinct from the self-join kNN of [[cosineTopK]].
+    * Output is (id_a = query id, id_b = corpus id, sim, rnk).
+    *
+    * Scale shape: the query side broadcasts (query batches are small
+    * by nature — this is the one place a broadcast nested loop is the
+    * RIGHT plan), the corpus streams through ONE scan with no shuffle
+    * of corpus rows, and the bounded [[graft.functions.TopKAggregate]]
+    * reduces map-side so the only exchange carries |queries|·k rows.
+    * Nothing here is per-corpus-size state: the same plan runs when
+    * the corpus is 100 TB. */
+  def retrieveTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", norm(col("vb")))
+    val q = queries.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+      .withColumn("na", norm(col("va")))
+    val pairs = c.crossJoin(broadcast(q))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select("id_a", "id_b", "cosine")
+    rankTopK(pairs, k)
+  }
+
   /** Shared tail: best-k neighbours per id_a from (id_a, id_b, cosine)
     * via the bounded [[graft.functions.TopKAggregate]] — map-side
     * partial top-k means the shuffle carries n·k rows, not all pairs

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Similarity search over the embeddings table. The brute-force queries
   * carry exact DuckDB oracles (`embedding::DOUBLE[]` upcast first, so
@@ -117,5 +118,30 @@ object SimilarityQueries {
         "vec_id", "embedding", threshold = 0.45),
       "id_a", "id_b"))
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61)
+  /** Retrieval top-k: every 50th vector is a "query", the rest are the
+    * corpus; exact cosine top-5 per query. The query side broadcasts;
+    * the corpus is scanned once with map-side bounded top-k — the plan
+    * that serves a small query batch against a 100 TB corpus. */
+  val q65 = QueryDef.sql("q65_retrieve_topk",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |q AS (SELECT * FROM n WHERE id % 50 = 0),
+      |c AS (SELECT * FROM n WHERE id % 50 <> 0),
+      |p AS (SELECT q.id AS id_a, c.id AS id_b,
+      |        list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      |      FROM q, c),
+      |r AS (SELECT id_a, id_b, cosine,
+      |        row_number() OVER (PARTITION BY id_a
+      |                           ORDER BY cosine DESC, id_b) AS rnk
+      |      FROM p)
+      |SELECT id_a, id_b, round(cosine, 6) AS sim, rnk FROM r WHERE rnk <= 5""")(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.retrieveTopK(
+        emb.where(pmod(col("vec_id"), lit(50)) =!= 0),
+        emb.where(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 5)
+    })
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65)
 }

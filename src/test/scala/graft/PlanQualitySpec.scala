@@ -85,6 +85,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q65 retrieval: queries broadcast, top-k aggregates map-side") {
+    val p = plan("q65_retrieve_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_topk_by_score"),
+      "retrieval must reduce map-side before the exchange")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     // q55's cross join is at BLOCK granularity (blocks² rows, each row
     // one packed block) — bounded by construction, not an n² row plan

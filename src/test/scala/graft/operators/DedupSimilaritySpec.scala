@@ -182,4 +182,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // Seq (not Set) comparison after sort: catches double-emitted pairs
     assert(blocked.sorted == reference.sorted)
   }
+
+  test("retrieveTopK ≡ window-ranked brute force over the query×corpus pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    val c = emb.where(pmod(col("vec_id"), lit(50)) =!= 0)
+    val got = Similarity.retrieveTopK(c, q, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // independent formulation: full pair list + window rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
+    def side(df: org.apache.spark.sql.DataFrame, p: String) = df
+      .select(col("vec_id").as(s"id_$p"),
+        transform(col("embedding"), x => x.cast("double")).as(s"v$p"))
+      .withColumn(s"n$p", sqrt(Similarity.dot(col(s"v$p"), col(s"v$p"))))
+    val want = side(q, "a").crossJoin(side(c, "b"))
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("sim"),
+        col("rnk"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
