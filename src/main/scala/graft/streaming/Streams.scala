@@ -114,6 +114,36 @@ object Streams {
       .select(col("l.key"), col("ts_1"), col("id_1"), col("ts_2"), col("id_2"))
   }
 
+  /** Streaming decontamination: the live twin of
+    * [[graft.operators.TextAnalysis.decontaminate]] — documents arrive
+    * as a stream, the benchmark n-gram set is a STATIC side (eval sets
+    * change rarely; at cluster scale it is a broadcast that every
+    * micro-batch reuses). Per-row the fused
+    * [[graft.functions.TokenNgrams]] scan emits the doc's distinct
+    * grams; a stream-static inner join + per-doc count computes the
+    * overlap. No stream-stream state at all — the stateful aggregation
+    * is keyed by doc id within the micro-batch the doc arrived in
+    * (append semantics; a doc's grams all travel in its row).
+    *
+    * Emits (id, n_grams, hits, ratio) for CONTAMINATED docs only, same
+    * columns and threshold semantics as the batch operator — the spec
+    * replays a corpus through the stream and asserts equality with the
+    * batch result. */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, threshold: Double): DataFrame = {
+    val grams = graft.functions.TextExpressions.tokenNgrams(col(textCol), n)
+    docs
+      .select(col(idCol), size(grams).cast("long").as("n_grams"),
+        explode(grams).as("gram"))
+      .join(broadcast(benchGrams.select(col("gram"))), Seq("gram"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits").cast("double") / col("n_grams") >= threshold)
+      .select(col(idCol), col("n_grams"), col("hits"),
+        round(col("hits").cast("double") / col("n_grams"), 6).as("ratio"))
+  }
+
   /** True-streaming sessionization: like [[sessionize]], but an open
     * session is ALSO emitted once the event-time watermark passes its
     * last event + gap — no more events can extend it at that point, so

@@ -161,6 +161,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("streaming decontamination matches the batch operator on a replayed corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.where(col("doc_id") % 19 === 0)
+    val corpus = docs.where(col("doc_id") % 19 =!= 0)
+    val benchGrams = bench.select(org.apache.spark.sql.functions.explode(
+      graft.functions.TextExpressions.tokenNgrams(col("text"), 3)).as("gram"))
+      .distinct()
+    val want = graft.operators.TextAnalysis.decontaminate(
+      corpus, bench, "doc_id", "text", n = 3, threshold = 0.05)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(corpus.select("doc_id", "text").as[(Long, String)].collect(): _*)
+    val q = Streams.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), benchGrams,
+      "doc_id", "text", n = 3, threshold = 0.05)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("decon_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("decon_out")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("batch openSessions flushes the trailing session per user") {
     import spark.implicits._
     val open = Streams.openSessions(events.toDS(), gapSeconds = 1800)
