@@ -56,6 +56,12 @@ object TextExpressions {
   def tokenNgrams(text: Column, n: Int): Column =
     org.apache.spark.sql.graftshim.Shim.column(TokenNgrams(
       org.apache.spark.sql.graftshim.Shim.expression(text), n))
+
+  /** Per-word ` word ` hit counts in normalized text, input order —
+    * see [[StopHits]]. */
+  def stopHits(text: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graftshim.Shim.column(StopHits(
+      org.apache.spark.sql.graftshim.Shim.expression(text), words))
 }
 
 case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
@@ -371,5 +377,68 @@ case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
+/** Fused marker-word hit counters.
+  *
+  * The composable formulation ([[graft.operators.TextAnalysis
+  * .wordHits]]) counts ` word ` occurrences by length difference after
+  * a `regexp_replace` — correct, but each WORD pays a full regex scan
+  * of the text AND recomputes the whitespace-collapsed normalization:
+  * the 12-stopword quality metric ran 12 regex scans per document and
+  * was the whole cost of q25. This expression normalizes once
+  * (trim/lower/`\s+`→single space, space-padded — identical to
+  * `concat(' ', regexp_replace(lower(trim(t)), '\s+', ' '), ' ')`) and
+  * counts every needle with plain `indexOf` scans, continuing each
+  * search at match END — the same non-overlapping semantics as the
+  * regex replace (consecutive repeats share a delimiter space, so
+  * ` the the ` counts ONE ` the ` hit in both forms). Returns one
+  * count per word, in input order; TextExpressionsSpec asserts
+  * per-word equality with the composable form over the corpus. */
+case class StopHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  require(words.nonEmpty, "words must be non-empty")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "stop_hits"
+
+  @transient private lazy val ws =
+    java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val needles = words.map(w => s" $w ").toArray
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val norm = " " + ws.matcher(s.trim().toLowerCase().toString)
+      .replaceAll(" ") + " "
+    val out = new Array[Int](needles.length)
+    var w = 0
+    while (w < needles.length) {
+      val needle = needles(w)
+      var hits = 0
+      var from = 0
+      var pos = norm.indexOf(needle, from)
+      while (pos >= 0) {
+        hits += 1
+        from = pos + needle.length
+        pos = norm.indexOf(needle, from)
+      }
+      out(w) = hits
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("stopHitsExpr", this,
+        classOf[StopHits].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): StopHits =
     copy(child = newChild)
 }

@@ -74,16 +74,18 @@ object Graph {
     * in practice on dedup graphs. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 25): DataFrame = {
-    // localCheckpoint (eager), NOT cache — see the plan-growth note in
-    // the class doc. Old rounds' blocks are freed by the ContextCleaner
-    // once the previous round's frame goes unreferenced.
+    // localCheckpoint, NOT cache — see the plan-growth note in the
+    // class doc. LAZY checkpoint: the count() below is every round's
+    // materializing action, so each round costs ONE job instead of two
+    // (an eager checkpoint runs its own). Old rounds' blocks are freed
+    // by the ContextCleaner once the previous frame goes unreferenced.
     var e = canon(edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v"))).localCheckpoint()
+      col(dstCol).cast("long").as("v"))).localCheckpoint(eager = false)
     var eCount = e.count()
     var converged = eCount == 0
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val nextCount = next.count()
       // Both sides are canonical distinct sets, so unequal cardinality
       // already proves non-convergence — the exact (and 2-shuffle)
@@ -98,10 +100,13 @@ object Graph {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds")
-    // fixpoint is a star per component: u = component min, v = member
+    // fixpoint is a star per component: u = component min, v = member.
+    // Member rows are already distinct (e is a canonical edge SET, one
+    // row per member); only the root side needs deduplication — a
+    // distinct over roots, not over the whole output.
     e.select(col("v").as("id"), col("u").as("component"))
-      .unionByName(e.select(col("u").as("id"), col("u").as("component")))
-      .distinct()
+      .unionByName(e.select(col("u")).distinct()
+        .select(col("u").as("id"), col("u").as("component")))
   }
 
   /** Cluster assignment for a whole corpus from near-dup pairs: every

@@ -56,12 +56,21 @@ object TextAnalysis {
   /** Language ID: argmax of marker-word hits, ties resolved by the fixed
     * language order above; no hits at all → "und". */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = normalized(col(textCol))
-    val scores = LangMarkers.map { case (lang, words) =>
-      lang -> words.map(w => wordHits(norm, w)).reduce(_ + _)
+    // one fused normalization + needle scan for ALL marker words (the
+    // composable per-word wordHits form re-normalized and re-scanned
+    // per word; TextExpressionsSpec asserts per-word equality)
+    val allWords = LangMarkers.flatMap(_._2)
+    val hits = graft.functions.TextExpressions
+      .stopHits(col(textCol), allWords).as("__hits")
+    val offsets = LangMarkers.scanLeft(0) { case (o, (_, ws)) => o + ws.size }
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, ws), i) =>
+      lang -> ws.indices
+        .map(j => element_at(col("__hits"), offsets(i) + j + 1))
+        .reduce(_ + _)
     }
-    val scoreCols = scores.map { case (lang, c) => c.as(s"score_$lang") }
-    val withScores = df.select(col(idCol) +: scoreCols: _*)
+    val withScores = df.select(col(idCol), hits)
+      .select(col(idCol) +:
+        scores.map { case (lang, c) => c.as(s"score_$lang") }: _*)
     val detected = scores.indices.foldRight(lit("und")) { (i, els) =>
       val (lang, _) = scores(i)
       val me = col(s"score_$lang")
@@ -78,17 +87,25 @@ object TextAnalysis {
     * the usual cheap pre-filters before expensive dedup/training. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val norm = normalized(t)
     val nTok = tokenCount(t)
-    val stopHits = LangMarkers.flatMap(_._2).distinct
-      .map(w => wordHits(norm, w)).reduce(_ + _)
+    // one fused scan for all stopwords instead of one regex replace per
+    // word (12 full scans per row was the entire cost of q25)
+    val words = LangMarkers.flatMap(_._2).distinct
     val punct = length(t) - length(regexp_replace(t, "[.,!?;:]", ""))
     val digits = length(t) - length(regexp_replace(t, "[0-9]", ""))
-    df.select(col(idCol),
-      nTok.as("n_tokens"),
-      round(stopHits.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_ratio"),
-      round(punct.cast("double") / greatest(length(t), lit(1)), 6).as("punct_ratio"),
-      round(digits.cast("double") / greatest(length(t), lit(1)), 6).as("digit_ratio"))
+    val stopHits = words.indices
+      .map(i => element_at(col("__hits"), i + 1)).reduce(_ + _)
+    df.select(col(idCol), nTok.as("n_tokens"), length(t).as("__len"),
+        punct.as("__punct"), digits.as("__digits"),
+        graft.functions.TextExpressions.stopHits(t, words).as("__hits"))
+      .select(col(idCol),
+        col("n_tokens"),
+        round(stopHits.cast("double") / greatest(col("n_tokens"), lit(1)), 6)
+          .as("stopword_ratio"),
+        round(col("__punct").cast("double") / greatest(col("__len"), lit(1)), 6)
+          .as("punct_ratio"),
+        round(col("__digits").cast("double") / greatest(col("__len"), lit(1)), 6)
+          .as("digit_ratio"))
   }
 
   /** Content fingerprint: md5 of the normalized text. Identical content

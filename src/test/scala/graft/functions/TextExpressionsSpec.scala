@@ -89,4 +89,35 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(fused(edges) == composable(edges))
     assert(fused(edges).count(_._1 == 4L) == 2) // distinct: "p q p", "q p q"
   }
+
+  test("StopHits ≡ per-word wordHits (regex-replace form) on the corpus + edges") {
+    import graft.operators.TextAnalysis
+    val words = TextAnalysis.LangMarkers.flatMap(_._2).distinct
+    def composable(df: org.apache.spark.sql.DataFrame) = {
+      val norm = TextAnalysis.normalized(col("text"))
+      df.select(col("doc_id") +:
+          words.map(w => TextAnalysis.wordHits(norm, w).as(s"w_$w")): _*)
+        .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getInt))
+        .toMap
+    }
+    def fused(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          TextExpressions.stopHits(col("text"), words).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toIndexedSeq).toMap
+    val docs = Tables.documents(spark, sf)
+    assert(fused(docs) == composable(docs))
+    val edges = Seq(
+      // " the the the ": matches at 0 and 8 — the middle occurrence
+      // shares its delimiters with both and is skipped by the
+      // non-overlapping scan in BOTH forms
+      (1L, "the the the"),
+      (2L, "the and the"),        // 2 separated hits
+      (3L, ""), (4L, "  THE  "),  // case/trim normalize to 1 hit
+      (5L, "und der und der und") // de markers interleaved
+    ).toDF("doc_id", "text")
+    assert(fused(edges) == composable(edges))
+    assert(fused(edges)(1L)(words.indexOf("the")) == 2)
+    assert(fused(edges)(2L)(words.indexOf("the")) == 2)
+    assert(fused(edges)(4L)(words.indexOf("the")) == 1)
+  }
 }
