@@ -226,6 +226,57 @@ object TextAnalysis {
       .where(col("hits").cast("double") / col("n_grams") >= threshold)
   }
 
+  /** [[decontaminate]] with a Bloom prefilter — the formulation for the
+    * regime where the benchmark gram set is too large to broadcast as an
+    * exact hash set (contamination sweeps against MANY benchmarks at
+    * once, or n-gram overlap against another big corpus). The corpus
+    * side probes a serialized `BloomFilterAggregate` sketch (~1.2 bytes
+    * per gram at 1% fpp vs ~50+ bytes per exact UTF8 gram entry, built
+    * distributed, probed inside whole-stage codegen — no UDF), so only
+    * the ~fpp false-positive tail plus the true hits reach the exact
+    * gram join. The exact join then removes every false positive:
+    * output is bit-identical to [[decontaminate]] (asserted in
+    * TextAnalysisSpec; q66 shares q62's DuckDB oracle).
+    *
+    * Scale shape: one corpus scan; the shuffle that remains carries
+    * `hit_rate + fpp` of the postings instead of all of them — at 100 TB
+    * with a 0.1% contamination rate and fpp 1%, ~1% of the posting
+    * volume. The Bloom build is a partial-aggregated OR-merge, one pass
+    * over the benchmark side. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int, threshold: Double,
+                         fpp: Double = 0.01): DataFrame = {
+    val grams = graft.functions.TextExpressions.tokenNgrams(col(textCol), n)
+    // Cached: three consumers (count, Bloom build, exact verify join).
+    // NOT unpersisted here — the verify join in the returned plan still
+    // needs it; callers running query batches should clearCache()
+    // between queries (Bench does), long-lived sessions can unpersist
+    // once the returned frame is materialized.
+    val benchGrams = bench.select(explode(grams).as("gram")).distinct()
+      .cache()
+    // numBits for the target fpp: m = -n·ln(p)/ln(2)²  (classic sizing)
+    val nBench = math.max(1L, benchGrams.count())
+    val numBits = math.max(64L,
+      math.ceil(-nBench * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = benchGrams
+      .select(org.apache.spark.sql.graftshim.Shim
+        .bloomAgg(col("gram"), nBench, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val sz = corpus.select(col(idCol), size(grams).cast("long").as("n_grams"))
+      .where(col("n_grams") > 0)
+    val hits = corpus.select(col(idCol), explode(grams).as("gram"))
+      .where(org.apache.spark.sql.graftshim.Shim
+        .bloomMightContain(bloomBytes, col("gram")))
+      .join(benchGrams, Seq("gram")) // exact verify: kills Bloom FPs
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    sz.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("ratio"))
+      .where(col("hits").cast("double") / col("n_grams") >= threshold)
+  }
+
   /** PII redaction patterns, kept inside the RE2 ∩ Java regex subset
     * (no backreferences, no lookaround) so the same pattern text runs
     * unchanged on Spark, DuckDB, and the usual scan engines. Order

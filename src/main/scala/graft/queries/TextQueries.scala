@@ -455,6 +455,38 @@ object TextQueries {
         "doc_id", "text", n = 3, threshold = 0.05)
     })
 
+  /** q62 by the Bloom-prefilter formulation — the scale path when the
+    * benchmark gram set outgrows an exact broadcast. Same rows as q62
+    * (the Bloom's false positives die in the exact verify join), so it
+    * shares q62's oracle: the driver hash proves the sketch+verify
+    * pipeline against an engine with no Bloom filter at all. */
+  val q66 = QueryDef.sql("q66_decontaminate_bloom",
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+      |          || ' ' || toks[CAST(i + 2 AS INT)] AS gram
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |            FROM tk WHERE len(toks) >= 3)),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 0),
+      |docg AS (SELECT doc_id, gram FROM g WHERE doc_id % 19 <> 0),
+      |sz AS (SELECT doc_id, count(*) AS n_grams FROM docg GROUP BY 1),
+      |h AS (SELECT doc_id, count(*) AS hits
+      |      FROM docg JOIN bench USING (gram) GROUP BY 1)
+      |SELECT s.doc_id, n_grams, coalesce(hits, 0) AS hits,
+      |  round(CAST(coalesce(hits, 0) AS DOUBLE) / n_grams, 6) AS ratio
+      |FROM sz s LEFT JOIN h USING (doc_id)
+      |WHERE CAST(coalesce(hits, 0) AS DOUBLE) / n_grams >= 0.05::DOUBLE""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.decontaminateBloom(
+        docs.where(pmod(col("doc_id"), lit(19)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(19)) === 0),
+        "doc_id", "text", n = 3, threshold = 0.05)
+    })
+
   /** Concat-and-chunk sequence packing: docs in id order within each
     * language cut into 2048-token training sequences. One window per
     * language partition — cumulative sums run partition-parallel. */
@@ -510,5 +542,5 @@ object TextQueries {
     })
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64)
+    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66)
 }

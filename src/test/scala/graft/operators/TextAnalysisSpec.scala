@@ -84,6 +84,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("decontaminateBloom ≡ decontaminate on the sf0.001 corpus and fixtures") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where("doc_id % 19 <> 0")
+    val bench = docs.where("doc_id % 19 = 0")
+    val exact = rows(TextAnalysis.decontaminate(
+      corpus, bench, "doc_id", "text", n = 3, threshold = 0.05))
+    val bloom = rows(TextAnalysis.decontaminateBloom(
+      corpus, bench, "doc_id", "text", n = 3, threshold = 0.05))
+    assert(exact.nonEmpty && bloom == exact)
+    // a deliberately saturated filter (fpp ~1) still verifies exactly:
+    // every false positive must die in the exact join
+    val sloppy = rows(TextAnalysis.decontaminateBloom(
+      corpus, bench, "doc_id", "text", n = 3, threshold = 0.05, fpp = 0.99))
+    assert(sloppy == exact)
+  }
+
+  test("bloom prefilter prunes: survivors ≪ corpus postings at tight fpp") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // disjoint vocabularies: bench grams never occur in the corpus, so
+    // every surviving posting is a Bloom false positive
+    val corpus = docs.where("doc_id % 19 <> 0")
+    val bench = Seq((0L, "zq1 zq2 zq3 zq4 zq5 zq6")).toDF("doc_id", "text")
+    val grams = graft.functions.TextExpressions.tokenNgrams(col("text"), 3)
+    val benchGrams = bench.select(explode(grams).as("gram")).distinct()
+    val n = benchGrams.count()
+    val bits = math.ceil(-n * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    val bytes = benchGrams.select(org.apache.spark.sql.graftshim.Shim
+      .bloomAgg(col("gram"), n, math.max(64L, bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val postings = corpus.select(explode(grams).as("gram"))
+    val total = postings.count()
+    val survivors = postings.where(org.apache.spark.sql.graftshim.Shim
+      .bloomMightContain(bytes, col("gram"))).count()
+    assert(total > 10000, s"corpus postings $total")
+    assert(survivors < total / 20, s"bloom kept $survivors of $total")
+  }
+
   test("quantizeInt8: codes bounded, zero vector maps to zero codes") {
     val emb = Seq(
       (1L, Array(3.0f, 4.0f)),        // norm 5 → 0.6, 0.8 → 76, 102
