@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(e(3), "lsh_probes"), intArg(e(4), "lsh_probes")))
     inject("shingle_array", classOf[ShingleArray], 2)(e =>
       ShingleArray(e.head, intArg(e(1), "shingle_array")))
+    inject("shingle_hash_array", classOf[ShingleHashArray], 2)(e =>
+      ShingleHashArray(e.head, intArg(e(1), "shingle_hash_array")))
     inject("winnow_array", classOf[WinnowArray], 3)(e =>
       WinnowArray(e.head, intArg(e(1), "winnow_array"), intArg(e(2), "winnow_array")))
     inject("topk_by_score", classOf[TopKByScore], 3)(e =>

@@ -34,6 +34,12 @@ object TextExpressions {
     org.apache.spark.sql.graftshim.Shim.column(ShingleArray(
       org.apache.spark.sql.graftshim.Shim.expression(text), k))
 
+  /** Distinct xxhash64 values of the k-character shingles of `text`,
+    * first-occurrence order — see [[ShingleHashArray]]. */
+  def shingleHashArray(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(ShingleHashArray(
+      org.apache.spark.sql.graftshim.Shim.expression(text), k))
+
   /** Distinct winnowing fingerprints of `text` (k-gram md5-prefix
     * hashes, min per w-window), first-occurrence order. */
   def winnowArray(text: Column, k: Int, w: Int): Column =
@@ -91,6 +97,74 @@ case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+/** Distinct xxhash64 values (seed 42 — identical to `xxhash64(shingle)`)
+  * of the k-character shingles of `text`, first-occurrence order.
+  *
+  * The shingle-SET operators (Jaccard, LSH banding) never need the
+  * shingle STRINGS downstream — only identity. Hashing inside the scan
+  * means the posting shuffle carries 8-byte longs instead of UTF8
+  * strings (≈3× smaller rows) and the aggregate hash map compares
+  * longs, not bytes. One byte-offset walk per row: char positions are
+  * precomputed once, each shingle hashed directly from the underlying
+  * buffer — no per-shingle UTF8String allocation at all (ShingleArray's
+  * `substringSQL(i, k)` re-walks the prefix per call, O(len²) on long
+  * rows). 64-bit collisions merge two shingles (~0.03 expected at 10⁹
+  * distinct — acceptable for dedup semantics, same trade documented on
+  * the string index). Parity with `xxhash64(explode(shingle_array))`
+  * asserted in TextExpressionsSpec. */
+case class ShingleHashArray(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k=$k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_array"
+
+  def compute(s: UTF8String): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    // byte offset of every char start, plus the end sentinel
+    val len = s.numChars()
+    val offs = new Array[Int](len + 1)
+    var i = 0; var b = 0
+    while (b < nb) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      i += 1
+    }
+    offs(len) = nb
+    if (len <= k) // whole text as its one shingle (substringSQL clamp)
+      return new GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(base, off, nb, 42L)))
+    val n = len - k + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+    i = 0
+    while (i < n) {
+      seen.add(XXH64.hashUnsafeBytes(
+        base, off + offs(i), offs(i + k) - offs(i), 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("shingleHashExpr", this,
+        classOf[ShingleHashArray].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashArray =
     copy(child = newChild)
 }
 

@@ -69,6 +69,24 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("docs"))
       .cache()
 
+  /** Hash-only inverted index: one row per distinct shingle HASH with
+    * the sorted doc-id posting list. The set operators downstream
+    * (Jaccard, clustering) never look at shingle strings — only
+    * identity — so the corpus-wide posting shuffle carries 8-byte longs
+    * from the fused [[graft.functions.ShingleHashArray]] scan instead
+    * of UTF8 strings, and the aggregation hash map compares longs.
+    * Same 64-bit collision trade as [[invertedIndex]] (which survives
+    * for [[minhashSignatureAgg]], the spec baseline that needs the
+    * string to md5). */
+  private[graft] def invertedIndexHashed(df: DataFrame, idCol: String,
+                                         textCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.TextExpressions
+          .shingleHashArray(col(textCol), k)).as("xh"))
+      .groupBy(col("xh"))
+      .agg(sort_array(collect_list(col(idCol))).as("docs"))
+      .cache()
+
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int, maxDf: Int, threshold: Double): DataFrame = {
     // Single pass over the inverted index — no shingle self-join at all:
@@ -78,7 +96,7 @@ object Dedup {
     //    the semantics;
     //  - co-occurrence: expand in-row doc pairs for 2 ≤ df ≤ maxDf
     //    (df = 1 cannot pair; the maxDf cap bounds expansion at df²).
-    val inv = invertedIndex(df, idCol, textCol, k)
+    val inv = invertedIndexHashed(df, idCol, textCol, k)
     val kept = inv.where(size(col("docs")) <= maxDf)
     val sizes = kept.select(explode(col("docs")).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))

@@ -39,6 +39,28 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(got(4L) == Seq("abcdefgh", "bcdefghi"))
   }
 
+  test("ShingleHashArray ≡ xxhash64 over ShingleArray on the corpus + edges") {
+    val k = 8
+    def viaStrings(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(TextExpressions.shingleArray(col("text"), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)].collect().toSet
+    def fused(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(TextExpressions.shingleHashArray(col("text"), k)).as("h"))
+      .as[(Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf)
+    assert(fused(docs) == viaStrings(docs))
+    // multibyte chars exercise the byte-offset walk; short/empty texts
+    // the substr-clamp path
+    val edges = Seq(
+      (1L, "héllo wörld ünïcodé — ダメ絵文字 test"),
+      (2L, ""), (3L, "abc"), (4L, "abcdefgh"), (5L, "čšžćđ žđšč"))
+      .toDF("doc_id", "text")
+    assert(fused(edges) == viaStrings(edges))
+  }
+
   test("WinnowArray ≡ composable winnowing chain on the corpus") {
     val docs = Tables.documents(spark, sf)
     val (k, w) = (5, 4)
