@@ -61,5 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(e(2), "minhash_sig")))
     inject("token_ngrams", classOf[TokenNgrams], 2)(e =>
       TokenNgrams(e.head, intArg(e(1), "token_ngrams")))
+
+    // band joins written as plain SQL get the Δ-bucket rewrite the
+    // BandJoin operator applies by hand (kill switch:
+    // spark.graft.bandJoinRewrite.enabled=false)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
