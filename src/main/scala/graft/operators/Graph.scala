@@ -72,8 +72,45 @@ object Graph {
     * one `except` + `count` action per round — the standard price of a
     * driver-coordinated fixpoint loop; round COUNT is O(log² n), ~3-5
     * in practice on dedup graphs. */
+  /** Below this edge count the driver runs union-find directly instead
+    * of the star rounds: a dedup graph this small costs more in round
+    * scheduling (2 shuffles + a convergence action per round, ~4 rounds)
+    * than its data moves. The result is EXACTLY the same components —
+    * both paths are spec'd equal — and the collect is bounded by the
+    * threshold (~16 MB of edge longs), never corpus-sized. The star
+    * rounds remain the path for every graph that matters at 100 TB. */
+  val LocalEdgeThreshold: Long = 1L << 20
+
+  /** Driver-side union-find with path halving; returns (id, component
+    * minimum) for every node incident to an edge. */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { // union by min keeps the root the component minimum
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => (n, find(n))).toSeq.toDF("id", "component")
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 25,
+                          localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     // localCheckpoint, NOT cache — see the plan-growth note in the
     // class doc. LAZY checkpoint: the count() below is every round's
     // materializing action, so each round costs ONE job instead of two
@@ -82,6 +119,9 @@ object Graph {
     var e = canon(edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))).localCheckpoint(eager = false)
     var eCount = e.count()
+    if (eCount > 0 && eCount <= localThreshold)
+      return localComponents(e.sparkSession,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
     var converged = eCount == 0
     var round = 0
     while (!converged && round < maxRounds) {

@@ -35,6 +35,20 @@ class GraphSpec extends AnyFunSuite {
     assert(m.filterKeys(_ >= 20).values.toSet == Set(20L))
   }
 
+  test("local union-find ≡ distributed star rounds on a random graph") {
+    val rnd = new scala.util.Random(7)
+    // ~600 nodes, 400 edges: chains, triangles, isolated pairs mixed
+    val edges = Seq.fill(400)((rnd.nextLong(600), rnd.nextLong(600)))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    def run(threshold: Long) =
+      Graph.connectedComponents(df, "a", "b", localThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+    val local = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(local.nonEmpty && local == distributed)
+  }
+
   test("dedupClusters: every doc labelled, canonical keeps, duplicates dropped") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id1", "id2")

@@ -28,10 +28,17 @@ object Prof {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    for (i <- 1 to 5) {
-      spark.catalog.clearCache()
-      t(s"full q29 run$i")(noop(graft.SparkEntry.queries("q29_ngram_jaccard")(spark, dir)))
+    for (q <- Seq("q56_dedup_clusters", "q54_incremental_lsh", "q61_semantic_dedup")) {
+      for (i <- 1 to 3) {
+        spark.catalog.clearCache()
+        t(s"$q run$i")(noop(graft.SparkEntry.queries(q)(spark, dir)))
+      }
     }
+    // q56 decomposition
+    spark.catalog.clearCache()
+    val pairs = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 8, 100, 0.3)
+    t("q56: jaccard pairs")(noop(pairs))
+    t("q56: cc on warm pairs")(noop(graft.operators.Graph.dedupClusters(docs, "doc_id", pairs, "id1", "id2")))
     spark.stop()
   }
 }
