@@ -97,6 +97,78 @@ object WarehouseQueries {
         .select("event_id", "user_id", "asof_purchase_id")
     })
 
+  /** Forward as-of: each non-purchase event gets the id of the EARLIEST
+    * at-or-after purchase by the same user — the reversed-ordering twin
+    * of q18 (same union-window shape, no pair explosion). */
+  val q67 = QueryDef.sql("q67_asof_forward",
+    """SELECT event_id, user_id, asof_purchase_id FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts DESC, (event_type = 'purchase') DESC, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS asof_purchase_id
+      |  FROM events) t
+      |WHERE event_type <> 'purchase'""")(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val right = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val left = e.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin(left, right, key = "user_id", leftTs = "ts", rightTs = "ts",
+          payloadCols = Seq("purchase_id"), direction = "forward")
+        .select("event_id", "user_id", "asof_purchase_id")
+    })
+
+  /** Nearest as-of with a 1-hour tolerance (pandas merge_asof
+    * `direction='nearest'` semantics, ties to the backward side): both
+    * window orderings share one exchange; the closer in-tolerance
+    * purchase wins, no match → null. */
+  val q68 = QueryDef.sql("q68_asof_nearest",
+    """WITH t AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+      |               IGNORE NULLS) OVER wb AS bid,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN ts END
+      |               IGNORE NULLS) OVER wb AS bts,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+      |               IGNORE NULLS) OVER wf AS fid,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN ts END
+      |               IGNORE NULLS) OVER wf AS fts
+      |  FROM events
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id
+      |           ORDER BY ts, (event_type = 'purchase') DESC, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id
+      |           ORDER BY ts DESC, (event_type = 'purchase') DESC, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d AS (SELECT *,
+      |        epoch_us(ts) - epoch_us(bts) AS bd,
+      |        epoch_us(fts) - epoch_us(ts) AS fd,
+      |        bts IS NOT NULL
+      |          AND epoch_us(ts) - epoch_us(bts) <= 3600000000 AS bok,
+      |        fts IS NOT NULL
+      |          AND epoch_us(fts) - epoch_us(ts) <= 3600000000 AS fok
+      |      FROM t)
+      |SELECT event_id, user_id,
+      |  CASE WHEN bok AND (NOT fok OR bd <= fd) THEN bid
+      |       WHEN fok THEN fid END AS asof_purchase_id
+      |FROM d WHERE event_type <> 'purchase'""")(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val right = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val left = e.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin(left, right, key = "user_id", leftTs = "ts", rightTs = "ts",
+          payloadCols = Seq("purchase_id"), direction = "nearest",
+          toleranceUs = Some(3600L * 1000000))
+        .select("event_id", "user_id", "asof_purchase_id")
+    })
+
   /** Running aggregate window (frame-based): per-user cumulative event
     * value; decimal so the cumulative sum is order-exact on both engines. */
   val q19 = QueryDef.sql("q19_window_running",
@@ -223,5 +295,5 @@ object WarehouseQueries {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events")))
 
-  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48)
+  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48, q67, q68)
 }
