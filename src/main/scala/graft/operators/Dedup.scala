@@ -266,9 +266,12 @@ object Dedup {
       b.where(col("__is_delta")).drop("__is_delta"), idCol)
   }
 
-  /** Banded (band, key) bucket memberships of each document. */
-  private def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-                         k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** Banded (band, key) bucket memberships of each document. Per-row
+    * (fused signature scan + in-row banding, no shuffle), so it runs
+    * unchanged on a STREAMING frame — [[graft.streaming.Streams
+    * .lshDedupStream]] builds its delta side with it. */
+  private[graft] def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                                k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol, k, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))

@@ -136,6 +136,25 @@ object AnalyticsQueries {
       })
   }
 
+  /** Two-phase salted aggregation over a LOW-CARDINALITY (= skewed by
+    * construction) grouping key: phase 1 aggregates (key, salt) so a hot
+    * key spreads over `salt` reducers, phase 2 merges the partials.
+    * Decimal sums keep both phases order-exact, so the result is
+    * bit-identical to the direct GROUP BY the oracle runs. The same
+    * shape AQE's skew mitigation cannot reach: AQE splits skewed JOIN
+    * partitions, not skewed aggregation keys. */
+  val q69 = QueryDef.sql("q69_skew_salted_agg",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY event_type""")(
+    (s, dir) => graft.operators.Skew.saltedSumCount(
+        Tables.events(s, dir).select(col("event_type"),
+          col("value").cast(DecimalType(18, 6)).as("v")),
+        key = "event_type", valueCol = "v", salt = 16)
+      .select(col("event_type"),
+        col("sum_v").cast("double").as("sum_v"), col("cnt")))
+
   /** Semi-structured extraction: schema-on-read over the JSON `props`
     * column (`from_json` with an explicit schema ⇔ DuckDB json_extract),
     * then a typed aggregation. */
@@ -200,5 +219,5 @@ object AnalyticsQueries {
       })
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58, q69)
 }

@@ -144,6 +144,49 @@ object Streams {
         round(col("hits").cast("double") / col("n_grams"), 6).as("ratio"))
   }
 
+  /** Streaming incremental near-dup detection: the live twin of
+    * [[graft.operators.Dedup.incrementalLshCandidates]] — documents
+    * arrive as a stream and are checked against a STATIC corpus bucket
+    * index (the persisted (band, key, id) table an incremental pipeline
+    * maintains; at cluster scale a broadcast every micro-batch reuses).
+    *
+    * The delta side is per-row end to end: the fused MinHash signature
+    * scan and in-row banding are stateless, so the only operator
+    * between source and sink is a stream-static equi join on
+    * (band, key) — no stream state at all. Emits candidate pairs
+    * (id1, id2), id1 < id2.
+    *
+    * Contracts (both spec-asserted):
+    *  - a pair is emitted once per band the two docs collide in —
+    *    at-least-once; sinks keyed on (id1, id2) are idempotent, the
+    *    same contract the warehouse sinks already use for re-delivery;
+    *  - only stream×corpus pairs are found here. Within-stream pairs
+    *    need a watermarked stream-stream self-join ([[bandJoinStream]]
+    *    shape) or periodic batch compaction of the corpus index — the
+    *    standard split, since two near-dup docs can arrive arbitrarily
+    *    far apart and unbounded cross-batch state is exactly what a
+    *    stream must not hold. */
+  def lshDedupStream(docs: DataFrame, corpusBuckets: DataFrame,
+                     idCol: String, textCol: String,
+                     k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val d = graft.operators.Dedup
+      .lshBuckets(docs, idCol, textCol, k, bands, rowsPerBand)
+    d.select(col(idCol).as("b"), col("band"), col("key"))
+      .join(broadcast(corpusBuckets
+        .select(col(idCol).as("a"), col("band"), col("key"))),
+        Seq("band", "key"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"))
+  }
+
+  /** The static corpus side for [[lshDedupStream]]: the banded bucket
+    * index of the existing corpus, one row per (band, key, id). */
+  def corpusBucketIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    graft.operators.Dedup
+      .lshBuckets(corpus, idCol, textCol, k, bands, rowsPerBand)
+
   /** True-streaming sessionization: like [[sessionize]], but an open
     * session is ALSO emitted once the event-time watermark passes its
     * last event + gap — no more events can extend it at that point, so

@@ -189,6 +189,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming LSH dedup finds the batch stream×corpus pairs on a replayed delta") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val delta = docs.where(col("doc_id") % 10 === 0)
+    val (k, bands, rpb) = (8, 4, 3)
+    // batch truth, restricted to stream×corpus pairs (the stream path
+    // does not self-pair the delta — see the operator doc)
+    val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+    val allPairs: Set[(Long, Long)] = graft.operators.Dedup
+      .incrementalLshCandidates(corpus, delta, "doc_id", "text", k, bands, rpb)
+      .as[(Long, Long)].collect().toSet
+    val want = allPairs.filter(p => deltaIds(p._1) ^ deltaIds(p._2))
+    assert(want.nonEmpty)
+
+    val index = Streams.corpusBucketIndex(corpus, "doc_id", "text", k, bands, rpb)
+    val mem = MemoryStream[(Long, String)]
+    val rows = delta.select("doc_id", "text").as[(Long, String)].collect()
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val q = Streams.lshDedupStream(mem.toDF().toDF("doc_id", "text"),
+        index, "doc_id", "text", k, bands, rpb)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_dedup_out").start()
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(rest: _*)
+    q.processAllAvailable()
+    q.stop()
+    // at-least-once contract: collapse band-level repeats at the sink
+    val got = spark.table("lsh_dedup_out").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("batch openSessions flushes the trailing session per user") {
     import spark.implicits._
     val open = Streams.openSessions(events.toDS(), gapSeconds = 1800)
