@@ -93,6 +93,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("as-of joins: one exchange total, no join pairs at all") {
+    // the union-window formulation must never degrade to a pair join;
+    // q68's two orderings (backward + forward) share one partitioning —
+    // two sorts, still one exchange
+    for (q <- Seq("q18_asof_join", "q67_asof_forward", "q68_asof_nearest")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q built join pairs: $p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q must shuffle exactly once: $p")
+    }
+  }
+
+  test("q66 bloom decontamination: probe stays inside codegen, no UDF") {
+    val p = plan("q66_decontaminate_bloom")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"), p)
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     // q55's cross join is at BLOCK granularity (blocks² rows, each row
     // one packed block) — bounded by construction, not an n² row plan
