@@ -155,6 +155,44 @@ object AnalyticsQueries {
       .select(col("event_type"),
         col("sum_v").cast("double").as("sum_v"), col("cnt")))
 
+  /** Interval-overlap self-join, Δ-bucketed by the enforced maximum
+    * interval length (≤ 50 days here — l_quantity caps the synthetic
+    * ship window): same-(supplier, part) lineitems whose ship windows
+    * intersect. The oracle runs the naive blocked join; the Spark plan
+    * joins on (keys, bucket) — n² per key becomes Σ adjacent-bucket². */
+  val q70 = QueryDef.sql("q70_interval_overlap",
+    """WITH iv AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+      |    l_shipdate AS s,
+      |    l_shipdate + INTERVAL (CAST(l_quantity AS INT)) DAY AS e
+      |  FROM lineitem)
+      |SELECT a.l_suppkey, a.l_partkey,
+      |  a.l_orderkey AS l_orderkey_1, a.l_linenumber AS l_linenumber_1,
+      |  b.l_orderkey AS l_orderkey_2, b.l_linenumber AS l_linenumber_2,
+      |  date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) AS overlap_days
+      |FROM iv a JOIN iv b
+      |  ON a.l_suppkey = b.l_suppkey AND a.l_partkey = b.l_partkey
+      |  AND (a.s < b.s OR (a.s = b.s AND
+      |       (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)))
+      |  AND a.s <= b.e AND b.s <= a.e""")(
+    (s, dir) => {
+      val iv = Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_partkey"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("ship_s"),
+        expr("timestampadd(DAY, CAST(l_quantity AS INT), l_shipdate)")
+          .as("ship_e"))
+      graft.operators.IntervalJoin.overlapsSelf(iv,
+          keyCols = Seq("l_suppkey", "l_partkey"),
+          idCols = Seq("l_orderkey", "l_linenumber"),
+          startCol = "ship_s", endCol = "ship_e",
+          maxLenUs = 50L * 86400L * 1000000L)
+        .withColumn("overlap_days",
+          datediff(least(col("ship_e_1"), col("ship_e_2")).cast("date"),
+            greatest(col("ship_s_1"), col("ship_s_2")).cast("date")))
+        .select("l_suppkey", "l_partkey", "l_orderkey_1", "l_linenumber_1",
+          "l_orderkey_2", "l_linenumber_2", "overlap_days")
+    })
+
   /** Semi-structured extraction: schema-on-read over the JSON `props`
     * column (`from_json` with an explicit schema ⇔ DuckDB json_extract),
     * then a typed aggregation. */
@@ -219,5 +257,5 @@ object AnalyticsQueries {
       })
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58, q69)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58, q69, q70)
 }
