@@ -13,6 +13,9 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 8
+    val sections: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet
+      else Set("band", "interval", "decon", "ann")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors())}]")
@@ -29,6 +32,7 @@ object ScaleStress {
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $name ($n rows)")
     }
 
+    if (sections("band")) {
     // --- band join: naive vs bucketed on mult x events (distinct users)
     val e0 = Tables.events(spark, sf).select("event_id", "user_id", "ts")
     val e = (0 until mult).map { i =>
@@ -70,7 +74,72 @@ object ScaleStress {
     time("band bucketed (one hot key)")(
       BandJoin.pairsWithin(oneKey, "user_id", "ts", delta, Seq("event_id")).count())
     e.unpersist(); hot.unpersist(); oneKey.unpersist()
+    }
 
+    if (sections("interval")) {
+    // --- interval overlap: naive blocked join vs Δ-bucketed on a
+    // long-history hot key (every replica same (supp, part) keys,
+    // shifted +60 days: per-key rows grow × mult, bucket density flat)
+    val li0 = Tables.lineitem(spark, sf).select(
+      col("l_suppkey").as("k1"), col("l_partkey").as("k2"),
+      col("l_orderkey").as("o"), col("l_linenumber").as("n"),
+      col("l_shipdate").cast("timestamp").as("s"),
+      expr("CAST(timestampadd(DAY, CAST(l_quantity AS INT), l_shipdate) AS TIMESTAMP)").as("e"))
+    val li = (0 until mult).map { i =>
+      li0.select(col("k1"), col("k2"),
+        (col("o") + lit(i.toLong * 1000000000L)).as("o"), col("n"),
+        timestamp_micros(unix_micros(col("s")) +
+          lit(i.toLong * 60L * 86400L * 1000000L)).as("s"),
+        timestamp_micros(unix_micros(col("e")) +
+          lit(i.toLong * 60L * 86400L * 1000000L)).as("e"))
+    }.reduce(_ unionByName _).cache()
+    println(s"lineitem intervals: ${li.count()} rows")
+    val maxLen = 50L * 86400L * 1000000L
+    def naiveOverlap(df: DataFrame): DataFrame = {
+      val a = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${c}_1"))
+      val b = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${c}_2"))
+      a.join(b, col("k1_1") === col("k1_2") && col("k2_1") === col("k2_2") &&
+        (col("s_1") < col("s_2") || (col("s_1") === col("s_2") &&
+          struct(col("o_1"), col("n_1")) < struct(col("o_2"), col("n_2")))) &&
+        col("s_1") <= col("e_2") && col("s_2") <= col("e_1"))
+    }
+    time("interval naive")(naiveOverlap(li).count())
+    time("interval bucketed")(graft.operators.IntervalJoin.overlapsSelf(
+      li, Seq("k1", "k2"), Seq("o", "n"), "s", "e", maxLen).count())
+    // hot-key variant: ONE (supp, part) key owns a 1-in-25 sample of the
+    // inflated rows. The naive plan degenerates to a single-task n^2
+    // same-key scan; the bucketed plan spreads (key, bucket) groups.
+    val liHot = li.where(pmod(col("o"), lit(25)) === 0)
+      .select(lit(0L).as("k1"), lit(0L).as("k2"),
+        col("o"), col("n"), col("s"), col("e")).cache()
+    println(s"hot-key intervals: ${liHot.count()} rows")
+    time("interval naive (one hot key)")(naiveOverlap(liHot).count())
+    time("interval bucketed (one hot key)")(graft.operators.IntervalJoin
+      .overlapsSelf(liHot, Seq("k1", "k2"), Seq("o", "n"), "s", "e", maxLen)
+      .count())
+    liHot.unpersist()
+    li.unpersist()
+
+    }
+    if (sections("decon")) {
+    // --- decontamination: exact broadcast vs bloom prefilter, with the
+    // benchmark side inflated × mult (the regime bloom exists for)
+    val docs0 = Tables.documents(spark, sf)
+    val corpus = docs0.where(pmod(col("doc_id"), lit(19)) =!= 0)
+    val benchBig = (0 until mult).map { i =>
+      docs0.where(pmod(col("doc_id"), lit(19)) === 0)
+        .select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" tail$i")).as("text"))
+    }.reduce(_ unionByName _).cache()
+    println(s"benchmark docs: ${benchBig.count()} rows")
+    time("decontaminate exact broadcast")(graft.operators.TextAnalysis
+      .decontaminate(corpus, benchBig, "doc_id", "text", 3, 0.05).count())
+    time("decontaminate bloom prefilter")(graft.operators.TextAnalysis
+      .decontaminateBloom(corpus, benchBig, "doc_id", "text", 3, 0.05).count())
+    benchBig.unpersist()
+    }
+
+    if (sections("ann")) {
     // --- ANN: brute force vs LSH vs IVF on mult x embeddings
     // (replicas perturbed per-dimension so they are distinct vectors)
     val emb0 = Tables.embeddings(spark, sf)
@@ -88,6 +157,7 @@ object ScaleStress {
     // nlist ~ sqrt(n): candidate work per query ~ n * nprobe / nlist
     time("IVF top-5 (nlist 128, nprobe 8)")(
       Ivf.ivfTopK(emb, "vec_id", "embedding", 5, 128, 8).count())
+    }
     spark.stop()
   }
 }

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * exceeds `maxLenUs` fails the query loudly (`raise_error`) rather
   * than silently missing pairs.
   *
+  * When to use (measured, SCALING.md): bucketing wins when per-key
+  * density carries the volume — a hot key measured 97 s naive vs 18 s
+  * bucketed at 191k same-key intervals. When the blocking keys are
+  * already selective (a handful of rows each), the naive blocked
+  * equi-join is FASTER (4.7 s vs 6.7 s at 4.8M rows over 200k keys):
+  * the explode doubles one side for fan-out the equi keys already
+  * bounded. Choose by key shape, not table size.
+  *
   * Pairs are emitted once, in canonical order: (s, id) of side 1
   * lexicographically below side 2's (ties on equal starts break by the
   * id struct).
