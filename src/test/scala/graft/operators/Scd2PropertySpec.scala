@@ -46,9 +46,12 @@ class Scd2PropertySpec extends AnyFunSuite {
       var hist = histDf(Seq.empty)
       var day = Date.valueOf("2021-01-01")
       for (snap <- snapshots) {
-        hist = Cdc.scd2ApplySane(hist, snapDf(snap), day, "k", Seq("a"))
-          .cache()
-        hist.count() // materialize so self-referencing next step is safe
+        // Rebuild from collected rows each step: truncates the logical
+        // lineage (histories are a handful of rows; letting the plan tree
+        // stack 32 scd2Apply layers made Catalyst re-optimization the
+        // dominant cost and thrashed execution memory in the full suite).
+        val applied = Cdc.scd2ApplySane(hist, snapDf(snap), day, "k", Seq("a"))
+        hist = histDf(applied.collect().toSeq)
         day = new Date(day.getTime + 86400000L)
       }
       val rows = hist.collect().map(r => (r.getString(0), r.getString(1),
