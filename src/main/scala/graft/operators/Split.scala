@@ -84,4 +84,35 @@ object Split {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
         min(col(orderCol)).as("first_doc"))
   }
+
+  /** Per-document sliding-window chunking: token windows of `window`
+    * tokens starting every `stride` tokens — the context-window prep
+    * step for embedding/retrieval indexing (overlap = window − stride
+    * keeps boundary context in two chunks). Chunk `i` covers tokens
+    * `[i·stride, i·stride + window)`; the final chunk may be short but
+    * every token is covered; empty docs emit nothing.
+    *
+    * Scale shape: per-row generator — tokenize once, `explode` the
+    * chunk index range, `slice` the token array. ZERO shuffle and no
+    * per-chunk re-tokenization; output partitioning inherits the scan,
+    * so a downstream embed/index stage runs embarrassingly parallel. */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window=$window must be positive")
+    require(stride >= 1 && stride <= window,
+      s"stride=$stride must be in [1, window=$window]")
+    val toks = filter(
+      split(trim(lower(col(textCol))), "\\s+"), t => t =!= lit(""))
+    df.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          ceil(greatest(size(col("toks")) - window, lit(0))
+            .cast("double") / stride).cast("int"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * stride + 1, lit(window)))
+          .as("chunk_tokens"),
+        array_join(slice(col("toks"), col("chunk_id") * stride + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
 }

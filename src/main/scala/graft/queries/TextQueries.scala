@@ -541,6 +541,30 @@ object TextQueries {
         depth = 4, width = 1024, topK = 20)
     })
 
+  /** Sliding context-window chunking (32-token windows, stride 24):
+    * the retrieval/embedding prep twin of q63's training packing. The
+    * chunk-count arithmetic (1 + ⌈max(n−W,0)/S⌉, last chunk short but
+    * covering) replays exactly; list_slice/slice clip identically. */
+  val q71 = QueryDef.sql("q71_chunk_sliding",
+    """WITH t AS (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    x -> len(x) > 0) AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      |c AS (SELECT doc_id, toks,
+      |        CAST(unnest(range(1 + CAST(ceil(
+      |          CAST(greatest(n - 32, 0) AS DOUBLE) / 24) AS BIGINT))) AS INT)
+      |          AS chunk_id
+      |      FROM n)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32))
+      |    AS INT) AS chunk_tokens,
+      |  array_to_string(
+      |    list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+      |    AS chunk_text
+      |FROM c""")(
+    (s, dir) => graft.operators.Split.slidingChunks(
+      Tables.documents(s, dir), "doc_id", "text", window = 32, stride = 24))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66)
+    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71)
 }

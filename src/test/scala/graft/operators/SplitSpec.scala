@@ -81,4 +81,26 @@ class SplitSpec extends AnyFunSuite {
     // every doc lands in exactly one pack: doc counts sum to the corpus
     assert(got.toSeq.map(_._3).sum == 6L)
   }
+
+  test("slidingChunks: window/stride arithmetic, coverage, edge cases") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "a b c"),               // shorter than window: one chunk
+      (3L, "a b c d"),             // exactly window: one chunk
+      (4L, "   "),                 // whitespace-only: no chunks
+      (5L, "a b c d e")            // n = window + 1: two chunks
+    ).toDF("doc_id", "text")
+    val got = Split.slidingChunks(docs, "doc_id", "text", window = 4, stride = 3)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == Set(
+      // doc 1: 1+ceil((10-4)/3) = 3 chunks at token starts 0, 3, 6
+      (1L, 0, 4, "a b c d"), (1L, 1, 4, "d e f g"), (1L, 2, 4, "g h i j"),
+      (2L, 0, 3, "a b c"),
+      (3L, 0, 4, "a b c d"),
+      // doc 5: 1+ceil((5-4)/3) = 2 chunks; the tail chunk is short
+      (5L, 0, 4, "a b c d"), (5L, 1, 2, "d e")))
+    // every token of doc 1 is covered by some chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == Set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+  }
 }
