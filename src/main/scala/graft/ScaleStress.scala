@@ -139,6 +139,38 @@ object ScaleStress {
     benchBig.unpersist()
     }
 
+    if (sections("layout")) {
+    // --- bucketed layout: the repeated fact-fact join with and without
+    // the write-time shuffle already paid. mult scales the fact side.
+    val o0 = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l0 = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val l = (0 until mult).map { i =>
+      l0.select(col("o_orderkey"), col("l_quantity"),
+        (col("l_extendedprice") + lit(i.toDouble)).as("l_extendedprice"))
+    }.reduce(_ unionByName _)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    time("fact join, plain shuffle")(
+      o0.join(l, "o_orderkey").groupBy("o_custkey")
+        .agg(sum("l_quantity")).count())
+    time("bucketed write orders (one-off layout cost)") {
+      graft.sources.Layout.writeBucketed(o0, "ss_orders_b", Seq("o_orderkey"), 32,
+        sortCols = Seq("o_orderkey")); 1L
+    }
+    time("bucketed write lineitem (one-off layout cost)") {
+      graft.sources.Layout.writeBucketed(l, "ss_lineitem_b", Seq("o_orderkey"), 32,
+        sortCols = Seq("o_orderkey")); 1L
+    }
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    time("fact join, co-located buckets (repeat cost)")(
+      spark.table("ss_orders_b").join(spark.table("ss_lineitem_b"), "o_orderkey")
+        .groupBy("o_custkey").agg(sum("l_quantity")).count())
+    spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS ss_orders_b")
+    spark.sql("DROP TABLE IF EXISTS ss_lineitem_b")
+    }
+
     if (sections("ann")) {
     // --- ANN: brute force vs LSH vs IVF on mult x embeddings
     // (replicas perturbed per-dimension so they are distinct vectors)
