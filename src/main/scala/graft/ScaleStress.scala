@@ -95,14 +95,9 @@ object ScaleStress {
     }.reduce(_ unionByName _).cache()
     println(s"lineitem intervals: ${li.count()} rows")
     val maxLen = 50L * 86400L * 1000000L
-    def naiveOverlap(df: DataFrame): DataFrame = {
-      val a = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${c}_1"))
-      val b = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${c}_2"))
-      a.join(b, col("k1_1") === col("k1_2") && col("k2_1") === col("k2_2") &&
-        (col("s_1") < col("s_2") || (col("s_1") === col("s_2") &&
-          struct(col("o_1"), col("n_1")) < struct(col("o_2"), col("n_2")))) &&
-        col("s_1") <= col("e_2") && col("s_2") <= col("e_1"))
-    }
+    def naiveOverlap(df: DataFrame): DataFrame =
+      graft.operators.IntervalJoin.overlapsSelfNaive(
+        df, Seq("k1", "k2"), Seq("o", "n"), "s", "e", maxLen)
     time("interval naive")(naiveOverlap(li).count())
     time("interval bucketed")(graft.operators.IntervalJoin.overlapsSelf(
       li, Seq("k1", "k2"), Seq("o", "n"), "s", "e", maxLen).count())

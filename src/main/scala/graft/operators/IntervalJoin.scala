@@ -52,7 +52,50 @@ object IntervalJoin {
     */
   def overlapsSelf(df: DataFrame, keyCols: Seq[String], idCols: Seq[String],
                    startCol: String, endCol: String,
-                   maxLenUs: Long): DataFrame = {
+                   maxLenUs: Long): DataFrame =
+    overlaps(df, keyCols, idCols, startCol, endCol, maxLenUs, bucketed = true)
+
+  /** The naive blocked form: equi-join on `keyCols` only, overlap as
+    * residual — row-identical to [[overlapsSelf]] (same canonical
+    * ordering, same length enforcement). FASTER when the blocking keys
+    * are selective (a handful of rows each): the Δ-explode doubles one
+    * side for fan-out the keys already bounded. The 100 TB cliff is per-
+    * key density, not table size — see [[overlapsSelfAuto]]. */
+  def overlapsSelfNaive(df: DataFrame, keyCols: Seq[String], idCols: Seq[String],
+                        startCol: String, endCol: String,
+                        maxLenUs: Long): DataFrame =
+    overlaps(df, keyCols, idCols, startCol, endCol, maxLenUs, bucketed = false)
+
+  /** Key-shape-driven choice between [[overlapsSelfNaive]] and
+    * [[overlapsSelf]] — the dial SCALING.md measures (selective keys:
+    * naive 4.7 s vs bucketed 6.7 s; one hot key: naive 97 s vs bucketed
+    * 18 s). Estimates the max per-key row count from a `sampleFraction`
+    * sample (hot keys are exactly what a uniform sample cannot miss)
+    * and buckets when the estimate crosses `hotKeyRows`. Costs one
+    * sampled aggregation job up front — the same price the LSH/IVF
+    * auto-parameterizations pay, and worth it for the 5× swing in
+    * either direction; pipelines that know their key shape should call
+    * the explicit form and skip the job. */
+  def overlapsSelfAuto(df: DataFrame, keyCols: Seq[String], idCols: Seq[String],
+                       startCol: String, endCol: String, maxLenUs: Long,
+                       hotKeyRows: Long = 10000, sampleFraction: Double = 0.01,
+                       seed: Long = 42L): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction=$sampleFraction must be in (0, 1]")
+    val sampledMax = df.sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(keyCols.map(col): _*).count()
+      .agg(max("count")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    val estMaxPerKey = (sampledMax / sampleFraction).toLong
+    if (estMaxPerKey >= hotKeyRows)
+      overlapsSelf(df, keyCols, idCols, startCol, endCol, maxLenUs)
+    else
+      overlapsSelfNaive(df, keyCols, idCols, startCol, endCol, maxLenUs)
+  }
+
+  private def overlaps(df: DataFrame, keyCols: Seq[String], idCols: Seq[String],
+                       startCol: String, endCol: String,
+                       maxLenUs: Long, bucketed: Boolean): DataFrame = {
     require(maxLenUs > 0, s"maxLenUs=$maxLenUs must be positive")
     // cast("timestamp") admits TIMESTAMP_NTZ columns too (exact under
     // the engine-wide UTC session contract)
@@ -66,23 +109,27 @@ object IntervalJoin {
             col(startCol).cast("string"), lit(" .. "),
             col(endCol).cast("string")))))
       .where(col("__len_ok"))
-      .withColumn("__bucket", expr(s"__s DIV ${maxLenUs}L"))
 
     def side(n: Int): DataFrame = (idCols ++ Seq(startCol, endCol, "__s", "__e"))
       .foldLeft(checked.select((keyCols ++ idCols ++ Seq(startCol, endCol)).map(col) :+
-        col("__s") :+ col("__e") :+ col("__bucket"): _*))(
+        col("__s") :+ col("__e"): _*))(
         (d, c) => d.withColumnRenamed(c, s"${c}_$n"))
 
     // the later-STARTING side probes its own bucket and the previous
     // one: overlap + bounded length ⇒ 0 ≤ s₂ − s₁ ≤ L ⇒ the starts'
     // buckets are equal or adjacent
-    val one = side(1)
-    val two = side(2).withColumn("__bucket",
-      explode(array(col("__bucket"), col("__bucket") - 1)))
+    val one =
+      if (bucketed) side(1).withColumn("__bucket", expr(s"__s_1 DIV ${maxLenUs}L"))
+      else side(1)
+    val two =
+      if (bucketed) side(2).withColumn("__bucket",
+        explode(array(expr(s"__s_2 DIV ${maxLenUs}L"),
+          expr(s"__s_2 DIV ${maxLenUs}L") - 1)))
+      else side(2)
 
     val id1 = struct(idCols.map(c => col(s"${c}_1")): _*)
     val id2 = struct(idCols.map(c => col(s"${c}_2")): _*)
-    one.join(two, keyCols :+ "__bucket")
+    one.join(two, if (bucketed) keyCols :+ "__bucket" else keyCols)
       .where(
         // canonical order: (start, id) strictly increasing
         (col("__s_1") < col("__s_2") ||

@@ -155,11 +155,14 @@ object AnalyticsQueries {
       .select(col("event_type"),
         col("sum_v").cast("double").as("sum_v"), col("cnt")))
 
-  /** Interval-overlap self-join, Δ-bucketed by the enforced maximum
-    * interval length (≤ 50 days here — l_quantity caps the synthetic
-    * ship window): same-(supplier, part) lineitems whose ship windows
-    * intersect. The oracle runs the naive blocked join; the Spark plan
-    * joins on (keys, bucket) — n² per key becomes Σ adjacent-bucket². */
+  /** Interval-overlap self-join with the key-shape-driven plan choice
+    * ([[graft.operators.IntervalJoin.overlapsSelfAuto]]): a sampled
+    * max-per-key estimate picks the naive blocked join on selective
+    * keys (as here — (supplier, part) holds ~24 rows each, where the
+    * Δ-explode is pure overhead) and the Δ-bucketed form on hot keys,
+    * where n² per key becomes Σ adjacent-bucket² (measured 97 s → 18 s
+    * in SCALING.md). Both forms are row-identical and share this
+    * oracle; q70's plan is the AUTO decision, spec-pinned both ways. */
   val q70 = QueryDef.sql("q70_interval_overlap",
     """WITH iv AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
       |    l_shipdate AS s,
@@ -181,7 +184,7 @@ object AnalyticsQueries {
         col("l_shipdate").as("ship_s"),
         expr("timestampadd(DAY, CAST(l_quantity AS INT), l_shipdate)")
           .as("ship_e"))
-      graft.operators.IntervalJoin.overlapsSelf(iv,
+      graft.operators.IntervalJoin.overlapsSelfAuto(iv,
           keyCols = Seq("l_suppkey", "l_partkey"),
           idCols = Seq("l_orderkey", "l_linenumber"),
           startCol = "ship_s", endCol = "ship_e",

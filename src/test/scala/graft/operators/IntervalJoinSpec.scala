@@ -52,6 +52,45 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty && bucketed == rows(naive))
   }
 
+  test("overlapsSelfNaive is row-identical to the bucketed form") {
+    val iv = Tables.lineitem(spark, "/root/testdata/sf0.001").select(
+      col("l_suppkey").as("k1"), col("l_partkey").as("k2"),
+      col("l_orderkey").as("o"), col("l_linenumber").as("n"),
+      col("l_shipdate").as("s"),
+      expr("timestampadd(DAY, CAST(l_quantity AS INT), l_shipdate)").as("e"))
+    val maxLen = 50L * 86400L * 1000000L
+    def rows(df: DataFrame) = df.select("k1", "k2", "o_1", "n_1", "o_2", "n_2")
+      .as[(Long, Long, Long, Int, Long, Int)].collect().toSet
+    val naive = rows(IntervalJoin.overlapsSelfNaive(
+      iv, Seq("k1", "k2"), Seq("o", "n"), "s", "e", maxLen))
+    assert(naive.nonEmpty && naive == rows(IntervalJoin.overlapsSelf(
+      iv, Seq("k1", "k2"), Seq("o", "n"), "s", "e", maxLen)))
+  }
+
+  test("overlapsSelfAuto picks naive on selective keys, bucketed on a hot key") {
+    def isBucketed(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("__bucket")
+    // selective: every (k, id) its own key → naive
+    val selective = (1 to 2000)
+      .map(i => (i.toLong, i.toLong,
+        ts("2021-01-01 10:00:00"), ts("2021-01-01 11:00:00")))
+      .toDF("k", "id", "s", "e")
+    val autoSel = IntervalJoin.overlapsSelfAuto(selective, Seq("k"), Seq("id"),
+      "s", "e", maxLenUs = 2 * hourUs, hotKeyRows = 100, sampleFraction = 0.5)
+    assert(!isBucketed(autoSel))
+    // hot: one key owns every row → bucketed
+    val hot = (1 to 2000)
+      .map(i => (7L, i.toLong,
+        ts("2021-01-01 10:00:00"), ts("2021-01-01 11:00:00")))
+      .toDF("k", "id", "s", "e")
+    val autoHot = IntervalJoin.overlapsSelfAuto(hot, Seq("k"), Seq("id"),
+      "s", "e", maxLenUs = 2 * hourUs, hotKeyRows = 100, sampleFraction = 0.5)
+    assert(isBucketed(autoHot))
+    // and the hot-path result matches the explicit bucketed form
+    assert(autoHot.count() == IntervalJoin.overlapsSelf(hot, Seq("k"), Seq("id"),
+      "s", "e", 2 * hourUs).count())
+  }
+
   test("an interval longer than the enforced bound fails loudly") {
     val df = Seq(
       (1L, 1L, ts("2021-01-01 00:00:00"), ts("2021-01-03 00:00:00"))
