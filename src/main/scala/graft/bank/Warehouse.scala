@@ -5,6 +5,7 @@ import java.sql.Date
 import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Parquet-backed warehouse layer: the Spark replacement for the
@@ -48,6 +49,37 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   def drop(name: String): Unit = deleteRecursive(dir(name))
+
+  /** Compact a table's small files into ~`targetFileBytes`-sized ones.
+    * Daily appends leave one file-set per batch; a year of days makes
+    * every scan open hundreds of tiny files (at cluster scale: NameNode
+    * /object-store metadata pressure and per-file open latency dominate
+    * the read). Rewrites through the same write-new → atomic-swap path
+    * as [[overwrite]], so readers never see a partial table; for a
+    * partitioned table pass `partitionCols` — rows re-bucket BY
+    * partition so each task writes whole files into its partition
+    * directories and the layout is preserved. Run it off-peak at a
+    * cadence matching append volume; appends after the swap are new
+    * small files again (the usual compact-behind pattern). */
+  def compact(name: String, partitionCols: Seq[String] = Nil,
+              targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val src = dir(name)
+    val bytes = Files.walk(src).filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => Files.size(p)).sum()
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = read(name)
+    val arranged =
+      if (partitionCols.nonEmpty)
+        df.repartition(nFiles, partitionCols.map(col): _*)
+      else df.repartition(nFiles)
+    val tmp = Paths.get(root, s"$name.tmp")
+    deleteRecursive(tmp)
+    arranged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    deleteRecursive(src)
+    Files.move(tmp, src)
+  }
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
