@@ -28,11 +28,35 @@ object Bench {
     Tables.embeddings(spark, sfDir).count()
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
 
+    // Cumulative task-metric counters: the per-query deltas quantify the
+    // scale story ("minimize shuffles") with measured bytes, not plan
+    // reading. Listener delivery is async; the short post-query sleep
+    // bounds attribution error to far below the numbers' use.
+    val mSr = new java.util.concurrent.atomic.AtomicLong
+    val mSw = new java.util.concurrent.atomic.AtomicLong
+    val mSp = new java.util.concurrent.atomic.AtomicLong
+    val mIn = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            mSr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            mSw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mSp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            mIn.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+    def snap() = (mSr.get, mSw.get, mSp.get, mIn.get)
+
     // A failing query must surface as an error, not as a fast "success"
     // folded into the total — otherwise a regression that breaks a query
     // would IMPROVE the benchmark.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val before = snap()
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (a count() would let
       // Catalyst prune computed columns and under-measure the query)
@@ -44,12 +68,17 @@ object Bench {
       }
       val elapsed = if (errors.contains(name)) -1.0
                     else (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // drain in-flight task-end events
+      val after = snap()
       // Release the caches operators populate (packed blocks, LSH
       // indexes, IVF cells, …) — untimed, so each query is charged its
       // OWN cache build but storage doesn't accumulate across the run
       // and no query inherits a predecessor's warm cache.
       spark.catalog.clearCache()
-      name -> elapsed
+      (name, elapsed, after._1 - before._1, after._2 - before._2,
+        after._3 - before._3, after._4 - before._4)
+    }.map { case (name, elapsed, sr, sw, sp, in) =>
+      name -> ((elapsed, sr, sw, sp, in))
     }
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -58,19 +87,23 @@ object Bench {
     def sec(v: Double) = f"$v%.3f"
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // Full per-query detail (long names, ns precision) goes to a side file;
-    // stdout gets ONE COMPACT line. The driver keeps only the last ~2000
-    // chars of output, so the parseable line must stay well under that —
-    // short "qNN" keys + ms precision keep 69 queries near ~1 KB.
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val total = results.collect { case (_, (v, _, _, _, _)) if v >= 0 => v }.sum
+    // Full per-query detail (long names, ns precision, measured task
+    // metrics) goes to a side file; stdout gets ONE COMPACT line. The
+    // driver keeps only the last ~2000 chars of output, so the parseable
+    // line must stay well under that — short "qNN" keys + ms precision
+    // keep 70 queries near ~1 KB.
+    val fullQs = results.map { case (k, (v, sr, sw, sp, in)) =>
+      s"\"" + k + "\":{\"sec\":" + v + ",\"shuffle_read\":" + sr +
+        ",\"shuffle_write\":" + sw + ",\"spilled\":" + sp +
+        ",\"input_read\":" + in + "}"
+    }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, (v, _, _, _, _)) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + sec(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")

@@ -125,11 +125,104 @@ case class TopKByScore(
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
 }
 
+/** Bounded bottom-k by a LONG sort key: keeps the k lexicographically
+  * smallest (key, value) pairs. The long-key twin of [[TopKByScore]] —
+  * kept exact on 60-bit hash keys (a double score would round away low
+  * bits and perturb selection at the k boundary), which is what
+  * bottom-k-by-hash sampling needs for oracle-stable row selection.
+  * Same algebraic-partial property: the map side reduces every
+  * partition to ≤ k pairs per group before the exchange, replacing a
+  * row_number window whose sort parallelism is the GROUP count (3
+  * groups = 3 tasks sorting everything, at any cluster size). */
+case class BottomKByKey(
+    keyExpr: Expression,
+    valExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Double)]] {
+
+  // max-heap: head = largest kept pair — the first to evict
+  private val largestFirst: Ordering[(Long, Double)] =
+    Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Double)] =
+    mutable.PriorityQueue.empty(largestFirst)
+
+  private def add(buf: mutable.PriorityQueue[(Long, Double)],
+                  e: (Long, Double)): Unit = {
+    if (buf.size < k) buf.enqueue(e)
+    else if (largestFirst.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Long, Double)],
+                      input: InternalRow): mutable.PriorityQueue[(Long, Double)] = {
+    val h = keyExpr.eval(input)
+    val v = valExpr.eval(input)
+    if (h != null && v != null)
+      add(buf, (h.asInstanceOf[Long], v.asInstanceOf[Double]))
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Long, Double)],
+                     other: mutable.PriorityQueue[(Long, Double)]): mutable.PriorityQueue[(Long, Double)] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, Double)]): Any = {
+    val sorted = buf.toArray.sorted(largestFirst)
+    new GenericArrayData(sorted.map { case (h, v) =>
+      InternalRow(h, v)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Double)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (h, v) => out.writeLong(h); out.writeDouble(v) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Double)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) { buf.enqueue((in.readLong(), in.readDouble())); j += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType), StructField("v", DoubleType))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(keyExpr, valExpr)
+  override def prettyName: String = "bottomk_by_key"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKByKey =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKByKey =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKByKey =
+    copy(keyExpr = newChildren(0), valExpr = newChildren(1))
+}
+
 object TopKAggregate {
   /** Column API: top-k (score, id) pairs per group, best first. */
   def topkByScore(score: Column, id: Column, k: Int): Column = {
     import org.apache.spark.sql.graftshim.Shim
     Shim.column(TopKByScore(Shim.expression(score), Shim.expression(id), k)
+      .toAggregateExpression())
+  }
+
+  /** Column API: the k lexicographically smallest (key, value) pairs
+    * per group, ascending. */
+  def bottomkByKey(key: Column, value: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(BottomKByKey(Shim.expression(key), Shim.expression(value), k)
       .toAggregateExpression())
   }
 

@@ -152,4 +152,23 @@ object Sketches {
       .where(col("__rn") <= k)
       .drop("__h", "__rn")
   }
+
+  /** The bounded-aggregate form of [[bottomKSample]] for a SINGLE value
+    * column: per group, the k lexicographically smallest
+    * (hash60(key), value) pairs, returned as (group, value) rows.
+    * Selects the SAME value multiset as the window form ordered by
+    * (hash, value) — pair selection subsumes the tie-break — but the
+    * plan is a [[graft.functions.BottomKByKey]] aggregation: map-side
+    * partials of ≤ k pairs, a shuffle of groups × k rows, and
+    * parallelism set by the DATA, not the group count. The window form
+    * sorts everything in #groups tasks — with 3 strata that is a
+    * 3-task sort at any cluster size, the quiet scale-killer q51
+    * carried until it switched to this form (SketchesSpec pins the
+    * multiset equality). */
+  def bottomKValues(df: DataFrame, groupCol: String, keyCol: Column,
+                    valueCol: Column, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate
+        .bottomkByKey(hash60(keyCol), valueCol.cast("double"), k).as("__bk"))
+      .select(col(groupCol), explode(col("__bk").getField("v")).as("value"))
 }

@@ -125,13 +125,13 @@ object AnalyticsQueries {
         val li = Tables.lineitem(s, dir)
         val hll = Sketches.hllDistinct(li, "l_returnflag", "l_orderkey")
           .withColumnRenamed("hll_l_orderkey", "hll_orders")
-        val sample = Sketches.bottomKSample(li, "l_returnflag",
+        val sample = Sketches.bottomKValues(li, "l_returnflag",
           concat(col("l_orderkey").cast("string"), lit("|"),
-            col("l_linenumber").cast("string")), k = 500,
-          tieBreak = Seq(col("l_extendedprice")))
+            col("l_linenumber").cast("string")),
+          col("l_extendedprice"), k = 500)
           .groupBy("l_returnflag")
-          .agg(expr("percentile(l_extendedprice, 0.5)").as("sample_p50"),
-            expr("percentile(l_extendedprice, 0.99)").as("sample_p99"))
+          .agg(expr("percentile(value, 0.5)").as("sample_p50"),
+            expr("percentile(value, 0.99)").as("sample_p99"))
         hll.join(sample, "l_returnflag")
       })
   }

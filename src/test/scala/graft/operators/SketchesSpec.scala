@@ -56,6 +56,31 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("bottomKValues (bounded aggregate) selects the window form's value multiset") {
+    val li = Tables.lineitem(spark, sf)
+    val key = concat(col("l_orderkey").cast("string"), lit("|"),
+      col("l_linenumber").cast("string"))
+    def multiset(df: org.apache.spark.sql.DataFrame, valCol: String) = df
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_list(col(valCol))).as("vs"))
+      .as[(String, Seq[Double])].collect().toMap
+    val window = multiset(
+      Sketches.bottomKSample(li, "l_returnflag", key, k = 200,
+        tieBreak = Seq(col("l_extendedprice")))
+        .select(col("l_returnflag"), col("l_extendedprice")),
+      "l_extendedprice")
+    val bounded = multiset(
+      Sketches.bottomKValues(li, "l_returnflag", key,
+        col("l_extendedprice"), k = 200), "value")
+    assert(bounded == window,
+      "aggregate and window forms must select identical value multisets")
+    // and the aggregate's plan has no window sort: partial aggregation
+    // appears on the map side instead
+    val plan = Sketches.bottomKValues(li, "l_returnflag", key,
+      col("l_extendedprice"), 200).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+  }
+
   test("CMS heavy hitters: estimates dominate true counts, tight at this size") {
     val toks = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
