@@ -33,6 +33,66 @@ object Ingest {
     (typed, day)
   }
 
+  /** [[transactions]] with a malformed-row QUARANTINE instead of a
+    * poisoned load: at 100 TB a handful of bad rows must divert, not
+    * kill the job (the reference's pandas read simply throws —
+    * `main.py:45`). Returns (typed good rows, quarantine, batch date):
+    *
+    *  - structurally malformed lines — wrong field count OR a field
+    *    failing its schema type (unparseable timestamp) — via the
+    *    PERMISSIVE corrupt-record column → reason `malformed_line`;
+    *  - semantically bad rows (an amount string that fails the
+    *    decimal-comma cast) → `bad_amount` — the silent-null class a
+    *    plain cast would let through;
+    *  - everything else flows through exactly [[transactions]]'
+    *    projection (same schema, same decimal-comma handling), and the
+    *    batch date is computed from GOOD rows only.
+    *
+    * The quarantine carries the raw line (reconstructed for semantic
+    * rejects), per-row reason and source file — enough to replay after
+    * a fix. The parsed frame is cached for the two-way split: Spark
+    * disallows plans that reference ONLY the corrupt-record column,
+    * and the daily-file regime makes the cache free; an unbounded load
+    * would fork the split through one `foreachBatch` pass instead. */
+  def transactionsQuarantined(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, Date) = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      Schemas.transactionsCsv.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .option("sep", ";")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      // file name captured BEFORE the cache boundary — input_file_name()
+      // is empty once rows come from the cached relation
+      .withColumn("__source_file", input_file_name())
+      .cache()
+    // try_cast, not cast: under ANSI semantics (the Spark 4 default) a
+    // malformed decimal THROWS — the exact poisoned-load failure this
+    // reader exists to prevent
+    val amountCast = expr(
+      "try_cast(regexp_replace(amount, ',', '.') AS DECIMAL(10,2))")
+    val reason = when(col("_corrupt_record").isNotNull, "malformed_line")
+      .when(col("amount").isNotNull && amountCast.isNull, "bad_amount")
+    val quarantine = raw.where(reason.isNotNull)
+      .select(
+        coalesce(col("_corrupt_record"),
+          concat_ws(";", Schemas.transactionsCsv.fieldNames.map(col): _*))
+          .as("raw_line"),
+        reason.as("reason"),
+        col("__source_file").as("source_file"))
+    val good = raw.where(reason.isNull).select(
+      col("transaction_id"), col("transaction_date"), col("card_num"),
+      col("oper_type"), amountCast.as("amount"),
+      col("oper_result"), col("terminal"))
+    val day = good.agg(min(to_date(col("transaction_date")))).head().getDate(0)
+    (good, quarantine, day)
+  }
+
   /** S5: terminals full snapshot (4 string columns). */
   def terminals(spark: SparkSession, path: String): DataFrame = {
     val sheet = Xlsx.read(path)
