@@ -67,11 +67,22 @@ class PlanQualitySpec extends AnyFunSuite {
   test("fused per-row operators plan with ZERO shuffle exchanges") {
     // simhash (q31) and repetition (q59) collapsed from corpus-wide
     // aggregations to single-pass expressions — a regression that
-    // reintroduces an exchange is a 100 TB shuffle of the whole corpus
-    for (q <- Seq("q31_simhash", "q59_repetition")) {
+    // reintroduces an exchange is a 100 TB shuffle of the whole corpus;
+    // sliding chunking (q71) is a pure tokenize-explode-slice generator
+    for (q <- Seq("q31_simhash", "q59_repetition", "q71_chunk_sliding")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q reintroduced a shuffle: $p")
     }
+  }
+
+  test("q51 portable sketches: bounded bottom-k, no window sort") {
+    // the sample step must stay the algebraic BottomKByKey aggregate —
+    // a row_number window partitioned by the 3 return flags is a
+    // 3-task sort at any cluster size
+    val p = plan("q51_sketches_portable")
+    assert(!p.contains("Window"), s"q51 must not plan a window sort: $p")
+    assert(p.contains("partial_bottomk_by_key"),
+      s"bottom-k must reduce map-side before the exchange: $p")
   }
 
   test("q30 MinHash-LSH: only the bucket-group and pair-distinct shuffles remain") {
