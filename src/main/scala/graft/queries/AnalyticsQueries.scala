@@ -260,5 +260,48 @@ object AnalyticsQueries {
       })
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58, q69, q70)
+  /** Per-group z-score anomaly flags — the analytics shape behind
+    * outlier screens (|z| ≥ 3 events per type). Moments are EXACT
+    * decimal sums (sum, sum-of-squares) so the 5-row stats frame is
+    * bit-identical across engines; mean/std/z then run in IEEE doubles
+    * on identical operands — deterministic, oracle-replayable. Scale
+    * shape: one partial-aggregated groupBy to a tiny stats frame, a
+    * broadcast join back, and a per-row filter — no window, no global
+    * sort; the only full-data exchange is the map-side-reduced
+    * aggregation. */
+  val q72 = QueryDef.sql("q72_anomaly_zscore",
+    """WITH t AS (SELECT event_id, event_type,
+      |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+      |st AS (SELECT event_type, COUNT(*) AS n,
+      |    SUM(v) AS s, SUM(v*v) AS s2 FROM t GROUP BY event_type),
+      |m AS (SELECT event_type,
+      |    CAST(s AS DOUBLE) / n AS mean,
+      |    sqrt(greatest(CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+      |      0.0::DOUBLE)) AS std
+      |  FROM st)
+      |SELECT t.event_id, t.event_type, CAST(t.v AS DOUBLE) AS value,
+      |  round((CAST(t.v AS DOUBLE) - m.mean) / m.std, 6) AS z
+      |FROM t JOIN m USING (event_type)
+      |WHERE m.std > 0
+      |  AND abs((CAST(t.v AS DOUBLE) - m.mean) / m.std) >= 3.0""")(
+    (s, dir) => {
+      val t = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      val mean = col("s").cast("double") / col("n")
+      val stats = t.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("v") * col("v")).as("s2"))
+        .select(col("event_type"), mean.as("mean"),
+          sqrt(greatest(col("s2").cast("double") / col("n") - mean * mean,
+            lit(0.0))).as("std"))
+      val z = (col("v").cast("double") - col("mean")) / col("std")
+      t.join(broadcast(stats), "event_type")
+        .where(col("std") > 0 && abs(z) >= 3.0)
+        .select(col("event_id"), col("event_type"),
+          col("v").cast("double").as("value"), round(z, 6).as("z"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
+    q69, q70, q72)
 }
