@@ -134,6 +134,41 @@ object ScaleStress {
     benchBig.unpersist()
     }
 
+    if (sections("curation")) {
+    // --- end-to-end curation funnel at mult x the document corpus.
+    // Replicas get distinct ids and a per-replica vowel rotation: a
+    // character-level rewrite changes most 8-char shingles, so replicas
+    // are DISTINCT documents to the Jaccard stage (a verbatim copy
+    // would near-dup-collapse the whole corpus to one canonical per
+    // template); replicas 5 apart share a rotation and stay near-dups,
+    // leaving the dedup stages real work at every multiple.
+    val d0 = Tables.documents(spark, sf).select("doc_id", "text")
+    val vowels = "aeiou"
+    val corpus = (0 until mult).map { i =>
+      val rot = vowels.drop(i % 5) + vowels.take(i % 5)
+      d0.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        concat(translate(col("text"), vowels, rot), lit(s" tail$i")).as("text"))
+    }.reduce(_ unionByName _).cache()
+    val bench = d0.where(pmod(col("doc_id"), lit(19)) === 0)
+    val nDocs = corpus.count()
+    println(s"curation corpus: $nDocs docs")
+    // dials sized to the corpus, not the sf0.01 defaults (measured
+    // collapses with the defaults at 10x corpus — see SCALING.md):
+    // near-dup via banded SimHash because template text from a 50-word
+    // vocabulary is pairwise-similar EVERYWHERE at char-8-gram
+    // granularity — set-overlap candidates explode (OOM at 8x even
+    // df-capped), while hamming<=3 signature banding collides only on
+    // near-identity; decontamination at word-5-grams/0.5 because
+    // 3-gram overlap with a large eval set saturates on the same
+    // vocabulary
+    def run() = graft.pipeline.Curation.curate(corpus, "doc_id", "text",
+      benchmark = Some(bench), nearDup = "simhash",
+      deconN = 5, deconThreshold = 0.5)
+    time("curation funnel (quality+dedup+decon+split)")(run().kept.count())
+    time("curation chunks")(run().chunks.count())
+    corpus.unpersist()
+    }
+
     if (sections("layout")) {
     // --- bucketed layout: the repeated fact-fact join with and without
     // the write-time shuffle already paid. mult scales the fact side.

@@ -38,6 +38,32 @@ object Curation {
     * @param minTokens quality gate: minimum token count
     * @param maxDigitRatio quality gate: maximum digit character ratio
     * @param jaccardThreshold near-dup threshold over 8-gram shingles
+    * @param jaccardMaxDf stop-shingle document-frequency cap. This is a
+    *                  CORPUS-RELATIVE dial, not a constant: it bounds
+    *                  pair fan-out at Σ df², but a cap that is a tiny
+    *                  fraction of the corpus strips documents down to a
+    *                  few rare shingles and Jaccard over those welds the
+    *                  corpus into one giant near-dup component (measured:
+    *                  the 500-doc-calibrated default kept 4 of 5000 docs
+    *                  at 10× corpus — see SCALING.md). Size it as a few
+    *                  percent of |corpus|, the way a stop-WORD list is
+    *                  corpus-relative.
+    * @param deconN/deconThreshold decontamination word-n-gram order and
+    *                  overlap ratio. Corpus-relative like the df cap: on
+    *                  a small vocabulary, low-order grams saturate (every
+    *                  doc shares 3-grams with any large eval set) — raise
+    *                  n / the threshold until only true eval copies trip.
+    * @param nearDup   "jaccard" (exact set overlap, df-capped — the
+    *                  default for corpora where most pairs are
+    *                  dissimilar) or "simhash" (banded 60-bit signatures,
+    *                  hamming ≤ 3). When the corpus is DENSE in
+    *                  similarity space (template/boilerplate-heavy), any
+    *                  set-overlap candidate generator explodes — its
+    *                  bucket sizes are the similarity density itself
+    *                  (measured: OOM at 40k template docs, SCALING.md) —
+    *                  while signature banding with a tight hamming radius
+    *                  stays selective: near-identity, not similarity,
+    *                  drives its collisions.
     * @param cuts      cumulative split percentages, e.g.
     *                  train/val/test 98/1/1
     * @param window/stride context-window chunking parameters
@@ -45,9 +71,13 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchmark: Option[DataFrame] = None,
              minTokens: Int = 5, maxDigitRatio: Double = 0.3,
-             jaccardThreshold: Double = 0.3,
+             jaccardThreshold: Double = 0.3, jaccardMaxDf: Int = 100,
+             deconN: Int = 3, deconThreshold: Double = 0.05,
+             nearDup: String = "jaccard",
              cuts: Seq[(String, Int)] = Seq("train" -> 98, "val" -> 99, "test" -> 100),
              window: Int = 32, stride: Int = 24): Curated = {
+    require(nearDup == "jaccard" || nearDup == "simhash",
+      s"nearDup must be jaccard|simhash, got $nearDup")
     // 1. quality gate: per-row metrics, no shuffle
     val q = TextAnalysis.quality(docs, idCol, textCol)
       .where(col("n_tokens") >= minTokens && col("digit_ratio") <= maxDigitRatio)
@@ -59,9 +89,14 @@ object Curation {
       .select(col("keep_id").as(idCol))
     val exactDocs = qualityDocs.join(exactKeep, idCol)
 
-    // 3. near-dup dedup: Jaccard pairs → components → canonical only
-    val pairs = Dedup.ngramJaccard(exactDocs, idCol, textCol,
-      k = 8, maxDf = 100, threshold = jaccardThreshold)
+    // 3. near-dup dedup: pairs → components → canonical only
+    val pairs = nearDup match {
+      case "jaccard" => Dedup.ngramJaccard(exactDocs, idCol, textCol,
+        k = 8, maxDf = jaccardMaxDf, threshold = jaccardThreshold)
+      case "simhash" => Dedup.simhashPairsBanded(
+        Dedup.simhash(exactDocs, idCol, textCol, bits = 60),
+        idCol, maxDist = 3, bits = 60)
+    }
     val nearDocs = exactDocs.join(
       Graph.dedupClusters(exactDocs, idCol, pairs, "id1", "id2")
         .where(col("keep")).select(col(idCol)), idCol)
@@ -70,7 +105,8 @@ object Curation {
     val cleanDocs = benchmark match {
       case Some(bench) =>
         val contaminated = TextAnalysis.decontaminate(
-          nearDocs, bench, idCol, textCol, n = 3, threshold = 0.05)
+          nearDocs, bench, idCol, textCol, n = deconN,
+          threshold = deconThreshold)
           .select(col(idCol))
         nearDocs.join(contaminated, Seq(idCol), "left_anti")
       case None => nearDocs

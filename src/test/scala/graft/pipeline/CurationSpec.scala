@@ -63,6 +63,18 @@ class CurationSpec extends AnyFunSuite {
     } finally kept.unpersist()
   }
 
+  test("simhash near-dup strategy: deterministic funnel, no exact dups survive") {
+    val c = Curation.curate(corpus, "doc_id", "text", nearDup = "simhash")
+    val ids = c.kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.size < corpus.count())
+    val again = Curation.curate(corpus, "doc_id", "text", nearDup = "simhash")
+      .kept.select("doc_id").as[Long].collect().toSet
+    assert(ids == again)
+    // signature-identical (distance-0) docs collapse: no surviving pair
+    // shares an exact text either
+    assert(c.kept.groupBy("text").count().where(col("count") > 1).count() == 0)
+  }
+
   test("quality gate drops short and digit-heavy docs before any shuffle stage") {
     val junk = Seq(
       (900001L, "one two three"),                    // 3 tokens < 5
