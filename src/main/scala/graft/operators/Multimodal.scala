@@ -66,6 +66,50 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(media_id: Long, n_orig: Int, n_resized: Int,
+                                resized: Array[Byte])
+
+  /** Partition-wise "resize" of image payloads to ≤ `target` bytes.
+    * STUB semantics (no codecs in this container): byte `i` of an
+    * n-byte payload maps to bucket `⌊i·target/n⌋` and each non-empty
+    * bucket emits its truncated byte average — the 1-D shape of
+    * area-average downsampling, deterministic and integer-exact, so a
+    * SQL oracle replays the output bytes exactly (q73 compares md5s).
+    * Payloads shorter than `target` keep their length (never upsample).
+    * The mapPartitions batch shape is the production seam: swap the
+    * loop body for a real image resize, signature unchanged. */
+  def resizeStub(media: DataFrame, target: Int): Dataset[ResizedMedia] = {
+    require(target >= 1, s"target=$target must be positive")
+    import media.sparkSession.implicits._
+    media.where(col("kind") === "image")
+      .select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          if (n == 0) ResizedMedia(id, 0, 0, Array.emptyByteArray)
+          else {
+            val sums = new Array[Long](target)
+            val cnts = new Array[Int](target)
+            var i = 0
+            while (i < n) {
+              val b = ((i.toLong * target) / n).toInt
+              sums(b) += (bytes(i) & 0xff)
+              cnts(b) += 1
+              i += 1
+            }
+            val out = Array.newBuilder[Byte]
+            var j = 0
+            while (j < target) {
+              if (cnts(j) > 0) out += (sums(j) / cnts(j)).toByte
+              j += 1
+            }
+            val r = out.result()
+            ResizedMedia(id, n, r.length, r)
+          }
+        }
+      }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 16-byte
     * chunk becomes a frame row (explode plumbing; a real impl samples
     * decoded frames the same way). */

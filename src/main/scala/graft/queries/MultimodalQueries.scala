@@ -80,5 +80,32 @@ object MultimodalQueries {
       .select(col("media_id"), col("frame_idx"),
         hex(col("frame_bytes")).as("frame_hex")))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37)
+  /** Resize-stub over image payloads. FULL oracle: the bucket-average
+    * downsample is integer-exact (byte i → bucket ⌊i·64/n⌋, truncated
+    * mean per bucket), and payloads are ASCII, so DuckDB rebuilds the
+    * resized byte string with chr()/string_agg and both sides compare
+    * md5 hex. */
+  val q73 = QueryDef.sql("q73_media_resize",
+    """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
+      |  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+      |b AS (SELECT media_id, n, (i * 64) // n AS bucket,
+      |    ascii(substring(text, CAST(i + 1 AS INT), 1)) AS v
+      |  FROM (SELECT media_id, text, n, unnest(range(n)) AS i FROM m) t),
+      |r AS (SELECT media_id, n, bucket, SUM(v) // COUNT(*) AS byte
+      |      FROM b GROUP BY 1, 2, 3),
+      |s AS (SELECT media_id, CAST(n AS INT) AS n_orig,
+      |        string_agg(chr(CAST(byte AS INT)), '' ORDER BY bucket) AS resized
+      |      FROM r GROUP BY 1, 2)
+      |SELECT media_id, n_orig,
+      |  CAST(length(resized) AS INT) AS n_resized,
+      |  md5(resized) AS resized_md5
+      |FROM s""")(
+    (s, dir) => Multimodal.resizeStub(
+        Multimodal.corpusFromDocuments(Tables.documents(s, dir)), target = 64)
+      .toDF()
+      .where(col("n_orig") > 0) // oracle builds strings; empties stay operator-side
+      .select(col("media_id"), col("n_orig"), col("n_resized"),
+        md5(col("resized")).as("resized_md5")))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q73)
 }
