@@ -3,7 +3,7 @@ package graft.operators
 import graft.operators.Similarity.dot
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbour search: partition
@@ -15,64 +15,94 @@ import org.apache.spark.sql.functions._
   * instead of n, with recall controlled by nprobe. Centroids are tiny
   * (nlist × dim) and broadcast; the candidate join is an ordinary
   * equi-join on the cell id.
+  *
+  * The index is a first-class value ([[IvfIndex]], via [[buildIndex]]):
+  * build once — the KMeans fit and the corpus cell assignment are the
+  * expensive parts — then serve any number of query batches
+  * ([[probeTopK]]) or an unbounded query STREAM
+  * ([[graft.streaming.Streams.retrieveStream]]) against it. [[ivfTopK]]
+  * is the self-search composition of the two.
   */
 object Ivf {
+
+  /** A built IVF index: the cell-assigned corpus (id, v, nrm, cell —
+    * cached) and the driver-side centroid matrix (tiny: nlist × dim). */
+  final case class IvfIndex(indexed: DataFrame,
+                            centroids: Array[(Int, Array[Double])]) {
+    def unpersist(): Unit = { indexed.unpersist(); () }
+  }
+
+  /** Fit KMeans cells over the corpus and assign every vector its
+    * primary cell. One fit + one pass; the result serves every
+    * subsequent probe. */
+  def buildIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, seed: Long = 42L): IvfIndex = {
+    val v = emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("vec", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("vec").setPredictionCol("cell")
+      .fit(v)
+    val indexed = model.transform(v).select("id", "v", "nrm", "cell").cache()
+    IvfIndex(indexed,
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+  }
+
+  /** The `nprobe` nearest cells of a query vector as a per-row
+    * expression over the literal centroid matrix — no aggregation, no
+    * shuffle, so it composes with STREAMING queries in append mode
+    * (a groupBy-top-k probe would be a stateful streaming aggregation).
+    * ‖v−c‖² = ‖v‖² − 2⟨v,c⟩ + ‖c‖²; ordering (dist2 ASC, cell ASC)
+    * matches the aggregate probe in [[ivfTopK]] exactly. One dot
+    * expression per centroid — fine at nlist ≈ √n sizes; a fused
+    * matrix expression (the LshBuckets treatment) is the upgrade path
+    * if nlist grows past a few hundred. */
+  def probeCellsExpr(vec: Column, nrm: Column,
+                     centroids: Array[(Int, Array[Double])],
+                     nprobe: Int): Column = {
+    val scored = array(centroids.map { case (i, c) =>
+      val carr = array(c.map(lit): _*)
+      val cn2 = c.map(x => x * x).sum
+      struct(
+        (nrm * nrm - lit(2.0) * dot(vec, carr) + lit(cn2)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** Top-k corpus neighbours by cosine for a BATCH of queries against a
+    * built index. `excludeSelf` drops id_a = id_b matches (self-search).
+    * Scale shape: per-row cell probing (no shuffle), one equi-join on
+    * cell, bounded TopKAggregate ranking (shuffle = queries × k). */
+  def probeTopK(queries: DataFrame, index: IvfIndex, idCol: String,
+                vecCol: String, k: Int, nprobe: Int,
+                excludeSelf: Boolean = false): DataFrame = {
+    val q = queries.select(col(idCol).as("id_a"),
+        transform(col(vecCol), x => x.cast("double")).as("va"))
+      .withColumn("na", Similarity.norm(col("va")))
+      .withColumn("cell",
+        explode(probeCellsExpr(col("va"), col("na"), index.centroids, nprobe)))
+    // no distinct before the ranking: a candidate pair (a, b) arises at
+    // most once — b sits in exactly ONE primary cell, so at most one of
+    // a's probed cells can contain it
+    val cand = q.join(index.indexed.select(col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"), col("cell")), Seq("cell"))
+    val scored = (if (excludeSelf) cand.where(col("id_a") =!= col("id_b"))
+                  else cand)
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select("id_a", "id_b", "cosine")
+    Similarity.rankTopK(scored, k)
+  }
 
   /** Approximate top-k by cosine using an IVF index built on the same
     * corpus (self-join ANN, the dedup/similarity-search shape). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
-    val v = emb.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-      .withColumn("vec", array_to_vector(col("v"))).cache()
-
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("vec").setPredictionCol("cell")
-      .fit(v)
-
-    // corpus side: primary cell per vector (cached: probe and candidate
-    // sides both read it)
-    val indexed = model.transform(v).select("id", "v", "nrm", "cell").cache()
-
-    // query side: nprobe nearest cells via broadcast centroid distances
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
-    val centroidDf = indexed.sparkSession.createDataFrame(centroids)
-      .toDF("cell", "centroid")
-      .withColumn("cnorm2", dot(col("centroid"), col("centroid")))
-    // ‖v−c‖² = ‖v‖² − 2⟨v,c⟩ + ‖c‖²; both norms are hoisted (one per
-    // vector / per centroid), so the cross join pays a single dot each.
-    // The nprobe-nearest cells come from the bounded TopKAggregate, NOT
-    // a row_number window: the window would sort-shuffle n×nlist rows
-    // (n×√n at the auto sizing) where the aggregate's map-side partial
-    // reduces them to n×nprobe before the exchange. Ordering matches
-    // the window formulation exactly (dist2 ASC, cell ASC ⇔ score
-    // -dist2 DESC, id ASC).
-    val probes = indexed.select(col("id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(centroidDf))
-      .withColumn("dist2",
-        col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("centroid")) +
-          col("cnorm2"))
-      .groupBy(col("id"))
-      .agg(first(col("v")).as("va"), first(col("nrm")).as("na"),
-        graft.functions.TopKAggregate
-          .topkByScore(-col("dist2"), col("cell").cast("long"), nprobe).as("cells"))
-      .select(col("id").as("id_a"), col("va"), col("na"),
-        explode(col("cells")).as("e"))
-      .select(col("id_a"), col("va"), col("na"),
-        col("e.id").cast("int").as("cell"))
-
-    // no distinct before the ranking: a candidate pair (a, b) arises at
-    // most once — b sits in exactly ONE primary cell, so at most one of
-    // a's probed cells can contain it
-    Similarity.rankTopK(probes
-      .join(indexed.select(col("id").as("id_b"), col("v").as("vb"),
-        col("nrm").as("nb"), col("cell")), Seq("cell"))
-      .where(col("id_a") =!= col("id_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .select("id_a", "id_b", "cosine"), k)
+    val index = buildIndex(emb, idCol, vecCol, nlist, seed)
+    // probe with the index's own vectors (v/nrm already computed there)
+    probeTopK(index.indexed.select(col("id"), col("v")), index,
+      "id", "v", k, nprobe, excludeSelf = true)
   }
 
   /** [[ivfTopK]] with nlist ≈ √n (textbook IVF sizing) and nprobe =

@@ -74,13 +74,16 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  /** Shared tail: best-k neighbours per id_a from (id_a, id_b, cosine)
-    * via the bounded [[graft.functions.TopKAggregate]] — map-side
-    * partial top-k means the shuffle carries n·k rows, not all pairs
-    * (a row_number window would sort every candidate). Ordering matches
-    * the window formulation exactly: cosine DESC, id_b ASC. */
-  private[operators] def rankTopK(pairs: DataFrame, k: Int,
-                                  distinctIds: Boolean = false): DataFrame =
+  /** Best-k neighbours per id_a from (id_a, id_b, cosine) via the
+    * bounded [[graft.functions.TopKAggregate]] — map-side partial top-k
+    * means the shuffle carries n·k rows, not all pairs (a row_number
+    * window would sort every candidate). Ordering matches the window
+    * formulation exactly: cosine DESC, id_b ASC. Public: the ranking
+    * tail for any candidate source — the batch operators here, or a
+    * `foreachBatch` over [[graft.streaming.Streams.retrieveStream]]'s
+    * scored candidates. */
+  def rankTopK(pairs: DataFrame, k: Int,
+               distinctIds: Boolean = false): DataFrame =
     pairs
       .groupBy(col("id_a"))
       .agg((if (distinctIds)

@@ -264,4 +264,36 @@ object Streams {
         col("n_events"))
       .as[Session]
   }
+
+  /** Streaming retrieval: an unbounded stream of query vectors scored
+    * against a STATIC prebuilt IVF index
+    * ([[graft.operators.Ivf.buildIndex]] — the online-serving shape:
+    * build the index once, serve queries as they arrive).
+    *
+    * Append-safe by construction: cell probing is a per-row expression
+    * over the literal centroid matrix (no streaming aggregation), and
+    * the candidate lookup is a stateless stream-static equi-join on the
+    * cell id — every micro-batch reuses the same cached corpus side.
+    * Emits scored candidates (query_id, corpus_id, cosine); the final
+    * per-query top-k ranking belongs to the consumer (a
+    * `foreachBatch` [[graft.operators.Similarity.rankTopK]], or a
+    * downstream update-mode aggregation) because a global rank over an
+    * append stream is not well-defined until the query's candidates
+    * have all arrived — which, with per-batch probing, is the end of
+    * its micro-batch. StreamsSpec replays a query stream and asserts
+    * the per-batch ranking equals the batch [[graft.operators.Ivf
+    * .probeTopK]] row-for-row. */
+  def retrieveStream(queries: DataFrame, index: graft.operators.Ivf.IvfIndex,
+                     idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("va"))
+      .withColumn("na", graft.operators.Similarity.norm(col("va")))
+      .withColumn("cell", explode(graft.operators.Ivf
+        .probeCellsExpr(col("va"), col("na"), index.centroids, nprobe)))
+    q.join(index.indexed.select(col("id").as("corpus_id"),
+        col("v").as("vb"), col("nrm").as("nb"), col("cell")), Seq("cell"))
+      .withColumn("cosine", graft.operators.Similarity
+        .dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select("query_id", "corpus_id", "cosine")
+  }
 }

@@ -231,4 +231,50 @@ class StreamsSpec extends AnyFunSuite {
     assert(open(1L).session_start == ts("2024-01-01 11:30:00"))
     assert(open(2L).n_events == 1)
   }
+
+  test("streaming retrieval against a static IVF index matches batch probeTopK") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val index = graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding",
+      nlist = 8)
+    try {
+      val queryRows = emb.where(col("vec_id") % 37 === 0)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().toSeq
+      assert(queryRows.size >= 3)
+
+      val expected = graft.operators.Ivf.probeTopK(
+        emb.where(col("vec_id") % 37 === 0), index,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+
+      val mem = MemoryStream[(Long, Array[Float])]
+      // two micro-batches: the static index serves both
+      val (b1, b2) = queryRows.splitAt(queryRows.size / 2)
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+      val q = Streams.retrieveStream(
+          mem.toDF().toDF("vec_id", "embedding"), index,
+          "vec_id", "embedding", nprobe = 2)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // per-batch ranking: each query's candidates are complete
+          // within its own micro-batch
+          got ++= graft.operators.Similarity.rankTopK(
+            batch.select(col("query_id").as("id_a"),
+              col("corpus_id").as("id_b"), col("cosine")), 3)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+              r.getInt(3)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+      mem.addData(b1: _*)
+      val run1 = q.start(); run1.processAllAvailable(); run1.stop()
+      mem.addData(b2: _*)
+      val run2 = q.start(); run2.processAllAvailable(); run2.stop()
+      assert(got.toSet == expected,
+        s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally index.unpersist()
+  }
 }
