@@ -565,6 +565,84 @@ object TextQueries {
     (s, dir) => graft.operators.Split.slidingChunks(
       Tables.documents(s, dir), "doc_id", "text", window = 32, stride = 24))
 
+  /** The WHOLE curation funnel ([[graft.pipeline.Curation]]) as one
+    * driver-checked query: quality gate → exact dedup → Jaccard
+    * near-dup components → benchmark decontamination → split labels,
+    * every stage replayed by the oracle (assembled from the q25 / q28 /
+    * q56 / q62 / q52 oracle machinery — the recursive transitive
+    * closure included). A hash match here certifies the COMPOSED
+    * pipeline, not just its stages: stage boundaries, filter order,
+    * and canonical selection all have to agree with an engine that
+    * shares none of the implementation. */
+  val q74 = {
+    import graft.operators.Split
+    val b = Split.hashBucketSql("doc_id", 100)
+    QueryDef.sql("q74_curation_funnel",
+      s"""WITH RECURSIVE
+         |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0),
+         |q AS (SELECT doc_id, text FROM corp
+         |  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE length(string_split_regex(trim(text), '\\s+')) END) >= 5
+         |    AND round(CAST(length(text)
+         |          - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1), 6) <= 0.3::DOUBLE),
+         |e AS (SELECT doc_id, text FROM q
+         |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+         |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS s
+         |  FROM (SELECT doc_id, text,
+         |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+         |        FROM e)),
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
+         |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+         |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+         |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2
+         |  FROM co JOIN sz s1 ON co.id1 = s1.doc_id JOIN sz s2 ON co.id2 = s2.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 6) >= 0.3),
+         |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |          UNION SELECT id2 AS u, id1 AS v FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM e
+         |  UNION
+         |  SELECT g.u, r.lab FROM edges g JOIN reach r ON g.v = r.id),
+         |nd AS (SELECT id AS doc_id FROM reach GROUP BY id
+         |       HAVING min(lab) = id),
+         |tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |        toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+         |          || ' ' || toks[CAST(i + 2 AS INT)] AS gram
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+         |            FROM tk WHERE len(toks) >= 3)),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 0),
+         |docg AS (SELECT doc_id, gram FROM g
+         |         WHERE doc_id IN (SELECT doc_id FROM nd)),
+         |szg AS (SELECT doc_id, count(*) AS n_grams FROM docg GROUP BY 1),
+         |h AS (SELECT doc_id, count(*) AS hits
+         |      FROM docg JOIN bench USING (gram) GROUP BY 1),
+         |contaminated AS (SELECT s.doc_id FROM szg s LEFT JOIN h USING (doc_id)
+         |  WHERE CAST(coalesce(hits, 0) AS DOUBLE) / n_grams >= 0.05::DOUBLE),
+         |clean AS (SELECT doc_id FROM nd
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT doc_id,
+         |  CASE WHEN $b < 98 THEN 'train'
+         |       WHEN $b < 99 THEN 'val' ELSE 'test' END AS split
+         |FROM clean""")( // no .stripMargin: QueryDef.sql strips internally, and a
+      // second strip would eat the leading | of the `|| ' ' ||` continuation line
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.pipeline.Curation.curate(
+            docs.where(pmod(col("doc_id"), lit(19)) =!= 0), "doc_id", "text",
+            benchmark = Some(docs.where(pmod(col("doc_id"), lit(19)) === 0)
+              .select(col("doc_id"), col("text"))))
+          .kept.select(col("doc_id"), col("split"))
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71)
+    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71, q74)
 }
