@@ -120,7 +120,7 @@ object AnalyticsQueries {
          |    quantile_cont(l_extendedprice, 0.99) AS sample_p99
          |  FROM smp WHERE rn <= 500 GROUP BY l_returnflag)
          |SELECT hll.l_returnflag, hll_orders, sample_p50, sample_p99
-         |FROM hll JOIN q ON hll.l_returnflag = q.l_returnflag""".stripMargin)(
+         |FROM hll JOIN q ON hll.l_returnflag = q.l_returnflag""")(
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         val hll = Sketches.hllDistinct(li, "l_returnflag", "l_orderkey")
@@ -222,7 +222,7 @@ object AnalyticsQueries {
       s"""SELECT CASE WHEN $b < 80 THEN 'train'
          |            WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
-         |FROM events GROUP BY 1""".stripMargin)(
+         |FROM events GROUP BY 1""")(
       (s, dir) => Tables.events(s, dir)
         .withColumn("split", Split.splitLabel(col("user_id"),
           Seq("train" -> 80, "val" -> 90, "test" -> 100)))
@@ -249,7 +249,7 @@ object AnalyticsQueries {
          |  FROM documents)
          |SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
-         |FROM r WHERE $b < rate GROUP BY lang""".stripMargin)(
+         |FROM r WHERE $b < rate GROUP BY lang""")(
       (s, dir) => {
         val rate = when(col("lang") === "en", 250000)
           .when(col("lang") === "zh", 500000).otherwise(1000000)

@@ -55,7 +55,7 @@ object MultimodalQueries {
          |       ELSE 'video' END AS kind,
          |  CAST(length(d.text) AS INT) AS n_bytes,
          |$fs
-         |FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id""".stripMargin)(
+         |FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id""")(
       (s, dir) => {
         val flat = Multimodal.decodeStub(
           Multimodal.corpusFromDocuments(Tables.documents(s, dir))).toDF()

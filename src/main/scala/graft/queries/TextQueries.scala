@@ -207,7 +207,7 @@ object TextQueries {
          |SELECT a.doc_id AS id1, b.doc_id AS id2,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)(
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")(
       (s, dir) => Dedup.simhashPairsBanded(
         Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits),
         "doc_id", maxDist = 3, bits = bits))
@@ -312,7 +312,7 @@ object TextQueries {
       |      FROM documents WHERE doc_id % 10 >= 8)
       |SELECT h, min(doc_id) AS keep_id
       |FROM d WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.h = d.h)
-      |GROUP BY h""".stripMargin)(
+      |GROUP BY h""")(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.incrementalExact(
@@ -360,7 +360,7 @@ object TextQueries {
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 >= 8)
          |SELECT DISTINCT id1, id2 FROM (
-         |  SELECT * FROM cross_pairs UNION ALL SELECT * FROM delta_pairs)""".stripMargin)(
+         |  SELECT * FROM cross_pairs UNION ALL SELECT * FROM delta_pairs)""")(
       (s, dir) => Dedup.incrementalLshCandidatesFlagged(
         Tables.documents(s, dir), pmod(col("doc_id"), lit(10)) >= 8,
         "doc_id", "text", k = 8, bands = bands, rowsPerBand = rpb))
