@@ -114,6 +114,45 @@ object TextAnalysis {
     df.select(col(idCol),
       md5(normalized(col(textCol)).cast("binary")).as("fingerprint"))
 
+  /** Corpus-typicality score: a character-bigram model TRAINED ON THE
+    * CORPUS ITSELF (the cheap stand-in for CCNet-style LM-perplexity
+    * filtering — no external LM in this container), scoring every doc by
+    * how typical its character transitions are:
+    *
+    *   score(d) = Σ_g C₂(g) / Σ_g C₁(first(g))   over d's bigrams g
+    *
+    * where C₂/C₁ are corpus bigram/char-position counts over NORMALIZED
+    * text. Boilerplate scores high, junk (rare transitions) scores low.
+    * The ratio-of-sums form keeps every accumulation an exact BIGINT —
+    * a mean of per-bigram probabilities would sum doubles in shuffle
+    * order — so one IEEE division at the end makes the score
+    * cross-engine exact (q75's oracle replays it bit-for-bit).
+    *
+    * Scale shape: "train" is ONE map-side-combined groupBy whose
+    * key space is the character alphabet² (a few KB at any corpus
+    * size); the model broadcasts; scoring is an explode + broadcast
+    * join + exact per-doc sums. Two passes over the corpus, nothing
+    * driver-side. */
+  def typicalityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(col(idCol), normalized(col(textCol)).as("norm"))
+      .select(col(idCol),
+        explode(expr(
+          "transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))"))
+          .as("g"))
+    val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring(col("g"), 1, 1).as("a"))
+      .agg(sum(col("c2")).as("c1"))
+    grams
+      .join(broadcast(c2), "g")
+      .join(broadcast(c1), substring(col("g"), 1, 1) === col("a"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("sum_c2"), sum(col("c1")).as("sum_c1"))
+      .select(col(idCol), col("n_bigrams"), col("sum_c2"), col("sum_c1"),
+        round(col("sum_c2").cast("double") / col("sum_c1").cast("double"), 6)
+          .as("typicality"))
+  }
+
   /** BPE-ish subword-boundary token count: letter runs, digit runs and
     * punctuation runs count separately (the pre-tokenization split every
     * BPE vocabulary starts from). Regex kept in the RE2 ∩ Java subset so

@@ -643,6 +643,30 @@ object TextQueries {
       })
   }
 
+  /** Corpus-typicality scoring (char-bigram model trained on the corpus
+    * itself — the deterministic stand-in for LM-perplexity filtering).
+    * Ratio-of-sums keeps every accumulation exact BIGINT; one IEEE
+    * division at the end replays bit-for-bit. */
+  val q75 = QueryDef.sql("q75_typicality",
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |g AS (SELECT doc_id, substring(norm, CAST(i AS INT), 2) AS g
+       |      FROM (SELECT doc_id, norm, unnest(range(1, length(norm))) AS i
+       |            FROM n)),
+       |c2 AS (SELECT g, count(*) AS c2 FROM g GROUP BY g),
+       |c1 AS (SELECT substring(g, 1, 1) AS a, CAST(SUM(c2) AS BIGINT) AS c1
+       |       FROM c2 GROUP BY 1),
+       |s AS (SELECT doc_id, count(*) AS n_bigrams,
+       |        CAST(SUM(c2.c2) AS BIGINT) AS sum_c2,
+       |        CAST(SUM(c1.c1) AS BIGINT) AS sum_c1
+       |      FROM g JOIN c2 USING (g) JOIN c1 ON substring(g.g, 1, 1) = c1.a
+       |      GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, sum_c2, sum_c1,
+       |  round(CAST(sum_c2 AS DOUBLE) / CAST(sum_c1 AS DOUBLE), 6) AS typicality
+       |FROM s""")(
+    (s, dir) => TextAnalysis.typicalityScore(
+      Tables.documents(s, dir), "doc_id", "text"))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
-    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71, q74)
+    q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
+    q74, q75)
 }

@@ -138,6 +138,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 0, -90), (3L, 1, 90)))
   }
 
+  test("typicality: junk text scores below corpus text; exact sums verified") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val junk = Seq((990001L, "qqxx zzvv kkjj wwqq xxzz vvkk jjww qqzz xxvv"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.typicalityScore(
+        corpus.unionByName(junk), "doc_id", "text")
+      .select("doc_id", "typicality").as[(Long, Double)].collect().toMap
+    val corpusScores = scored.view.filterKeys(_ != 990001L).values.toSeq
+    // the junk doc's character transitions are rare in this corpus
+    assert(scored(990001L) < corpusScores.min,
+      s"junk=${scored(990001L)} min=${corpusScores.min}")
+    // hand-check on a two-doc corpus: "ab" x2 → norm " ab ", bigrams
+    // " a","ab","b " each C2=2, and each first char starts exactly one
+    // bigram kind so C1=2 per position too → sums 6/6, typicality 1.0
+    val tiny = Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text")
+    val t = TextAnalysis.typicalityScore(tiny, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "sum_c2", "sum_c1")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(t == Set((1L, 3L, 6L, 6L), (2L, 3L, 6L, 6L)), t.toString)
+  }
+
   test("tfidfTopTerms: rank never exceeds k and is dense per document") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3)
