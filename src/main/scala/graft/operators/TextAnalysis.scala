@@ -142,9 +142,13 @@ object TextAnalysis {
     val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(substring(col("g"), 1, 1).as("a"))
       .agg(sum(col("c2")).as("c1"))
+    // the model pre-joins to (bigram → c2, c1) so the corpus-wide gram
+    // stream pays ONE broadcast lookup, not two; the model join itself
+    // is alphabet²-bounded rows
+    val model = c2.join(c1, substring(col("g"), 1, 1) === col("a"))
+      .select(col("g"), col("c2"), col("c1"))
     grams
-      .join(broadcast(c2), "g")
-      .join(broadcast(c1), substring(col("g"), 1, 1) === col("a"))
+      .join(broadcast(model), "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("c2")).as("sum_c2"), sum(col("c1")).as("sum_c1"))
