@@ -27,6 +27,14 @@ object Bench {
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    // JIT-warm the vector kernels (DotProduct, BlockTopK, TopKAggregate)
+    // on a small slice: the similarity queries run mid-bench and
+    // measured ±3 s run-to-run while C2 compiled these loops mid-query
+    val embWarm = Tables.embeddings(spark, sfDir).limit(256)
+    graft.operators.Similarity.cosineTopK(embWarm, "vec_id", "embedding", 5).count()
+    graft.operators.Similarity
+      .cosineTopKBlocked(embWarm, "vec_id", "embedding", 5, blocks = 4).count()
+    spark.catalog.clearCache()
 
     // Cumulative task-metric counters: the per-query deltas quantify the
     // scale story ("minimize shuffles") with measured bytes, not plan

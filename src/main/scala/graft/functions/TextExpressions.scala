@@ -40,6 +40,12 @@ object TextExpressions {
     org.apache.spark.sql.graftshim.Shim.column(ShingleHashArray(
       org.apache.spark.sql.graftshim.Shim.expression(text), k))
 
+  /** All k-character shingles in position order, multiplicity
+    * preserved — see [[ShingleMultiArray]]. */
+  def shingleMultiArray(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(ShingleMultiArray(
+      org.apache.spark.sql.graftshim.Shim.expression(text), k))
+
   /** Distinct winnowing fingerprints of `text` (k-gram md5-prefix
     * hashes, min per w-window), first-occurrence order. */
   def winnowArray(text: Column, k: Int, w: Int): Column =
@@ -97,6 +103,44 @@ case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+/** ALL k-character shingles of `text` in position order, multiplicity
+  * preserved — the COUNTING twin of [[ShingleArray]] (which dedupes for
+  * the set operators). Backing for per-position statistics like the
+  * typicality score, where every occurrence contributes; the fused
+  * JIT-compiled loop replaces a `transform(sequence(...), substring)`
+  * chain whose per-element interpreted evaluation dominated q75.
+  * Equality with the composable chain is asserted in
+  * TextExpressionsSpec. */
+case class ShingleMultiArray(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k=$k must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_multi_array"
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val len = s.numChars()
+    if (len <= k) return new GenericArrayData(Array[Any](s.substringSQL(1, k)))
+    val n = len - k + 1
+    val out = new Array[AnyRef](n)
+    var i = 1
+    while (i <= n) { out(i - 1) = s.substringSQL(i, k); i += 1 }
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("shingleMultiExpr", this,
+        classOf[ShingleMultiArray].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMultiArray =
     copy(child = newChild)
 }
 

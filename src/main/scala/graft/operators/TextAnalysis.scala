@@ -136,8 +136,7 @@ object TextAnalysis {
   def typicalityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = df.select(col(idCol), normalized(col(textCol)).as("norm"))
       .select(col(idCol),
-        explode(expr(
-          "transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))"))
+        explode(graft.functions.TextExpressions.shingleMultiArray(col("norm"), 2))
           .as("g"))
     val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(substring(col("g"), 1, 1).as("a"))

@@ -39,6 +39,27 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(got(4L) == Seq("abcdefgh", "bcdefghi"))
   }
 
+  test("ShingleMultiArray ≡ transform(sequence, substr) in order, with duplicates") {
+    val docs = Tables.documents(spark, sf)
+    val k = 2
+    val composable = docs.select(col("doc_id"),
+        transform(
+          sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+          i => col("text").substr(i, lit(k))).as("gs"))
+      .as[(Long, Seq[String])].collect().toMap
+    val fused = docs.select(col("doc_id"),
+        TextExpressions.shingleMultiArray(col("text"), k).as("gs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fused == composable) // ORDER and multiplicity, not just sets
+    // edges: shorter-than-k and exact-k
+    val edge = Seq((1L, "a"), (2L, "ab"), (3L, "aba"))
+      .toDF("id", "text")
+      .select(col("id"), TextExpressions.shingleMultiArray(col("text"), 2).as("gs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(edge(1L) == Seq("a") && edge(2L) == Seq("ab") &&
+      edge(3L) == Seq("ab", "ba"))
+  }
+
   test("ShingleHashArray ≡ xxhash64 over ShingleArray on the corpus + edges") {
     val k = 8
     def viaStrings(df: org.apache.spark.sql.DataFrame) = df
