@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(e(2), "minhash_sig")))
     inject("token_ngrams", classOf[TokenNgrams], 2)(e =>
       TokenNgrams(e.head, intArg(e(1), "token_ngrams")))
+    inject("shingle_multi_array", classOf[ShingleMultiArray], 2)(e =>
+      ShingleMultiArray(e.head, intArg(e(1), "shingle_multi_array")))
+    inject("bottomk_by_key", classOf[BottomKByKey], 3)(e =>
+      BottomKByKey(e.head, e(1), intArg(e(2), "bottomk_by_key"))
+        .toAggregateExpression())
 
     // band joins written as plain SQL get the Δ-bucket rewrite the
     // BandJoin operator applies by hand (kill switch:

@@ -60,6 +60,18 @@ class TextExpressionsSpec extends AnyFunSuite {
       edge(3L) == Seq("ab", "ba"))
   }
 
+  test("shingle_multi_array and bottomk_by_key are SQL-registered") {
+    val g = spark.sql("SELECT shingle_multi_array('abc', 2) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(g == Seq("ab", "bc"))
+    val b = spark.sql(
+      """SELECT bottomk_by_key(k, v, 2) AS bk
+        |FROM VALUES (3L, 1.0D), (1L, 2.0D), (2L, 3.0D) AS t(k, v)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(b == Seq((1L, 2.0), (2L, 3.0)))
+  }
+
   test("ShingleHashArray ≡ xxhash64 over ShingleArray on the corpus + edges") {
     val k = 8
     def viaStrings(df: org.apache.spark.sql.DataFrame) = df
