@@ -268,6 +268,36 @@ object TextAnalysis {
       .where(col("hits").cast("double") / col("n_grams") >= threshold)
   }
 
+  /** Contamination PROVENANCE: for every doc [[decontaminate]] flags,
+    * the benchmark document with the largest distinct-gram overlap
+    * (ties broken by smallest benchmark id) plus the shared-gram count
+    * — the audit trail behind a decontamination drop ("which eval doc
+    * leaked here"). Output: (id, n_grams, hits, ratio, bench_id,
+    * shared).
+    *
+    * Scale shape: the per-benchmark-doc join runs only for the FLAGGED
+    * docs (a tiny fraction by construction), so the (doc, bench doc)
+    * fan-out is bounded by |contaminated| × their gram lists — the
+    * full corpus never joins gram-to-gram at doc granularity. */
+  def decontaminationReport(corpus: DataFrame, bench: DataFrame, idCol: String,
+                            textCol: String, n: Int, threshold: Double): DataFrame = {
+    val grams = graft.functions.TextExpressions.tokenNgrams(col(textCol), n)
+    val flagged = decontaminate(corpus, bench, idCol, textCol, n, threshold)
+    val flaggedGrams = corpus.join(flagged.select(col(idCol)), Seq(idCol))
+      .select(col(idCol), explode(grams).as("gram"))
+    val benchGrams = bench.select(col(idCol).as("bench_id"),
+      explode(grams).as("gram"))
+    val best = flaggedGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("shared").desc, col("bench_id"))))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("bench_id"), col("shared"))
+    flagged.join(best, Seq(idCol))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the formulation for the
     * regime where the benchmark gram set is too large to broadcast as an
     * exact hash set (contamination sweeps against MANY benchmarks at

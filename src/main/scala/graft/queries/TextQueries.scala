@@ -666,7 +666,50 @@ object TextQueries {
     (s, dir) => TextAnalysis.typicalityScore(
       Tables.documents(s, dir), "doc_id", "text"))
 
+  /** Contamination provenance (q62 + the audit trail): each flagged doc
+    * with its best-overlapping benchmark doc (ties → smallest bench
+    * id) and the shared distinct-gram count. */
+  val q76 = QueryDef.sql("q76_contamination_report",
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+      |          || ' ' || toks[CAST(i + 2 AS INT)] AS gram
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |            FROM tk WHERE len(toks) >= 3)),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 0),
+      |docg AS (SELECT doc_id, gram FROM g WHERE doc_id % 19 <> 0),
+      |sz AS (SELECT doc_id, count(*) AS n_grams FROM docg GROUP BY 1),
+      |h AS (SELECT doc_id, count(*) AS hits
+      |      FROM docg JOIN bench USING (gram) GROUP BY 1),
+      |flagged AS (SELECT s.doc_id, n_grams, coalesce(hits, 0) AS hits,
+      |    round(CAST(coalesce(hits, 0) AS DOUBLE) / n_grams, 6) AS ratio
+      |  FROM sz s LEFT JOIN h USING (doc_id)
+      |  WHERE CAST(coalesce(hits, 0) AS DOUBLE) / n_grams >= 0.05::DOUBLE),
+      |pb AS (SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+      |       FROM docg c
+      |       JOIN (SELECT doc_id, gram FROM g WHERE doc_id % 19 = 0) b
+      |         USING (gram)
+      |       WHERE c.doc_id IN (SELECT doc_id FROM flagged)
+      |       GROUP BY 1, 2),
+      |best AS (SELECT doc_id, bench_id, shared FROM (
+      |  SELECT doc_id, bench_id, shared,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY shared DESC, bench_id) AS rn
+      |  FROM pb) t WHERE rn = 1)
+      |SELECT f.doc_id, f.n_grams, f.hits, f.ratio, b.bench_id, b.shared
+      |FROM flagged f JOIN best b USING (doc_id)""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.decontaminationReport(
+        docs.where(pmod(col("doc_id"), lit(19)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(19)) === 0),
+        "doc_id", "text", n = 3, threshold = 0.05)
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75)
+    q74, q75, q76)
 }

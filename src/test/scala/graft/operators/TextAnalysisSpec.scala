@@ -84,6 +84,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("decontaminationReport attributes each leak to the right benchmark doc") {
+    val bench = Seq(
+      (100L, "the secret benchmark question about turtles"),
+      (200L, "another held out evaluation prompt entirely")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaks benchmark 100 (4 shared grams) and none of 200
+      (1L, "prefix words the secret benchmark question about turtles suffix"),
+      // leaks benchmark 200 only
+      (2L, "copy of another held out evaluation prompt entirely with tail"),
+      // clean
+      (3L, "entirely unrelated content with different words here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminationReport(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      .select("doc_id", "bench_id", "shared")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((100L, 4L)), got.toString)
+    assert(got(2L)._1 == 200L && got(2L)._2 >= 4L, got.toString)
+  }
+
   test("decontaminateBloom ≡ decontaminate on the sf0.001 corpus and fixtures") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Long, Double)].collect().toSet
