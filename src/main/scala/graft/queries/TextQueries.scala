@@ -709,7 +709,40 @@ object TextQueries {
         "doc_id", "text", n = 3, threshold = 0.05)
     })
 
+  /** Cross-document duplicated SPANS (the signal behind exact-substring
+    * dedup à la "Deduplicating Training Data Makes Language Models
+    * Better"): winnowing fingerprints — each witnessing a concrete
+    * k-gram at a selected position — shared by ≥ 2 documents, with the
+    * doc count and an id checksum proving WHICH docs share each span.
+    * Scale shape: q45's zero-shuffle per-row fingerprint scan + ONE
+    * hash aggregation on the fingerprint; no pair join at all — span
+    * dedup at corpus scale is a groupBy, not a self-join. */
+  val q77 = QueryDef.sql("q77_shared_spans",
+    """WITH grams AS (
+      |  SELECT doc_id, i - 1 AS pos, substring(text, i, 5) AS g
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS i
+      |        FROM documents)),
+      |h AS (SELECT doc_id, pos,
+      |        ('0x' || substring(md5(g), 1, 8))::BIGINT AS h FROM grams),
+      |m AS (SELECT doc_id, pos,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin,
+      |        count(*) OVER (PARTITION BY doc_id) AS n_grams
+      |      FROM h),
+      |fp AS (SELECT DISTINCT doc_id, winmin AS fp
+      |       FROM m WHERE pos <= n_grams - 4)
+      |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc,
+      |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+      |FROM fp GROUP BY fp HAVING count(*) > 1""")(
+    (s, dir) => TextAnalysis.winnowing(Tables.documents(s, dir),
+        "doc_id", "text", k = 5, w = 4)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        sum(col("doc_id")).as("doc_sum"))
+      .where(col("n_docs") > 1))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76)
+    q74, q75, q76, q77)
 }
