@@ -302,6 +302,45 @@ object AnalyticsQueries {
           col("v").cast("double").as("value"), round(z, 6).as("z"))
     })
 
+  /** Approximate distinct users per tumbling hour — the sketch-per-
+    * window shape every 100 TB stream dashboard runs (an exact
+    * count-distinct per window shuffles every (window, user) pair;
+    * the HLL reduces map-side to windows × 256 registers). Portable
+    * md5-HLL ([[graft.operators.Sketches]]) so the estimate itself
+    * hash-matches the oracle, composed with q22's window bucketing. */
+  val q78 = {
+    import graft.operators.Sketches
+    val rhoCase = Sketches.rhoSql(s"(h & ${(1L << Sketches.RemBits) - 1})")
+    val m = Sketches.Buckets
+    val ew = Sketches.EmptyWeight
+    QueryDef.sql("q78_window_distinct_sketch",
+      s"""WITH e AS (SELECT
+         |    CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+         |      AS win_start,
+         |    user_id FROM events),
+         |h AS (SELECT win_start,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM e),
+         |reg AS (SELECT win_start, h >> ${Sketches.RemBits} AS bucket,
+         |    max($rhoCase) AS rho
+         |  FROM h GROUP BY win_start, h >> ${Sketches.RemBits}),
+         |agg AS (SELECT win_start, count(*) AS present,
+         |    SUM(1::BIGINT << (${Sketches.RemBits + 1} - rho)) AS s_present
+         |  FROM reg GROUP BY win_start)
+         |SELECT win_start,
+         |  ${Sketches.alphaSql}
+         |    * ${m.toDouble}::DOUBLE * ${m.toDouble}::DOUBLE * ${ew.toDouble}::DOUBLE
+         |    / CAST(s_present + ($m - present) * $ew AS DOUBLE)
+         |    AS hll_users
+         |FROM agg""")(
+      (s, dir) => Sketches.hllDistinct(
+          Tables.events(s, dir)
+            .select(unix_seconds(window(col("ts"), "1 hour").getField("start"))
+              .as("win_start"), col("user_id")),
+          "win_start", "user_id")
+        .withColumnRenamed("hll_user_id", "hll_users"))
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
-    q69, q70, q72)
+    q69, q70, q72, q78)
 }
