@@ -341,6 +341,32 @@ object AnalyticsQueries {
         .withColumnRenamed("hll_user_id", "hll_users"))
   }
 
+  /** Retention cohorts: users grouped by first-seen day, activity
+    * counted per (cohort, day offset) — the classic warehouse retention
+    * matrix. Integer-microsecond day bucketing (never float epoch), so
+    * the matrix is exact on both engines. Scale shape: one user-keyed
+    * aggregation for first-seen, one distinct on (user, day), one
+    * cohort-keyed count — all map-side combined, no window, no
+    * self-join. */
+  val q79 = QueryDef.sql("q79_retention_cohorts",
+    """WITH ev AS (SELECT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+      |fu AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id, day FROM ev)
+      |SELECT f.cohort_day, CAST(a.day - f.cohort_day AS INT) AS day_offset,
+      |  count(*) AS active_users
+      |FROM act a JOIN fu f USING (user_id)
+      |GROUP BY 1, 2""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000L").as("day"))
+      val fu = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.distinct().join(fu, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).cast("int").as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
-    q69, q70, q72, q78)
+    q69, q70, q72, q78, q79)
 }
