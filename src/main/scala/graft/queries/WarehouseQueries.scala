@@ -295,5 +295,50 @@ object WarehouseQueries {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events")))
 
-  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48, q67, q68)
+  /** Funnel conversion: for every signup, the first purchase by the
+    * same user within 24 h (forward as-of with tolerance), rolled up to
+    * a per-day conversion rate — the product-analytics funnel as a
+    * composition of the as-of operator, NOT an event self-join (the
+    * join formulation pairs every signup with every later purchase;
+    * the as-of window emits exactly one candidate per signup, one
+    * exchange total). The oracle replays q67/q68's double-window
+    * machinery plus the tolerance gate. */
+  val q80 = QueryDef.sql("q80_funnel_conversion",
+    """WITH t AS (
+      |  SELECT user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+      |               IGNORE NULLS) OVER wf AS fid,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+      |               IGNORE NULLS) OVER wf AS fts
+      |  FROM events
+      |  WINDOW wf AS (PARTITION BY user_id
+      |                ORDER BY ts DESC, (event_type = 'purchase') DESC, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |sel AS (SELECT user_id, ts,
+      |    CASE WHEN fid IS NOT NULL
+      |          AND fts - epoch_us(ts) <= 86400000000 THEN fid END AS conv
+      |  FROM t WHERE event_type = 'signup')
+      |SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS signup_day,
+      |  count(*) AS signups, count(conv) AS converted,
+      |  round(CAST(count(conv) AS DOUBLE) / count(*), 6) AS conversion
+      |FROM sel GROUP BY 1""")(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.operators.AsOfJoin(signups, purchases, key = "user_id",
+          leftTs = "ts", rightTs = "ts", payloadCols = Seq("purchase_id"),
+          direction = "forward", toleranceUs = Some(86400000000L))
+        .groupBy(expr("unix_micros(ts) DIV 86400000000L").as("signup_day"))
+        .agg(count(lit(1)).as("signups"),
+          count(col("asof_purchase_id")).as("converted"))
+        .select(col("signup_day"), col("signups"), col("converted"),
+          round(col("converted").cast("double") / col("signups"), 6)
+            .as("conversion"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48, q67,
+    q68, q80)
 }
