@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Random-input invariants for the round-4 operators (raw ScalaCheck
+  * generators with fixed seeds — the scalatestplus bridge is not in the
+  * offline artifact cache, same pattern as Scd2PropertySpec). */
+class OperatorPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+
+  test("slidingChunks: token coverage, chunk-count formula, determinism") {
+    val textGen = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "x", "yz"))
+    } yield toks.mkString(" ")
+    for (trial <- 0 until 6) {
+      val texts = Gen.listOfN(30, textGen).apply(params, Seed(7000L + trial)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val window = 4 + trial % 3
+      val stride = 1 + trial % window
+      val out = Split.slidingChunks(docs, "doc_id", "text", window, stride)
+        .as[(Long, Int, Int, String)].collect()
+      val byDoc = out.groupBy(_._1)
+      for ((id, text) <- texts.zipWithIndex.map(_.swap)) {
+        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        byDoc.get(id.toLong) match {
+          case None => assert(toks.isEmpty, s"doc $id lost: '$text'")
+          case Some(chunks) =>
+            // chunk count = 1 + ceil(max(n-W,0)/S)
+            val expected = 1 + math.ceil(
+              math.max(toks.size - window, 0).toDouble / stride).toInt
+            assert(chunks.length == expected,
+              s"doc $id: ${chunks.length} chunks, expected $expected (n=${toks.size})")
+            // every token position covered by at least one chunk
+            val covered = chunks.sortBy(_._2).flatMap { case (_, cid, _, txt) =>
+              val start = cid * stride
+              txt.split(" ").zipWithIndex.map { case (tok, j) => (start + j, tok) }
+            }.toMap
+            assert(covered.size == toks.size &&
+              toks.indices.forall(i => covered(i) == toks(i)),
+              s"doc $id coverage mismatch")
+        }
+      }
+    }
+  }
+
+  test("BottomKByKey equals sort-take(k) on random grouped data") {
+    val rowGen = for {
+      g <- Gen.choose(0, 3)
+      k <- Gen.choose(-1000L, 1000L)
+      v <- Gen.choose(-100, 100).map(_ / 10.0)
+    } yield (g, k, v)
+    for (trial <- 0 until 6) {
+      val rows = Gen.listOfN(400, rowGen).apply(params, Seed(8000L + trial)).get
+      val df = rows.toDF("g", "h", "v")
+      val k = 1 + trial * 3
+      val got = df.groupBy($"g")
+        .agg(graft.functions.TopKAggregate
+          .bottomkByKey($"h", $"v", k).as("bk"))
+        .select($"g",
+          org.apache.spark.sql.functions
+            .expr("transform(bk, x -> struct(x.h AS _1, x.v AS _2))").as("bk"))
+        .as[(Int, Seq[(Long, Double)])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sorted.take(k)
+      }
+      assert(got.keySet == want.keySet)
+      for ((g, w) <- want) assert(got(g) == w,
+        s"group $g k=$k: ${got(g)} vs $w")
+    }
+  }
+
+  test("overlapsSelf: naive ≡ bucketed on random bounded intervals") {
+    val ivGen = for {
+      key <- Gen.choose(0L, 4L)
+      start <- Gen.choose(0L, 5000000L)
+      len <- Gen.choose(0L, 600000L) // within the enforced bound below
+    } yield (key, start, len)
+    for (trial <- 0 until 4) {
+      val ivs = Gen.listOfN(150, ivGen).apply(params, Seed(9000L + trial)).get
+      val df = ivs.zipWithIndex.map { case ((key, s, len), i) =>
+        (key, i.toLong,
+          new java.sql.Timestamp(s / 1000),
+          new java.sql.Timestamp((s + len) / 1000))
+      }.toDF("k", "id", "s", "e")
+      val maxLen = 1000000L // µs; len ≤ 600000 µs always passes
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select("k", "id_1", "id_2").as[(Long, Long, Long)].collect().toSet
+      val naive = rows(IntervalJoin.overlapsSelfNaive(
+        df, Seq("k"), Seq("id"), "s", "e", maxLen))
+      val bucketed = rows(IntervalJoin.overlapsSelf(
+        df, Seq("k"), Seq("id"), "s", "e", maxLen))
+      assert(naive == bucketed, s"trial $trial: ${naive.size} vs ${bucketed.size}")
+      assert(naive.nonEmpty, "degenerate trial: no overlapping pairs at all")
+    }
+  }
+}
