@@ -77,6 +77,53 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("typicalityScore ∈ (0, 1] on random corpora (c2 ≤ c1 pointwise)") {
+    val textGen = for {
+      n <- Gen.choose(1, 25)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "ab", "ba", "zq", "mw", "q"))
+    } yield toks.mkString(" ")
+    for (trial <- 0 until 4) {
+      val texts = Gen.listOfN(40, textGen).apply(params, Seed(11000L + trial)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.typicalityScore(docs, "doc_id", "text")
+        .select("doc_id", "typicality").as[(Long, Double)].collect()
+      assert(out.length == texts.length)
+      for ((id, t) <- out)
+        assert(t > 0.0 && t <= 1.0, s"doc $id typicality $t out of (0,1]")
+    }
+  }
+
+  test("resizeStub: length min(n, target), bytes within payload range") {
+    val textGen = for {
+      n <- Gen.choose(0, 200)
+      cs <- Gen.listOfN(n, Gen.choose('a', 'z'))
+    } yield cs.mkString
+    for (trial <- 0 until 4) {
+      val texts = Gen.listOfN(30, textGen).apply(params, Seed(12000L + trial)).get
+      // ids ≡ 0 mod 3 → every doc is 'image' kind
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong * 3, t) }
+        .toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'src' AS source", "'en' AS lang",
+          "length(text) AS n_chars")
+      val target = 16 + trial * 16
+      val out = Multimodal.resizeStub(
+        Multimodal.corpusFromDocuments(docs), target).collect()
+      assert(out.length == texts.length)
+      for (r <- out) {
+        val src = texts((r.media_id / 3).toInt).getBytes("UTF-8")
+        assert(r.n_orig == src.length)
+        assert(r.n_resized == math.min(src.length, target),
+          s"media ${r.media_id}: ${r.n_resized} vs min(${src.length}, $target)")
+        if (src.nonEmpty) {
+          val lo = src.min; val hi = src.max
+          assert(r.resized.forall(b => b >= lo && b <= hi),
+            s"media ${r.media_id}: average left the byte range")
+        }
+      }
+    }
+  }
+
   test("overlapsSelf: naive ≡ bucketed on random bounded intervals") {
     val ivGen = for {
       key <- Gen.choose(0L, 4L)
