@@ -111,8 +111,11 @@ object Bench {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    val qs = results.map { case (k, (v, _, _, _, _)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + sec(v)
+    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"shortened bench keys collide: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
+    val qs = shortKeys.zip(results).map { case (sk, (_, (v, _, _, _, _))) =>
+      "\"" + sk + "\":" + sec(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

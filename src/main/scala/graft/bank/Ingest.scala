@@ -89,8 +89,14 @@ object Ingest {
       col("transaction_id"), col("transaction_date"), col("card_num"),
       col("oper_type"), amountCast.as("amount"),
       col("oper_result"), col("terminal"))
-    val day = good.agg(min(to_date(col("transaction_date")))).head().getDate(0)
-    (good, quarantine, day)
+    // A fully-poisoned file (every row quarantined) yields a NULL min —
+    // fail loudly with the path, not an NPE from getDate(0).
+    val minDay = good.agg(min(to_date(col("transaction_date")))).head()
+    if (minDay.isNullAt(0))
+      throw new IllegalStateException(
+        s"no parseable transaction rows in $path — all ${raw.count()} " +
+          "line(s) quarantined; inspect the quarantine frame")
+    (good, quarantine, minDay.getDate(0))
   }
 
   /** S5: terminals full snapshot (4 string columns). */

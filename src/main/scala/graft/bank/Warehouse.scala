@@ -37,9 +37,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
       .parquet(dir(name).toString)
 
-  /** Atomic replace: write to `<name>.tmp`, delete old, move in. The
-    * source plan is fully materialized before the old directory goes
-    * away, so self-referencing rewrites (SCD2) are safe. */
+  /** Replace via write-new → swap: write to `<name>.tmp`, delete old,
+    * move in. The source plan is fully materialized before the old
+    * directory goes away, so self-referencing rewrites (SCD2) are safe.
+    * NOT atomic against concurrent access — see [[compact]]'s
+    * concurrency contract (single writer; crash between delete and move
+    * leaves the table at `<name>.tmp` — move it back to recover). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val tmp = Paths.get(root, s"$name.tmp")
     deleteRecursive(tmp)
@@ -54,19 +57,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * Daily appends leave one file-set per batch; a year of days makes
     * every scan open hundreds of tiny files (at cluster scale: NameNode
     * /object-store metadata pressure and per-file open latency dominate
-    * the read). Rewrites through the same write-new → atomic-swap path
-    * as [[overwrite]], so readers never see a partial table; for a
-    * partitioned table pass `partitionCols` — rows re-bucket BY
-    * partition so each task writes whole files into its partition
-    * directories and the layout is preserved. Run it off-peak at a
-    * cadence matching append volume; appends after the swap are new
-    * small files again (the usual compact-behind pattern). */
+    * the read). Rewrites through the write-new → swap path shared with
+    * [[overwrite]]; for a partitioned table pass `partitionCols` — rows
+    * re-bucket BY partition so each task writes whole files into its
+    * partition directories and the layout is preserved. Run it off-peak
+    * at a cadence matching append volume; appends after the swap are new
+    * small files again (the usual compact-behind pattern).
+    *
+    * Concurrency contract: compact (and overwrite) must be SERIALIZED
+    * with writers to the same table — an append landing between the
+    * source materialization and the delete-then-move swap is lost, and
+    * the swap itself is two filesystem ops, not one atomic rename. If a
+    * crash lands between them the data survives solely at `<name>.tmp`;
+    * recovery = move `<name>.tmp` back to `<name>`. A cluster deployment
+    * gets real atomicity from a table format's commit protocol; this
+    * layer deliberately keeps the single-writer filesystem shape. */
   def compact(name: String, partitionCols: Seq[String] = Nil,
               targetFileBytes: Long = 128L << 20): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val src = dir(name)
-    val bytes = Files.walk(src).filter(p => p.toString.endsWith(".parquet"))
-      .mapToLong(p => Files.size(p)).sum()
+    val walk = Files.walk(src)
+    val bytes =
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => Files.size(p)).sum()
+      finally walk.close()
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = read(name)
     val arranged =
@@ -83,8 +97,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
     }
 
   /** META_LOADING audit sink (`comm_funcs.py:13-18`). */

@@ -358,8 +358,11 @@ object AnalyticsQueries {
       |FROM act a JOIN fu f USING (user_id)
       |GROUP BY 1, 2""")(
     (s, dir) => {
+      // floor division (pmod form), not DIV: DuckDB's // floors while
+      // DIV truncates toward zero — they disagree on pre-1970 epochs
       val ev = Tables.events(s, dir).select(col("user_id"),
-        expr("unix_micros(ts) DIV 86400000000L").as("day"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L))" +
+          " DIV 86400000000L").as("day"))
       val fu = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
       ev.distinct().join(fu, "user_id")
         .groupBy(col("cohort_day"),

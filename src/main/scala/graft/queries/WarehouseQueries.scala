@@ -331,7 +331,10 @@ object WarehouseQueries {
       graft.operators.AsOfJoin(signups, purchases, key = "user_id",
           leftTs = "ts", rightTs = "ts", payloadCols = Seq("purchase_id"),
           direction = "forward", toleranceUs = Some(86400000000L))
-        .groupBy(expr("unix_micros(ts) DIV 86400000000L").as("signup_day"))
+        // floor division (pmod form), not DIV: DuckDB's // floors while
+        // DIV truncates toward zero — they disagree on pre-1970 epochs
+        .groupBy(expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L))" +
+          " DIV 86400000000L").as("signup_day"))
         .agg(count(lit(1)).as("signups"),
           count(col("asof_purchase_id")).as("converted"))
         .select(col("signup_day"), col("signups"), col("converted"),
