@@ -74,6 +74,102 @@ object TextExpressions {
   def stopHits(text: Column, words: Seq[String]): Column =
     org.apache.spark.sql.graftshim.Shim.column(StopHits(
       org.apache.spark.sql.graftshim.Shim.expression(text), words))
+
+  /** Per-row typicality counters `struct<n_bigrams, sum_c2, sum_c1>`
+    * against a trained bigram model — see [[TypicalityStats]]. */
+  def typicalityStats(text: Column, model: Array[(String, Long, Long)]): Column =
+    org.apache.spark.sql.graftshim.Shim.column(TypicalityStats(
+      org.apache.spark.sql.graftshim.Shim.expression(text), model))
+}
+
+/** Fused typicality scoring: the three per-document sums of the
+  * corpus-bigram model ([[graft.operators.TextAnalysis.typicalityScore]])
+  * in ONE pass over the normalized text.
+  *
+  * The composable formulation — explode every bigram occurrence, inner
+  * broadcast-join the (g → c2, c1) model, re-aggregate by document —
+  * shuffles nothing (partial aggregation absorbs it) but pays explode +
+  * probe + hash-agg row machinery per BIGRAM; at ~document-length rows
+  * per document that machinery dominated q75. Here the model rides
+  * along as one reference object (alphabet²-bounded — a few thousand
+  * entries at any corpus size) and each row is one walk over its
+  * bigrams with a hash lookup each: same sums, exact BIGINT, no
+  * intermediate rows at all.
+  *
+  * Semantics locked to the composable form (TextAnalysisSpec asserts
+  * row-for-row equality): bigrams in position order with multiplicity
+  * ([[ShingleMultiArray]] slicing, including the shorter-than-k clamp),
+  * and a bigram absent from the model contributes to NO counter —
+  * exactly what the inner join drops. Long sums are order-free, so the
+  * single in-order walk equals the aggregate's arbitrary order. */
+case class TypicalityStats(child: Expression,
+                           model: Array[(String, Long, Long)])
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType), StructField("sum_c2", LongType),
+    StructField("sum_c1", LongType)))
+  override def prettyName: String = "typicality_stats"
+
+  // UTF8String-keyed view of the model, built once per JVM from the
+  // serializable String form
+  @transient private lazy val map: java.util.HashMap[UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Long]](model.length * 2)
+    model.foreach { case (g, c2, c1) =>
+      m.put(UTF8String.fromString(g), Array(c2, c1))
+    }
+    m
+  }
+
+  def compute(s: UTF8String): InternalRow = {
+    val len = s.numChars()
+    var n = 0L
+    var s2 = 0L
+    var s1 = 0L
+    def hit(g: UTF8String): Unit = {
+      val e = map.get(g)
+      if (e != null) { n += 1; s2 += e(0); s1 += e(1) }
+    }
+    if (len <= 2) hit(s.substringSQL(1, 2))
+    else {
+      // one byte walk + zero-copy byte-window probes (substringSQL
+      // re-walks the prefix per call — O(len²); fromAddress views the
+      // window in place, no copy per probe)
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val nb = s.numBytes()
+      val offs = new Array[Int](len + 1)
+      var ci = 0; var b = 0
+      while (b < nb) {
+        offs(ci) = b
+        b += UTF8String.numBytesForFirstByte(s.getByte(b))
+        ci += 1
+      }
+      offs(len) = nb
+      var i = 0
+      val last = len - 2
+      while (i <= last) {
+        hit(UTF8String.fromAddress(base, off + offs(i), offs(i + 2) - offs(i)))
+        i += 1
+      }
+    }
+    InternalRow(n, s2, s1)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("typicalityExpr", this,
+        classOf[TypicalityStats].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TypicalityStats =
+    copy(child = newChild)
 }
 
 case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
@@ -123,10 +219,31 @@ case class ShingleMultiArray(child: Expression, k: Int) extends UnaryExpression 
   def compute(s: UTF8String): GenericArrayData = {
     val len = s.numChars()
     if (len <= k) return new GenericArrayData(Array[Any](s.substringSQL(1, k)))
+    // one byte walk for all char offsets — substringSQL(i, k) re-walks
+    // the prefix per call, O(len²) on long rows (same fix as
+    // ShingleHashArray); each shingle copies its own byte window
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val offs = new Array[Int](len + 1)
+    var ci = 0; var b = 0
+    while (b < nb) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      ci += 1
+    }
+    offs(len) = nb
     val n = len - k + 1
     val out = new Array[AnyRef](n)
-    var i = 1
-    while (i <= n) { out(i - 1) = s.substringSQL(i, k); i += 1 }
+    var i = 0
+    while (i < n) {
+      val bs = new Array[Byte](offs(i + k) - offs(i))
+      org.apache.spark.unsafe.Platform.copyMemory(
+        base, off + offs(i), bs, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bs.length)
+      out(i) = UTF8String.fromBytes(bs)
+      i += 1
+    }
     new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
   }
 

@@ -432,6 +432,106 @@ case class BlockNearDup(left: Expression, right: Expression, threshold: Double)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused IVF cell probe: the `nprobe` nearest centroids of a vector in
+  * ONE pass over one flattened centroid matrix.
+  *
+  * The composable formulation ([[graft.operators.Ivf.probeCellsExpr]] —
+  * an `array_sort` over `nlist` per-centroid struct expressions, each
+  * with its own [[DotProduct]] against a `dim`-element literal array)
+  * is semantically identical but builds an `nlist`-wide expression tree
+  * per row — at the textbook nlist ≈ √n sizing that tree GROWS with the
+  * corpus (√20000 ≈ 142 dot products per row at sf0.1) and its
+  * evaluation dominated q39, the same way the per-plane LSH chain
+  * dominated q34 before [[LshBuckets]]. Here the centroids ride along
+  * as one flat `double[]` reference object and the probe is one
+  * codegen'd double loop plus a bounded (d², cell)-ordered insertion —
+  * identical selection order to `array_sort(struct(d, cell))`, so the
+  * probed cells match the composable form exactly (IvfSpec asserts it).
+  *
+  * Unlike [[LshBuckets]]' seed-derived planes, centroids are DATA
+  * (KMeans output), so the matrix ships with the serialized plan —
+  * nlist × dim doubles, e.g. 142 × 16 ≈ 18 KB at sf0.1: far under any
+  * task-size concern, and broadcast-equivalent in cost. Per-row and
+  * stateless, so it composes with streaming probes
+  * ([[graft.streaming.Streams.retrieveStream]]) in append mode. */
+case class IvfProbe(child: Expression, centroidsFlat: Array[Double],
+                    dim: Int, nprobe: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  require(dim > 0 && centroidsFlat.length % dim == 0,
+    s"centroid matrix length ${centroidsFlat.length} not a multiple of dim=$dim")
+  private def nlist: Int = centroidsFlat.length / dim
+  require(nprobe >= 1 && nprobe <= nlist,
+    s"nprobe=$nprobe must be within [1, nlist=$nlist]")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_probe"
+
+  // ‖c‖² per cell, precomputed once per plan (strict index-order sum —
+  // same order as the composable form's c.map(x => x*x).sum)
+  @transient private lazy val cn2: Array[Double] = {
+    val out = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += centroidsFlat(c * dim + i) * centroidsFlat(c * dim + i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  def computeCells(v: ArrayData): Array[Int] = {
+    val n = math.min(dim, v.numElements())
+    // ‖v‖² via the same strict fold → sqrt → square chain as the
+    // composable form (which receives nrm = sqrt(dot(v,v)) and squares
+    // it), so d² is bit-identical to probeCellsExpr's
+    var s1 = 0.0
+    var i = 0
+    while (i < n) { s1 += v.getDouble(i) * v.getDouble(i); i += 1 }
+    val nrm = math.sqrt(s1)
+    val vn2 = nrm * nrm
+    // bounded ascending insertion by (d², cell): array_sort order
+    val topD = new Array[Double](nprobe)
+    val topC = new Array[Int](nprobe)
+    var cnt = 0
+    var c = 0
+    while (c < nlist) {
+      var dp = 0.0
+      i = 0
+      val base = c * dim
+      while (i < n) { dp += v.getDouble(i) * centroidsFlat(base + i); i += 1 }
+      val d = vn2 - 2.0 * dp + cn2(c)
+      if (cnt < nprobe || d < topD(cnt - 1)) { // cell asc: strict < keeps earlier cell on tie
+        var pos = math.min(cnt, nprobe - 1)
+        while (pos > 0 && d < topD(pos - 1)) {
+          topD(pos) = topD(pos - 1); topC(pos) = topC(pos - 1); pos -= 1
+        }
+        topD(pos) = d; topC(pos) = c
+        if (cnt < nprobe) cnt += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(topC, cnt)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(computeCells(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("ivfProbeExpr", this,
+        classOf[IvfProbe].getName)
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$self.computeCells($v));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbe =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** `Column` wrapper for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
@@ -457,6 +557,12 @@ object VectorExpressions {
     org.apache.spark.sql.graftshim.Shim.column(BlockNearDup(
       org.apache.spark.sql.graftshim.Shim.expression(ra),
       org.apache.spark.sql.graftshim.Shim.expression(rb), threshold))
+
+  /** `Column` wrapper for [[IvfProbe]]: the `nprobe` nearest cells. */
+  def ivfProbeNative(vec: Column, centroidsFlat: Array[Double], dim: Int,
+                     nprobe: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(IvfProbe(
+      org.apache.spark.sql.graftshim.Shim.expression(vec), centroidsFlat, dim, nprobe))
 
   /** `Column` wrapper for [[LshProbes]]: `tables×(flips+1)` probe keys. */
   def lshProbesNative(vec: Column, dim: Int, planes: Int, tables: Int,

@@ -54,10 +54,14 @@ object Ivf {
     * shuffle, so it composes with STREAMING queries in append mode
     * (a groupBy-top-k probe would be a stateful streaming aggregation).
     * ‖v−c‖² = ‖v‖² − 2⟨v,c⟩ + ‖c‖²; ordering (dist2 ASC, cell ASC)
-    * matches the aggregate probe in [[ivfTopK]] exactly. One dot
-    * expression per centroid — fine at nlist ≈ √n sizes; a fused
-    * matrix expression (the LshBuckets treatment) is the upgrade path
-    * if nlist grows past a few hundred. */
+    * matches the aggregate probe in [[ivfTopK]] exactly.
+    *
+    * SEMANTIC REFERENCE ONLY: one dot expression per centroid means an
+    * nlist-wide expression tree per row, and nlist ≈ √n GROWS with the
+    * corpus — the serving paths use the fused single-loop
+    * [[graft.functions.VectorExpressions.ivfProbeNative]] (the
+    * LshBuckets treatment; IvfSpec asserts probe-for-probe equality
+    * with this form). */
   def probeCellsExpr(vec: Column, nrm: Column,
                      centroids: Array[(Int, Array[Double])],
                      nprobe: Int): Column = {
@@ -71,6 +75,21 @@ object Ivf {
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
   }
 
+  /** Fused probe over an [[IvfIndex]]'s centroid matrix: array of the
+    * `nprobe` nearest cell ids, one codegen'd loop per row (see
+    * [[graft.functions.VectorExpressions.IvfProbe]]). Requires the
+    * index's cell ids to be the dense 0..nlist-1 range [[buildIndex]]
+    * produces. */
+  def probeCellsFused(vec: Column, index: IvfIndex, nprobe: Int): Column = {
+    val cs = index.centroids
+    require(cs.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "fused probe requires dense 0..nlist-1 cell ids (buildIndex order)")
+    val dim = cs.head._2.length
+    val flat = new Array[Double](cs.length * dim)
+    cs.foreach { case (i, c) => System.arraycopy(c, 0, flat, i * dim, dim) }
+    graft.functions.VectorExpressions.ivfProbeNative(vec, flat, dim, nprobe)
+  }
+
   /** Top-k corpus neighbours by cosine for a BATCH of queries against a
     * built index. `excludeSelf` drops id_a = id_b matches (self-search).
     * Scale shape: per-row cell probing (no shuffle), one equi-join on
@@ -82,7 +101,7 @@ object Ivf {
         transform(col(vecCol), x => x.cast("double")).as("va"))
       .withColumn("na", Similarity.norm(col("va")))
       .withColumn("cell",
-        explode(probeCellsExpr(col("va"), col("na"), index.centroids, nprobe)))
+        explode(probeCellsFused(col("va"), index, nprobe)))
     // no distinct before the ranking: a candidate pair (a, b) arises at
     // most once — b sits in exactly ONE primary cell, so at most one of
     // a's probed cells can contain it

@@ -134,20 +134,48 @@ object TextAnalysis {
     * join + exact per-doc sums. Two passes over the corpus, nothing
     * driver-side. */
   def typicalityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // "train": one map-side-combined aggregation into the
+    // alphabet²-bounded model, collected to ride along with the fused
+    // scorer (a few thousand rows at ANY corpus size — same bounded-
+    // collect contract as Graph.localComponents)
+    val model = trainBigramModel(df, textCol)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // score: ONE pass per document — no explode, no join, no re-agg
+    // (the composable explode+broadcast-join form this replaces is kept
+    // as typicalityScoreComposed; TextAnalysisSpec asserts equality)
+    df.select(col(idCol),
+        graft.functions.TextExpressions
+          .typicalityStats(normalized(col(textCol)), model).as("t"))
+      .select(col(idCol), col("t.n_bigrams").as("n_bigrams"),
+        col("t.sum_c2").as("sum_c2"), col("t.sum_c1").as("sum_c1"),
+        round(col("t.sum_c2").cast("double") / col("t.sum_c1").cast("double"), 6)
+          .as("typicality"))
+  }
+
+  /** The corpus bigram model: (g, c2 = corpus count of bigram g,
+    * c1 = corpus count of bigrams starting with g's first char). */
+  private def trainBigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val grams = df.select(explode(graft.functions.TextExpressions
+      .shingleMultiArray(normalized(col(textCol)), 2)).as("g"))
+    val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring(col("g"), 1, 1).as("a"))
+      .agg(sum(col("c2")).as("c1"))
+    c2.join(c1, substring(col("g"), 1, 1) === col("a"))
+      .select(col("g"), col("c2"), col("c1"))
+  }
+
+  /** The original explode + broadcast-join + re-aggregate formulation —
+    * SEMANTIC REFERENCE for [[typicalityScore]]'s fused scorer
+    * (identical output; kept for the parity spec). */
+  private[graft] def typicalityScoreComposed(df: DataFrame, idCol: String,
+                                             textCol: String): DataFrame = {
     val grams = df.select(col(idCol), normalized(col(textCol)).as("norm"))
       .select(col(idCol),
         explode(graft.functions.TextExpressions.shingleMultiArray(col("norm"), 2))
           .as("g"))
-    val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(substring(col("g"), 1, 1).as("a"))
-      .agg(sum(col("c2")).as("c1"))
-    // the model pre-joins to (bigram → c2, c1) so the corpus-wide gram
-    // stream pays ONE broadcast lookup, not two; the model join itself
-    // is alphabet²-bounded rows
-    val model = c2.join(c1, substring(col("g"), 1, 1) === col("a"))
-      .select(col("g"), col("c2"), col("c1"))
     grams
-      .join(broadcast(model), "g")
+      .join(broadcast(trainBigramModel(df, textCol)), "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("c2")).as("sum_c2"), sum(col("c1")).as("sum_c1"))

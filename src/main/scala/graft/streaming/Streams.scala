@@ -289,7 +289,7 @@ object Streams {
         transform(col(vecCol), x => x.cast("double")).as("va"))
       .withColumn("na", graft.operators.Similarity.norm(col("va")))
       .withColumn("cell", explode(graft.operators.Ivf
-        .probeCellsExpr(col("va"), col("na"), index.centroids, nprobe)))
+        .probeCellsFused(col("va"), index, nprobe)))
     q.join(index.indexed.select(col("id").as("corpus_id"),
         col("v").as("vb"), col("nrm").as("nb"), col("cell")), Seq("cell"))
       .withColumn("cosine", graft.operators.Similarity

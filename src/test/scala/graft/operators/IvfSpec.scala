@@ -19,6 +19,28 @@ class IvfSpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("fused probe picks the same cells as the composable expression") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nlist = 23)
+    try {
+      val v = emb.select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val fused = v.select(col("id"),
+          Ivf.probeCellsFused(col("v"), index, nprobe = 6).as("cells"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val composed = v.select(col("id"),
+          Ivf.probeCellsExpr(col("v"), col("nrm"), index.centroids, nprobe = 6)
+            .as("cells"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(fused.size == composed.size)
+      // probe-for-probe: same cells in the same (d2 asc, cell asc) order
+      fused.foreach { case (id, cells) => assert(cells == composed(id),
+        s"id=$id fused=$cells composed=${composed(id)}") }
+    } finally index.unpersist()
+  }
+
   test("ivfTopKAuto (nlist ~ sqrt(n)) keeps recall at sf0.01") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)

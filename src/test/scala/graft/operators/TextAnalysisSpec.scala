@@ -182,6 +182,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(t == Set((1L, 3L, 6L, 6L), (2L, 3L, 6L, 6L)), t.toString)
   }
 
+  test("typicality: fused scorer equals the composed explode+join form") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val fused = TextAnalysis.typicalityScore(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val composed = TextAnalysis
+      .typicalityScoreComposed(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(fused == composed)
+  }
+
   test("tfidfTopTerms: rank never exceeds k and is dense per document") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3)

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only stage profiler (test scope, never shipped): times labelled
   * sub-plans of the heavy queries. Data dir + parallelism from args. */
@@ -18,8 +17,6 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Tables.documents(spark, dir)
-    docs.count()
     def t[A](label: String)(f: => A): Unit = {
       val t0 = System.nanoTime
       f
@@ -28,17 +25,33 @@ object Prof {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    for (q <- Seq("q56_dedup_clusters", "q54_incremental_lsh", "q61_semantic_dedup")) {
-      for (i <- 1 to 3) {
+    graft.Tables.embeddings(spark, dir).count()
+    graft.Tables.documents(spark, dir).count()
+
+    for (q <- Seq("q39_ann_ivf", "q34_ann_lsh", "q75_typicality",
+                  "q70_interval_overlap", "q74_curation_funnel")) {
+      for (i <- 1 to 2) {
         spark.catalog.clearCache()
         t(s"$q run$i")(noop(graft.SparkEntry.queries(q)(spark, dir)))
       }
     }
-    // q56 decomposition
+    // q39 decomposition: index build (KMeans fit + assign) vs probe
     spark.catalog.clearCache()
-    val pairs = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 8, 100, 0.3)
-    t("q56: jaccard pairs")(noop(pairs))
-    t("q56: cc on warm pairs")(noop(graft.operators.Graph.dedupClusters(docs, "doc_id", pairs, "id1", "id2")))
+    val emb = graft.Tables.embeddings(spark, dir)
+    var idx: graft.operators.Ivf.IvfIndex = null
+    t("q39: buildIndex (KMeans fit + assign + cache)") {
+      val n = math.max(emb.count(), 1L)
+      val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+      idx = graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", nlist)
+      idx.indexed.count()
+    }
+    t("q39: probeTopK on warm index") {
+      import org.apache.spark.sql.functions.col
+      noop(graft.operators.Ivf.probeTopK(
+        idx.indexed.select(col("id"), col("v")), idx, "id", "v",
+        k = 5, nprobe = math.max(4, idx.centroids.length / 8),
+        excludeSelf = true))
+    }
     spark.stop()
   }
 }
