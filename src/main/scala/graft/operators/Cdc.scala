@@ -147,4 +147,41 @@ object Cdc {
       .unionByName(openRow(changed, tombstone = false))
       .unionByName(openRow(deleted, tombstone = true))
   }
+
+  /** SCD TYPE-1 merge (upsert): the no-history counterpart of the SCD2
+    * machinery above, and the semantics of `MERGE INTO … WHEN MATCHED
+    * UPDATE / WHEN NOT MATCHED INSERT [/ WHEN MATCHED AND source.delete
+    * THEN DELETE]` — the other standard dimension-maintenance mode.
+    * Source rows win on key match, source-only rows insert, target-only
+    * rows pass through; with `deleteCol` set, a matched source row
+    * carrying true removes the key.
+    *
+    * Pure computation: one full-outer equi-join on the key, per-column
+    * `coalesce`-style pick (explicit source-presence flag, NOT coalesce
+    * on values — a source row legitimately carrying NULL must still
+    * win). `source` must be unique per key (enforced nowhere cheaper
+    * than the caller). Scale shape: ONE hash partitioning on the key —
+    * the same shuffle a MERGE-supporting table format schedules; with
+    * both sides bucketed on the key ([[graft.sources.Layout]]) even
+    * that exchange disappears. Caller persists via atomic swap, as with
+    * [[scd2Apply]]. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+                  deleteCol: Option[String] = None): DataFrame = {
+    val valueCols = target.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols.forall(source.columns.contains),
+      s"source is missing target columns: " +
+        valueCols.filterNot(source.columns.contains).mkString(","))
+    val s = source.withColumn("__src", lit(true))
+    val joined = target.join(
+      s.select((keyCols ++ valueCols ++ deleteCol.toSeq :+ "__src").map(col): _*)
+        .toDF((keyCols ++ valueCols.map("__s_" + _) ++
+          deleteCol.map(_ => "__del").toSeq :+ "__src"): _*),
+      keyCols, "full_outer")
+    val merged = joined.where(deleteCol match {
+      case Some(_) => col("__src").isNull || !coalesce(col("__del"), lit(false))
+      case None    => lit(true)
+    })
+    merged.select(keyCols.map(col) ++ valueCols.map(c =>
+      when(col("__src").isNotNull, col(s"__s_$c")).otherwise(col(c)).as(c)): _*)
+  }
 }

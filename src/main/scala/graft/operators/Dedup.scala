@@ -113,6 +113,35 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** N-gram CONTAINMENT near-dup pairs: c / min(|A|, |B|) ≥ threshold —
+    * the asymmetric twin of [[ngramJaccard]] that catches SUB-DOCUMENT
+    * duplication (a short doc embedded in a long one scores containment
+    * ≈ 1 while its Jaccard stays low, bounded by |A|/|B|). Quote pages,
+    * boilerplate-wrapped reposts and concatenated dumps are exactly this
+    * shape, which is why curation pipelines run containment next to
+    * symmetric Jaccard. Same single-pass inverted-index plan — the
+    * hashed-posting shuffle, the df ≤ maxDf stop-shingle cap bounding
+    * pair expansion at df², one hash aggregation — only the final
+    * scoring ratio differs, so the scale story is ngramJaccard's. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, maxDf: Int, threshold: Double): DataFrame = {
+    val inv = invertedIndexHashed(df, idCol, textCol, k)
+    val kept = inv.where(size(col("docs")) <= maxDf)
+    val sizes = kept.select(explode(col("docs")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = kept.where(size(col("docs")) >= 2)
+      .select(explode(expandPairs(kept, "docs")).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("containment",
+        round(col("c").cast("double") / least(col("sz1"), col("sz2")), 6))
+      .where(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
+  }
+
   /** 2^59 — modulus for the double-hashing family below; keeps
     * h1 + 11·(h2 mod M) well inside the positive long range. */
   private val HashMod = 576460752303423488L

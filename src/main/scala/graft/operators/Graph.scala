@@ -149,6 +149,60 @@ object Graph {
         .select(col("u").as("id"), col("u").as("component")))
   }
 
+  /** Exact triangle count by degree orientation (the MapReduce-classic
+    * Suri & Vassilvitskii "node-iterator++" / Cohen scheme): orient each
+    * undirected edge from its lower-(degree, id) endpoint to the higher
+    * one, enumerate each apex's out-neighbour WEDGES in rank order, and
+    * close them against the oriented edge set — every triangle is
+    * counted exactly once, at its lowest-rank vertex.
+    *
+    * Why this survives scale: wedge volume is Σ out-deg² and degree
+    * orientation caps out-degree at O(√m) on ANY graph (a vertex's
+    * out-neighbours all out-rank it), so the wedge join is
+    * Σ min(deg, √m)² — the naive u–v–w triple join instead pays Σ deg²
+    * with the full degree of every hub (a power-law hub with degree d
+    * contributes d² wedges naive vs m wedges oriented). The degree table
+    * is one map-side-combined aggregation, vertices × 1 row, and rides
+    * the joins broadcast when small (AQE decides from runtime sizes).
+    *
+    * Returns one row: (n_vertices, n_edges, n_triangles). Exact
+    * integers — the DuckDB oracle replays the count with the plain
+    * a<b<c triple join (orientation never changes the count, q83). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canon(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")))
+    val deg = e.select(col("u").as("x")).unionByName(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = lower rank, dst = higher
+    val oriented = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("id"), col("du").as("d")))
+          .otherwise(struct(col("v").as("id"), col("dv").as("d"))).as("lo"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("v").as("id"), col("dv").as("d")))
+          .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("hi"))
+      .select(col("lo.id").as("src"), col("hi.id").as("dst"),
+        col("hi.d").as("dst_d"))
+    // wedges at each apex, out-neighbour pair in rank order, so the
+    // closing edge is oriented exactly (b → c)
+    val wedges = oriented.select(col("src"), col("dst").as("b"),
+        col("dst_d").as("db"))
+      .join(oriented.select(col("src"), col("dst").as("c"),
+        col("dst_d").as("dc")), "src")
+      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val tri = wedges.join(oriented.select(col("src").as("b"),
+        col("dst").as("c")), Seq("b", "c"), "left_semi")
+    // one-row side frames, no driver-side actions: the counts ride as
+    // cross joins of single-row aggregates
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    nv.crossJoin(ne)
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** Cluster assignment for a whole corpus from near-dup pairs: every
     * doc gets its component minimum as `cluster` (its own id when it
     * has no near-duplicates) and `keep` = is it the canonical doc of

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
+
+/** Column profiling — the data-quality pass every warehouse load and
+  * training-data intake runs before trusting a new table: per column,
+  * row/null/distinct counts and min/max. One output row per column.
+  *
+  * Numeric, timestamp and date columns report (min_num, max_num) as
+  * DOUBLE (timestamps as exact integer epoch-microseconds, dates as
+  * days — both far inside the 2^53 exact-integer range, so the cast is
+  * lossless and cross-engine stable); string columns report
+  * (min_str, max_str). The asymmetry is deliberate: rendering a DOUBLE
+  * through a string column is engine-formatting-dependent, and a
+  * string min through a numeric is nonsense — typed channels keep every
+  * cell bit-comparable for the oracle.
+  *
+  * Scale shape: ONE aggregation pass computes every per-column
+  * min/max/null-count map-side; the distinct counts make it a
+  * multi-count-distinct aggregate, which Spark plans with one Expand
+  * (input × #columns) — the standard exact plan; swap
+  * `approx_count_distinct` in when a profile may be approximate and the
+  * Expand outweighs it. The single wide row then unpivots via `stack`,
+  * driver-free.
+  */
+object Profile {
+
+  def columnProfile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields
+    def numView(name: String) = df.schema(name).dataType match {
+      case _: NumericType => col(name).cast("double")
+      case _: TimestampType => unix_micros(col(name)).cast("double")
+      // NTZ: exact under the engine-wide UTC session contract
+      case _: TimestampNTZType =>
+        unix_micros(col(name).cast("timestamp")).cast("double")
+      case _: DateType => col(name).cast("int").cast("double")
+      case _ => lit(null).cast("double")
+    }
+    def strView(name: String) = df.schema(name).dataType match {
+      case _: StringType => col(name)
+      case _ => lit(null).cast("string")
+    }
+    val aggs = cols.flatMap { f =>
+      val n = f.name
+      Seq(
+        count(lit(1)).as(s"__n_$n"),
+        count(col(n)).as(s"__nn_$n"),
+        count_distinct(col(n)).as(s"__nd_$n"),
+        min(numView(n)).as(s"__minn_$n"),
+        max(numView(n)).as(s"__maxn_$n"),
+        min(strView(n)).as(s"__mins_$n"),
+        max(strView(n)).as(s"__maxs_$n"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { f =>
+      val n = f.name
+      s"'$n', `__n_$n`, `__n_$n` - `__nn_$n`, `__nd_$n`, " +
+        s"`__minn_$n`, `__maxn_$n`, `__mins_$n`, `__maxs_$n`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed dense global ranking — `row_number() OVER (ORDER BY …)`
+  * without the single-partition cliff. A training-data export wants the
+  * whole corpus in a deterministic pseudo-random order ("global
+  * shuffle": order by a hash of the id so every shard of every epoch
+  * reads the same sequence); the naive window formulation drains the
+  * table through ONE task to assign row numbers.
+  *
+  * Same two-pass shape as [[Sampling.systematicSample]]'s prefix sum:
+  * range-repartition on the order key (partitions are contiguous key
+  * ranges, in order), per-partition COUNTS to the driver (one row per
+  * partition — bounded by parallelism, not data), exclusive offsets
+  * broadcast back, in-partition `row_number` under a per-partition
+  * window. The heavy machinery is the range exchange — the same
+  * exchange a global `ORDER BY` pays — but rank assignment then runs
+  * fully parallel.
+  *
+  * Ties: the order-key tuple must uniquely identify a row (pass a
+  * tiebreaker column last — ids are the natural one); uniqueness keeps
+  * the rank deterministic under ANY partitioning.
+  */
+object Rank {
+
+  /** @return `df` + `rankCol` (1-based, dense, deterministic), ranked
+    *         by `orderCols` lexicographically ascending */
+  def globalRank(df: DataFrame, rankCol: String, orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    // cached: the count pass and the rank pass must see the SAME
+    // range partitioning (session-scoped; Bench/Verify clear per query)
+    val parted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    parted.join(broadcast(offDf), "__pid")
+      .withColumn(rankCol, col("__off") +
+        row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)))
+      .drop("__pid", "__off")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted SYSTEMATIC sampling — the deterministic mixture-construction
+  * primitive of training-data pipelines ("take ~k documents from this
+  * corpus, proportional to length/quality-weight, reproducibly"):
+  * conceptually lay every row's integer weight end-to-end along a line
+  * in id order and pick the row under every step-th tick
+  * (step = ⌊total/k⌋). Every selection is exact integer arithmetic —
+  * no RNG, no floats — so the sample is stable across runs, engines and
+  * partitionings, and weight-proportional by construction (a row of
+  * weight w covers w ticks' worth of line, so it is picked ⌈w/step⌉ ≥ 1
+  * times the share a unit-weight row gets; rows with w ≥ step are
+  * always picked — the deterministic analog of inclusion-probability
+  * min(1, k·w/W) in Sunter/systematic-PPS sampling).
+  *
+  * The global prefix sum is computed DISTRIBUTED, never through a
+  * single-partition global window (the classic cliff: a global
+  * `Window.orderBy` drains the table through ONE task):
+  * range-repartition by id (so partitions are contiguous id ranges in
+  * order), per-partition totals → driver (one row per partition —
+  * bounded by cluster parallelism, not data), exclusive prefix offsets
+  * broadcast back, in-partition running sum under a PER-PARTITION
+  * window. Two passes over (id, weight) pairs; at 100 TB both are
+  * narrow-column scans and the only wide machinery is the range
+  * exchange.
+  */
+object Sampling {
+
+  /** @param df        input
+    * @param idCol     unique orderable id (the deterministic line order)
+    * @param weightCol positive integral weight (rows with weight ≤ 0 or
+    *                  NULL are excluded — they cover no line segment)
+    * @param k         approximate sample size (exact when step divides
+    *                  the weight layout evenly; never less than k)
+    * @return (idCol, weightCol, cum) of the selected rows, where `cum`
+    *         is the inclusive prefix weight — deterministic, so it
+    *         doubles as the selection's audit trail
+    */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val spark = df.sparkSession
+    val w = df.select(col(idCol), col(weightCol).cast("long").as(weightCol))
+      .where(col(weightCol) > 0)
+    // contiguous id ranges per partition, ordered within. Cached: the
+    // totals pass and the selection pass must see the SAME partitioning
+    // (session-scoped cache, same convention as cosineTopKBlocked —
+    // Bench/Verify clearCache per query).
+    val parted = w.repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    // one row per partition: the bounded driver round-trip
+    val partTotals = parted.groupBy("__pid")
+      .agg(sum(weightCol).as("__psum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = partTotals.map(_._2).sum
+    require(total >= k,
+      s"total weight $total < k=$k — nothing sensible to sample")
+    val step = total / k
+    // exclusive prefix offset per partition (range partitions are in
+    // id order, so pid order IS line order)
+    val offsets = partTotals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .init.zip(partTotals)
+      .map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    // running sum stays inside each range partition; the broadcast
+    // offset join globalizes it without a global sort
+    val cum = parted.join(broadcast(offDf), "__pid")
+      .withColumn("cum", col("__off") +
+        sum(col(weightCol)).over(
+          Window.partitionBy("__pid").orderBy(idCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.where(expr(s"cum DIV ${step}L") >
+        expr(s"(cum - $weightCol) DIV ${step}L"))
+      .select(col(idCol), col(weightCol), col("cum"))
+  }
+}

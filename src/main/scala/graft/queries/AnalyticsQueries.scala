@@ -370,6 +370,179 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("active_users"))
     })
 
+  /** GROUPING SETS beyond rollup/cube's fixed lattices: an explicit
+    * set list — here both one-dimension margins plus the grand total,
+    * skipping the (flag, status) detail level a rollup would force.
+    * `grouping()` flags disambiguate a grouped-out column from a data
+    * NULL, on both engines. */
+  val q81 = QueryDef.sql("q81_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")(
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n")))
+
+  /** Exact triangle count over the parts-bought-together graph (parts
+    * co-occurring in an order), via degree-oriented wedge closing —
+    * [[graft.operators.Graph.triangleCount]]; the oracle counts the
+    * same triangles with the naive a<b<c triple join (orientation
+    * never changes the count). */
+  val q83 = QueryDef.sql("q83_triangle_count",
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |verts AS (SELECT count(DISTINCT x) AS n_vertices FROM (
+      |  SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+      |edges AS (SELECT count(*) AS n_edges FROM e),
+      |tri AS (SELECT count(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT n_vertices, n_edges, n_triangles FROM verts, edges, tri""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      graft.operators.Graph.triangleCount(edges, "u", "v")
+    })
+
+  /** Deterministic weighted systematic sample (~50 docs by n_chars) —
+    * [[graft.operators.Sampling.systematicSample]]'s distributed prefix
+    * sum; the oracle replays the line layout with a window cumsum.
+    * Exact integer selection arithmetic on both engines. */
+  val q84 = QueryDef.sql("q84_weighted_sample",
+    """WITH w AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+      |t AS (SELECT sum(n_chars) // 50 AS step FROM w),
+      |c AS (SELECT doc_id, n_chars,
+      |        sum(n_chars) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM w)
+      |SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum
+      |FROM c, t WHERE cum // step > (cum - n_chars) // step""")(
+    (s, dir) => graft.operators.Sampling.systematicSample(
+      Tables.documents(s, dir), "doc_id", "n_chars", k = 50))
+
+  /** Column profiling of `orders` — one pass, one row per column
+    * ([[graft.operators.Profile.columnProfile]]); numeric/timestamp
+    * min-max through the DOUBLE channel (timestamps as exact integer
+    * epoch-µs), strings through the VARCHAR channel. */
+  val q85 = {
+    def one(c: String, numExpr: String, strCol: Boolean) = {
+      val minN = if (numExpr.isEmpty) "CAST(NULL AS DOUBLE)"
+                 else s"CAST(min($numExpr) AS DOUBLE)"
+      val maxN = if (numExpr.isEmpty) "CAST(NULL AS DOUBLE)"
+                 else s"CAST(max($numExpr) AS DOUBLE)"
+      val minS = if (strCol) s"min($c)" else "CAST(NULL AS VARCHAR)"
+      val maxS = if (strCol) s"max($c)" else "CAST(NULL AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $minN AS min_num, $maxN AS max_num,
+         |  $minS AS min_str, $maxS AS max_str FROM orders""".stripMargin
+    }
+    QueryDef.sql("q85_profile",
+      Seq(
+        one("o_orderkey", "o_orderkey", strCol = false),
+        one("o_custkey", "o_custkey", strCol = false),
+        one("o_orderstatus", "", strCol = true),
+        one("o_totalprice", "o_totalprice", strCol = false),
+        one("o_orderdate", "epoch_us(o_orderdate)", strCol = false),
+        one("o_orderpriority", "", strCol = true)).mkString("\nUNION ALL\n"))(
+      (s, dir) => graft.operators.Profile.columnProfile(Tables.orders(s, dir)))
+  }
+
+  /** Deterministic global shuffle for training export: every doc ranked
+    * by (md5(doc_id), doc_id) — the reproducible pseudo-random order
+    * every epoch/shard reads identically — via
+    * [[graft.operators.Rank.globalRank]]'s two-pass distributed
+    * row-numbering (never a single-partition window; plan-guarded). */
+  val q89 = QueryDef.sql("q89_global_shuffle",
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey,
+      |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS BIGINT) AS rank
+      |FROM documents""")(
+    (s, dir) => graft.operators.Rank.globalRank(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("skey")),
+      "rank", col("skey"), col("doc_id")))
+
+  /** Mixture allocation: apportion k = 1000 sampling slots across the
+    * corpus's `source` domains proportionally to their total weight
+    * (n_chars), by largest-remainder (Hamilton) apportionment — the
+    * deterministic integer answer to "how many documents does each
+    * source contribute to the mixture". Quotas and remainders are exact
+    * BIGINT arithmetic; the remainder-ranking window runs over
+    * #sources rows (domain-bounded, not data-bounded). */
+  val q90 = QueryDef.sql("q90_mixture_alloc",
+    """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+      |           FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+      |q AS (SELECT source, weight,
+      |        (weight * 1000) // tot AS base,
+      |        (weight * 1000) % tot AS rem FROM w, t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+      |      FROM q),
+      |s AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM q)
+      |SELECT source, weight,
+      |  CAST(base + CASE WHEN rr <= 1000 - sb THEN 1 ELSE 0 END AS BIGINT)
+      |    AS slots
+      |FROM r, s""")(
+    (s, dir) => {
+      val w = Tables.documents(s, dir).groupBy("source")
+        .agg(sum(col("n_chars")).as("weight"))
+      val t = w.agg(sum(col("weight")).as("tot"))
+      val q = w.crossJoin(t)
+        .select(col("source"), col("weight"),
+          expr("(weight * 1000) DIV tot").as("base"),
+          expr("(weight * 1000) % tot").as("rem"))
+      val r = q.withColumn("rr",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source"))))
+      val sb = q.agg(sum(col("base")).as("sb"))
+      r.crossJoin(sb)
+        .select(col("source"), col("weight"),
+          (col("base") + when(col("rr") <= lit(1000) - col("sb"), 1L)
+            .otherwise(0L)).as("slots"))
+    })
+
+  /** Fixed-width histogram (32 bins) of o_totalprice with data-driven
+    * bounds: two passes — a one-row min/max aggregate rides in as a
+    * cross join (no driver action), then exact integer bin assignment
+    * and one map-side-combined count. The at-scale shape of every
+    * distribution dashboard; all arithmetic exact (prices are cents-
+    * scaled, so ×100 makes the bin math pure BIGINT). */
+  val q91 = QueryDef.sql("q91_histogram",
+    """WITH b AS (SELECT CAST(round(min(o_totalprice) * 100) AS BIGINT) AS lo,
+      |                  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS hi
+      |           FROM orders),
+      |bins AS (SELECT ((CAST(round(o_totalprice * 100) AS BIGINT) - lo) * 32)
+      |           // (hi - lo + 1) AS bin
+      |         FROM orders, b)
+      |SELECT bin, count(*) AS n FROM bins GROUP BY bin""")(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val b = o.agg(
+        round(min(col("o_totalprice")) * 100).cast("long").as("lo"),
+        round(max(col("o_totalprice")) * 100).cast("long").as("hi"))
+      o.crossJoin(b)
+        .select(expr(
+          "((CAST(round(o_totalprice * 100) AS BIGINT) - lo) * 32)" +
+            " DIV (hi - lo + 1)").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
-    q69, q70, q72, q78, q79)
+    q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91)
 }

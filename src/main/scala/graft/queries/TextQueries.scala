@@ -742,7 +742,73 @@ object TextQueries {
         sum(col("doc_id")).as("doc_sum"))
       .where(col("n_docs") > 1))
 
+  /** PII redaction + per-row hit counts
+    * ([[graft.operators.TextAnalysis.redactPii]]/piiStats) over a
+    * contact-card text derived from `customer` (the synthetic corpus
+    * carries no PII, so the query MAKES some: name, derived email,
+    * derived phone digits). Patterns live in the RE2 ∩ Java regex
+    * subset, so the identical pattern strings run on both engines;
+    * pure per-row regexp chain — codegen'd, zero shuffle. */
+  val q87 = {
+    val em = TextAnalysis.EmailPattern
+    val ssn = TextAnalysis.SsnPattern
+    val ph = TextAnalysis.PhonePattern
+    QueryDef.sql("q87_pii_redact",
+      s"""WITH card AS (
+         |  SELECT c_custkey,
+         |    c_name || ' reach me at user' || CAST(c_custkey AS VARCHAR) ||
+         |    '@example.com or +1 555-' ||
+         |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-' ||
+         |    lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') AS txt
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$em', '<EMAIL>', 'g'), '$ssn', '<ID>', 'g'),
+         |    '$ph', '<PHONE>', 'g') AS redacted,
+         |  length(regexp_extract_all(txt, '$em')) AS n_email,
+         |  length(regexp_extract_all(txt, '$ssn')) AS n_ssn,
+         |  length(regexp_extract_all(txt, '$ph')) AS n_phone
+         |FROM card""")(
+      (s, dir) => {
+        val card = Tables.customer(s, dir).select(col("c_custkey"),
+          concat(col("c_name"), lit(" reach me at user"),
+            col("c_custkey").cast("string"), lit("@example.com or +1 555-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
+            lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"))
+            .as("txt"))
+        card.select(col("c_custkey"),
+          TextAnalysis.redactPii(col("txt")).as("redacted"),
+          size(regexp_extract_all(col("txt"), lit(em), lit(0)))
+            .as("n_email"),
+          size(regexp_extract_all(col("txt"), lit(ssn), lit(0))).as("n_ssn"),
+          size(regexp_extract_all(col("txt"), lit(ph), lit(0))).as("n_phone"))
+      })
+  }
+
+  /** N-gram CONTAINMENT pairs (c / min set size ≥ 0.5) —
+    * [[graft.operators.Dedup.ngramContainment]], the asymmetric
+    * sub-document-duplication detector next to q29's symmetric Jaccard;
+    * same single-pass inverted-index plan, same oracle machinery with
+    * the containment ratio. */
+  val q88 = QueryDef.sql("q88_containment",
+    """WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+      |        FROM documents)),
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
+      |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2,
+      |  round(CAST(c AS DOUBLE) / least(s1.sz, s2.sz), 6) AS containment
+      |FROM co JOIN sz s1 ON co.id1 = s1.doc_id JOIN sz s2 ON co.id2 = s2.doc_id
+      |WHERE round(CAST(c AS DOUBLE) / least(s1.sz, s2.sz), 6) >= 0.5""")(
+    (s, dir) => Dedup.ngramContainment(Tables.documents(s, dir), "doc_id",
+      "text", k = 8, maxDf = 100, threshold = 0.5))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76, q77)
+    q74, q75, q76, q77, q87, q88)
 }

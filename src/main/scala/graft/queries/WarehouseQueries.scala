@@ -342,6 +342,83 @@ object WarehouseQueries {
             .as("conversion"))
     })
 
+  /** Per-user inter-event gaps via lag over a (ts, event_id)-ordered
+    * user window — heartbeat/SLA monitoring's "did the feed go quiet"
+    * shape. Exact integer µs gaps; the window partitions BY USER, whose
+    * event count is bounded by user activity, not corpus size — never
+    * the single-partition global-window cliff. */
+  val q82 = QueryDef.sql("q82_event_gaps",
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |  max(gap) AS max_gap_us,
+      |  CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+      |  count(*) FILTER (WHERE gap > 3600000000) AS n_long
+      |FROM g WHERE gap IS NOT NULL GROUP BY user_id""")(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+        .where(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("gap")).as("max_gap_us"),
+          sum(col("gap")).as("sum_gap_us"),
+          count(when(col("gap") > 3600000000L, 1)).as("n_long"))
+    })
+
+  /** SCD1 merge/upsert ([[graft.operators.Cdc.mergeUpsert]]): one
+    * full-outer join applies updates (segment-wide balance adjustment),
+    * inserts (new synthetic keys) and keyed deletes in a single pass —
+    * the `MERGE INTO` shape. The oracle replays it as FULL JOIN +
+    * source-presence CASE. Disjoint source branches by construction
+    * (inserts carry fresh keys; deletes exclude the updated segment). */
+  val q86 = QueryDef.sql("q86_merge_upsert",
+    """WITH src AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+      |         c_mktsegment, false AS del
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'Customer#new', 0, 0.0, 'NEW', false
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, true
+      |  FROM customer WHERE c_custkey % 97 = 0 AND c_mktsegment <> 'BUILDING')
+      |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+      |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END
+      |    AS c_name,
+      |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+      |       ELSE t.c_nationkey END AS c_nationkey,
+      |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+      |       ELSE t.c_acctbal END AS c_acctbal,
+      |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+      |       ELSE t.c_mktsegment END AS c_mktsegment
+      |FROM customer t FULL JOIN src s ON t.c_custkey = s.c_custkey
+      |WHERE s.c_custkey IS NULL OR NOT s.del""")(
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val updates = cust.where(col("c_mktsegment") === "BUILDING")
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("del", lit(false))
+      val inserts = cust.where(col("c_custkey") % 10 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("Customer#new").as("c_name"),
+          lit(0).cast("int").as("c_nationkey"),
+          lit(0.0).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"),
+          lit(false).as("del"))
+      val deletes = cust
+        .where(col("c_custkey") % 97 === 0 && col("c_mktsegment") =!= "BUILDING")
+        .withColumn("del", lit(true))
+      graft.operators.Cdc.mergeUpsert(cust,
+        updates.unionByName(inserts).unionByName(deletes),
+        keyCols = Seq("c_custkey"), deleteCol = Some("del"))
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48, q67,
-    q68, q80)
+    q68, q80, q82, q86)
 }

@@ -64,6 +64,29 @@ class PlanQualitySpec extends AnyFunSuite {
       "top-k must aggregate map-side before the exchange")
   }
 
+  test("q84: the distributed prefix sum never plans a global-sort window") {
+    // a Window.orderBy without partitioning would drain the table
+    // through ONE task — the exact cliff systematicSample exists to
+    // avoid; its windows must stay per-range-partition
+    val p = plan("q84_weighted_sample")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q84 degenerated to a single-partition global window: $p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q89: global shuffle ranks per range partition, never one task") {
+    val p = plan("q89_global_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q89 degenerated to a single-partition global window: $p")
+    assert(p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q87: PII redaction is a pure per-row scan — zero exchanges") {
+    val p = plan("q87_pii_redact")
+    assert(!p.contains("Exchange"),
+      s"q87 is per-row regexp work and must not shuffle: $p")
+  }
+
   test("fused per-row operators plan with ZERO shuffle exchanges") {
     // simhash (q31) and repetition (q59) collapsed from corpus-wide
     // aggregations to single-pass expressions — a regression that

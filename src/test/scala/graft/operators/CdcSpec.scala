@@ -66,4 +66,27 @@ class CdcSpec extends AnyFunSuite {
     assert(t4.length == 1 && t4.head.getAs[Date]("effective_from") == day)
     out.unpersist()
   }
+
+  test("mergeUpsert: update wins, insert lands, delete removes, rest pass") {
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "v")
+    val source = Seq(
+      (2L, "B", 99, false),  // update
+      (4L, "d", 40, false),  // insert
+      (3L, "c", 30, true),   // delete
+      (5L, "e", 50, true))   // delete of absent key = no-op
+      .toDF("k", "name", "v", "del")
+    val got = Cdc.mergeUpsert(target, source, Seq("k"), Some("del"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "B", 99), (4L, "d", 40)))
+  }
+
+  test("mergeUpsert: a source NULL value overwrites (presence, not coalesce)") {
+    val target = Seq((1L, Some("keep")), (2L, Some("clobber")))
+      .toDF("k", "name")
+    val source = Seq((2L, None: Option[String])).toDF("k", "name")
+    val got = Cdc.mergeUpsert(target, source, Seq("k"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, Some("keep")), (2L, None)))
+  }
 }

@@ -30,6 +30,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram containment catches a sub-document the jaccard misses") {
+    val short = "the quick brown fox jumps over the lazy dog"
+    val long = short + " and then continues with a much longer tail of " +
+      "completely unrelated narrative content that dilutes the union " +
+      "far enough that symmetric jaccard cannot see the containment"
+    val df = Seq((1L, short), (2L, long),
+      (3L, "entirely different words everywhere here")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(df, "doc_id", "text", k = 5,
+      maxDf = 100, threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L))) // short doc fully inside the long one
+    val jac = Dedup.ngramJaccard(df, "doc_id", "text", k = 5,
+      maxDf = 100, threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty) // the union dilution hides it from jaccard
+  }
+
+  test("containment >= jaccard pair-for-pair on the real corpus") {
+    val docs = Tables.documents(spark, sf)
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", 8, 100, 0.0)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val cont = Dedup.ngramContainment(docs, "doc_id", "text", 8, 100, 0.0)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(jac.keySet == cont.keySet)
+    jac.foreach { case (p, j) =>
+      assert(cont(p) >= j, s"pair $p containment ${cont(p)} < jaccard $j") }
+  }
+
   test("minhash LSH candidates cover high-jaccard pairs (sf0.001 docs)") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", k = 8,

@@ -49,6 +49,39 @@ class GraphSpec extends AnyFunSuite {
     assert(local.nonEmpty && local == distributed)
   }
 
+  test("triangleCount: K4 has 4 triangles; dangling edges add none") {
+    // K4 on {1,2,3,4} (4 triangles) + path 4-5-6 (0 triangles)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = Graph.triangleCount(edges, "u", "v")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((6L, 8L, 4L)))
+  }
+
+  test("triangleCount: duplicate/reversed/self edges canonicalize first") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (1L, 2L)).toDF("u", "v")
+    val got = Graph.triangleCount(edges, "u", "v")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount matches naive a<b<c triple join on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextLong(60), rnd.nextLong(60)))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("u", "v")
+    val got = Graph.triangleCount(df, "u", "v")
+      .as[(Long, Long, Long)].head()._3
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toSet
+    val naive = (for {
+      (a, b) <- canon; (b2, c) <- canon
+      if b2 == b && canon.contains((a, c))
+    } yield (a, b, c)).size.toLong
+    assert(got == naive)
+  }
+
   test("dedupClusters: every doc labelled, canonical keeps, duplicates dropped") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id1", "id2")

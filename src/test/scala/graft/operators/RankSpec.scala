@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("globalRank equals the single-window row_number, any partitioning") {
+    val df = (1L to 1000L).map(i => (i, s"k${(i * 37) % 1000}%03d"))
+      .toDF("id", "key").repartition(11)
+    val got = Rank.globalRank(df, "rank", col("key"), col("id"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val want = df.orderBy("key", "id").select("id").as[Long].collect()
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("globalRank is dense 1..n and deterministic across runs") {
+    val df = (1L to 257L).toDF("id")
+    def run() = Rank.globalRank(df, "rank",
+        md5(col("id").cast("string")), col("id"))
+      .select("id", "rank").as[(Long, Long)].collect().toSet
+    val a = run()
+    assert(a.map(_._2) == (1L to 257L).toSet)
+    assert(a == run())
+  }
+}
