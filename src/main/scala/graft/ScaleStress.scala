@@ -201,6 +201,40 @@ object ScaleStress {
     spark.sql("DROP TABLE IF EXISTS ss_lineitem_b")
     }
 
+    if (sections("prefix")) {
+    // --- global prefix quantities: single-partition window (the naive
+    // Spark spelling) vs the two-pass range-partition form
+    // (Sampling.systematicSample / Rank.globalRank). mult scales rows.
+    val l0 = Tables.lineitem(spark, sf)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        (col("l_quantity").cast("long") + 1L).as("w"))
+    val rows = (0 until mult).map { i =>
+      l0.select((col("id") + lit(i.toLong * 100000000L)).as("id"), col("w"))
+    }.reduce(_ unionByName _).cache()
+    val n = rows.count()
+    println(s"prefix rows: $n")
+    val k = 1000
+    import org.apache.spark.sql.expressions.Window
+    time("weighted sample, single-partition global window") {
+      val tot = rows.agg(sum(col("w"))).head().getLong(0)
+      val step = tot / k
+      rows.withColumn("cum", sum(col("w")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(expr(s"cum DIV ${step}L > (cum - w) DIV ${step}L")).count()
+    }
+    time("weighted sample, two-pass distributed prefix")(
+      graft.operators.Sampling.systematicSample(rows, "id", "w", k).count())
+    spark.catalog.clearCache()
+    rows.cache(); rows.count()
+    time("global rank, single-partition window")(
+      rows.withColumn("rank", row_number().over(Window.orderBy("id")))
+        .agg(max(col("rank").cast("long"))).head().getLong(0))
+    time("global rank, two-pass distributed")(
+      graft.operators.Rank.globalRank(rows, "rank", col("id"))
+        .agg(max(col("rank").cast("long"))).head().getLong(0))
+    rows.unpersist()
+    }
+
     if (sections("ann")) {
     // --- ANN: brute force vs LSH vs IVF on mult x embeddings
     // (replicas perturbed per-dimension so they are distinct vectors)

