@@ -808,7 +808,52 @@ object TextQueries {
     (s, dir) => Dedup.ngramContainment(Tables.documents(s, dir), "doc_id",
       "text", k = 8, maxDf = 100, threshold = 0.5))
 
+  /** Per-domain capping — the web-curation rule "no source contributes
+    * more than N documents", with a DETERMINISTIC hash-ordered pick
+    * (md5 of the id, id tiebreak) so the cap is reproducible and
+    * unbiased by ingestion order. The rank window partitions BY SOURCE
+    * — bounded by the largest domain, the exact partition shape window
+    * functions are right for (cf. q84/q89 where no partitioning exists
+    * and the two-pass prefix form replaces the window). */
+  val q92 = QueryDef.sql("q92_domain_cap",
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS rk
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 15""")(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast("long").as("rk"))
+        .where(col("rk") <= 15)
+    })
+
+  /** Survivorship / canonicalization: one row per normalized-content
+    * group, keeping the LONGEST member (doc_id tiebreak) — the
+    * "which duplicate do we keep" rule every dedup pipeline needs
+    * beyond min-id. One `max_by` aggregation (DuckDB `arg_max`), the
+    * selection key packed into a single unique integer so both engines
+    * compare identically; no window, no self-join. */
+  val q93 = QueryDef.sql("q93_survivorship",
+    s"""SELECT md5($NormSql) AS grp,
+       |  count(*) AS n,
+       |  arg_max(doc_id, n_chars * 10000000 + doc_id) AS keep_id,
+       |  max(n_chars * 10000000 + doc_id) // 10000000 AS keep_chars
+       |FROM documents GROUP BY 1""")(
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy(md5(TextAnalysis.normalized(col("text")).cast("binary"))
+        .as("grp"))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("doc_id"),
+          col("n_chars") * 10000000L + col("doc_id")).as("keep_id"),
+        expr("max(n_chars * 10000000L + doc_id) DIV 10000000L")
+          .as("keep_chars")))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76, q77, q87, q88)
+    q74, q75, q76, q77, q87, q88, q92, q93)
 }
