@@ -34,6 +34,15 @@ object Bench {
     graft.operators.Similarity.cosineTopK(embWarm, "vec_id", "embedding", 5).count()
     graft.operators.Similarity
       .cosineTopKBlocked(embWarm, "vec_id", "embedding", 5, blocks = 4).count()
+    // JIT-warm the graph kernels (orientation joins, SortedIntersectCount)
+    // on a toy graph — q83's first execution otherwise pays ~7 s of
+    // C2 compilation mid-measurement
+    locally {
+      import spark.implicits._
+      val warmEdges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+        .toDF("u", "v")
+      graft.operators.Graph.triangleCount(warmEdges, "u", "v").count()
+    }
     spark.catalog.clearCache()
 
     // Cumulative task-metric counters: the per-query deltas quantify the

@@ -207,7 +207,6 @@ object Graph {
           .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("hi"))
       .select(col("lo.id").as("src"), col("hi.id").as("dst"),
         col("hi.d").as("dst_d"))
-      .cache()
     // adjacency-intersection counting: per oriented edge (a→b), the
     // triangles closed through it are |out(a) ∩ out(b)| (every DAG
     // triangle a→b, a→c, b→c is counted exactly once, at its a→b

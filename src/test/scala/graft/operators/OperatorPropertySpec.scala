@@ -148,4 +148,77 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(naive.nonEmpty, "degenerate trial: no overlapping pairs at all")
     }
   }
+
+  test("mergeUpsert: idempotent, and target-equivalent to a map-merge model") {
+    val rowGen = for {
+      k <- Gen.choose(0L, 40L)
+      v <- Gen.choose(-100, 100)
+      name <- Gen.option(Gen.oneOf("a", "b", "c"))
+    } yield (k, name, v)
+    for (trial <- 0 until 4) {
+      val seedRows = Gen.listOfN(30, rowGen).apply(params, Seed(11000L + trial)).get
+      val target = seedRows.groupBy(_._1).map(_._2.head).toSeq
+        .toDF("k", "name", "v")
+      val srcRows = Gen.listOfN(15, rowGen).apply(params, Seed(12000L + trial))
+        .get.groupBy(_._1).map(_._2.head).toSeq
+        .map { case (k, n, v) => (k, n, v, v % 5 == 0) }
+      val source = srcRows.toDF("k", "name", "v", "del")
+      def run(t: org.apache.spark.sql.DataFrame) =
+        Cdc.mergeUpsert(t, source, Seq("k"), Some("del"))
+      val once = run(target).as[(Long, Option[String], Int)].collect().toSet
+      // reference model: plain Map semantics
+      val model = (target.as[(Long, Option[String], Int)].collect()
+        .map(r => r._1 -> r).toMap ++
+        srcRows.filterNot(_._4).map(r => r._1 -> ((r._1, r._2, r._3))).toMap)
+        .-- (srcRows.filter(_._4).map(_._1))
+      assert(once == model.values.toSet, s"trial $trial")
+      // idempotent: merging the same source again changes nothing
+      val twice = run(once.toSeq.toDF("k", "name", "v"))
+        .as[(Long, Option[String], Int)].collect().toSet
+      assert(twice == once, s"trial $trial not idempotent")
+    }
+  }
+
+  test("systematicSample ≡ global-window form on random positive weights") {
+    val wGen = Gen.choose(1L, 50L)
+    for (trial <- 0 until 4) {
+      val ws = Gen.listOfN(200, wGen).apply(params, Seed(13000L + trial)).get
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w").repartition(5 + trial)
+      val k = 10 + 7 * trial
+      val got = Sampling.systematicSample(df, "id", "w", k)
+        .as[(Long, Long, Long)].collect().toSet
+      val total = ws.sum
+      val step = total / k
+      var cum = 0L
+      val want = ws.zipWithIndex.flatMap { case (w, i) =>
+        cum += w
+        if (cum / step > (cum - w) / step) Some((i.toLong, w, cum)) else None
+      }.toSet
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+      assert(got.size >= k)
+    }
+  }
+
+  test("ngramContainment ∈ (0,1]; containment ≥ jaccard on random texts") {
+    val textGen = for {
+      n <- Gen.choose(5, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("lorem", "ipsum", "dolor", "sit",
+        "amet", "qq", "zz"))
+    } yield toks.mkString(" ")
+    for (trial <- 0 until 3) {
+      val texts = Gen.listOfN(25, textGen).apply(params, Seed(14000L + trial)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val cont = Dedup.ngramContainment(docs, "doc_id", "text", 5, 1000, 0.0)
+        .as[(Long, Long, Double)].collect()
+      val jac = Dedup.ngramJaccard(docs, "doc_id", "text", 5, 1000, 0.0)
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      assert(cont.nonEmpty)
+      cont.foreach { case (a, b, c) =>
+        assert(c > 0.0 && c <= 1.0, s"containment $c out of (0,1]")
+        assert(c >= jac((a, b)) - 1e-9, s"pair ($a,$b): $c < ${jac((a, b))}")
+      }
+    }
+  }
 }
