@@ -201,6 +201,34 @@ object ScaleStress {
     spark.sql("DROP TABLE IF EXISTS ss_lineitem_b")
     }
 
+    if (sections("graph")) {
+    // --- triangle counting: naive a<b<c triple join vs the
+    // degree-oriented adjacency-intersection operator, on the
+    // co-purchase graph (mult scales the fact side feeding the graph)
+    val li0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val li = (0 until mult).map { i =>
+      li0.select((col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+        col("l_partkey"))
+    }.reduce(_ unionByName _)
+    val edges = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .where(size(col("parts")) >= 2)
+      .select(explode(graft.functions.PairExpressions.pairArray(col("parts"))).as("p"))
+      .select(col("p.id1").as("u"), col("p.id2").as("v"))
+      .distinct().cache()
+    println(s"graph edges: ${edges.count()}")
+    time("triangles, adjacency-intersection operator")(
+      graft.operators.Graph.triangleCount(edges, "u", "v")
+        .select("n_triangles").head().getLong(0))
+    time("triangles, naive triple join")(
+      edges.as("e1")
+        .join(edges.as("e2"), col("e2.u") === col("e1.v"))
+        .join(edges.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .count())
+    edges.unpersist()
+    }
+
     if (sections("prefix")) {
     // --- global prefix quantities: single-partition window (the naive
     // Spark spelling) vs the two-pass range-partition form

@@ -58,6 +58,15 @@ class GraphSpec extends AnyFunSuite {
     assert(got == ((6L, 8L, 4L)))
   }
 
+  test("triangleCount: empty and triangle-free graphs yield zero rows-of-truth") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Graph.triangleCount(empty, "u", "v")
+      .as[(Long, Long, Long)].head() == ((0L, 0L, 0L)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(Graph.triangleCount(path, "u", "v")
+      .as[(Long, Long, Long)].head() == ((4L, 3L, 0L)))
+  }
+
   test("triangleCount: duplicate/reversed/self edges canonicalize first") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
       (1L, 2L)).toDF("u", "v")

@@ -18,6 +18,11 @@ class RankSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("globalRank on an empty frame is empty, not an error") {
+    val df = spark.emptyDataFrame.select(lit(1L).as("id")).where(lit(false))
+    assert(Rank.globalRank(df, "rank", col("id")).count() == 0)
+  }
+
   test("globalRank is dense 1..n and deterministic across runs") {
     val df = (1L to 257L).toDF("id")
     def run() = Rank.globalRank(df, "rank",

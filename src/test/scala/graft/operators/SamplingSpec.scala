@@ -36,6 +36,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(!got.contains(4L)) // zero weight covers nothing
   }
 
+  test("fails loudly when total weight cannot support k") {
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException](
+      Sampling.systematicSample(df, "id", "w", k = 100))
+    assert(e.getMessage.contains("total weight"))
+  }
+
   test("deterministic across runs and input partitionings") {
     val base = (1L to 500L).map(i => (i, (i * i) % 29 + 1))
     val a = Sampling.systematicSample(base.toDF("id", "w"), "id", "w", 25)
