@@ -35,6 +35,68 @@ object Prof {
         t(s"$q run$i")(noop(graft.SparkEntry.queries(q)(spark, dir)))
       }
     }
+    // q74 decomposition: stage-by-stage actions on the funnel inputs
+    {
+      import org.apache.spark.sql.functions._
+      spark.catalog.clearCache()
+      val docs = graft.Tables.documents(spark, dir)
+      val corp = docs.where(pmod(col("doc_id"), lit(19)) =!= 0).cache()
+      corp.count()
+      val q = graft.operators.TextAnalysis.quality(corp, "doc_id", "text")
+        .where(col("n_tokens") >= 5 && col("digit_ratio") <= 0.3)
+        .select(col("doc_id"))
+      val qualityDocs = corp.join(q, "doc_id")
+      t("q74: quality gate")(qualityDocs.count())
+      val exactKeep = graft.operators.Dedup.exactGroups(qualityDocs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val exactDocs = qualityDocs.join(exactKeep, "doc_id").cache()
+      t("q74: exact dedup")(exactDocs.count())
+      val pairs = graft.operators.Dedup.ngramJaccard(exactDocs, "doc_id", "text",
+        k = 8, maxDf = 100, threshold = 0.3)
+      t("q74: jaccard pairs")(pairs.count())
+      val clusters = graft.operators.Graph.dedupClusters(exactDocs, "doc_id",
+        pairs, "id1", "id2")
+      t("q74: components")(clusters.count())
+      val nearDocs = exactDocs.join(clusters.where(col("keep"))
+        .select(col("doc_id")), "doc_id").cache()
+      t("q74: nearDocs join")(nearDocs.count())
+      val bench = docs.where(pmod(col("doc_id"), lit(19)) === 0)
+        .select(col("doc_id"), col("text"))
+      val contaminated = graft.operators.TextAnalysis.decontaminate(
+        nearDocs, bench, "doc_id", "text", n = 3, threshold = 0.05)
+        .select(col("doc_id"))
+      t("q74: decontaminate")(contaminated.count())
+      t("q74: final anti+label")(noop(
+        nearDocs.join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("split", graft.operators.Split
+            .splitLabel(col("doc_id"),
+              Seq("train" -> 98, "val" -> 99, "test" -> 100)))
+          .select(col("doc_id"), col("split"))))
+    }
+
+    // q29 decomposition: inverted index vs pair expansion vs scoring
+    {
+      import org.apache.spark.sql.functions._
+      spark.catalog.clearCache()
+      val docs = graft.Tables.documents(spark, dir).cache()
+      docs.count()
+      val inv = graft.operators.Dedup.invertedIndexHashed(
+        docs, "doc_id", "text", 8)
+      t("q29: inverted index build")(inv.count())
+      val kept = inv.where(size(col("docs")) <= 100)
+      val expanded = kept.where(size(col("docs")) >= 2)
+        .select(explode(graft.functions.PairExpressions
+          .pairArray(col("docs"))).as("p"))
+      println(s"q29: expanded pair rows = " +
+        kept.where(size(col("docs")) >= 2)
+          .agg(sum(expr("size(docs)*(size(docs)-1) div 2"))).head().getLong(0) +
+        s", distinct shingles kept = ${kept.count()}")
+      t("q29: pair explode+agg")(
+        expanded.groupBy(col("p.id1"), col("p.id2")).agg(count(lit(1))).count())
+      t("q29: full ngramJaccard")(noop(graft.operators.Dedup
+        .ngramJaccard(docs, "doc_id", "text", 8, 100, 0.3)))
+    }
+
     // q39 decomposition: index build (KMeans fit + assign) vs probe
     spark.catalog.clearCache()
     val emb = graft.Tables.embeddings(spark, dir)
