@@ -142,6 +142,70 @@ object Dedup {
       .select("id1", "id2", "containment")
   }
 
+  /** Segment-level boilerplate removal — the "line-level dedup" pass of
+    * web-corpus curation (C4 drops lines occurring ≥ 3×; RefinedWeb/CCNet
+    * strip repeated lines per shard), over fixed `segTokens`-token
+    * segments because this corpus has no newline structure (the
+    * segmenter is a pluggable choice; the engine mechanics are
+    * identical): a segment whose EXACT text occurs in more than `maxDf`
+    * DISTINCT documents is boilerplate (headers, navigation, license
+    * blocks, templated intros) and is stripped from every document it
+    * appears in; the surviving segments reassemble in document order.
+    * Unlike document-level dedup (q28-q31) this rescues the unique
+    * remainder of a partially-templated document instead of keeping or
+    * dropping it whole.
+    *
+    * Returns every input document: (id, clean_text, n_segments, n_kept,
+    * n_removed), clean_text = '' when every segment was boilerplate.
+    *
+    * Scale shape: segments derive in-row from the token array (no
+    * shuffle); the document-frequency aggregation groups by
+    * xxhash64(segment) — 8-byte map-side-combined keys, the inverted-
+    * index trade (a 64-bit collision merges two segments' df counts;
+    * ~0.03 expected collisions at 1e9 distinct segments); the hot set
+    * (df > maxDf) is tiny relative to DISTINCT segments even when
+    * boilerplate dominates instance counts, so AQE broadcasts the
+    * anti-join build side; reassembly is one per-document aggregation,
+    * partitioned by doc id. */
+  def stripBoilerplateSegments(df: DataFrame, idCol: String, textCol: String,
+                               segTokens: Int, maxDf: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens=$segTokens must be >= 1")
+    val base = df.select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("__toks"))
+      .withColumn("__n_seg",
+        expr(s"CAST((size(__toks) + ${segTokens - 1}) DIV $segTokens AS BIGINT)"))
+    // cached: the segment stream feeds both the hot-set aggregation and
+    // the kept-side anti join; uncached, tokenization + segment
+    // assembly run twice (cheap per row, but the scan isn't)
+    val segs = base.where(col("__n_seg") > 0)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), (col("__n_seg") - 1).cast("int")),
+          i => struct(i.cast("long").as("seg_no"),
+            array_join(slice(col("__toks"), i * segTokens + 1, lit(segTokens)), " ")
+              .as("seg")))).as("s"))
+      .select(col(idCol), col("s.seg_no").as("seg_no"),
+        col("s.seg").as("seg"))
+      .cache()
+    val hot = segs.select(xxhash64(col("seg")).as("xh"), col(idCol)).distinct()
+      .groupBy(col("xh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("xh"))
+    val keptAgg = segs.join(hot, xxhash64(col("seg")) === col("xh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("seg_no"), col("seg")))).as("ss"))
+      .select(col(idCol),
+        array_join(transform(col("ss"), s => s.getField("seg")), " ")
+          .as("__clean"),
+        size(col("ss")).cast("long").as("__n_kept"))
+    base.select(col(idCol), col("__n_seg"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("__n_seg").as("n_segments"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_seg") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** 2^59 — modulus for the double-hashing family below; keeps
     * h1 + 11·(h2 mod M) well inside the positive long range. */
   private val HashMod = 576460752303423488L

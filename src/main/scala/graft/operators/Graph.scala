@@ -231,6 +231,20 @@ object Graph {
         .as("n_triangles")))
   }
 
+  /** Degree distribution of the undirected graph: (degree, n_nodes) —
+    * the first diagnostic of any graph workload (skew, hubs, whether
+    * the degree cap that makes [[triangleCount]]'s orientation work is
+    * doing anything). Two map-side-combined aggregations over the
+    * canonical edge set; nothing driver-side, nothing degree-bounded
+    * in memory — the histogram is as wide as the distinct degrees. */
+  def degreeHistogram(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canon(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")))
+    e.select(col("u").as("x")).unionByName(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Cluster assignment for a whole corpus from near-dup pairs: every
     * doc gets its component minimum as `cluster` (its own id when it
     * has no near-duplicates) and `keep` = is it the canonical doc of

@@ -67,4 +67,23 @@ object Profile {
       s"stack(${cols.length}, $stackArgs) AS " +
         "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)")
   }
+
+  /** Functional-dependency audit: the keys of `lhs` that map to MORE
+    * than one distinct `rhs` value — the violations of the dependency
+    * lhs → rhs a schema claims or a modeller assumes (natural key
+    * uniqueness, dimension conformance, "one city per terminal").
+    * Returns (lhs…, n_distinct_rhs, n_rows) for violating keys only;
+    * an empty result certifies the dependency holds.
+    *
+    * Scale shape: one hash aggregation keyed on lhs — the exact
+    * per-key distinct plans map-side-partial (no Expand: a single
+    * count_distinct rewrites to two-level aggregation), and the
+    * violation filter prunes before anything leaves the final
+    * aggregation. NULL rhs values are ignored by count(DISTINCT) on
+    * both engines, so an all-NULL key never reports as a violation. */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame =
+    df.groupBy(lhs.map(col): _*)
+      .agg(count_distinct(col(rhs)).as("n_distinct_rhs"),
+        count(lit(1)).as("n_rows"))
+      .where(col("n_distinct_rhs") > 1)
 }

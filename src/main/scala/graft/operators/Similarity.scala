@@ -74,6 +74,45 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Hard-negative mining for contrastive/metric training: for each
+    * anchor vector, the single highest-cosine corpus neighbour carrying
+    * a DIFFERENT label — similar enough to confuse, labelled apart,
+    * exactly the pair a contrastive loss learns most from. Anchors are
+    * a separate frame because mining runs per training batch, not per
+    * corpus (the [[retrieveTopK]] shape, plus the label residual).
+    * Output: (id_a, label_a, id_b, label_b, sim), one row per anchor
+    * that has any differently-labelled neighbour.
+    *
+    * Scale shape: the anchor batch broadcasts; the corpus streams
+    * through one scan (no corpus shuffle) into the bounded
+    * [[graft.functions.TopKAggregate]] reduction, so the only exchange
+    * carries |anchors| rows. At corpus scale the candidate stream swaps
+    * for an ANN prefilter ([[Ivf.probeTopK]] cells / [[lshTopK]]
+    * buckets) with the same different-label residual; this brute force
+    * stays as their recall oracle. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"),
+        col(labelCol).as("label_b"))
+      .withColumn("nb", norm(col("vb")))
+    val a = anchors.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"),
+        col(labelCol).as("label_a"))
+      .withColumn("na", norm(col("va")))
+    val top = c.crossJoin(broadcast(a))
+      .where(col("label_a") =!= col("label_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .groupBy(col("id_a"), col("label_a"))
+      .agg(graft.functions.TopKAggregate
+        .topkByScore(col("cosine"), col("id_b"), 1).as("nn"))
+      .select(col("id_a"), col("label_a"), explode(col("nn")).as("e"))
+      .select(col("id_a"), col("label_a"), col("e.id").as("id_b"),
+        round(col("e.score"), 6).as("sim"))
+    // label_b rides back in by id (k·|anchors| rows joining a
+    // broadcast-or-hash of corpus ids — never pair-sized)
+    top.join(c.select(col("id_b"), col("label_b")), "id_b")
+      .select("id_a", "label_a", "id_b", "label_b", "sim")
+  }
+
   /** Best-k neighbours per id_a from (id_a, id_b, cosine) via the
     * bounded [[graft.functions.TopKAggregate]] — map-side partial top-k
     * means the shuffle carries n·k rows, not all pairs (a row_number

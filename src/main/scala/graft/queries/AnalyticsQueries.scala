@@ -549,6 +549,47 @@ object AnalyticsQueries {
         .groupBy("bin").agg(count(lit(1)).as("n"))
     })
 
+  /** Functional-dependency audit
+    * ([[graft.operators.Profile.fdViolations]]): the parts supplied by
+    * more than one supplier — the "does this claimed dependency
+    * actually hold" check run against every intake table (here the FD
+    * l_partkey → l_suppkey a single-sourced catalog would claim); the
+    * violating keys and their spread are the data-quality report. One
+    * map-side-combined aggregation; the filter prunes to violations
+    * only. */
+  val q96 = QueryDef.sql("q96_fd_violations",
+    """SELECT l_partkey,
+      |  count(DISTINCT l_suppkey) AS n_distinct_rhs,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_partkey
+      |HAVING count(DISTINCT l_suppkey) > 1""")(
+    (s, dir) => graft.operators.Profile.fdViolations(
+      Tables.lineitem(s, dir), Seq("l_partkey"), "l_suppkey"))
+
+  /** Degree distribution of the co-purchase graph
+    * ([[graft.operators.Graph.degreeHistogram]]) — the skew diagnostic
+    * read before any graph workload (it is exactly the Σ deg² the
+    * triangle orientation caps). Edges derive in-row per order (q83's
+    * pattern); two map-side-combined aggregations after that. */
+  val q99 = QueryDef.sql("q99_degree_hist",
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |d AS (SELECT x, count(*) AS degree FROM (
+      |  SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x)
+      |SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val edges = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .where(size(col("parts")) >= 2)
+        .select(explode(graft.functions.PairExpressions
+          .pairArray(col("parts"))).as("p"))
+        .select(col("p.id1").as("u"), col("p.id2").as("v"))
+      graft.operators.Graph.degreeHistogram(edges, "u", "v")
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
-    q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91)
+    q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99)
 }

@@ -143,5 +143,31 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 5)
     })
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65)
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each
+    * anchor (every 13th vector — mining runs per training batch, not
+    * per corpus), the highest-cosine vector with a DIFFERENT label.
+    * The oracle replays the brute force with a rank-1 window; ranking
+    * happens on unrounded cosines on both engines (round only in the
+    * output), the q32 contract. */
+  val q98 = QueryDef.sql("q98_hard_negatives",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+      |           FROM embeddings),
+      |n AS (SELECT id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |a AS (SELECT * FROM n WHERE id % 13 = 0),
+      |p AS (SELECT a.id AS id_a, a.label AS label_a,
+      |        b.id AS id_b, b.label AS label_b,
+      |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |      FROM a JOIN n b ON a.label <> b.label),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY id_a
+      |        ORDER BY cosine DESC, id_b) AS rnk FROM p)
+      |SELECT id_a, label_a, id_b, label_b, round(cosine, 6) AS sim
+      |FROM r WHERE rnk = 1""")(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb,
+        emb.where(pmod(col("vec_id"), lit(13)) === 0),
+        "vec_id", "embedding", "label")
+    })
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98)
 }

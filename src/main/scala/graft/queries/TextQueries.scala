@@ -853,7 +853,45 @@ object TextQueries {
         expr("max(n_chars * 10000000L + doc_id) DIV 10000000L")
           .as("keep_chars")))
 
+  /** Segment-level boilerplate removal
+    * ([[graft.operators.Dedup.stripBoilerplateSegments]]) — the
+    * line-level dedup pass of web curation (C4's "drop lines seen
+    * thrice"), over 10-token segments: segments appearing verbatim in
+    * more than 2 distinct documents are stripped everywhere and the
+    * survivors reassemble in order. Unlike whole-document dedup this
+    * rescues the unique remainder of partially-templated docs. The
+    * oracle replays segmentation, the distinct-doc frequency cut and
+    * the ordered reassembly string-for-string. */
+  val q94 = QueryDef.sql("q94_segment_dedup",
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks,
+      |           CAST((len(toks) + 9) // 10 AS BIGINT) AS n_seg FROM tk),
+      |seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+      |    array_to_string(list_slice(toks,
+      |      CAST(i*10+1 AS BIGINT), CAST(i*10+10 AS BIGINT)), ' ') AS seg
+      |  FROM (SELECT doc_id, toks, unnest(range(0, n_seg)) AS i FROM base)),
+      |hot AS (SELECT seg
+      |        FROM (SELECT seg, count(DISTINCT doc_id) AS df
+      |              FROM seg GROUP BY seg)
+      |        WHERE df > 2),
+      |kept AS (SELECT * FROM seg WHERE seg NOT IN (SELECT seg FROM hot)),
+      |ka AS (SELECT doc_id,
+      |         string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+      |         count(*) AS n_kept
+      |       FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  coalesce(ka.clean_text, '') AS clean_text,
+      |  b.n_seg AS n_segments,
+      |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(b.n_seg - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM base b LEFT JOIN ka USING (doc_id)""")(
+    (s, dir) => Dedup.stripBoilerplateSegments(
+      Tables.documents(s, dir), "doc_id", "text", segTokens = 10, maxDf = 2))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76, q77, q87, q88, q92, q93)
+    q74, q75, q76, q77, q87, q88, q92, q93, q94)
 }

@@ -419,6 +419,86 @@ object WarehouseQueries {
         keyCols = Seq("c_custkey"), deleteCol = Some("del"))
     })
 
+  /** Event-type transition matrix — the Markov view of user behaviour
+    * (what follows what, and how fast) that powers next-event
+    * prediction features and journey dashboards. One per-user lag
+    * window (user-partitioned — bounded, never global) then a
+    * map-side-combined aggregation over the ~|event types|² transition
+    * keys. Gap arithmetic in exact integer microseconds. */
+  val q95 = QueryDef.sql("q95_event_transitions",
+    """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+      |    lag(event_type) OVER w AS prev_type,
+      |    lag(epoch_us(ts)) OVER w AS prev_t
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT prev_type, event_type AS next_type, count(*) AS n,
+      |  CAST(sum(t - prev_t) AS BIGINT) AS total_gap_us,
+      |  max(t - prev_t) AS max_gap_us
+      |FROM s WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type""")(
+    (s, dir) => {
+      val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          unix_micros(col("ts")).as("t"),
+          lag(col("event_type"), 1).over(wo).as("prev_type"),
+          lag(unix_micros(col("ts")), 1).over(wo).as("prev_t"))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t") - col("prev_t")).as("total_gap_us"),
+          max(col("t") - col("prev_t")).as("max_gap_us"))
+    })
+
+  /** Session entry paths: sessionize (q23's 30-minute gap), take each
+    * session's first three event types in order, and count sessions per
+    * path — the "how do journeys start" funnel view. The path assembles
+    * in-row from a per-session sorted collect (rank ≤ 3, so the arrays
+    * are 3-bounded); everything downstream of the session window is
+    * map-side-combined counting. */
+  val q97 = QueryDef.sql("q97_session_paths",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM g),
+      |r AS (
+      |  SELECT user_id, session_no, event_type,
+      |    row_number() OVER (PARTITION BY user_id, session_no
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, session_no,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY user_id, session_no)
+      |SELECT path, count(*) AS n_sessions FROM p GROUP BY path""")(
+    (s, dir) => {
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wo))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("session_no", sum(col("new_sess")).over(wf))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("user_id"), col("session_no"))
+          .orderBy(col("ts"), col("event_id"))))
+        .where(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+          .as("es"))
+        .select(array_join(transform(col("es"), e => e.getField("event_type")),
+          ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48, q67,
-    q68, q80, q82, q86)
+    q68, q80, q82, q86, q95, q97)
 }

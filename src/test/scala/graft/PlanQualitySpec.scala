@@ -145,6 +145,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"), p)
   }
 
+  test("q94 segment dedup: hot-set filter is a broadcast anti join; " +
+       "nothing plans a single-partition exchange") {
+    val df = SparkEntry.queries("q94_segment_dedup")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q95/q97 sequence windows stay user-partitioned — no global window") {
+    for (q <- Seq("q95_event_transitions", "q97_session_paths")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q: $p")
+    }
+  }
+
+  test("q96 FD audit: single count_distinct plans two-level agg, no Expand") {
+    val p = plan("q96_fd_violations")
+    assert(!p.contains("Expand"), p)
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     // q55's cross join is at BLOCK granularity (blocks² rows, each row
     // one packed block) — bounded by construction, not an n² row plan

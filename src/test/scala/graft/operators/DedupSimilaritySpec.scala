@@ -211,6 +211,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(blocked.sorted == reference.sorted)
   }
 
+  test("hardNegatives: best different-label neighbour, labels excluded exactly") {
+    // two tight clusters on orthogonal axes + one mixed-label outlier
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.1f, 0.9f, 0.0f), 1),
+      (5L, Array(0.7f, 0.7f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, vecs, "vec_id", "embedding", "label")
+      .as[(Long, Int, Long, Int, Double)] // id_a, label_a, id_b, label_b, sim
+      .collect().map(r => r._1 -> r).toMap
+    // every anchor's hardest negative is the 45° outlier 5 (label 2),
+    // except 5 itself whose nearest other-label vec is a cluster member
+    assert(got(1L)._3 == 5L && got(1L)._4 == 2)
+    assert(got(2L)._3 == 5L)
+    assert(got(3L)._3 == 5L)
+    assert(got(4L)._3 == 5L)
+    assert(got(5L)._4 != 2) // own label can never be the negative
+    assert(got.size == 5)
+  }
+
+  test("hardNegatives ≡ window-ranked brute force on the real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val anchors = emb.where(pmod(col("vec_id"), lit(13)) === 0)
+    val got = Similarity.hardNegatives(emb, anchors, "vec_id", "embedding", "label")
+    val v = emb.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = v.where(pmod(col("id"), lit(13)) === 0)
+      .select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), col("label").as("label_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("label").as("label_b"))
+    val want = a.crossJoin(b).where(col("label_a") =!= col("label_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
+          .orderBy(col("cosine").desc, col("id_b"))))
+      .where(col("rnk") === 1)
+      .select(col("id_a"), col("label_a"), col("id_b"), col("label_b"),
+        round(col("cosine"), 6).as("sim"))
+    assert(got.select("id_a", "label_a", "id_b", "label_b", "sim")
+      .exceptAll(want).isEmpty &&
+      want.exceptAll(got.select("id_a", "label_a", "id_b", "label_b", "sim"))
+        .isEmpty)
+  }
+
   test("retrieveTopK ≡ window-ranked brute force over the query×corpus pairs") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(pmod(col("vec_id"), lit(50)) === 0)

@@ -67,6 +67,20 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head() == ((4L, 3L, 0L)))
   }
 
+  test("degreeHistogram: counts nodes per degree on the canonical graph") {
+    // triangle 1-2-3 plus pendant 4: degrees 2,2,3,1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), (1L, 1L)).toDF("u", "v") // reversed dup + self loop ignored
+    val got = Graph.degreeHistogram(edges, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("degreeHistogram: empty edge set yields an empty histogram") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Graph.degreeHistogram(empty, "u", "v").count() == 0)
+  }
+
   test("triangleCount: duplicate/reversed/self edges canonicalize first") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
       (1L, 2L)).toDF("u", "v")

@@ -23,6 +23,35 @@ class ProfileSpec extends AnyFunSuite {
     assert(got("x") == ("x", 4L, 1L, 2L, Some(-1.0), Some(2.5), None, None))
   }
 
+  test("fdViolations: reports only keys with more than one distinct rhs") {
+    val df = Seq(
+      ("t1", "paris"), ("t1", "paris"), ("t1", "lyon"),
+      ("t2", "nice"), ("t2", "nice"),
+      ("t3", "oslo")
+    ).toDF("terminal", "city")
+    val got = Profile.fdViolations(df, Seq("terminal"), "city")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("t1", 2L, 3L)))
+  }
+
+  test("fdViolations: a dependency that holds yields an empty audit; " +
+       "null rhs never counts") {
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("a", None),
+      ("b", None)
+    ).toDF("k", "v")
+    assert(Profile.fdViolations(df, Seq("k"), "v").count() == 0)
+  }
+
+  test("fdViolations: composite lhs keys") {
+    val df = Seq(
+      ("x", 1, "u"), ("x", 1, "w"), ("x", 2, "u")
+    ).toDF("k1", "k2", "v")
+    val got = Profile.fdViolations(df, Seq("k1", "k2"), "v")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == Set(("x", 1, 2L, 2L)))
+  }
+
   test("columnProfile: timestamp goes through the exact epoch-us channel") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
