@@ -891,7 +891,66 @@ object TextQueries {
     (s, dir) => Dedup.stripBoilerplateSegments(
       Tables.documents(s, dir), "doc_id", "text", segTokens = 10, maxDf = 2))
 
+  /** BPE vocabulary induction ([[graft.operators.Bpe.train]]): three
+    * merge rounds over the corpus word-frequency table — canonical
+    * greedy left-to-right merging expressed as window algebra
+    * (gaps-and-islands parity for equal-symbol runs), so the oracle
+    * replays every round relationally with the SAME algebra, unrolled
+    * as three CTE stages. Exact integer pair counts, lexicographic
+    * tiebreaks; the output is the ordered merge table a BPE tokenizer
+    * consumes. */
+  val q100 = {
+    // one round of the shared window algebra, parameterized by the
+    // state CTE it reads and the index of the round
+    def round(n: Int, in: String): String = {
+      s"""p$n AS (SELECT syms[CAST(i AS INT)] AS a,
+         |    syms[CAST(i+1 AS INT)] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM $in)
+         |  GROUP BY 1, 2),
+         |b$n AS (SELECT a, b, c FROM p$n ORDER BY c DESC, a, b LIMIT 1),
+         |e$n AS (SELECT word, cnt, CAST(i AS BIGINT) AS pos,
+         |    syms[CAST(i AS INT)] AS sym
+         |  FROM (SELECT word, cnt, syms,
+         |        unnest(range(1, len(syms)+1)) AS i FROM $in)),
+         |c$n AS (SELECT e.*, b.a AS ma, b.b AS mb,
+         |    coalesce(sym = b.a AND lead(sym)
+         |      OVER (PARTITION BY word ORDER BY pos) = b.b, false) AS cand
+         |  FROM e$n e, b$n b),
+         |g$n AS (SELECT *, CASE WHEN cand THEN pos - row_number()
+         |    OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
+         |  FROM c$n),
+         |m$n AS (SELECT *, cand AND (row_number()
+         |    OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS merged
+         |  FROM g$n),
+         |k$n AS (SELECT *, coalesce(lag(merged)
+         |    OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+         |  FROM m$n),
+         |s${n + 1} AS (SELECT word, cnt,
+         |    list(CASE WHEN merged THEN ma || mb ELSE sym END
+         |         ORDER BY pos) AS syms
+         |  FROM k$n WHERE NOT consumed GROUP BY word, cnt)"""
+    }
+    QueryDef.sql("q100_bpe_merges",
+      s"""WITH w AS (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(list_filter(
+         |      string_split_regex(lower(trim(text)), '\\s+'),
+         |      t -> len(t) > 0)) AS word FROM documents)
+         |  GROUP BY word),
+         |s1 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms
+         |       FROM w),
+         |${round(1, "s1")},
+         |${round(2, "s2")},
+         |${round(3, "s3")}
+         |SELECT 1 AS round, a AS sym_a, b AS sym_b, a || b AS merged,
+         |       c AS pair_count FROM b1
+         |UNION ALL SELECT 2, a, b, a || b, c FROM b2
+         |UNION ALL SELECT 3, a, b, a || b, c FROM b3""")(
+      (s, dir) => graft.operators.Bpe.train(
+        s, Tables.documents(s, dir), "text", rounds = 3))
+  }
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76, q77, q87, q88, q92, q93, q94)
+    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100)
 }
