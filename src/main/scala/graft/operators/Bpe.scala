@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
@@ -62,38 +61,26 @@ object Bpe {
       .agg(sum(col("cnt")).as("c"))
 
   /** One greedy merge of pair (a, b) applied to every word's symbol
-    * array. Greedy left-to-right as window algebra: a position is a
-    * CANDIDATE when (sym, next) = (a, b); candidates can only touch
-    * when a = b (runs of equal symbols), and greedy keeps the odd
-    * (1st, 3rd, …) candidate of each touching run — gaps-and-islands
-    * grouping (pos − row_number over candidates) + parity. A position
-    * following a merged one is consumed. */
-  private def applyMerge(state: DataFrame, a: String, b: String): DataFrame = {
-    val wPos = Window.partitionBy(col("word")).orderBy(col("pos"))
-    val wCand = Window.partitionBy(col("word"), col("cand")).orderBy(col("pos"))
-    val wRun = Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))
-    state
-      .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
-      // coalesce: lead() is NULL on each word's last symbol, and a NULL
-      // cand would otherwise thread three-valued logic through the
-      // grouping/parity columns — pin it false on both engines
-      .withColumn("cand", coalesce(
-        col("sym") === lit(a) && lead(col("sym"), 1).over(wPos) === lit(b),
-        lit(false)))
-      .withColumn("grp",
-        when(col("cand"), col("pos") - row_number().over(wCand)))
-      .withColumn("merged",
-        col("cand") && row_number().over(wRun) % 2 === 1)
-      .withColumn("consumed",
-        coalesce(lag(col("merged"), 1).over(wPos), lit(false)))
-      .where(!col("consumed"))
-      .withColumn("out_sym",
-        when(col("merged"), lit(a + b)).otherwise(col("sym")))
-      .groupBy(col("word"), col("cnt"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("pos"), col("out_sym")))),
-        s => s.getField("out_sym")).as("syms"))
-  }
+    * array — IN-ROW, as a left fold over the array: append the next
+    * symbol, or replace the accumulator's tail with the merged symbol
+    * when (tail, next) = (a, b). The fold IS canonical greedy
+    * left-to-right: the only way it could over-merge a run is if a
+    * just-merged tail compared equal to `a` again, and a+b = a is
+    * impossible (length grows) — so 'aaa' under (a,a) folds to
+    * [aa, a], exactly the 1st+2nd greedy merge. Zero shuffle, zero
+    * explode: the q29 in-row lesson applied to BPE (the first cut of
+    * this operator spelled the same greedy selection as three window
+    * passes over exploded symbols — gaps-and-islands grouping + run
+    * parity — at four exchanges per round; the DuckDB oracle still
+    * replays THAT relational formulation, which makes the two engines
+    * independently-derived implementations of the same semantics). */
+  private def applyMerge(state: DataFrame, a: String, b: String): DataFrame =
+    state.select(col("word"), col("cnt"),
+      aggregate(col("syms"), array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x)))).as("syms"))
 
   /** Train `rounds` merge rules over the corpus' text column. */
   def train(spark: SparkSession, df: DataFrame, textCol: String,

@@ -82,4 +82,46 @@ object Sampling {
         expr(s"(cum - $weightCol) DIV ${step}L"))
       .select(col(idCol), col(weightCol), col("cum"))
   }
+
+  /** Materialize a training MIXTURE: apportion `k` slots across the
+    * groups of `srcCol` proportionally to their total `weightCol`
+    * (largest-remainder / Hamilton apportionment — exact BIGINT
+    * quotas), then DRAW each group's slots deterministically by
+    * (md5(id), id) hash order — reproducible, ingestion-order-free,
+    * and unbiased by any meaningful column. The composition of the
+    * q90 allocation and the q92 ranked pick: allocation says how many,
+    * the hash rank says which.
+    *
+    * Returns (id, src, rk, slots) for drawn rows only; a group with
+    * fewer rows than slots contributes everything it has (under-fill
+    * is visible as max(rk) < slots, left to the caller's re-balance
+    * policy).
+    *
+    * Scale shape: the apportionment runs on #groups rows
+    * (domain-bounded; its global rank window is over that tiny frame,
+    * not data), the rank window partitions BY GROUP (bounded by the
+    * largest group like q92), and the slot table joins back broadcast.
+    * Weights must be non-negative; k ≥ 1. */
+  def mixtureDraw(df: DataFrame, idCol: String, srcCol: String,
+                  weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = df.groupBy(col(srcCol)).agg(sum(col(weightCol)).as("weight"))
+    val t = w.agg(sum(col("weight")).as("tot"))
+    val q = w.crossJoin(t).select(col(srcCol), col("weight"),
+      expr(s"(weight * $k) DIV tot").as("base"),
+      expr(s"(weight * $k) % tot").as("rem"))
+    val r = q.withColumn("rr", row_number().over(
+      Window.orderBy(col("rem").desc, col(srcCol))))
+    val sb = q.agg(sum(col("base")).as("sb"))
+    val alloc = r.crossJoin(sb).select(col(srcCol),
+      (col("base") + when(col("rr") <= lit(k.toLong) - col("sb"), 1L)
+        .otherwise(0L)).as("slots"))
+    val wr = Window.partitionBy(col(srcCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(srcCol),
+        row_number().over(wr).cast("long").as("rk"))
+      .join(broadcast(alloc), srcCol)
+      .where(col("rk") <= col("slots"))
+      .select(col(idCol), col(srcCol), col("rk"), col("slots"))
+  }
 }

@@ -590,6 +590,35 @@ object AnalyticsQueries {
       graft.operators.Graph.degreeHistogram(edges, "u", "v")
     })
 
+  /** Mixture DRAW ([[graft.operators.Sampling.mixtureDraw]]):
+    * materialize the training mixture q90 only allocates — 100 slots
+    * apportioned across sources by total n_chars (largest remainder),
+    * each source's quota drawn in deterministic (md5(id), id) hash
+    * order. Allocation + pick replay exactly in the oracle (the q90 and
+    * q92 machinery composed). */
+  val q101 = QueryDef.sql("q101_mixture_draw",
+    """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+      |           FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+      |q AS (SELECT source, weight,
+      |        (weight * 100) // tot AS base,
+      |        (weight * 100) % tot AS rem FROM w, t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+      |      FROM q),
+      |s AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM q),
+      |alloc AS (SELECT source,
+      |    CAST(base + CASE WHEN rr <= 100 - sb THEN 1 ELSE 0 END AS BIGINT)
+      |      AS slots FROM r, s),
+      |rk AS (SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source, rk, slots
+      |FROM rk JOIN alloc USING (source) WHERE rk <= slots""")(
+    (s, dir) => graft.operators.Sampling.mixtureDraw(
+      Tables.documents(s, dir), "doc_id", "source", "n_chars", k = 100))
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
-    q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99)
+    q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
+    q101)
 }

@@ -43,6 +43,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("total weight"))
   }
 
+  test("mixtureDraw: largest-remainder quotas, deterministic hash picks") {
+    // weights 50/30/20 over k=10 -> exact slots 5/3/2 (no remainders)
+    val docs = (1L to 300L).map { i =>
+      val src = if (i <= 150) "a" else if (i <= 240) "b" else "c"
+      (i, src, if (src == "a") 50L else if (src == "b") 50L else 40L)
+    }
+    // per-source totals: a=150*50=7500, b=90*50=4500, c=60*40=2400
+    // k=48: base = 7500*48//14400=25, 4500*48//14400=15, 2400*48//14400=8
+    val df = docs.toDF("id", "src", "w")
+    val got = Sampling.mixtureDraw(df, "id", "src", "w", k = 48)
+      .as[(Long, String, Long, Long)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 25, "b" -> 15, "c" -> 8))
+    assert(got.length == 48)
+    // rk is dense 1..slots within each source
+    assert(got.groupBy(_._2).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong) })
+    // deterministic across partitionings
+    val again = Sampling.mixtureDraw(df.repartition(13), "id", "src", "w", 48)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("mixtureDraw: a group smaller than its quota under-fills visibly") {
+    // source "big" carries almost all weight but has only 2 rows
+    val df = Seq((1L, "big", 1000L), (2L, "big", 1000L),
+      (3L, "small", 1L), (4L, "small", 1L), (5L, "small", 1L))
+      .toDF("id", "src", "w")
+    val got = Sampling.mixtureDraw(df, "id", "src", "w", k = 10)
+      .as[(Long, String, Long, Long)].collect()
+    val big = got.filter(_._2 == "big")
+    assert(big.length == 2) // drew everything it has
+    assert(big.head._4 > 2) // quota larger than the draw -> under-fill
+  }
+
   test("deterministic across runs and input partitionings") {
     val base = (1L to 500L).map(i => (i, (i * i) % 29 + 1))
     val a = Sampling.systematicSample(base.toDF("id", "w"), "id", "w", 25)
