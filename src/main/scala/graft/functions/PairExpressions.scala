@@ -37,6 +37,75 @@ object PairExpressions {
     org.apache.spark.sql.graftshim.Shim.column(SortedIntersectCount(
       org.apache.spark.sql.graftshim.Shim.expression(a),
       org.apache.spark.sql.graftshim.Shim.expression(b)))
+
+  /** Binary-search membership of a long in a SORTED long array — the
+    * exact per-row set probe, see [[SortedLongContains]]. */
+  def sortedLongContains(sorted: Column, needle: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(SortedLongContains(
+      org.apache.spark.sql.graftshim.Shim.expression(sorted),
+      org.apache.spark.sql.graftshim.Shim.expression(needle)))
+}
+
+/** Membership of a long in a sorted-ascending long array by binary
+  * search — the EXACT per-row set probe for a bounded reference set
+  * that rides the plan as one literal (the streaming boilerplate
+  * strip's hot-hash set). `array_contains` scans linearly and a Bloom
+  * sketch trades in false positives (Spark's `BloomFilterAggregate` is
+  * tuned for join pruning — measured ~1e-3 FP at small sketch sizes
+  * regardless of the textbook numBits sizing); the binary search is
+  * exact, O(log n) per row, and stays inside whole-stage codegen.
+  * Input array MUST be sorted ascending; an empty array contains
+  * nothing. */
+case class SortedLongContains(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "sorted_long_contains"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_long_contains expects (array<bigint>, bigint), got $other")
+    }
+
+  override def nullSafeEval(a: Any, n: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val x = n.asInstanceOf[Long]
+    var lo = 0
+    var hi = arr.numElements() - 1
+    var found = false
+    while (lo <= hi && !found) {
+      val mid = (lo + hi) >>> 1
+      val v = arr.getLong(mid)
+      if (v == x) found = true
+      else if (v < x) lo = mid + 1
+      else hi = mid - 1
+    }
+    found
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) => {
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val v = ctx.freshName("v")
+      s"""
+         |int $lo = 0; int $hi = $a.numElements() - 1;
+         |${ev.value} = false;
+         |while ($lo <= $hi && !${ev.value}) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  long $v = $a.getLong($mid);
+         |  if ($v == $n) { ${ev.value} = true; }
+         |  else if ($v < $n) { $lo = $mid + 1; } else { $hi = $mid - 1; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongContains =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Intersection SIZE of two sorted long arrays in one two-pointer walk.

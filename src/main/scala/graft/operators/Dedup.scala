@@ -167,6 +167,51 @@ object Dedup {
     * boilerplate dominates instance counts, so AQE broadcasts the
     * anti-join build side; reassembly is one per-document aggregation,
     * partitioned by doc id. */
+  /** The ordered `segTokens`-token segment array of a text column —
+    * the shared segmenter of [[stripBoilerplateSegments]] and its
+    * streaming twin ([[graft.streaming.Streams.stripBoilerplateStream]]).
+    * Per-row, order-preserving, empty array for empty/whitespace text
+    * (guarded: `sequence(0, -1)` would be a DESCENDING two-element
+    * sequence, not empty). */
+  private[graft] def segmentArray(text: Column, segTokens: Int): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nSeg = floor((size(toks) + lit(segTokens - 1)) / lit(segTokens)).cast("int")
+    when(size(toks) > 0,
+      transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The boilerplate side of [[stripBoilerplateSegments]] as a sorted
+    * xxhash64 array — the EXACT static side a streaming strip probes
+    * per row (a periodic batch job rebuilds it; every micro-batch
+    * reuses it, the [[graft.streaming.Streams.lshDedupStream]] split).
+    * Exactly the batch operator's hot set, so batch and stream strips
+    * agree row-for-row (same 64-bit-collision trade, nothing more).
+    * A Bloom sketch was the first cut here and is the WRONG tool:
+    * Spark's `BloomFilterAggregate` is tuned for join pruning and
+    * measured ~1e-3 false positives at small sketch sizes regardless
+    * of the textbook numBits sizing — every false positive silently
+    * strips an innocent segment with no exact-verify join available on
+    * a per-row stream path (q66 keeps one; a stream cannot).
+    *
+    * The collect is bounded by construction — hot segments number at
+    * most Σ df>maxDf distincts (|corpus segments| / maxDf worst case),
+    * the same boundedness argument as the stop-shingle list; at the
+    * extreme, swap the plan literal for a broadcast variable inside
+    * the probe expression. */
+  def hotSegmentHashes(corpus: DataFrame, idCol: String, textCol: String,
+                       segTokens: Int, maxDf: Int): Array[Long] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .select(col(idCol), explode(segmentArray(col(textCol), segTokens)).as("seg"))
+      .select(xxhash64(col("seg")).as("xh"), col(idCol)).distinct()
+      .groupBy(col("xh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .orderBy(col("xh")).select(col("xh")).as[Long].collect()
+  }
+
   def stripBoilerplateSegments(df: DataFrame, idCol: String, textCol: String,
                                segTokens: Int, maxDf: Int): DataFrame = {
     require(segTokens >= 1, s"segTokens=$segTokens must be >= 1")

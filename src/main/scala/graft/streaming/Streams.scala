@@ -180,6 +180,40 @@ object Streams {
         greatest(col("a"), col("b")).as("id2"))
   }
 
+  /** Streaming segment-level boilerplate strip — the live twin of
+    * [[graft.operators.Dedup.stripBoilerplateSegments]]: documents
+    * arrive as a stream; the hot-segment set is STATIC, carried as a
+    * sorted xxhash64 array
+    * ([[graft.operators.Dedup.hotSegmentHashes]] — a periodic batch job
+    * rebuilds it, every micro-batch reuses it). The entire transform is
+    * per-row: segments derive in-row, the membership probe runs inside
+    * the `filter` lambda (codegen'd binary search,
+    * [[graft.functions.SortedLongContains]] — exact, no Bloom false
+    * positives, no UDF), and reassembly is an order-preserving
+    * `array_join` — no explode, no aggregation, NO STREAM STATE at
+    * all, so it runs in append mode with no watermark.
+    *
+    * Output is row-for-row the batch operator's (both probe the same
+    * hot hash set with the same 64-bit-collision trade); StreamsSpec
+    * replays a corpus and asserts exact equality. */
+  def stripBoilerplateStream(docs: DataFrame, hotHashes: Array[Long],
+                             idCol: String, textCol: String,
+                             segTokens: Int): DataFrame = {
+    val segs = graft.operators.Dedup.segmentArray(col(textCol), segTokens)
+    val hot = lit(hotHashes)
+    docs
+      .select(col(idCol), segs.as("__segs"))
+      .select(col(idCol),
+        filter(col("__segs"), s => !graft.functions.PairExpressions
+          .sortedLongContains(hot, xxhash64(s))).as("__kept"),
+        size(col("__segs")).cast("long").as("n_segments"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        col("n_segments"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("n_segments") - size(col("__kept")).cast("long")).as("n_removed"))
+  }
+
   /** The static corpus side for [[lshDedupStream]]: the banded bucket
     * index of the existing corpus, one row per (band, key, id). */
   def corpusBucketIndex(corpus: DataFrame, idCol: String, textCol: String,

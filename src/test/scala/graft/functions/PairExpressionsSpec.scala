@@ -15,6 +15,29 @@ class PairExpressionsSpec extends AnyFunSuite {
         y => struct(x.as("id1"), y.as("id2")))))
   }
 
+  test("sorted_long_contains: binary search equals array_contains on random sets") {
+    val rnd = new scala.util.Random(7)
+    val hay = Array.fill(257)(rnd.nextLong()).distinct.sorted
+    val needles = (hay.take(40) ++ Array.fill(200)(rnd.nextLong())).toSeq
+    val df = needles.toDF("n").withColumn("hay", lit(hay))
+    val got = df.select(col("n"),
+        PairExpressions.sortedLongContains(col("hay"), col("n")).as("c"))
+      .as[(Long, Boolean)].collect().toMap
+    val want = hay.toSet
+    assert(needles.forall(n => got(n) == want.contains(n)))
+    // empty haystack contains nothing; works inside a filter lambda
+    val empty = Seq(5L).toDF("n")
+      .select(PairExpressions.sortedLongContains(
+        lit(Array.empty[Long]), col("n")).as("c"))
+      .as[Boolean].head()
+    assert(!empty)
+    val inLambda = Seq((Seq(1L, 2L, 3L))).toDF("xs")
+      .select(filter(col("xs"), x => PairExpressions.sortedLongContains(
+        lit(Array(2L)), x)).as("hit"))
+      .as[Seq[Long]].head()
+    assert(inLambda == Seq(2L))
+  }
+
   test("pair_array equals the composable transform/slice chain, in order") {
     val df = Seq(
       Seq(1L, 2L, 3L, 4L),

@@ -223,6 +223,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming boilerplate strip matches the batch operator on a replayed corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val hashes = graft.operators.Dedup.hotSegmentHashes(
+      corpus, "doc_id", "text", segTokens = 10, maxDf = 2)
+    assert(hashes.nonEmpty && hashes.sorted.toSeq == hashes.toSeq)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(corpus.as[(Long, String)].collect().toSeq: _*)
+    val q = graft.streaming.Streams.stripBoilerplateStream(
+        mem.toDF().toDF("doc_id", "text"), hashes, "doc_id", "text", 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("strip_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("strip_out")
+    val want = graft.operators.Dedup.stripBoilerplateSegments(
+      corpus, "doc_id", "text", segTokens = 10, maxDf = 2)
+    // exact probe: stream ≡ batch row-for-row, always
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("hotSegmentHashes: empty hot set strips nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val hashes = graft.operators.Dedup.hotSegmentHashes(
+      docs, "doc_id", "text", segTokens = 3, maxDf = 1)
+    assert(hashes.isEmpty)
+    val out = graft.streaming.Streams.stripBoilerplateStream(
+        docs, hashes, "doc_id", "text", 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == (("alpha beta", 1L, 1L, 0L)))
+    assert(out(2L) == (("gamma delta", 1L, 1L, 0L)))
+  }
+
   test("batch openSessions flushes the trailing session per user") {
     import spark.implicits._
     val open = Streams.openSessions(events.toDS(), gapSeconds = 1800)
