@@ -245,6 +245,39 @@ object Graph {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Bounded-hop BFS: minimum hop distance (≤ maxHops) from a seed set
+    * over the undirected graph — the "what is reachable from here"
+    * primitive behind contamination blast-radius checks, related-item
+    * expansion and graph feature engineering. Returns (id, dist) for
+    * every node within maxHops of any seed; unreachable nodes are
+    * absent.
+    *
+    * Shape: one frontier join + min-aggregation per hop, maxHops
+    * driver iterations (bounded a priori, unlike
+    * [[connectedComponents]]' data-dependent fixpoint — no convergence
+    * action needed); per-hop frames locally checkpointed so lineage
+    * stays flat. Level sets may revisit nodes; the final min over
+    * levels restores BFS semantics exactly, which is what lets the
+    * DuckDB oracle replay it with unrolled per-hop CTEs + one min. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, srcCol: String,
+              dstCol: String, idCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
+    val e = canon(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    var levels = Seq(seeds.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(eager = false))
+    for (h <- 1 to maxHops) {
+      val next = levels.last.join(sym, levels.last("id") === sym("u"))
+        .select(sym("v").as("id")).distinct()
+        .withColumn("d", lit(h.toLong)).localCheckpoint(eager = false)
+      levels = levels :+ next
+    }
+    levels.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(min(col("d")).as("dist"))
+  }
+
   /** Cluster assignment for a whole corpus from near-dup pairs: every
     * doc gets its component minimum as `cluster` (its own id when it
     * has no near-duplicates) and `keep` = is it the canonical doc of

@@ -618,7 +618,86 @@ object AnalyticsQueries {
     (s, dir) => graft.operators.Sampling.mixtureDraw(
       Tables.documents(s, dir), "doc_id", "source", "n_chars", k = 100))
 
+  /** Bounded-hop BFS ([[graft.operators.Graph.bfsHops]]): minimum hop
+    * distance ≤ 3 from the seed parts (every 1000th partkey) over the
+    * co-purchase graph — blast-radius/related-item expansion. The
+    * oracle unrolls the three hops as CTEs and takes the same min over
+    * level sets. */
+  val q102 = QueryDef.sql("q102_bfs_hops",
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |d0 AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+      |       WHERE l_partkey % 1000 = 0),
+      |h1 AS (SELECT DISTINCT s.v AS id FROM sym s JOIN d0 ON s.u = d0.id),
+      |h2 AS (SELECT DISTINCT s.v AS id FROM sym s JOIN h1 ON s.u = h1.id),
+      |h3 AS (SELECT DISTINCT s.v AS id FROM sym s JOIN h2 ON s.u = h2.id),
+      |lvl AS (SELECT id, 0 AS d FROM d0
+      |  UNION ALL SELECT id, 1 FROM h1
+      |  UNION ALL SELECT id, 2 FROM h2
+      |  UNION ALL SELECT id, 3 FROM h3)
+      |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM lvl GROUP BY id""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val edges = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .where(size(col("parts")) >= 2)
+        .select(explode(graft.functions.PairExpressions
+          .pairArray(col("parts"))).as("p"))
+        .select(col("p.id1").as("u"), col("p.id2").as("v"))
+      val seeds = Tables.lineitem(s, dir)
+        .where(pmod(col("l_partkey"), lit(1000)) === 0)
+        .select(col("l_partkey").as("id"))
+      graft.operators.Graph.bfsHops(edges, seeds, "u", "v", "id", maxHops = 3)
+    })
+
+  /** Market-basket LIFT over co-purchased part pairs — association-rule
+    * mining with exact arithmetic: lift(a,b) = c_ab·N / (c_a·c_b), all
+    * counts exact distinct-order integers, one IEEE division rounded at
+    * the end (the q57 linear-idf contract). Support floor c_ab ≥ 2
+    * bounds the output to meaningful rules. Pairs expand in-row per
+    * order (the q83 pattern); the only corpus-wide exchanges are the
+    * per-order set build and the pair/count aggregations. */
+  val q103 = QueryDef.sql("q103_basket_lift",
+    """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+      |ca AS (SELECT l_partkey, count(*) AS c FROM po GROUP BY l_partkey),
+      |cab AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c_ab
+      |        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+      |          AND a.l_partkey < b.l_partkey
+      |        GROUP BY 1, 2)
+      |SELECT pa, pb, c_ab,
+      |  round(CAST(c_ab * n_orders AS DOUBLE) / (x.c * y.c), 6) AS lift
+      |FROM cab JOIN ca x ON cab.pa = x.l_partkey
+      |         JOIN ca y ON cab.pb = y.l_partkey
+      |         CROSS JOIN n
+      |WHERE c_ab >= 2""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val po = li.select("l_orderkey", "l_partkey").distinct()
+      val n = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      val ca = po.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val grouped = po.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .where(size(col("parts")) >= 2)
+      val cab = grouped
+        .select(explode(graft.functions.PairExpressions
+          .pairArray(col("parts"))).as("p"))
+        .groupBy(col("p.id1").as("pa"), col("p.id2").as("pb"))
+        .agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 2)
+      cab
+        .join(ca.select(col("l_partkey").as("pa"), col("c").as("c_a")), "pa")
+        .join(ca.select(col("l_partkey").as("pb"), col("c").as("c_b")), "pb")
+        .crossJoin(n)
+        .select(col("pa"), col("pb"), col("c_ab"),
+          round((col("c_ab") * col("n_orders")).cast("double") /
+            (col("c_a") * col("c_b")), 6).as("lift"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
-    q101)
+    q101, q102, q103)
 }

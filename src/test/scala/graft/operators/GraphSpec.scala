@@ -81,6 +81,25 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.degreeHistogram(empty, "u", "v").count() == 0)
   }
 
+  test("bfsHops: min distance on a known graph; unreachable absent") {
+    // path 1-2-3-4-5 plus triangle 1-6-7; node 9 isolated-by-absence
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (6L, 7L), (7L, 1L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds, "u", "v", "id", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 6L -> 1L, 7L -> 1L,
+      3L -> 2L, 4L -> 3L)) // 5 is 4 hops away: absent
+  }
+
+  test("bfsHops: maxHops 0 returns exactly the (deduplicated) seeds") {
+    val edges = Seq((1L, 2L)).toDF("u", "v")
+    val seeds = Seq(1L, 1L, 2L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds, "u", "v", "id", 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("triangleCount: duplicate/reversed/self edges canonicalize first") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
       (1L, 2L)).toDF("u", "v")
