@@ -278,6 +278,57 @@ object Graph {
       .groupBy(col("id")).agg(min(col("d")).as("dist"))
   }
 
+  /** PageRank over the undirected graph (each edge walked both ways),
+    * in INTEGER-QUANTIZED arithmetic: ranks live in micro-units of
+    * `scale` (initial rank = scale per node), a node's per-neighbour
+    * contribution is `rank DIV degree`, and the damping update is
+    * r' = (15·scale) DIV 100 + (85·Σ contrib) DIV 100 — every step an
+    * exact BIGINT, so the fixed-iteration result replays bit-for-bit
+    * on any engine (the DuckDB oracle unrolls the iterations as CTEs).
+    * Floating-point PageRank cannot cross engines: Σ over in-neighbours
+    * sums doubles in shuffle order. Quantization error is bounded by
+    * deg(v) units per node per iteration — at scale 1e12, parts in
+    * 1e-9 — and identical on both engines, which is the point.
+    *
+    * Per iteration: one join of the rank table with the symmetrized
+    * edge set (hash-partitioned on the node key) + one
+    * map-side-combined sum — the standard iterative-dataflow shape;
+    * rank frames are locally checkpointed per round like
+    * [[connectedComponents]]. No dangling-node mass term: every node
+    * here is incident to an edge (degree ≥ 1 by construction).
+    *
+    * Overflow bound: a node's in-sum is at most the total mass N·scale
+    * (star-graph worst case) and the update multiplies by 85, so pick
+    * scale with 85·N·scale < 2^63 — the 1e12 default is safe to ~1e5
+    * nodes; drop to 1e8 for billion-node graphs (precision parts in
+    * 1e-5, still identical on both engines). */
+  def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
+                     iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val e = canon(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    var rank = deg.select(col("id"), lit(scale).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = rank.join(deg, "id")
+        .select(col("id").as("u"), expr("r DIV deg").as("c"))
+        .join(sym, "u")
+        .groupBy(col("v").as("id")).agg(sum(col("c")).as("s"))
+      // every node has an in-edge (symmetrized, deg >= 1), so the left
+      // join is total — coalesce guards the type, not a real case
+      rank = deg.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(15L * scale / 100L) +
+            expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
+        .localCheckpoint(eager = false)
+    }
+    rank.select(col("id"), col("r").as("rank_scaled"))
+  }
+
   /** Cluster assignment for a whole corpus from near-dup pairs: every
     * doc gets its component minimum as `cluster` (its own id when it
     * has no near-duplicates) and `keep` = is it the canonical doc of

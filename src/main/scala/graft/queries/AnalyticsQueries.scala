@@ -697,7 +697,50 @@ object AnalyticsQueries {
             (col("c_a") * col("c_b")), 6).as("lift"))
     })
 
+  /** Integer-quantized PageRank
+    * ([[graft.operators.Graph.pageRankScaled]]), 3 iterations over the
+    * co-purchase graph: ranks in 1e12-unit integers, contributions via
+    * integer division — every step exact BIGINT, so the oracle unrolls
+    * the same three iterations as CTEs and matches bit-for-bit
+    * (floating-point PageRank cannot cross engines: in-neighbour sums
+    * accumulate doubles in shuffle order). */
+  val q104 = {
+    val scale = 1000000000000L
+    val base = 15L * scale / 100L
+    def iter(n: Int, prev: String): String =
+      s"""c$n AS (SELECT s.v AS id, CAST(sum((r.r // d.deg)) AS BIGINT) AS s
+         |  FROM $prev r JOIN deg d ON r.id = d.id
+         |  JOIN sym s ON s.u = r.id
+         |  GROUP BY s.v),
+         |r$n AS (SELECT d.id,
+         |    CAST($base + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN c$n c ON d.id = c.id)"""
+    QueryDef.sql("q104_pagerank",
+      s"""WITH e AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |deg AS (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u),
+         |r0 AS (SELECT id, CAST($scale AS BIGINT) AS r FROM deg),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT id, r AS rank_scaled FROM r3""")(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        val edges = li.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+          .where(size(col("parts")) >= 2)
+          .select(explode(graft.functions.PairExpressions
+            .pairArray(col("parts"))).as("p"))
+          .select(col("p.id1").as("u"), col("p.id2").as("v"))
+        graft.operators.Graph.pageRankScaled(edges, "u", "v",
+          iterations = 3, scale = scale)
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
-    q101, q102, q103)
+    q101, q102, q103, q104)
 }

@@ -100,6 +100,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("pageRankScaled: mass conservation-ish bounds and hub ordering") {
+    // star: center 1 with leaves 2..5, plus the 4-cycle 6-7-8-9
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (9L, 6L)).toDF("u", "v")
+    val got = Graph.pageRankScaled(edges, "u", "v", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    // the star center dominates its leaves; cycle nodes are symmetric
+    assert(got(1L) > got(2L))
+    assert(Set(2L, 3L, 4L, 5L).map(got).size == 1) // leaves identical
+    assert(Set(6L, 7L, 8L, 9L).map(got).size == 1) // cycle symmetric
+    // cycle nodes keep (close to) their initial mass: r = base + 85% r
+    // fixpoint = scale; quantization keeps them within a few units
+    assert(math.abs(got(6L) - 1000000000000L) < 10L)
+  }
+
+  test("pageRankScaled: deterministic across partitionings and runs") {
+    val edges = (1L to 400L).map(i => (i, (i * 7) % 400 + 1))
+      .filter(e => e._1 != e._2).toDF("u", "v")
+    val a = Graph.pageRankScaled(edges, "u", "v", 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Graph.pageRankScaled(edges.repartition(13), "u", "v", 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("triangleCount: duplicate/reversed/self edges canonicalize first") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
       (1L, 2L)).toDF("u", "v")
