@@ -266,11 +266,20 @@ object Graph {
       col(dstCol).cast("long").as("v")))
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = false)
+    // A level set is bounded by the node count; when nodes are
+    // broadcast-sized, ship the FRONTIER to the resident edge set each
+    // hop instead of re-shuffling 2·m edge rows per hop — the
+    // count-then-dial pattern of triangleCount (one bounded action).
+    // Above the threshold the plain shuffle join is what a 100 TB
+    // graph needs anyway.
+    val nNodes = sym.select(col("u")).distinct().count()
+    val small = nNodes * 16 < (64L << 20)
+    def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var levels = Seq(seeds.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("d", lit(0L)).localCheckpoint(eager = false))
     for (h <- 1 to maxHops) {
-      val next = levels.last.join(sym, levels.last("id") === sym("u"))
-        .select(sym("v").as("id")).distinct()
+      val next = sym.join(dial(levels.last.select(col("id").as("u"))), "u")
+        .select(col("v").as("id")).distinct()
         .withColumn("d", lit(h.toLong)).localCheckpoint(eager = false)
       levels = levels :+ next
     }
@@ -311,17 +320,29 @@ object Graph {
       .localCheckpoint(eager = false)
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
-    var rank = deg.select(col("id"), lit(scale).as("r"))
+    // Rank vectors are |nodes| rows; when that is broadcast-sized, ship
+    // the RANKS to the resident edge set each iteration instead of
+    // re-shuffling 2·m edge rows per iteration (count-then-dial, the
+    // triangleCount pattern; deg.count() doubles as the overflow
+    // sanity bound's N). Above the threshold the shuffle join is the
+    // plan a billion-node graph needs anyway.
+    val nNodes = deg.count()
+    require(nNodes == 0 || scale <= Long.MaxValue / 85 / nNodes,
+      s"scale=$scale overflows the 85·N·scale bound at N=$nNodes nodes")
+    val small = nNodes * 24 < (64L << 20)
+    def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // deg rides inside the rank frame: one join per iteration, not two
+    var rank = deg.select(col("id"), col("deg"), lit(scale).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = rank.join(deg, "id")
-        .select(col("id").as("u"), expr("r DIV deg").as("c"))
-        .join(sym, "u")
+      val contrib = sym
+        .join(dial(rank.select(col("id").as("u"), expr("r DIV deg").as("c"))),
+          "u")
         .groupBy(col("v").as("id")).agg(sum(col("c")).as("s"))
       // every node has an in-edge (symmetrized, deg >= 1), so the left
       // join is total — coalesce guards the type, not a real case
-      rank = deg.select(col("id"))
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
+      rank = deg
+        .join(dial(contrib), Seq("id"), "left")
+        .select(col("id"), col("deg"),
           (lit(15L * scale / 100L) +
             expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
         .localCheckpoint(eager = false)
