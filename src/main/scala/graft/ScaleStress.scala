@@ -229,6 +229,48 @@ object ScaleStress {
     edges.unpersist()
     }
 
+    if (sections("pagerank")) {
+    // --- iterative rank propagation: per-iteration shuffle join (the
+    // naive spelling, edge set re-exchanged every round) vs the
+    // resident-edges + broadcast-dialed-ranks operator. mult scales
+    // the fact side feeding the graph.
+    val li0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val li = (0 until mult).map { i =>
+      li0.select((col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(i.toLong * 1000000000L)).as("l_partkey"))
+    }.reduce(_ unionByName _)
+    val edges = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .where(size(col("parts")) >= 2)
+      .select(explode(graft.functions.PairExpressions.pairArray(col("parts"))).as("p"))
+      .select(col("p.id1").as("u"), col("p.id2").as("v"))
+      .distinct().cache()
+    println(s"pagerank edges: ${edges.count()}")
+    time("pagerank 3 iters, resident edges + broadcast ranks")(
+      graft.operators.Graph.pageRankScaled(edges, "u", "v", 3)
+        .agg(sum(col("rank_scaled"))).head().getLong(0))
+    time("pagerank 3 iters, per-iteration shuffle join") {
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(eager = false)
+      val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = false)
+      val scale = 1000000000000L
+      var rank = deg.select(col("id"), lit(scale).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = rank.join(deg, "id")
+          .select(col("id").as("u"), expr("r DIV deg").as("c"))
+          .join(sym, "u")
+          .groupBy(col("v").as("id")).agg(sum(col("c")).as("s"))
+        rank = deg.select(col("id")).join(contrib, Seq("id"), "left")
+          .select(col("id"), (lit(15L * scale / 100L) +
+            expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
+          .localCheckpoint(eager = false)
+      }
+      rank.agg(sum(col("r"))).head().getLong(0)
+    }
+    edges.unpersist()
+    }
+
     if (sections("prefix")) {
     // --- global prefix quantities: single-partition window (the naive
     // Spark spelling) vs the two-pass range-partition form
