@@ -740,7 +740,65 @@ object AnalyticsQueries {
       })
   }
 
+  /** Pearson correlation from EXACT moments: the five sums accumulate
+    * as decimals (order-exact across any shuffle), cast to double once
+    * (correctly rounded on both engines), and the closed form runs the
+    * same IEEE op sequence on both sides — so unlike `corr()` (double
+    * accumulation in shuffle order) this replays bit-for-bit. The
+    * two-pass-free single-aggregation shape any 100 TB feature-stats
+    * job wants. */
+  val q105 = QueryDef.sql("q105_exact_corr",
+    """WITH m AS (SELECT l_returnflag,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+      |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+      |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy)
+      |        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |    AS corr
+      |FROM m""")(
+    (s, dir) => {
+      val x = col("l_quantity").cast(D182)
+      val y = col("l_extendedprice").cast(D182)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr"))
+    })
+
+  /** Equi-depth decile binning (`ntile`) of order value within each
+    * priority class — feature bucketization for training pipelines.
+    * Unique (price, key) ordering makes the tile assignment
+    * deterministic; the window partitions by priority (bounded by the
+    * largest class, never global). */
+  val q106 = QueryDef.sql("q106_decile_binning",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
+      |FROM orders""")(
+    (s, dir) => Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(10).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("bucket")))
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
-    q101, q102, q103, q104)
+    q101, q102, q103, q104, q105, q106)
 }
