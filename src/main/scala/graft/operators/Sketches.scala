@@ -74,13 +74,29 @@ object Sketches {
 
   /** Per-group HyperLogLog distinct estimate of `valueCol` as
     * `hll_<valueCol>` (DOUBLE, raw estimator). */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  /** The MERGEABLE state of [[hllDistinct]]: one (group, bucket, rho)
+    * row per non-empty register. Sketch union = max(rho) per
+    * (group, bucket) — associative/commutative/idempotent, which is
+    * the whole point of shipping sketches between pipeline stages:
+    * per-partition register tables merge into exactly the sketch of
+    * the union (q107 certifies this against the direct sketch). */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val h = hash60(col(valueCol))
-    val registers = df
-      .select(col(groupCol), shiftright(h, RemBits).as("bucket"),
+    df.select(col(groupCol), shiftright(h, RemBits).as("bucket"),
         h.bitwiseAND(lit((1L << RemBits) - 1)).as("r"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(rho(col("r"))).as("rho"))
+  }
+
+  /** Merge register tables (max per register) — sketch union. */
+  def hllMergeRegisters(regs: DataFrame*): DataFrame =
+    regs.reduce(_ unionByName _)
+      .groupBy(regs.head.columns(0), "bucket")
+      .agg(max(col("rho")).as("rho"))
+
+  /** Raw-HLL estimate from a register table, named `hll_<alias>`. */
+  def hllEstimate(registers: DataFrame, groupCol: String,
+                  alias: String): DataFrame =
     // Σ 2^-ρ in the exact integer domain: Σ 2^(RemBits+1-ρ), empty
     // buckets contribute 2^(RemBits+1) each (ρ = 0 ⇔ weight 1); the
     // total stays ≤ m·2^(RemBits+1) = 2^61 — never rounds in a long
@@ -91,8 +107,10 @@ object Sketches {
         (alphaExpr * lit(Buckets.toDouble) * lit(Buckets.toDouble) *
           lit(EmptyWeight.toDouble) /
           (col("s_present") + (lit(Buckets.toLong) - col("present")) * lit(EmptyWeight))
-            .cast("double")).as(s"hll_$valueCol"))
-  }
+            .cast("double")).as(s"hll_$alias"))
+
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol), groupCol, valueCol)
 
   /** Count-min-sketch heavy hitters: CMS counters (`depth` hash rows ×
     * `width` buckets) over one row per item OCCURRENCE, plus the CMS

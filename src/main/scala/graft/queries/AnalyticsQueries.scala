@@ -798,7 +798,100 @@ object AnalyticsQueries {
           .partitionBy("o_orderpriority")
           .orderBy(col("o_totalprice"), col("o_orderkey"))).as("bucket")))
 
+  /** Sketch MERGEABILITY certificate: per-partition HLL register
+    * tables (l_orderkey split by parity) merged by max-per-register
+    * must estimate exactly what the direct whole-table sketch does —
+    * the associativity that lets a 100 TB pipeline sketch per
+    * partition/day and union states instead of re-scanning. Both
+    * paths ride in one result row per group; the oracle replays both
+    * (q51's portable-HLL machinery + one union-max stage). */
+  val q107 = {
+    import graft.operators.Sketches
+    val rhoCase = Sketches.rhoSql(s"(h & ${(1L << Sketches.RemBits) - 1})")
+    val m = Sketches.Buckets
+    val ew = Sketches.EmptyWeight
+    def estimate(regs: String, alias: String): String =
+      s"""agg_$alias AS (SELECT l_returnflag, count(*) AS present,
+         |    SUM(1::BIGINT << (${Sketches.RemBits + 1} - rho)) AS s_present
+         |  FROM $regs GROUP BY l_returnflag),
+         |est_$alias AS (SELECT l_returnflag,
+         |    ${Sketches.alphaSql}
+         |      * ${m.toDouble}::DOUBLE * ${m.toDouble}::DOUBLE * ${ew.toDouble}::DOUBLE
+         |      / CAST(s_present + ($m - present) * $ew AS DOUBLE) AS hll_$alias
+         |  FROM agg_$alias)"""
+    QueryDef.sql("q107_hll_merge",
+      s"""WITH h AS (
+         |  SELECT l_returnflag, l_orderkey % 2 AS part,
+         |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |reg AS (SELECT l_returnflag, part, h >> ${Sketches.RemBits} AS bucket,
+         |    max($rhoCase) AS rho
+         |  FROM h GROUP BY 1, 2, 3),
+         |merged AS (SELECT l_returnflag, bucket, max(rho) AS rho
+         |           FROM reg GROUP BY 1, 2),
+         |regd AS (SELECT l_returnflag, h >> ${Sketches.RemBits} AS bucket,
+         |    max($rhoCase) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |${estimate("merged", "merged")},
+         |${estimate("regd", "direct")}
+         |SELECT d.l_returnflag, hll_direct, hll_merged
+         |FROM est_direct d JOIN est_merged mg ON d.l_returnflag = mg.l_returnflag""")(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val halves = Seq(0, 1).map(p =>
+          Sketches.hllRegisters(
+            li.where(pmod(col("l_orderkey"), lit(2)) === p),
+            "l_returnflag", "l_orderkey"))
+        val merged = Sketches.hllEstimate(
+          Sketches.hllMergeRegisters(halves: _*), "l_returnflag", "merged")
+        val direct = Sketches.hllDistinct(li, "l_returnflag", "l_orderkey")
+          .withColumnRenamed("hll_l_orderkey", "hll_direct")
+        direct.join(merged, "l_returnflag")
+      })
+  }
+
+  /** Quantity-weighted median price per return flag: the price level
+    * below which half the shipped QUANTITY sits — weighted quantiles
+    * are what mixture diagnostics actually need (median doc by token
+    * mass, median price by volume). Exact integer cumulative weights
+    * over a unique (price, line) order; the pick is the minimum
+    * qualifying price, deterministic on both engines; one division at
+    * the end (cents → currency). */
+  val q108 = QueryDef.sql("q108_weighted_median",
+    """WITH w AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (SELECT *,
+      |    sum(q) OVER (PARTITION BY l_returnflag
+      |      ORDER BY p, l_orderkey, l_linenumber
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(q) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM w),
+      |m AS (SELECT l_returnflag, min(p) AS mp
+      |      FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(mp AS DOUBLE) / 100 AS wmedian FROM m""")(
+    (s, dir) => {
+      val Window = org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("p"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cum", sum(col("q")).over(wOrd))
+        .withColumn("tot", sum(col("q")).over(wAll))
+        .where(lit(2) * col("cum") >= col("tot"))
+        .groupBy(col("l_returnflag")).agg(min(col("p")).as("mp"))
+        .select(col("l_returnflag"),
+          (col("mp").cast("double") / 100).as("wmedian"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
-    q101, q102, q103, q104, q105, q106)
+    q101, q102, q103, q104, q105, q106, q107, q108)
 }
