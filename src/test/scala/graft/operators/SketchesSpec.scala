@@ -25,6 +25,22 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL registers merge associatively: any partition split estimates " +
+       "exactly the direct sketch") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = Sketches.hllDistinct(li, "l_returnflag", "l_orderkey")
+      .as[(String, Double)].collect().toMap
+    for (parts <- Seq(2, 3, 7)) {
+      val regs = (0 until parts).map(p => Sketches.hllRegisters(
+        li.where(pmod(col("l_orderkey"), lit(parts)) === p),
+        "l_returnflag", "l_orderkey"))
+      val merged = Sketches.hllEstimate(
+          Sketches.hllMergeRegisters(regs: _*), "l_returnflag", "m")
+        .as[(String, Double)].collect().toMap
+      assert(merged == direct, s"split into $parts parts diverged")
+    }
+  }
+
   test("bottom-k sample is deterministic and uniform enough for quantiles") {
     val li = Tables.lineitem(spark, sf)
     // the (orderkey, linenumber) key is NOT unique in the testdata
