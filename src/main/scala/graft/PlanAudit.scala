@@ -20,7 +20,8 @@ object PlanAudit {
       "q11_join_chain", "q13_band_pairs", "q14_interval_join",
       "q17_scd2_apply", "q32_cosine_topk", "q51_sketches_portable",
       "q70_interval_overlap", "q74_curation_funnel", "q75_typicality",
-      "q84_weighted_sample", "q89_global_shuffle")
+      "q84_weighted_sample", "q89_global_shuffle", "q94_segment_dedup",
+      "q98_hard_negatives", "q104_pagerank")
     for (name <- interesting) {
       println(s"\n======== $name ========")
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -89,10 +89,17 @@ object Sketches {
   }
 
   /** Merge register tables (max per register) — sketch union. */
-  def hllMergeRegisters(regs: DataFrame*): DataFrame =
+  def hllMergeRegisters(regs: DataFrame*): DataFrame = {
+    // the group column is whatever [[hllRegisters]] carried through in
+    // position 0; a group column literally named "bucket"/"rho" would
+    // silently collide with the register columns — reject it
+    val groupCol = regs.head.columns(0)
+    require(groupCol != "bucket" && groupCol != "rho",
+      s"group column '$groupCol' collides with the register schema")
     regs.reduce(_ unionByName _)
-      .groupBy(regs.head.columns(0), "bucket")
+      .groupBy(groupCol, "bucket")
       .agg(max(col("rho")).as("rho"))
+  }
 
   /** Raw-HLL estimate from a register table, named `hll_<alias>`. */
   def hllEstimate(registers: DataFrame, groupCol: String,
