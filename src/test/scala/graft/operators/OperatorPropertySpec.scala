@@ -221,4 +221,80 @@ class OperatorPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bfsHops: BFS certificate on random graphs — seeds at 0, every " +
+       "positive distance has a predecessor one hop closer") {
+    for (trial <- 0 until 4) {
+      val n = 60 + trial * 25
+      val edgeGen = for {
+        u <- Gen.choose(1L, n.toLong); v <- Gen.choose(1L, n.toLong)
+      } yield (u, v)
+      val raw = Gen.listOfN(n * 2, edgeGen).apply(params, Seed(15000L + trial))
+        .get.filter(e => e._1 != e._2)
+      val edges = raw.toDF("u", "v")
+      val seeds = Seq(1L, 2L).toDF("id")
+      val maxHops = 3
+      val got = Graph.bfsHops(edges, seeds, "u", "v", "id", maxHops)
+        .as[(Long, Long)].collect().toMap
+      assert(got(1L) == 0L && got(2L) == 0L)
+      val adj = raw.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      for ((id, d) <- got) {
+        assert(d >= 0 && d <= maxHops)
+        if (d > 0) {
+          // some neighbour sits exactly one hop closer
+          assert(adj(id).exists(nb => got.get(nb).contains(d - 1)),
+            s"node $id at dist $d has no predecessor at ${d - 1}")
+        }
+        // no neighbour is more than one hop better than claimed
+        assert(adj.getOrElse(id, Set.empty)
+          .forall(nb => got.get(nb).forall(_ >= d - 1)),
+          s"node $id at dist $d has a neighbour closer than ${d - 1}")
+      }
+    }
+  }
+
+  test("pageRankScaled: mass bounds and per-node range on random graphs") {
+    val scale = 1000000000000L
+    for (trial <- 0 until 4) {
+      val n = 50 + trial * 30
+      val edgeGen = for {
+        u <- Gen.choose(1L, n.toLong); v <- Gen.choose(1L, n.toLong)
+      } yield (u, v)
+      val raw = Gen.listOfN(n * 2, edgeGen).apply(params, Seed(16000L + trial))
+        .get.filter(e => e._1 != e._2)
+      val ranks = Graph.pageRankScaled(raw.toDF("u", "v"), "u", "v", 3)
+        .as[(Long, Long)].collect()
+      val nodes = raw.flatMap(e => Seq(e._1, e._2)).distinct.size
+      assert(ranks.length == nodes)
+      val total = ranks.map(_._2).sum
+      // truncating divisions only LOSE mass: total <= N*scale; the
+      // damping base alone guarantees >= 0.15*scale per node
+      assert(total <= nodes.toLong * scale)
+      assert(ranks.forall(_._2 >= 15L * scale / 100L))
+      assert(total >= (nodes.toLong * scale * 14L) / 100L)
+    }
+  }
+
+  test("mixtureDraw: slots sum to k and follow quotas when groups are deep") {
+    for (trial <- 0 until 4) {
+      val wGen = Gen.choose(1L, 50L)
+      val srcs = Seq("a", "b", "c", "d")
+      val rows = srcs.flatMap { s0 =>
+        val ws = Gen.listOfN(80, wGen).apply(params, Seed(17000L + trial)).get
+        ws.zipWithIndex.map { case (w, i) =>
+          (s0.hashCode.toLong * 1000 + i, s0, w) }
+      }
+      val k = 40 + trial * 7
+      val got = Sampling.mixtureDraw(rows.toDF("id", "src", "w"),
+          "id", "src", "w", k)
+        .as[(Long, String, Long, Long)].collect()
+      assert(got.length == k, s"drew ${got.length} != k=$k")
+      // every group drew exactly its slot count and ranks are dense
+      got.groupBy(_._2).foreach { case (_, g) =>
+        assert(g.length == g.head._4)
+        assert(g.map(_._3).sorted.toSeq == (1L to g.length.toLong))
+      }
+    }
+  }
 }
