@@ -196,4 +196,32 @@ object Sketches {
       .agg(graft.functions.TopKAggregate
         .bottomkByKey(hash60(keyCol), valueCol.cast("double"), k).as("__bk"))
       .select(col(groupCol), explode(col("__bk").getField("v")).as("value"))
+
+  /** The MERGEABLE state of [[bottomKValues]]: per group, the k
+    * lexicographically smallest (hash, value) PAIRS as rows — the
+    * quantile-sketch analogue of [[hllRegisters]]. Bottom-k by a fixed
+    * hash is a SELECTION, so the global bottom-k is contained in the
+    * union of any partition's bottom-ks — merging = union + re-select
+    * ([[bottomKMergedValues]]); q109 certifies merged ≡ direct. */
+  def bottomKPairs(df: DataFrame, groupCol: String, keyCol: Column,
+                   valueCol: Column, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate
+        .bottomkByKey(hash60(keyCol), valueCol.cast("double"), k).as("__bk"))
+      .select(col(groupCol), explode(col("__bk")).as("p"))
+      .select(col(groupCol), col("p.h").as("h"), col("p.v").as("value"))
+
+  /** Merge bottom-k pair tables (sketch union): re-select the k
+    * smallest pairs per group from the union, return the value rows —
+    * same schema as [[bottomKValues]]. */
+  def bottomKMergedValues(k: Int)(pairTables: DataFrame*): DataFrame = {
+    val groupCol = pairTables.head.columns(0)
+    require(groupCol != "h" && groupCol != "value",
+      s"group column '$groupCol' collides with the pair schema")
+    pairTables.reduce(_ unionByName _)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate
+        .bottomkByKey(col("h"), col("value"), k).as("__bk"))
+      .select(col(groupCol), explode(col("__bk").getField("v")).as("value"))
+  }
 }

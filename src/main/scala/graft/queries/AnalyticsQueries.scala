@@ -891,7 +891,60 @@ object AnalyticsQueries {
           (col("mp").cast("double") / 100).as("wmedian"))
     })
 
+  /** Quantile-sketch MERGEABILITY certificate — q107's property for
+    * the bottom-k-by-hash sample: per-partition bottom-k pair tables
+    * merged by union + re-selection must yield exactly the direct
+    * whole-table sample (bottom-k by a fixed hash is a selection, so
+    * the global bottom-k sits inside the union of partition bottom-ks).
+    * Output compares the quantiles from both paths; the oracle replays
+    * both with windowed selections. */
+  val q109 = QueryDef.sql("q109_bottomk_merge",
+    """WITH h AS (SELECT l_returnflag, l_orderkey % 2 AS part,
+      |    l_extendedprice AS v,
+      |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+      |       CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |dir AS (SELECT l_returnflag, v FROM (
+      |    SELECT l_returnflag, v, row_number() OVER (
+      |      PARTITION BY l_returnflag ORDER BY h, v) AS rn FROM h)
+      |  WHERE rn <= 500),
+      |pp AS (SELECT l_returnflag, h, v FROM (
+      |    SELECT l_returnflag, part, h, v, row_number() OVER (
+      |      PARTITION BY l_returnflag, part ORDER BY h, v) AS rn FROM h)
+      |  WHERE rn <= 500),
+      |mrg AS (SELECT l_returnflag, v FROM (
+      |    SELECT l_returnflag, h, v, row_number() OVER (
+      |      PARTITION BY l_returnflag ORDER BY h, v) AS rn FROM pp)
+      |  WHERE rn <= 500),
+      |qd AS (SELECT l_returnflag,
+      |    quantile_cont(v, 0.5) AS direct_p50,
+      |    quantile_cont(v, 0.99) AS direct_p99 FROM dir GROUP BY 1),
+      |qm AS (SELECT l_returnflag,
+      |    quantile_cont(v, 0.5) AS merged_p50,
+      |    quantile_cont(v, 0.99) AS merged_p99 FROM mrg GROUP BY 1)
+      |SELECT qd.l_returnflag, direct_p50, direct_p99, merged_p50, merged_p99
+      |FROM qd JOIN qm ON qd.l_returnflag = qm.l_returnflag""")(
+    (s, dir) => {
+      import graft.operators.Sketches
+      val li = Tables.lineitem(s, dir)
+      val key = concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))
+      val direct = Sketches
+        .bottomKValues(li, "l_returnflag", key, col("l_extendedprice"), 500)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(value, 0.5)").as("direct_p50"),
+          expr("percentile(value, 0.99)").as("direct_p99"))
+      val halves = Seq(0, 1).map(p => Sketches.bottomKPairs(
+        li.where(pmod(col("l_orderkey"), lit(2)) === p),
+        "l_returnflag", key, col("l_extendedprice"), 500))
+      val merged = Sketches.bottomKMergedValues(500)(halves: _*)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(value, 0.5)").as("merged_p50"),
+          expr("percentile(value, 0.99)").as("merged_p99"))
+      direct.join(merged, "l_returnflag")
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
-    q101, q102, q103, q104, q105, q106, q107, q108)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109)
 }

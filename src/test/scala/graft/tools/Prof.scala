@@ -97,6 +97,29 @@ object Prof {
         .ngramJaccard(docs, "doc_id", "text", 8, 100, 0.3)))
     }
 
+    // q83 decomposition: edge derivation vs triangle kernel
+    {
+      import org.apache.spark.sql.functions._
+      spark.catalog.clearCache()
+      val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      val edges = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .where(size(col("parts")) >= 2)
+        .select(explode(graft.functions.PairExpressions
+          .pairArray(col("parts"))).as("p"))
+        .select(col("p.id1").as("u"), col("p.id2").as("v"))
+      t("q83: edge derivation (to distinct count)")(
+        edges.distinct().count())
+      val cached = edges.distinct().cache()
+      cached.count()
+      t("q83: triangle kernel on cached distinct edges")(
+        graft.operators.Graph.triangleCount(cached, "u", "v")
+          .select("n_triangles").head().getLong(0))
+      cached.unpersist()
+      t("q83: full query")(noop(graft.SparkEntry
+        .queries("q83_triangle_count")(spark, dir)))
+    }
+
     // q39 decomposition: index build (KMeans fit + assign) vs probe
     spark.catalog.clearCache()
     val emb = graft.Tables.embeddings(spark, dir)
