@@ -101,7 +101,10 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    def sec(v: Double) = f"$v%.3f"
+    // 2 decimals: at 100+ queries every byte of the stdout metric line
+    // counts against the driver's ~2000-char tail window (full ns
+    // precision lives in bench_detail.json)
+    def sec(v: Double) = f"$v%.2f"
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _, _, _, _)) if v >= 0 => v }.sum

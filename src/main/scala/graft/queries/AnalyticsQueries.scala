@@ -746,7 +746,13 @@ object AnalyticsQueries {
     * same IEEE op sequence on both sides — so unlike `corr()` (double
     * accumulation in shuffle order) this replays bit-for-bit. The
     * two-pass-free single-aggregation shape any 100 TB feature-stats
-    * job wants. */
+    * job wants.
+    *
+    * Caveat (latent, not hit by this data at any SF): a ZERO-VARIANCE
+    * group makes the denominator 0.0 and both engines return the same
+    * IEEE ±Inf/NaN — identical bits, but not a meaningful correlation;
+    * a production wrapper should null it out explicitly. Noted rather
+    * than masked so the oracle keeps checking the raw closed form. */
   val q105 = QueryDef.sql("q105_exact_corr",
     """WITH m AS (SELECT l_returnflag,
       |    count(*) AS n,
