@@ -161,6 +161,50 @@ object Sketches {
       .agg(min(col("cnt")).as("est_c"))
   }
 
+  /** The MERGEABLE state of [[heavyHittersCms]]: the depth×width
+    * counter table (i, bucket, cnt) over item OCCURRENCE rows. CMS
+    * counters merge by element-wise SUM ([[cmsMergeCounters]]) — with
+    * [[hllRegisters]] (max-merge) and [[bottomKPairs]] (select-merge)
+    * this completes the mergeable-state trio of the portable sketches
+    * (q107/q109/q110 each certify merged ≡ direct). Same hash family
+    * and bucket arithmetic as [[heavyHittersCms]]. */
+  def cmsCounters(df: DataFrame, itemCol: String, depth: Int = 4,
+                  width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 14,
+      s"depth=$depth outside [1, 14] (64-bit double-hash family)")
+    require(width >= 1, s"width=$width must be positive")
+    df.groupBy(col(itemCol)).agg(count(lit(1)).as("true_c"))
+      .withColumn("md", md5(col(itemCol).cast("string").cast("binary")))
+      .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long")
+        % lit(576460752303423488L))
+      .select(col("true_c"), col("h1"), col("h2"),
+        explode(sequence(lit(0L), lit((depth - 1).toLong))).as("i"))
+      .withColumn("bucket", pmod(col("h1") + col("i") * col("h2"), lit(width.toLong)))
+      .groupBy(col("i"), col("bucket")).agg(sum(col("true_c")).as("cnt"))
+  }
+
+  /** Merge CMS counter tables (sketch union): element-wise sum. */
+  def cmsMergeCounters(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("i"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** CMS estimates (min over depth counters) for the given items, from
+    * a counter table: (item, est_c). */
+  def cmsEstimate(counters: DataFrame, items: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame =
+    items
+      .withColumn("md", md5(col(itemCol).cast("string").cast("binary")))
+      .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long")
+        % lit(576460752303423488L))
+      .select(col(itemCol), col("h1"), col("h2"),
+        explode(sequence(lit(0L), lit((depth - 1).toLong))).as("i"))
+      .withColumn("bucket", pmod(col("h1") + col("i") * col("h2"), lit(width.toLong)))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col(itemCol))
+      .agg(min(col("cnt")).as("est_c"))
+
   /** The k rows per group with the smallest 60-bit md5 of `keyCol` — a
     * deterministic uniform sample. If `keyCol` is not unique (rows
     * sharing a key hash identically), pass the downstream value

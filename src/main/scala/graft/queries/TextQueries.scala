@@ -950,7 +950,66 @@ object TextQueries {
         s, Tables.documents(s, dir), "text", rounds = 3))
   }
 
+  /** CMS counter MERGEABILITY certificate (the third of the trio:
+    * q107 HLL max-merge, q109 bottom-k select-merge, here sum-merge):
+    * per-half CMS counter tables summed element-wise must estimate
+    * exactly what the direct whole-corpus sketch does, for the top-20
+    * tokens. The oracle replays the q64 hash/bucket machinery over
+    * both paths. */
+  val q110 = QueryDef.sql("q110_cms_merge",
+    """WITH tok AS (SELECT doc_id % 2 AS part,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |           t -> len(t) > 0)) AS token
+      |  FROM documents),
+      |c AS (SELECT token, count(*) AS true_c FROM tok GROUP BY token),
+      |hh AS (SELECT token,
+      |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS h1,
+      |    ('0x' || substring(md5(token), 17, 15))::BIGINT
+      |      % 576460752303423488 AS h2
+      |  FROM c),
+      |b AS (SELECT token, i, (h1 + i * h2) % 1024 AS bucket
+      |      FROM hh, (SELECT unnest(range(4)) AS i)),
+      |cd AS (SELECT b.i, b.bucket, CAST(sum(c.true_c) AS BIGINT) AS cnt
+      |       FROM b JOIN c ON b.token = c.token GROUP BY 1, 2),
+      |cp0 AS (SELECT part, token, count(*) AS pc FROM tok GROUP BY 1, 2),
+      |cpart AS (SELECT cp0.part, b.i, b.bucket,
+      |    CAST(sum(cp0.pc) AS BIGINT) AS cnt
+      |  FROM b JOIN cp0 ON b.token = cp0.token GROUP BY 1, 2, 3),
+      |cm AS (SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      |       FROM cpart GROUP BY 1, 2),
+      |top AS (SELECT token, true_c FROM c ORDER BY true_c DESC, token
+      |        LIMIT 20),
+      |ed AS (SELECT t.token, min(cd.cnt) AS est_direct
+      |       FROM top t JOIN b ON b.token = t.token
+      |       JOIN cd ON cd.i = b.i AND cd.bucket = b.bucket GROUP BY 1),
+      |em AS (SELECT t.token, min(cm.cnt) AS est_merged
+      |       FROM top t JOIN b ON b.token = t.token
+      |       JOIN cm ON cm.i = b.i AND cm.bucket = b.bucket GROUP BY 1)
+      |SELECT top.token, top.true_c, est_direct, est_merged
+      |FROM top JOIN ed ON top.token = ed.token
+      |         JOIN em ON em.token = top.token""")(
+    (s, dir) => {
+      import graft.operators.Sketches
+      def toks(d: org.apache.spark.sql.DataFrame) = d
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      val docs = Tables.documents(s, dir)
+      val all = toks(docs)
+      val direct = Sketches.cmsCounters(all, "token")
+      val merged = Sketches.cmsMergeCounters(Seq(0, 1).map(p =>
+        Sketches.cmsCounters(
+          toks(docs.where(pmod(col("doc_id"), lit(2)) === p)), "token")): _*)
+      // cached: the top-20 probe feeds both estimate paths
+      val top = all.groupBy(col("token")).agg(count(lit(1)).as("true_c"))
+        .orderBy(col("true_c").desc, col("token")).limit(20).cache()
+      top
+        .join(Sketches.cmsEstimate(direct, top.select("token"), "token")
+          .withColumnRenamed("est_c", "est_direct"), "token")
+        .join(Sketches.cmsEstimate(merged, top.select("token"), "token")
+          .withColumnRenamed("est_c", "est_merged"), "token")
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100)
+    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110)
 }

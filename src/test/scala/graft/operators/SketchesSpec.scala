@@ -41,6 +41,22 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS counters merge additively: any split sums to the direct table") {
+    val toks = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("string").as("item"))
+    val direct = Sketches.cmsCounters(toks, "item")
+      .as[(Long, Long, Long)].collect().toSet
+    for (parts <- Seq(2, 5)) {
+      val tables = (0 until parts).map(p => Sketches.cmsCounters(
+        Tables.lineitem(spark, sf)
+          .where(pmod(col("l_orderkey"), lit(parts)) === p)
+          .select(col("l_shipdate").cast("string").as("item")), "item"))
+      val merged = Sketches.cmsMergeCounters(tables: _*)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(merged == direct, s"split into $parts parts diverged")
+    }
+  }
+
   test("bottom-k sample is deterministic and uniform enough for quantiles") {
     val li = Tables.lineitem(spark, sf)
     // the (orderkey, linenumber) key is NOT unique in the testdata
