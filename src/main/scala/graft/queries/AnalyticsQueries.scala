@@ -950,7 +950,41 @@ object AnalyticsQueries {
       direct.join(merged, "l_returnflag")
     })
 
+  /** Robust outliers by MAD (median absolute deviation): robust_z =
+    * |x − median| / (1.4826·MAD) > 3.5 per event type — the
+    * outlier detector that, unlike q72's mean/stddev z-score, is not
+    * dragged by the outliers themselves. Exact interpolated medians
+    * (percentile ⇔ quantile_cont, the q43 contract), then a fixed IEEE
+    * op sequence per row; both medians are per-type aggregates riding
+    * back in as broadcast-sized one-row-per-type frames. */
+  val q112 = QueryDef.sql("q112_mad_outliers",
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |           FROM events GROUP BY event_type),
+      |d AS (SELECT e.event_type, e.event_id, e.value,
+      |        abs(e.value - m.med) AS dev
+      |      FROM events e JOIN m ON e.event_type = m.event_type),
+      |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |       FROM d GROUP BY event_type)
+      |SELECT d.event_type, d.event_id, d.value,
+      |  round(d.dev / (1.4826 * md.mad), 6) AS robust_z
+      |FROM d JOIN md ON d.event_type = md.event_type
+      |WHERE d.dev / (1.4826 * md.mad) > 3.5""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val d = ev.join(m, "event_type")
+        .select(col("event_type"), col("event_id"), col("value"),
+          abs(col("value") - col("med")).as("dev"))
+      val md = d.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      d.join(md, "event_type")
+        .where(col("dev") / (lit(1.4826) * col("mad")) > 3.5)
+        .select(col("event_type"), col("event_id"), col("value"),
+          round(col("dev") / (lit(1.4826) * col("mad")), 6).as("robust_z"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
-    q101, q102, q103, q104, q105, q106, q107, q108, q109)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112)
 }

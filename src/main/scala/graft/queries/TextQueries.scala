@@ -1009,7 +1009,61 @@ object TextQueries {
           .withColumnRenamed("est_c", "est_merged"), "token")
     })
 
+  /** INCREMENTAL boilerplate strip: delta documents (doc_id % 5 = 0)
+    * cleaned against the CORPUS-side hot-segment set (doc_id % 5 ≠ 0)
+    * — the arriving-data shape of q94, and exactly what
+    * [[graft.streaming.Streams.stripBoilerplateStream]] does per
+    * micro-batch; this query drives that per-row path (hot hashes
+    * collected once, probed via the codegen'd binary search) through
+    * the DuckDB gate. The oracle derives the hot set from the corpus
+    * slice only and strips the delta slice. */
+  val q111 = QueryDef.sql("q111_strip_incremental",
+    """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |tkc AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                t -> len(t) > 0) AS toks FROM corp),
+      |basec AS (SELECT doc_id, toks,
+      |            CAST((len(toks) + 9) // 10 AS BIGINT) AS n_seg FROM tkc),
+      |segc AS (SELECT doc_id,
+      |    array_to_string(list_slice(toks,
+      |      CAST(i*10+1 AS BIGINT), CAST(i*10+10 AS BIGINT)), ' ') AS seg
+      |  FROM (SELECT doc_id, toks, unnest(range(0, n_seg)) AS i FROM basec)),
+      |hot AS (SELECT seg
+      |        FROM (SELECT seg, count(DISTINCT doc_id) AS df
+      |              FROM segc GROUP BY seg)
+      |        WHERE df > 2),
+      |tkd AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                t -> len(t) > 0) AS toks FROM delta),
+      |based AS (SELECT doc_id, toks,
+      |            CAST((len(toks) + 9) // 10 AS BIGINT) AS n_seg FROM tkd),
+      |segd AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+      |    array_to_string(list_slice(toks,
+      |      CAST(i*10+1 AS BIGINT), CAST(i*10+10 AS BIGINT)), ' ') AS seg
+      |  FROM (SELECT doc_id, toks, unnest(range(0, n_seg)) AS i FROM based)),
+      |kept AS (SELECT * FROM segd WHERE seg NOT IN (SELECT seg FROM hot)),
+      |ka AS (SELECT doc_id,
+      |         string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+      |         count(*) AS n_kept
+      |       FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  coalesce(ka.clean_text, '') AS clean_text,
+      |  b.n_seg AS n_segments,
+      |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(b.n_seg - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM based b LEFT JOIN ka USING (doc_id)""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hashes = Dedup.hotSegmentHashes(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", segTokens = 10, maxDf = 2)
+      graft.streaming.Streams.stripBoilerplateStream(
+        docs.where(pmod(col("doc_id"), lit(5)) === 0),
+        hashes, "doc_id", "text", segTokens = 10)
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110)
+    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111)
 }
