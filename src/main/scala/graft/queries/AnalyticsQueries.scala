@@ -984,7 +984,66 @@ object AnalyticsQueries {
           round(col("dev") / (lit(1.4826) * col("mad")), 6).as("robust_z"))
     })
 
+  /** Rank-based quantile normalization (the "rank-gauss" front half):
+    * each value mapped to its within-group quantile position
+    * (rn−1)/(n−1) — the distribution-free feature transform. Explicit
+    * formula instead of `percent_rank` so the single-row-group corner
+    * is defined by arithmetic (greatest(n−1, 1)), not by engine
+    * convention; unique (value, id) order makes ranks deterministic. */
+  val q113 = QueryDef.sql("q113_rank_normalize",
+    """SELECT event_id, event_type, value,
+      |  round(CAST(rn - 1 AS DOUBLE) / greatest(n - 1, 1), 6) AS qnorm
+      |FROM (SELECT event_id, event_type, value,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY value, event_id) AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM events)""")(
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wp = W.partitionBy(col("event_type"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          row_number().over(wp.orderBy(col("value"), col("event_id"))).as("rn"),
+          count(lit(1)).over(wp).as("n"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("rn") - 1).cast("double") /
+            greatest(col("n") - 1, lit(1L)), 6).as("qnorm"))
+    })
+
+  /** Contingency audit of lang × source with per-cell chi-square
+    * contributions — "is this metadata pair independent" at a glance
+    * (large contributions = cells driving the association). Expected
+    * counts and contributions run the same IEEE op sequence on exact
+    * integer marginals; the marginals ride back in as broadcast-sized
+    * frames. */
+  val q114 = QueryDef.sql("q114_crosstab_chi2",
+    """WITH c AS (SELECT lang, source, count(*) AS n
+      |           FROM documents GROUP BY lang, source),
+      |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY lang),
+      |cl AS (SELECT source, CAST(sum(n) AS BIGINT) AS cn
+      |       FROM c GROUP BY source),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      |SELECT c.lang, c.source, c.n,
+      |  round(CAST(r.rn * cl.cn AS DOUBLE) / tot, 6) AS expected,
+      |  round((n - CAST(r.rn * cl.cn AS DOUBLE) / tot)
+      |        * (n - CAST(r.rn * cl.cn AS DOUBLE) / tot)
+      |        / (CAST(r.rn * cl.cn AS DOUBLE) / tot), 6) AS chi2_part
+      |FROM c JOIN r ON c.lang = r.lang
+      |       JOIN cl ON c.source = cl.source CROSS JOIN t""")(
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      val r = c.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
+      val cl = c.groupBy(col("source")).agg(sum(col("n")).as("cn"))
+      val t = c.agg(sum(col("n")).as("tot"))
+      val e = (col("rn") * col("cn")).cast("double") / col("tot")
+      c.join(r, "lang").join(cl, "source").crossJoin(t)
+        .select(col("lang"), col("source"), col("n"),
+          round(e, 6).as("expected"),
+          round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_part"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
-    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114)
 }
