@@ -8,7 +8,8 @@ object SparkEntry {
   /** All operator queries, each optionally paired with a DuckDB oracle. */
   private def defs: Seq[QueryDef] =
     CoreQueries.all ++ WarehouseQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
+      ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

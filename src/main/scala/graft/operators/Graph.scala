@@ -287,6 +287,50 @@ object Graph {
       .groupBy(col("id")).agg(min(col("d")).as("dist"))
   }
 
+  /** Bounded min-label propagation: `rounds` synchronous rounds of
+    * label(v) ← min(label(v), min over neighbours of label(u)), labels
+    * initialized to the node id. After `rounds` ≥ graph radius this IS
+    * connected components (label = component minimum); below it, it is
+    * still a deterministic, engine-independent operator — the per-round
+    * state is an exact BIGINT min, so a DuckDB oracle replays the same
+    * unrolled rounds bit-for-bit. That oracle-checkability is what
+    * [[connectedComponents]]' data-dependent fixpoint cannot offer;
+    * use THIS for a fixed-budget label pass (e.g. "cluster ids after k
+    * rounds" in an iterative-dataflow pipeline) and the alternating-star
+    * fixpoint when true components of unknown diameter are required.
+    *
+    * Shape per round: one join of the label frame with the resident
+    * symmetrized edge set + one map-side-combined min — identical to
+    * [[pageRankScaled]]'s iteration (count-then-dial broadcast of the
+    * |nodes|-row frame when it fits, shuffle join when it doesn't);
+    * label frames locally checkpointed so lineage stays flat. */
+  def labelPropagationMin(edges: DataFrame, srcCol: String, dstCol: String,
+                          rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val e = canon(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    val nodes = sym.select(col("u").as("id")).distinct()
+      .localCheckpoint(eager = false)
+    val nNodes = nodes.count()
+    val small = nNodes * 16 < (64L << 20)
+    def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var lab = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = sym
+        .join(dial(lab.select(col("id").as("u"), col("label"))), "u")
+        .groupBy(col("v").as("id")).agg(min(col("label")).as("nl"))
+      // symmetrized degree >= 1 ⇒ every node has a neighbour min; the
+      // coalesce types the left join, it is never a real fallback
+      lab = lab.join(dial(nbrMin), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    lab
+  }
+
   /** PageRank over the undirected graph (each edge walked both ways),
     * in INTEGER-QUANTIZED arithmetic: ranks live in micro-units of
     * `scale` (initial rank = scale per node), a node's per-neighbour

@@ -149,6 +149,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("labelPropagationMin: converges to components once rounds >= radius") {
+    // two components: a 5-path (radius-from-min 4) and a triangle
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    val got = Graph.labelPropagationMin(edges.toDF("a", "b"), "a", "b", 4)
+      .as[(Long, Long)].collect().toMap
+    val want = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("labelPropagationMin: k rounds move a label exactly k hops") {
+    // path 0-1-2-3-4-5: after 2 rounds node i holds max(0, i-2)
+    val edges = (0L until 5L).map(i => (i, i + 1))
+    val got = Graph.labelPropagationMin(edges.toDF("a", "b"), "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 5L).map(i => i -> math.max(0L, i - 2)).toMap)
+  }
+
   test("dedupClusters: every doc labelled, canonical keeps, duplicates dropped") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id1", "id2")
