@@ -440,4 +440,36 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select(col(idCol), col("term"), col("score"), col("rnk"))
   }
+
+  /** Total-variation distance of each group's token distribution from
+    * the corpus distribution — the per-source mixture-drift audit.
+    * EXACT rational arithmetic until one final IEEE division: with
+    * integer counts c_st (token in group), c_s (group total), c_t
+    * (corpus token), c_c (corpus total),
+    *   TV(s) = [ Σ_{t∈Vs} |c_st·c_c − c_t·c_s| + (c_c − Σ_{t∈Vs} c_t)·c_s ]
+    *           / (2·c_s·c_c)
+    * The second numerator term folds every token ABSENT from the group
+    * (there p=0, so Σ|0−q_t| telescopes to the uncovered corpus mass) —
+    * the plan touches only (group, token) rows that EXIST, never the
+    * |groups|×|vocab| cross product a naive full-union join would
+    * materialize. Input: one row per token OCCURRENCE.
+    * Output: (groupCol, c_s, tv_dist). */
+  def tvDistance(tokens: DataFrame, groupCol: String,
+                 tokenCol: String): DataFrame = {
+    val st = tokens.groupBy(col(groupCol), col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+    val grpTot = st.groupBy(groupCol).agg(sum(col("c_st")).as("c_s"))
+    val cc = st.agg(sum(col("c_st")).as("c_c"))
+    val p = st.join(t, "token").join(grpTot, groupCol).crossJoin(cc)
+      .groupBy(col(groupCol))
+      .agg(sum(abs(col("c_st") * col("c_c") - col("c_t") * col("c_s")))
+        .as("present"), sum(col("c_t")).as("covered"))
+    p.join(grpTot, groupCol).crossJoin(cc)
+      .select(col(groupCol), col("c_s"),
+        round((col("present") + (col("c_c") - col("covered")) * col("c_s"))
+          .cast("double") /
+          (lit(2.0) * col("c_s").cast("double") * col("c_c").cast("double")),
+          6).as("tv_dist"))
+  }
 }

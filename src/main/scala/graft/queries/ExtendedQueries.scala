@@ -88,5 +88,144 @@ object ExtendedQueries {
     (s, dir) => graft.operators.TimeSeries.gapFillForwardFill(
       Tables.events(s, dir), "user_id", "ts", "event_id", "value"))
 
-  def all: Seq[QueryDef] = Seq(q115, q116)
+  /** UNPIVOT/melt: the four lineitem measures to long format (Spark's
+    * native `unpivot` operator — one Expand node, no self-union scan
+    * ×4), then one aggregation per (flag, measure). The oracle is the
+    * ANSI UNION-ALL equivalent; `measure` carries the source column
+    * names so the two reshape paths must agree literally. */
+  val q117 = QueryDef.sql("q117_unpivot",
+    """WITH long AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+      |  FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, measure,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+      |  count(*) AS n
+      |FROM long GROUP BY 1, 2""")(
+    (s, dir) => Tables.lineitem(s, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("l_returnflag", "measure")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+        .as("sum_val"), count(lit(1)).as("n")))
+
+  /** Period-over-period deltas: weekly revenue per market segment with
+    * the previous week's value, absolute delta and percent change —
+    * the trend primitive of every OLAP report. Weekly sums accumulate
+    * as DECIMAL (order-exact) and cast to double once; delta and pct
+    * are then a fixed IEEE op sequence on identical inputs, so both
+    * engines produce identical bits. First week per segment: NULL
+    * delta/pct (lag is NULL). Monday-start `date_trunc('week', …)` on
+    * both engines. */
+  val q118 = QueryDef.sql("q118_period_deltas",
+    """WITH r AS (
+      |  SELECT c.c_mktsegment,
+      |    CAST(date_trunc('week', o.o_orderdate) AS DATE) AS week,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment, week, rev,
+      |  rev - lag(rev) OVER w AS delta,
+      |  round((rev - lag(rev) OVER w) / lag(rev) OVER w * 100, 6) AS pct
+      |FROM r
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY week)""")(
+    (s, dir) => {
+      val r = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("rev"))
+      val w = Window.partitionBy("c_mktsegment").orderBy("week")
+      r.select(col("c_mktsegment"), col("week"), col("rev"),
+        (col("rev") - lag(col("rev"), 1).over(w)).as("delta"),
+        round((col("rev") - lag(col("rev"), 1).over(w)) /
+          lag(col("rev"), 1).over(w) * 100, 6).as("pct"))
+    })
+
+  /** Total-variation distance between each source's token distribution
+    * and the corpus distribution — the mixture-drift audit a training
+    * pipeline runs per ingest slice. EXACT rational arithmetic: with
+    * integer counts c_st (token in source), c_s (source total), c_t
+    * (corpus token), c_c (corpus total),
+    *   TV(s) = [ Σ_{t∈Vs} |c_st·c_c − c_t·c_s| + (c_c − Σ_{t∈Vs} c_t)·c_s ]
+    *           / (2·c_s·c_c)
+    * where the second term folds all tokens ABSENT from the source —
+    * so the plan only ever touches (source, token) rows that exist
+    * (Σ|Vs| rows), never |sources|×|vocab|. One IEEE division rounded
+    * at the end; everything before it is BIGINT. */
+  val q119 = QueryDef.sql("q119_tv_distance",
+    """WITH tok AS (
+      |  SELECT source, t AS token FROM (
+      |    SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS t FROM documents) WHERE t <> ''),
+      |st AS (SELECT source, token, count(*) AS c_st
+      |       FROM tok GROUP BY 1, 2),
+      |t AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t
+      |      FROM st GROUP BY 1),
+      |s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s
+      |      FROM st GROUP BY 1),
+      |c AS (SELECT CAST(sum(c_st) AS BIGINT) AS c_c FROM st),
+      |p AS (SELECT st.source,
+      |    CAST(sum(abs(st.c_st * c.c_c - t.c_t * s.c_s)) AS BIGINT)
+      |      AS present,
+      |    CAST(sum(t.c_t) AS BIGINT) AS covered
+      |  FROM st JOIN t USING (token) JOIN s USING (source) CROSS JOIN c
+      |  GROUP BY 1)
+      |SELECT p.source, s.c_s,
+      |  round(CAST(p.present + (c.c_c - p.covered) * s.c_s AS DOUBLE) /
+      |    (2.0 * CAST(s.c_s AS DOUBLE) * CAST(c.c_c AS DOUBLE)), 6)
+      |    AS tv_dist
+      |FROM p JOIN s USING (source) CROSS JOIN c""")(
+    (s, dir) => graft.operators.TextAnalysis.tvDistance(
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= ""),
+      "source", "token"))
+
+  /** Herfindahl–Hirschman concentration of supply per nation: shares
+    * of total shipped quantity across that nation's suppliers, HHI =
+    * Σ share² — the skew/market-dominance audit. Quantities become
+    * exact cent-scaled BIGINTs; squares accumulate as DECIMAL(38,0)
+    * (BIGINT would overflow around petabyte scale), and the single
+    * IEEE division rounds at the end. */
+  val q120 = QueryDef.sql("q120_hhi_concentration",
+    """WITH q AS (
+      |  SELECT s.s_nationkey, l.l_suppkey,
+      |    CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS qc
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT s_nationkey,
+      |  count(*) AS n_suppliers,
+      |  CAST(sum(qc) AS BIGINT) AS total_qc,
+      |  round(CAST(sum(CAST(qc AS DECIMAL(19,0)) * CAST(qc AS DECIMAL(19,0)))
+      |      AS DOUBLE) /
+      |    (CAST(sum(qc) AS DOUBLE) * CAST(sum(qc) AS DOUBLE)), 6) AS hhi
+      |FROM q GROUP BY 1""")(
+    (s, dir) => {
+      val q = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+          .cast("long").as("qc"))
+      q.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("qc")).as("total_qc"),
+          round(sum(col("qc").cast("decimal(19,0)") *
+              col("qc").cast("decimal(19,0)")).cast("double") /
+            (sum(col("qc")).cast("double") * sum(col("qc")).cast("double")),
+            6).as("hhi"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q115, q116, q117, q118, q119, q120)
 }

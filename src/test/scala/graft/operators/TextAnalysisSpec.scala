@@ -206,4 +206,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bad == 0)
     assert(out.where($"rnk" > 3).count() == 0)
   }
+
+  test("tvDistance matches the naive full-union computation") {
+    // A: [x, x, y]  B: [y, z]  corpus: x:2 y:2 z:1 (c_c = 5)
+    // TV(A) = ½(|2/3−2/5| + |1/3−2/5| + |0−1/5|) = 4/15
+    // TV(B) = ½(|0−2/5| + |1/2−2/5| + |1/2−1/5|) = 2/5
+    val toks = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "y"), ("B", "z"))
+      .toDF("g", "token")
+    val got = TextAnalysis.tvDistance(toks, "g", "token")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("A") == ((3L, math.rint(4.0 / 15 * 1e6) / 1e6)))
+    assert(got("B") == ((2L, 0.4)))
+  }
+
+  test("tvDistance: identical distribution gives zero; disjoint gives max") {
+    // C == corpus restricted to itself when there is only one group
+    val one = TextAnalysis.tvDistance(
+      Seq(("C", "a"), ("C", "b")).toDF("g", "token"), "g", "token")
+      .as[(String, Long, Double)].collect()
+    assert(one.head._3 == 0.0)
+    // two groups with disjoint vocabularies of equal size: TV = 1/2 each
+    val disj = TextAnalysis.tvDistance(
+      Seq(("D", "a"), ("E", "b")).toDF("g", "token"), "g", "token")
+      .as[(String, Long, Double)].collect().map(_._3).toSeq
+    assert(disj == Seq(0.5, 0.5))
+  }
 }
