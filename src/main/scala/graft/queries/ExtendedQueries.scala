@@ -227,5 +227,138 @@ object ExtendedQueries {
             6).as("hhi"))
     })
 
-  def all: Seq[QueryDef] = Seq(q115, q116, q117, q118, q119, q120)
+  /** Winsorized mean per group: clip values to the group's
+    * [p05, p95] (exact interpolated percentiles — the q43 cross-engine
+    * contract) and average. Robust-statistics cousin of q112's MAD.
+    * The clipped sum is NOT a sum of clipped doubles (shuffle-order
+    * dependent): untouched middle values accumulate as DECIMAL, and the
+    * clipped tails enter as count×bound in one fixed IEEE sequence —
+    * exact on both engines. */
+  val q121 = QueryDef.sql("q121_winsorize",
+    """WITH qs AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS p05,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY 1),
+      |a AS (
+      |  SELECT l.l_returnflag, count(*) AS n,
+      |    count(*) FILTER (WHERE l.l_extendedprice < q.p05) AS n_low,
+      |    count(*) FILTER (WHERE l.l_extendedprice > q.p95) AS n_high,
+      |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+      |      FILTER (WHERE l.l_extendedprice >= q.p05
+      |          AND l.l_extendedprice <= q.p95) AS DOUBLE) AS sum_mid,
+      |    min(q.p05) AS p05, min(q.p95) AS p95
+      |  FROM lineitem l JOIN qs q ON l.l_returnflag = q.l_returnflag
+      |  GROUP BY 1)
+      |SELECT l_returnflag, n, n_low, n_high,
+      |  round(((sum_mid + (CAST(n_low AS DOUBLE) * p05))
+      |    + (CAST(n_high AS DOUBLE) * p95)) / CAST(n AS DOUBLE), 6)
+      |    AS win_mean
+      |FROM a""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val qs = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      li.join(broadcast(qs), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < col("p05"), 1)).as("n_low"),
+          count(when(col("l_extendedprice") > col("p95"), 1)).as("n_high"),
+          sum(when(col("l_extendedprice") >= col("p05") &&
+              col("l_extendedprice") <= col("p95"),
+            col("l_extendedprice").cast("decimal(18,2)")))
+            .cast("double").as("sum_mid"),
+          min(col("p05")).as("p05"), min(col("p95")).as("p95"))
+        .select(col("l_returnflag"), col("n"), col("n_low"), col("n_high"),
+          round(((col("sum_mid") + (col("n_low").cast("double") * col("p05")))
+            + (col("n_high").cast("double") * col("p95")))
+            / col("n").cast("double"), 6).as("win_mean"))
+    })
+
+  /** Missing-value imputation by group median: 'error' events are
+    * treated as having lost their measurement and take the user's
+    * median of non-error values (exact interpolated percentile).
+    * Users with only error events stay NULL — imputation must not
+    * invent data. */
+  val q122 = QueryDef.sql("q122_impute_median",
+    """WITH med AS (
+      |  SELECT user_id, quantile_cont(value, 0.5) AS med
+      |  FROM events WHERE event_type <> 'error' GROUP BY 1)
+      |SELECT e.event_id, e.user_id,
+      |  CASE WHEN e.event_type = 'error' THEN m.med ELSE e.value END
+      |    AS value_imputed
+      |FROM events e LEFT JOIN med m ON e.user_id = m.user_id""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val med = ev.where(col("event_type") =!= "error")
+        .groupBy("user_id")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      ev.join(med, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          when(col("event_type") === "error", col("med"))
+            .otherwise(col("value")).as("value_imputed"))
+    })
+
+  /** Vocabulary coverage / OOV rate per document against the corpus
+    * top-1000 token vocabulary — the tokenizer-fit audit run before
+    * training. The vocab is a global top-k with a total (count, token)
+    * order: Spark plans orderBy+limit as TakeOrderedAndProject
+    * (per-partition heaps + driver merge of 1000 rows — no
+    * single-partition sort), and the 1000-row vocab is explicitly
+    * broadcast back to the token stream. */
+  val q123 = QueryDef.sql("q123_vocab_coverage",
+    """WITH tok AS (
+      |  SELECT doc_id, t AS token FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS t FROM documents) WHERE t <> ''),
+      |tc AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      |vocab AS (SELECT token FROM tc ORDER BY c DESC, token LIMIT 1000)
+      |SELECT tok.doc_id, count(*) AS n_tokens,
+      |  count(v.token) AS n_invocab,
+      |  round(CAST(count(v.token) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS coverage
+      |FROM tok LEFT JOIN vocab v ON tok.token = v.token
+      |GROUP BY tok.doc_id""")(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(1000)
+        .select(col("token"), lit(1).as("inv"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), count(col("inv")).as("n_invocab"))
+        .select(col("doc_id"), col("n_tokens"), col("n_invocab"),
+          round(col("n_invocab").cast("double") /
+            col("n_tokens").cast("double"), 6).as("coverage"))
+    })
+
+  /** Hopping (sliding) event-time windows: 1-hour windows every 15
+    * minutes — each event lands in exactly 4 windows. Spark's native
+    * `window(ts, dur, slide)` (one generator, no self-union); the
+    * oracle replays the slide algebra with integer epoch-µs division
+    * against a 4-row offset table. q22's tumbling contract, extended
+    * to overlap. */
+  val q124 = QueryDef.sql("q124_hopping_window",
+    """SELECT CAST((epoch_us(e.ts) // 900000000 - k.k) * 900 AS BIGINT)
+      |    AS win_start,
+      |  count(*) AS n,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+      |GROUP BY 1""")(
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .select(unix_seconds(col("win.start")).as("win_start"),
+        col("n"), col("n_users"), col("sum_value")))
+
+  def all: Seq[QueryDef] =
+    Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -81,6 +81,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q116 gap fill: every window stays user-partitioned") {
+    val p = plan("q116_gapfill_ffill")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q116 degenerated to a single-partition window: $p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q121 winsorize: per-group quantile frame broadcasts back") {
+    val p = plan("q121_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q123 vocab coverage: distributed top-k, vocab broadcast") {
+    val p = plan("q123_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-1000 must be partial-heap + driver merge, not a sort: $p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q87: PII redaction is a pure per-row scan — zero exchanges") {
     val p = plan("q87_pii_redact")
     assert(!p.contains("Exchange"),
