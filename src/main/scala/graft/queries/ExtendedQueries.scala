@@ -359,6 +359,179 @@ object ExtendedQueries {
       .select(unix_seconds(col("win.start")).as("win_start"),
         col("n"), col("n_users"), col("sum_value")))
 
+  /** Pairwise source vocabulary overlap: Jaccard of the distinct-token
+    * sets of every source pair — the redundancy matrix consulted when
+    * choosing mixture weights (q119 measures drift from the corpus;
+    * this measures sources against EACH OTHER). Exact set algebra:
+    * intersections count via a self-join on token (group size bounded
+    * by |sources| per token, so the join cannot skew past |sources|²
+    * rows per token), sizes via one aggregation, one rounded division
+    * at the end. */
+  val q125 = QueryDef.sql("q125_vocab_overlap",
+    """WITH v AS (SELECT DISTINCT source, t AS token FROM (
+      |    SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS t FROM documents) WHERE t <> ''),
+      |sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+      |inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS i
+      |  FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, i,
+      |  round(CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE), 6)
+      |    AS jaccard
+      |FROM inter JOIN sz x ON inter.s1 = x.source
+      |           JOIN sz y ON inter.s2 = y.source""")(
+    (s, dir) => {
+      val v = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "").distinct()
+      val sz = v.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = v.as("a").join(v.as("b"),
+          col("a.token") === col("b.token") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sz.select(col("source").as("s1"), col("n").as("n1"))),
+          "s1")
+        .join(broadcast(sz.select(col("source").as("s2"), col("n").as("n2"))),
+          "s2")
+        .select(col("s1"), col("s2"), col("i"),
+          round(col("i").cast("double") /
+            (col("n1") + col("n2") - col("i")).cast("double"), 6)
+            .as("jaccard"))
+    })
+
+  /** Bounded-lag exponential smoothing (EWMA over the last 5 events
+    * per user, α = ½): the numerator and the weight renormalization
+    * for short histories are ONE fixed IEEE expression over 2-decimal-
+    * exact lag values — no running recursion, no shuffle-order sums,
+    * so the doubles agree bit-for-bit across engines. The streaming
+    * twin of this is a mapGroupsWithState fold; batch-side, five lags
+    * in one per-user window sort. */
+  val q126 = QueryDef.sql("q126_ewma",
+    """WITH l AS (
+      |  SELECT event_id, user_id, value AS v0,
+      |    lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+      |    lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |  round((((v0 + 0.5 * coalesce(v1, 0.0))
+      |      + (0.25 * coalesce(v2, 0.0)) + (0.125 * coalesce(v3, 0.0)))
+      |      + (0.0625 * coalesce(v4, 0.0))) /
+      |    (((1.0 + 0.5 * (CASE WHEN v1 IS NULL THEN 0.0 ELSE 1.0 END))
+      |      + (0.25 * (CASE WHEN v2 IS NULL THEN 0.0 ELSE 1.0 END))
+      |      + (0.125 * (CASE WHEN v3 IS NULL THEN 0.0 ELSE 1.0 END)))
+      |      + (0.0625 * (CASE WHEN v4 IS NULL THEN 0.0 ELSE 1.0 END))), 6)
+      |    AS ewma
+      |FROM l""")(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      def ind(c: org.apache.spark.sql.Column) =
+        when(c.isNull, lit(0.0)).otherwise(lit(1.0))
+      val l = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("value").as("v0"),
+        lag(col("value"), 1).over(w).as("v1"),
+        lag(col("value"), 2).over(w).as("v2"),
+        lag(col("value"), 3).over(w).as("v3"),
+        lag(col("value"), 4).over(w).as("v4"))
+      l.select(col("event_id"), col("user_id"),
+        round(((col("v0") + lit(0.5) * coalesce(col("v1"), lit(0.0)))
+          + (lit(0.25) * coalesce(col("v2"), lit(0.0)))
+          + (lit(0.125) * coalesce(col("v3"), lit(0.0)))
+          + (lit(0.0625) * coalesce(col("v4"), lit(0.0)))) /
+          (((lit(1.0) + lit(0.5) * ind(col("v1")))
+            + (lit(0.25) * ind(col("v2")))
+            + (lit(0.125) * ind(col("v3"))))
+            + (lit(0.0625) * ind(col("v4")))), 6).as("ewma"))
+    })
+
+  /** OLS trend slope per market segment: weekly revenue (exact cents)
+    * regressed on the ISO-week index, slope from the five classical
+    * moments — q105's exact-moment contract extended from correlation
+    * to regression. Every moment is a BIGINT (x = weeks-since-epoch
+    * ≈ 1.6k, y = weekly cents ≈ 1e8 ⇒ the n·Σxy − Σx·Σy numerator
+    * peaks ~1e16, two orders under the 2^63 line at this shape; a
+    * 100 TB run re-centers x at min-week first, which this does too
+    * so the bound is tighter still). One division, rounded: cents per
+    * week. */
+  val q127 = QueryDef.sql("q127_ols_slope",
+    """WITH r AS (
+      |  SELECT c.c_mktsegment,
+      |    epoch(date_trunc('week', o.o_orderdate)) // 604800 AS wk,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |x AS (SELECT c_mktsegment, wk - min(wk) OVER () AS x, cents FROM r),
+      |m AS (SELECT c_mktsegment, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * cents) AS BIGINT) AS sxy
+      |  FROM x GROUP BY 1)
+      |SELECT c_mktsegment, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_week
+      |FROM m""")(
+    (s, dir) => {
+      val r = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          (unix_timestamp(date_trunc("week", col("o_orderdate")))
+            / 604800).cast("long").as("wk"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      // global min-week: a 1-row aggregate broadcast back (no
+      // single-partition window over the weekly frame)
+      val minWk = r.agg(min(col("wk")).as("mw"))
+      val x = r.crossJoin(broadcast(minWk))
+        .select(col("c_mktsegment"), (col("wk") - col("mw")).as("x"),
+          col("cents"))
+      x.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("cents")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("cents")).as("sxy"))
+        .select(col("c_mktsegment"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("slope_cents_per_week"))
+    })
+
+  /** Per-label embedding centroids, dimension-wise: the class-prototype
+    * computation behind nearest-centroid classification and IVF
+    * seeding. Floats are quantized to exact micro-unit BIGINTs with
+    * `floor` (round() ties break differently across engines; floor
+    * never does), summed exactly, and the mean itself stays in
+    * floor-divided micro-units — sum_q/n is a genuine 7-decimal
+    * rational whose 6-decimal round() LANDS ON TIES (sum_q is a
+    * micro-int, n a count), and Java HALF_UP vs DuckDB binary rounding
+    * disagree on exactly those, so no round() appears at all: the
+    * centroid of a million-vector label is bit-identical on any engine
+    * and any partitioning. posexplode ⇔ DuckDB's zip-unnest supplies
+    * the dimension index. */
+  val q128 = QueryDef.sql("q128_label_centroid",
+    """WITH q AS (
+      |  SELECT label, pos,
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      |  FROM (SELECT label, unnest(embedding) AS x,
+      |          unnest(range(len(embedding))) AS pos FROM embeddings))
+      |SELECT label, CAST(pos AS INTEGER) AS pos, count(*) AS n,
+      |  CAST(sum(qx) AS BIGINT) AS sum_q,
+      |  CAST(floor(CAST(sum(qx) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |    AS BIGINT) AS centroid_micro
+      |FROM q GROUP BY 1, 2""")(
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("qx"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sum_q"))
+      .select(col("label"), col("pos"), col("n"), col("sum_q"),
+        floor(col("sum_q").cast("double") / col("n").cast("double"))
+          .cast("long").as("centroid_micro")))
+
   def all: Seq[QueryDef] =
-    Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
+      q125, q126, q127, q128)
 }
