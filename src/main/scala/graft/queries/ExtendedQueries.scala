@@ -257,9 +257,13 @@ object ExtendedQueries {
       |FROM a""")(
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
+      // both percentiles from ONE sort-based aggregation pass (the
+      // array form shares the collected buffer; two scalar percentile
+      // aggs would each sort the group)
       val qs = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("ps"))
+        .select(col("l_returnflag"), col("ps").getItem(0).as("p05"),
+          col("ps").getItem(1).as("p95"))
       li.join(broadcast(qs), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
@@ -531,7 +535,185 @@ object ExtendedQueries {
         floor(col("sum_q").cast("double") / col("n").cast("double"))
           .cast("long").as("centroid_micro")))
 
+  /** Day-of-week activity profile per event type: counts and
+    * within-type share — the seasonality fingerprint read before any
+    * time-based sampling. ISO day numbering pinned across engines:
+    * Spark `weekday` (0 = Monday) + 1 ⇔ DuckDB `isodow` (1 = Monday);
+    * Spark's `dayofweek` (1 = Sunday) is the trap. Share is two exact
+    * integers and one rounded division. */
+  val q129 = QueryDef.sql("q129_dow_profile",
+    """WITH d AS (SELECT event_type, isodow(ts) AS dow, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+      |      FROM d GROUP BY 1)
+      |SELECT d.event_type, CAST(d.dow AS INTEGER) AS dow, d.n,
+      |  round(CAST(d.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+      |FROM d JOIN t ON d.event_type = t.event_type""")(
+    (s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (weekday(col("ts")) + 1).cast("int").as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val t = d.groupBy("event_type").agg(sum(col("n")).as("tot"))
+      d.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("share"))
+    })
+
+  /** Ratio-to-report: each nation's share of its REGION's revenue —
+    * the percent-of-total window over a pre-aggregated frame (25
+    * nation rows; the window never sees fact rows). Cents-exact
+    * BIGINTs; one rounded division. */
+  val q130 = QueryDef.sql("q130_share_of_total",
+    """WITH rev AS (
+      |  SELECT n.n_regionkey, n.n_nationkey,
+      |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_regionkey, n_nationkey, cents,
+      |  round(CAST(cents AS DOUBLE) /
+      |    CAST(sum(cents) OVER (PARTITION BY n_regionkey) AS DOUBLE), 6)
+      |    AS region_share
+      |FROM rev""")(
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      rev.select(col("n_regionkey"), col("n_nationkey"), col("cents"),
+        round(col("cents").cast("double") /
+          sum(col("cents")).over(Window.partitionBy("n_regionkey"))
+            .cast("double"), 6).as("region_share"))
+    })
+
+  /** Cumulative distinct users by day WITHOUT a distinct-in-window:
+    * each user collapses to their first-seen day (one aggregation),
+    * then a running sum over the |days| frame — the growth-curve
+    * rewrite that keeps "count distinct so far" linear at any scale.
+    * The ordered window runs on the ~30-row daily frame, never on
+    * events. */
+  val q131 = QueryDef.sql("q131_cumulative_users",
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+      |           FROM events GROUP BY 1),
+      |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM d""")(
+    (s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      d.select(col("day"), col("new_users"),
+        sum(col("new_users")).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_users"))
+    })
+
+  /** Order-to-ship lead-time histogram: exact day differences over the
+    * orders⋈lineitem fact-fact join — both sides shuffle-partitioned
+    * on the SAME key (orderkey), the plan a bucketed 100 TB warehouse
+    * runs as a zero-exchange sort-merge join. */
+  val q132 = QueryDef.sql("q132_leadtime_hist",
+    """SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+      |    CAST(l.l_shipdate AS DATE)) AS lead_days,
+      |  count(*) AS n
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""")(
+    (s, dir) => Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        to_date(col("o_orderdate"))).as("lead_days"))
+      .agg(count(lit(1)).as("n")))
+
+  /** Bigram collocation mining over the document corpus: adjacent-token
+    * pairs scored by the Dice coefficient 2·c_xy/(c_x + c_y) — exact
+    * rational, no corpus-size term and no log (cross-engine libm is
+    * not contract-grade; q57/q103 use the same linear-score stance).
+    * Adjacency comes from a LEAD over per-doc token positions — the
+    * per-document window never leaves the doc's partition. Support
+    * floor c_xy ≥ 3. */
+  val q133 = QueryDef.sql("q133_bigram_dice",
+    """WITH tok AS (
+      |  SELECT doc_id, pos, t AS w FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t,
+      |      unnest(range(len(string_split_regex(lower(trim(text)), '\s+'))))
+      |        AS pos
+      |    FROM documents) WHERE t <> ''),
+      |bi AS (SELECT w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM tok),
+      |cb AS (SELECT w1, w2, count(*) AS c_xy FROM bi
+      |       WHERE w2 IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 3),
+      |cu AS (SELECT w, count(*) AS c FROM tok GROUP BY 1)
+      |SELECT w1, w2, c_xy,
+      |  round((2.0 * CAST(c_xy AS DOUBLE)) / CAST(x.c + y.c AS DOUBLE), 6)
+      |    AS dice
+      |FROM cb JOIN cu x ON cb.w1 = x.w JOIN cu y ON cb.w2 = y.w""")(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+"))
+            .as(Seq("pos", "w")))
+        .where(col("w") =!= "")
+      val bi = tok
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .where(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 3)
+      val cu = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      bi.join(cu.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(cu.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .select(col("w1"), col("w2"), col("c_xy"),
+          round((lit(2.0) * col("c_xy").cast("double")) /
+            (col("c_x") + col("c_y")).cast("double"), 6).as("dice"))
+    })
+
+  /** Coverage-gap audit: (event_type, day, hour) slots with ZERO
+    * events inside the observed span — the ingest-completeness check
+    * run before declaring a day loadable. The spine is |types|×|days|
+    * ×24 (bounded, broadcast-sized by construction); observed slots
+    * distinct once; one broadcast anti join. The inverse of q116's
+    * fill: this REPORTS holes instead of papering over them. */
+  val q134 = QueryDef.sql("q134_missing_slots",
+    """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0,
+      |    max(CAST(ts AS DATE)) AS d1 FROM events),
+      |days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |hours AS (SELECT CAST(unnest(range(24)) AS INTEGER) AS hour),
+      |spine AS (SELECT event_type, day, hour FROM types, days, hours),
+      |obs AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(hour(ts) AS INTEGER) AS hour FROM events)
+      |SELECT s.event_type, s.day, s.hour FROM spine s
+      |WHERE NOT EXISTS (SELECT 1 FROM obs o
+      |  WHERE o.event_type = s.event_type AND o.day = s.day
+      |    AND o.hour = s.hour)""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val days = ev.agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val types = ev.select("event_type").distinct()
+      val hours = s.range(24).select(col("id").cast("int").as("hour"))
+      val spine = types.crossJoin(days).crossJoin(hours)
+      val obs = ev.select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("int").as("hour")).distinct()
+      spine.join(broadcast(obs), Seq("event_type", "day", "hour"),
+        "left_anti")
+    })
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128)
+      q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }

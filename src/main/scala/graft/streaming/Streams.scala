@@ -33,6 +33,44 @@ object Streams {
   // public: the state encoder's generated code instantiates it
   final case class SessionState(start: Long, last: Long, n: Long)
 
+  final case class EwmaPoint(event_id: Long, user_id: Long, ewma: Double)
+  // public: the state encoder's generated code instantiates it
+  final case class EwmaState(recent: List[Double])
+
+  /** Streaming twin of q126's bounded-lag EWMA: per-user state is the
+    * last ≤4 values (most recent first); each event emits the same
+    * fixed IEEE expression the batch query evaluates — numerator
+    * parenthesization, short-history weight renormalization and the
+    * final HALF_UP round(…, 6) all replicated operation-for-operation,
+    * so an in-order replay matches the batch output bit-for-bit (the
+    * spec's assertion). Events are sorted by (ts, event_id) within
+    * each micro-batch; cross-batch late data would see a stale buffer
+    * — pair with a watermark + dedup upstream, as with [[sessionize]].
+    * State is O(4 doubles) per user, constant. */
+  def ewmaStream(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            def lag(i: Int): Double = recent.lift(i).getOrElse(0.0)
+            def ind(i: Int): Double = if (recent.lift(i).isDefined) 1.0 else 0.0
+            val num = (((e.value + 0.5 * lag(0)) + 0.25 * lag(1))
+              + 0.125 * lag(2)) + 0.0625 * lag(3)
+            val den = (((1.0 + 0.5 * ind(0)) + 0.25 * ind(1))
+              + 0.125 * ind(2)) + 0.0625 * ind(3)
+            val ewma = java.math.BigDecimal.valueOf(num / den)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            recent = (e.value :: recent).take(4)
+            EwmaPoint(e.event_id, user, ewma)
+          }
+          state.update(EwmaState(recent))
+          out.iterator
+      }
+  }
+
   /** Checkpointed file source over a directory of parquet drops. */
   def fileStream(spark: SparkSession, dir: String,
                  schema: org.apache.spark.sql.types.StructType): DataFrame =

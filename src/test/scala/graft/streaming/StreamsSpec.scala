@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lag, lit, round, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -313,5 +313,50 @@ class StreamsSpec extends AnyFunSuite {
       assert(got.toSet == expected,
         s"stream ${got.size} rows vs batch ${expected.size}")
     } finally index.unpersist()
+  }
+
+  test("ewmaStream matches the batch q126 formula across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 6 events for user 1 (exercises the full 5-lag buffer + the short-
+    // history renormalization), 1 for user 2 (fresh state)
+    val evs = (1 to 6).map(i => Streams.Event(i.toLong,
+      ts(f"2024-01-01 10:0$i:00"), 1L, "click", i * 1.1)) :+
+      Streams.Event(7L, ts("2024-01-01 10:00:30"), 2L, "view", 9.9)
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.ewmaStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out").start()
+    val (b1, b2) = evs.splitAt(3) // state must survive the batch boundary
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewma_out").as[Streams.EwmaPoint].collect()
+      .map(p => p.event_id -> p.ewma).toMap
+
+    // batch twin: q126's exact expression over the same rows
+    val batch = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      def ind(c: org.apache.spark.sql.Column) =
+        when(c.isNull, lit(0.0)).otherwise(lit(1.0))
+      val l = evs.toDF()
+        .select(col("event_id"), col("user_id"), col("value").as("v0"),
+          lag(col("value"), 1).over(w).as("v1"),
+          lag(col("value"), 2).over(w).as("v2"),
+          lag(col("value"), 3).over(w).as("v3"),
+          lag(col("value"), 4).over(w).as("v4"))
+      l.select(col("event_id"),
+        round(((col("v0") + lit(0.5) * coalesce(col("v1"), lit(0.0)))
+          + (lit(0.25) * coalesce(col("v2"), lit(0.0)))
+          + (lit(0.125) * coalesce(col("v3"), lit(0.0)))
+          + (lit(0.0625) * coalesce(col("v4"), lit(0.0)))) /
+          (((lit(1.0) + lit(0.5) * ind(col("v1")))
+            + (lit(0.25) * ind(col("v2")))
+            + (lit(0.125) * ind(col("v3"))))
+            + (lit(0.0625) * ind(col("v4")))), 6).as("ewma"))
+        .as[(Long, Double)].collect().toMap
+    }
+    assert(got == batch) // bit-for-bit, not approximately
   }
 }
