@@ -713,7 +713,133 @@ object ExtendedQueries {
         "left_anti")
     })
 
+  /** Per-group min-max feature scaling: (x − min)/(max − min) with the
+    * group extrema broadcast back — the normalization step before any
+    * distance-based model. Inputs are 2-decimal-exact doubles, extrema
+    * are exact, one division rounded once. A constant group
+    * (max = min) yields NULL, not a 0/0 NaN. */
+  val q135 = QueryDef.sql("q135_minmax_scale",
+    """WITH ex AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type,
+      |  CASE WHEN ex.hi > ex.lo THEN
+      |    round((e.value - ex.lo) / (ex.hi - ex.lo), 6) END AS scaled
+      |FROM events e JOIN ex ON e.event_type = ex.event_type""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ex = ev.groupBy("event_type")
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.join(broadcast(ex), "event_type")
+        .select(col("event_id"), col("event_type"),
+          when(col("hi") > col("lo"),
+            round((col("value") - col("lo")) / (col("hi") - col("lo")), 6))
+            .as("scaled"))
+    })
+
+  /** Deterministic mode per group: the most frequent l_quantity per
+    * return flag, ties broken by the smaller value — a (count DESC,
+    * value ASC) total order, so the pick is reproducible on any
+    * engine/partitioning (the A1 DISTINCT ON lesson from the
+    * reference, done right). Two bounded aggregations; the ranking
+    * window runs over value-count rows, never fact rows. */
+  val q136 = QueryDef.sql("q136_mode",
+    """WITH c AS (SELECT l_returnflag,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS v, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, v, n, row_number() OVER (
+      |    PARTITION BY l_returnflag ORDER BY n DESC, v) AS rn FROM c)
+      |SELECT l_returnflag, CAST(v AS DOUBLE) AS mode_qty, n
+      |FROM r WHERE rn = 1""")(
+    (s, dir) => {
+      val c = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("v"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag")
+            .orderBy(col("n").desc, col("v"))))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("v").cast("double").as("mode_qty"),
+          col("n"))
+    })
+
+  /** Benford first-digit audit of order amounts — the classic fraud /
+    * data-fabrication screen. The first significant digit comes from
+    * the DECIMAL-CENTS INTEGER rendered as a string (integer→string is
+    * exact on every engine; double→string is not, and log10 is libm),
+    * so the digit extraction is contract-grade. Share = two integers,
+    * one rounded division. */
+  val q137 = QueryDef.sql("q137_benford",
+    """WITH d AS (
+      |  SELECT substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |      * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      |SELECT digit, n,
+      |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+      |FROM c CROSS JOIN t""")(
+    (s, dir) => {
+      val d = Tables.orders(s, dir).where(col("o_totalprice") > 0)
+        .select(substring((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").cast("string"), 1, 1).as("digit"))
+      val c = d.groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("tot"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("share"))
+    })
+
+  /** Referential-integrity audit: orphan counts across every foreign-
+    * key edge of the star schema in ONE union of anti-join aggregates
+    * — the load-validation gate a warehouse runs after each batch.
+    * True dimension parents (supplier, nation) broadcast; fact-sized
+    * parents (orders, customer) keep the shuffled hash join a 100 TB
+    * run needs — forcing a broadcast there would OOM the executors at
+    * scale even though it happens to fit at test SFs. */
+  val q138 = QueryDef.sql("q138_fk_orphans",
+    """SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_child,
+      |  count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier', count(*),
+      |  count(*) FILTER (WHERE s.s_suppkey IS NULL)
+      |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer', count(*),
+      |  count(*) FILTER (WHERE c.c_custkey IS NULL)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'customer.c_nationkey->nation', count(*),
+      |  count(*) FILTER (WHERE n.n_nationkey IS NULL)
+      |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""")(
+    (s, dir) => {
+      def edge(fk: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String,
+               dim: Boolean): DataFrame = {
+        val keys = parent.select(col(parentKey))
+        child.join(if (dim) broadcast(keys) else keys,
+            child(childKey) === col(parentKey), "left")
+          .agg(count(lit(1)).as("n_child"),
+            count(when(col(parentKey).isNull, 1)).as("n_orphans"))
+          .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"))
+      }
+      edge("lineitem.l_orderkey->orders", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey", dim = false)
+        .unionByName(edge("lineitem.l_suppkey->supplier",
+          Tables.lineitem(s, dir), "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey", dim = true))
+        .unionByName(edge("orders.o_custkey->customer",
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", dim = false))
+        .unionByName(edge("customer.c_nationkey->nation",
+          Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey", dim = true))
+    })
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+      q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
+      q135, q136, q137, q138)
 }
