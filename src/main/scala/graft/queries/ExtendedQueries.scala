@@ -838,8 +838,164 @@ object ExtendedQueries {
           Tables.nation(s, dir), "n_nationkey", dim = true))
     })
 
+  /** RFM customer segmentation: recency (days from the batch horizon),
+    * frequency (order count), monetary (exact cents), each scored into
+    * quintiles. ntile is deterministic here because every ORDER BY
+    * ends in the unique customer key — the A1 DISTINCT ON discipline
+    * applied to bucketing. The quintile windows run over the
+    * per-customer aggregate (|customers| rows), partitioned... by
+    * nothing semantically, so this is the one catalog query class
+    * whose windows a 100 TB run would swap for
+    * [[graft.operators.Rank.globalRank]]'s two-pass prefix machinery
+    * (q142 demonstrates exactly that swap on the same shape). */
+  val q139 = QueryDef.sql("q139_rfm",
+    """WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS horizon
+      |           FROM orders),
+      |c AS (SELECT o_custkey,
+      |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+      |      min(horizon)) AS recency_days,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders CROSS JOIN h GROUP BY 1)
+      |SELECT o_custkey, recency_days, frequency, monetary_cents,
+      |  CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INTEGER)
+      |    AS r_score,
+      |  CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER)
+      |    AS f_score,
+      |  CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+      |    AS INTEGER) AS m_score
+      |FROM c""")(
+    (s, dir) => {
+      val h = Tables.orders(s, dir)
+        .agg(max(to_date(col("o_orderdate"))).as("horizon"))
+      val c = Tables.orders(s, dir).crossJoin(broadcast(h))
+        .groupBy("o_custkey")
+        .agg(datediff(min(col("horizon")), max(to_date(col("o_orderdate"))))
+          .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("monetary_cents"))
+      c.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+          .cast("int").as("r_score"),
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+          .cast("int").as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary_cents").desc,
+          col("o_custkey"))).cast("int").as("m_score"))
+    })
+
+  /** Near-zero-variance feature audit: unbiased variance of each
+    * lineitem measure — the feature-selection screen that drops dead
+    * columns before training. The closed form n·Σx² − (Σx)² stays in
+    * EXACT cent integers (products fit BIGINT, sums accumulate as
+    * DECIMAL(38,0)), and the single division is finished with `floor`,
+    * not `round`: at ~1e9 magnitudes a double's ULP (~1.2e-7) sits
+    * next to the 1e-6 rounding grid, so Spark's decimal-string
+    * HALF_UP and DuckDB's binary rounding genuinely diverge (caught
+    * by the sf0.1 check) — whereas floor is one IEEE function of
+    * bit-identical inputs on both engines, at any magnitude. Output
+    * is integer cents² (scale-0 DECIMAL→DOUBLE is a single correctly-
+    * rounded int conversion on both engines; fractional-scale
+    * decimals are not). */
+  val q140 = QueryDef.sql("q140_feature_variance",
+    """WITH long AS (
+      |  SELECT 'l_quantity' AS feature, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem),
+      |m AS (SELECT feature, count(*) AS n,
+      |    CAST(sum(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           * CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS DECIMAL(38,0)) AS sxx
+      |  FROM long GROUP BY 1)
+      |SELECT feature, n,
+      |  CAST(floor(CAST(n * sxx - sx * sx AS DOUBLE) /
+      |    CAST(n * (n - 1) AS DOUBLE)) AS BIGINT) AS var_cents2
+      |FROM m""")(
+    (s, dir) => {
+      val cents = col("v").cast("decimal(18,2)").multiply(100).cast("long")
+      val m = Tables.lineitem(s, dir)
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")), "feature", "v")
+        .groupBy("feature")
+        .agg(count(lit(1)).as("n"),
+          sum(cents.cast("decimal(38,0)")).as("sx"),
+          sum((cents * cents).cast("decimal(38,0)")).as("sxx"))
+      m.select(col("feature"), col("n"),
+        floor((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")).cast("long")
+          .as("var_cents2"))
+    })
+
+  /** Repeat-event bursts: consecutive events of the same (user, type)
+    * arriving within 60 s — the double-fire / retry-storm detector
+    * (exactly the duplicate class streaming dedup evicts; this is its
+    * batch forensic twin, reporting the burst with its gap and value
+    * delta instead of silently dropping it). One per-user window,
+    * exact integer µs gaps. */
+  val q141 = QueryDef.sql("q141_repeat_events",
+    """WITH l AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+      |    value - lag(value) OVER w AS value_delta
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |               ORDER BY ts, event_id))
+      |SELECT event_id, user_id, event_type,
+      |  CAST(gap_us AS BIGINT) AS gap_us, value_delta
+      |FROM l WHERE gap_us <= 60000000""")(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"),
+          (col("value") - lag(col("value"), 1).over(w)).as("value_delta"))
+        .where(col("gap_us") <= 60000000L)
+    })
+
+  /** Gini coefficient of order-count inequality across customers, via
+    * the sorted-rank identity G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n. The
+    * global rank i comes from [[graft.operators.Rank.globalRank]] —
+    * range partitions + per-partition counts + broadcast offsets —
+    * NOT a Window.orderBy over everything (the single-task drain
+    * q84/q89 exist to avoid; the oracle's plain row_number is the
+    * semantic spec, not the plan). Σ(i·xᵢ) stays BIGINT; two IEEE
+    * divisions and one subtraction at the end, in pinned order. */
+  val q142 = QueryDef.sql("q142_gini",
+    """WITH c AS (SELECT o_custkey, count(*) AS x
+      |           FROM orders GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+      |      FROM c),
+      |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(i * x) AS BIGINT) AS six FROM r)
+      |SELECT n, sx,
+      |  round((2.0 * CAST(six AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gini
+      |FROM m""")(
+    (s, dir) => {
+      val c = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("x"))
+      val r = graft.operators.Rank.globalRank(c, "i",
+        col("x"), col("o_custkey"))
+      r.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("n"), col("sx"),
+          round((lit(2.0) * col("six").cast("double"))
+            / (col("n").cast("double") * col("sx").cast("double"))
+            - ((col("n") + 1).cast("double") / col("n").cast("double")), 6)
+            .as("gini"))
+    })
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q136, q137, q138)
+      q135, q136, q137, q138, q139, q140, q141, q142)
 }
