@@ -101,10 +101,13 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    // 2 decimals: at 100+ queries every byte of the stdout metric line
-    // counts against the driver's ~2000-char tail window (full ns
-    // precision lives in bench_detail.json)
-    def sec(v: Double) = f"$v%.2f"
+    // Precision vs the driver's ~2000-char tail window: past ~140
+    // queries even 2-decimal everywhere overflows, so sub-10s queries
+    // print 1 decimal (±0.05 s — run-to-run noise is larger) and only
+    // 10s+ outliers keep 2. Full ns precision lives in bench_detail
+    // .json. Trailing ".0" is kept: the line must stay parseable JSON
+    // with numeric values.
+    def sec(v: Double) = if (v < 10) f"$v%.1f" else f"$v%.2f"
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _, _, _, _)) if v >= 0 => v }.sum
