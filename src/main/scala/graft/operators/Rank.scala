@@ -47,4 +47,35 @@ object Rank {
         row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)))
       .drop("__pid", "__off")
   }
+
+  /** Distributed inclusive prefix SUM of a long column in `orderCols`
+    * order — `sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`
+    * without the single-partition cliff. Identical two-pass shape to
+    * [[globalRank]], with per-partition TOTALS of `valueCol` shipped
+    * to the driver instead of counts. The running total is the
+    * backbone of cumulative-share reports (ABC / Pareto
+    * classification) and of [[Sampling.systematicSample]]'s weight
+    * line. `valueCol` must be integral (exact under any summation
+    * order); the order-key tuple must be unique per row. */
+  def globalPrefixSum(df: DataFrame, sumCol: String, valueCol: String,
+                      orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val totals = parted.groupBy("__pid")
+      .agg(sum(col(valueCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    parted.join(broadcast(offDf), "__pid")
+      .withColumn(sumCol, col("__off") +
+        sum(col(valueCol).cast("long")).over(
+          Window.partitionBy("__pid").orderBy(orderCols: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__pid", "__off")
+  }
 }

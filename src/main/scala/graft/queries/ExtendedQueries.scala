@@ -994,8 +994,131 @@ object ExtendedQueries {
             .as("gini"))
     })
 
+  /** Week-over-week churn: users active in week w but absent in w+1
+    * (the last observed week has no successor and is excluded). One
+    * distinct (user, week) frame self-left-joined one week forward —
+    * the cohort-transition audit behind every retention dashboard,
+    * exact integers throughout. */
+  val q143 = QueryDef.sql("q143_churn",
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |mx AS (SELECT max(wk) AS mw FROM uw)
+      |SELECT a.wk, count(*) AS active,
+      |  count(*) FILTER (WHERE b.user_id IS NULL) AS churned,
+      |  count(*) FILTER (WHERE b.user_id IS NOT NULL) AS retained
+      |FROM uw a CROSS JOIN mx
+      |LEFT JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 7
+      |WHERE a.wk < mx.mw
+      |GROUP BY a.wk""")(
+    (s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val mx = uw.agg(max(col("wk")).as("mw"))
+      val b = uw.select(col("user_id").as("buid"), col("wk").as("bwk"))
+      uw.crossJoin(broadcast(mx)).where(col("wk") < col("mw"))
+        .join(b, col("user_id") === col("buid") &&
+          col("bwk") === date_add(col("wk"), 7), "left")
+        .groupBy("wk")
+        .agg(count(lit(1)).as("active"),
+          count(when(col("bwk").isNull, 1)).as("churned"),
+          count(col("bwk")).as("retained"))
+    })
+
+  /** ABC / Pareto classification of parts by revenue: parts sorted by
+    * descending cents, cumulative share banded at 80% / 95%. The
+    * running total comes from [[graft.operators.Rank.globalPrefixSum]]
+    * (range partitions + per-partition totals + broadcast offsets) —
+    * never a single-task global window — and the share thresholds are
+    * EXACT integer cross-multiplications (5·cum ≤ 4·total ⇔
+    * share ≤ 0.8): no division anywhere. */
+  val q144 = QueryDef.sql("q144_abc_classes",
+    """WITH r AS (SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, cents,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM r),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM r)
+      |SELECT l_partkey, cents, cum_cents,
+      |  CASE WHEN 5 * cum_cents <= 4 * tot THEN 'A'
+      |       WHEN 20 * cum_cents <= 19 * tot THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c CROSS JOIN t""")(
+    (s, dir) => {
+      val r = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      val c = graft.operators.Rank.globalPrefixSum(r, "cum_cents", "cents",
+        col("cents").unary_-, col("l_partkey"))
+      val t = r.agg(sum(col("cents")).as("tot"))
+      c.crossJoin(broadcast(t))
+        .select(col("l_partkey"), col("cents"), col("cum_cents"),
+          when(lit(5) * col("cum_cents") <= lit(4) * col("tot"), "A")
+            .when(lit(20) * col("cum_cents") <= lit(19) * col("tot"), "B")
+            .otherwise("C").as("abc_class"))
+    })
+
+  /** Deterministic ordered string aggregation: each nation's supplier
+    * roster as one comma-joined, lexicographically sorted string —
+    * LISTAGG/string_agg made reproducible (collect_list order is
+    * partition-arrival order; the array_sort makes it a set).
+    * Binary/ASCII collation on both engines. */
+  val q145 = QueryDef.sql("q145_string_agg",
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS roster
+      |FROM supplier GROUP BY s_nationkey""")(
+    (s, dir) => Tables.supplier(s, dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("roster")))
+
+  /** Tukey-fence outlier audit per group: IQR fences at Q1 − 1.5·IQR /
+    * Q3 + 1.5·IQR (exact interpolated quartiles, one fixed IEEE fence
+    * expression) with exact counts outside each fence — the quantile-
+    * based robust-outlier twin of q112's MAD. Quartiles come from one
+    * array-percentile pass and broadcast back. */
+  val q146 = QueryDef.sql("q146_tukey_fences",
+    """WITH qs AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.25) AS q1,
+      |    quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |  round(q.q1 - (1.5 * (q.q3 - q.q1)), 6) AS fence_lo,
+      |  round(q.q3 + (1.5 * (q.q3 - q.q1)), 6) AS fence_hi,
+      |  count(*) FILTER (WHERE l.l_extendedprice
+      |    < q.q1 - (1.5 * (q.q3 - q.q1))) AS n_low,
+      |  count(*) FILTER (WHERE l.l_extendedprice
+      |    > q.q3 + (1.5 * (q.q3 - q.q1))) AS n_high
+      |FROM lineitem l JOIN qs q ON l.l_returnflag = q.l_returnflag
+      |GROUP BY 1, 3, 4""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val qs = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.75))").as("ps"))
+        .select(col("l_returnflag"), col("ps").getItem(0).as("q1"),
+          col("ps").getItem(1).as("q3"))
+      val lo = col("q1") - (lit(1.5) * (col("q3") - col("q1")))
+      val hi = col("q3") + (lit(1.5) * (col("q3") - col("q1")))
+      li.join(broadcast(qs), "l_returnflag")
+        .groupBy(col("l_returnflag"), round(lo, 6).as("fence_lo"),
+          round(hi, 6).as("fence_hi"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < lo, 1)).as("n_low"),
+          count(when(col("l_extendedprice") > hi, 1)).as("n_high"))
+        .select(col("l_returnflag"), col("n"), col("fence_lo"),
+          col("fence_hi"), col("n_low"), col("n_high"))
+    })
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q136, q137, q138, q139, q140, q141, q142)
+      q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
+      q145, q146)
 }

@@ -100,6 +100,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q144 ABC classes: cumulative share never plans a global-sort window") {
+    val p = plan("q144_abc_classes")
+    // the grand-total 1-row aggregate legitimately collapses to one
+    // partition; the running-sum WINDOW itself must stay per-range-
+    // partition (pid-partitioned spec over the range exchange)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"q144 running sum lost its per-partition window spec: $p")
+  }
+
   test("q87: PII redaction is a pure per-row scan — zero exchanges") {
     val p = plan("q87_pii_redact")
     assert(!p.contains("Exchange"),

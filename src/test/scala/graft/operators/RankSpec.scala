@@ -32,4 +32,20 @@ class RankSpec extends AnyFunSuite {
     assert(a.map(_._2) == (1L to 257L).toSet)
     assert(a == run())
   }
+
+  test("globalPrefixSum equals the single-window running sum, any partitioning") {
+    val df = (1L to 300L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+      .repartition(13)
+    val got = Rank.globalPrefixSum(df, "cum", "w", col("id"))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    // oracle: driver-side scan in id order
+    var acc = 0L
+    val want = (1L to 300L).map { i => acc += i % 7 + 1; i -> acc }.toMap
+    assert(got == want)
+  }
+
+  test("globalPrefixSum on an empty frame is empty, not an error") {
+    val df = spark.emptyDataset[(Long, Long)].toDF("id", "w")
+    assert(Rank.globalPrefixSum(df, "cum", "w", col("id")).count() == 0)
+  }
 }
