@@ -1116,9 +1116,131 @@ object ExtendedQueries {
           col("fence_hi"), col("n_low"), col("n_high"))
     })
 
+  /** Correlated-subquery decorrelation: orders strictly above their
+    * own customer's average order value. The oracle states it as the
+    * textbook correlated predicate; the Spark side is the decorrelated
+    * join Catalyst would rewrite it to anyway — with the comparison as
+    * an exact integer CROSS-MULTIPLICATION (cents·n > Σcents), so no
+    * mean is ever materialized and no rounding exists to drift. */
+  val q147 = QueryDef.sql("q147_above_customer_avg",
+    """SELECT o.o_orderkey, o.o_custkey
+      |FROM orders o
+      |WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * (SELECT count(*) FROM orders i
+      |       WHERE i.o_custkey = o.o_custkey)
+      |  > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2)) * 100)
+      |       AS BIGINT) FROM orders i WHERE i.o_custkey = o.o_custkey)""")(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val stats = o.groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("sum_cents"))
+      o.join(stats, col("o_custkey") === col("ck"))
+        .where((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long") * col("cnt") > col("sum_cents"))
+        .select(col("o_orderkey"), col("o_custkey"))
+    })
+
+  /** Trailing 7-day revenue per market segment via a RANGE window
+    * frame (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over a day
+    * index) — the moving-aggregate class q19's ROWS frame cannot
+    * express when days are missing: RANGE bounds by VALUE, so silent
+    * days simply fall out of the frame. Day index is exact integer
+    * epoch-days; sums are exact cents. */
+  val q148 = QueryDef.sql("q148_trailing_7d",
+    """WITH d AS (
+      |  SELECT c.c_mktsegment,
+      |    epoch(CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP)) // 86400
+      |      AS day_idx,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment, CAST(day_idx AS BIGINT) AS day_idx, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY c_mktsegment ORDER BY day_idx
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS trailing_7d_cents
+      |FROM d""")(
+    (s, dir) => {
+      val d = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          (unix_timestamp(to_date(col("o_orderdate")).cast("timestamp"))
+            / 86400).cast("long").as("day_idx"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      d.select(col("c_mktsegment"), col("day_idx"), col("cents"),
+        sum(col("cents")).over(Window.partitionBy("c_mktsegment")
+          .orderBy("day_idx").rangeBetween(-6, Window.currentRow))
+          .as("trailing_7d_cents"))
+    })
+
+  /** Leave-one-out target encoding: each lineitem's return-flag mean
+    * price EXCLUDING the row itself, (Σ − x)/(n − 1) — the standard
+    * leakage-free categorical encoding for training. Numerator and
+    * denominator stay exact integers; the encoded value is emitted in
+    * floor-divided cents (q128's no-round contract: integer/count
+    * quotients land on rounding ties). */
+  val q149 = QueryDef.sql("q149_target_encoding",
+    """WITH s AS (SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+      |      AS BIGINT) AS sum_cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+      |  CAST(floor(CAST(s.sum_cents
+      |      - CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS DOUBLE) / CAST(s.n - 1 AS DOUBLE)) AS BIGINT)
+      |    AS loo_mean_cents
+      |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val st = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      li.join(broadcast(st), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          floor((col("sum_cents") - cents).cast("double") /
+            (col("n") - 1).cast("double")).cast("long")
+            .as("loo_mean_cents"))
+    })
+
+  /** Monthly seasonality index per market segment: each calendar
+    * month's share of the segment's total revenue — the forecasting
+    * prior. Exact cents; one rounded O(1)-magnitude division (the
+    * share is ≤ 1, far from the round-tie ULP regime). */
+  val q150 = QueryDef.sql("q150_month_seasonality",
+    """WITH m AS (
+      |  SELECT c.c_mktsegment, CAST(month(o.o_orderdate) AS INTEGER)
+      |      AS month,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS tot
+      |      FROM m GROUP BY 1)
+      |SELECT m.c_mktsegment, m.month, m.cents,
+      |  round(CAST(m.cents AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+      |    AS month_share
+      |FROM m JOIN t ON m.c_mktsegment = t.c_mktsegment""")(
+    (s, dir) => {
+      val m = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          month(col("o_orderdate")).cast("int").as("month"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      val t = m.groupBy("c_mktsegment").agg(sum(col("cents")).as("tot"))
+      m.join(broadcast(t), "c_mktsegment")
+        .select(col("c_mktsegment"), col("month"), col("cents"),
+          round(col("cents").cast("double") / col("tot").cast("double"), 6)
+            .as("month_share"))
+    })
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-      q145, q146)
+      q145, q146, q147, q148, q149, q150)
 }
