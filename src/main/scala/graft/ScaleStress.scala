@@ -271,6 +271,35 @@ object ScaleStress {
     edges.unpersist()
     }
 
+    if (sections("labelprop")) {
+    // --- component labelling: bounded min-label propagation (the
+    // oracle-checkable fixed-budget operator, q115) vs the
+    // alternating-star fixpoint (true components, unknown rounds).
+    // Star contraction converges in O(log² n) rounds regardless of
+    // diameter; k-round propagation is k joins flat — cheaper when k
+    // is small and the graph is short-diameter (co-purchase graphs
+    // are), semantically different when it is not.
+    val li0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val li = (0 until mult).map { i =>
+      li0.select((col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(i.toLong * 1000000000L)).as("l_partkey"))
+    }.reduce(_ unionByName _)
+    val edges = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .where(size(col("parts")) >= 2)
+      .select(explode(graft.functions.PairExpressions.pairArray(col("parts"))).as("p"))
+      .select(col("p.id1").as("u"), col("p.id2").as("v"))
+      .distinct().cache()
+    println(s"labelprop edges: ${edges.count()}")
+    time("label propagation, 4 bounded rounds")(
+      graft.operators.Graph.labelPropagationMin(edges, "u", "v", 4)
+        .agg(sum(col("label"))).head().getLong(0))
+    time("connected components, star-contraction fixpoint")(
+      graft.operators.Graph.connectedComponents(edges, "u", "v")
+        .agg(sum(col("component"))).head().getLong(0))
+    edges.unpersist()
+    }
+
     if (sections("prefix")) {
     // --- global prefix quantities: single-partition window (the naive
     // Spark spelling) vs the two-pass range-partition form
