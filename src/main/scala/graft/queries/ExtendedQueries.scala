@@ -1238,9 +1238,127 @@ object ExtendedQueries {
             .as("month_share"))
     })
 
+  /** Salient terms per source: tokens over-represented vs the corpus,
+    * lift = (c_st/c_s)/(c_t/c_c) computed as the exact cross-ratio
+    * c_st·c_c/(c_t·c_s) — q119's count frames reused for
+    * characterisation instead of distance. Support floor c_st ≥ 5;
+    * top-5 per source ranked by the raw lift double (identical bits
+    * on both engines ⇒ identical order) with the token as total-order
+    * tiebreak. */
+  val q151 = QueryDef.sql("q151_salient_terms",
+    """WITH tok AS (
+      |  SELECT source, t AS token FROM (
+      |    SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS t FROM documents) WHERE t <> ''),
+      |st AS (SELECT source, token, count(*) AS c_st
+      |       FROM tok GROUP BY 1, 2),
+      |t AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t
+      |      FROM st GROUP BY 1),
+      |s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s
+      |      FROM st GROUP BY 1),
+      |c AS (SELECT CAST(sum(c_st) AS BIGINT) AS c_c FROM st),
+      |l AS (SELECT st.source, st.token, st.c_st,
+      |    CAST(st.c_st * c.c_c AS DOUBLE) / CAST(t.c_t * s.c_s AS DOUBLE)
+      |      AS lift
+      |  FROM st JOIN t USING (token) JOIN s USING (source) CROSS JOIN c
+      |  WHERE st.c_st >= 5),
+      |r AS (SELECT source, token, c_st, lift, row_number() OVER (
+      |    PARTITION BY source ORDER BY lift DESC, token) AS rk FROM l)
+      |SELECT source, token, c_st, round(lift, 6) AS lift,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 5""")(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val st = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      val t = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+      val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("c_s"))
+      val cc = st.agg(sum(col("c_st")).as("c_c"))
+      val l = st.where(col("c_st") >= 5)
+        .join(t, "token").join(broadcast(srcTot), "source").crossJoin(cc)
+        .select(col("source"), col("token"), col("c_st"),
+          ((col("c_st") * col("c_c")).cast("double") /
+            (col("c_t") * col("c_s")).cast("double")).as("lift"))
+      l.withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("lift").desc, col("token"))).cast("long"))
+        .where(col("rk") <= 5)
+        .select(col("source"), col("token"), col("c_st"),
+          round(col("lift"), 6).as("lift"), col("rk"))
+    })
+
+  /** Two-sample Kolmogorov–Smirnov statistic ENTIRELY in integers:
+    * D = max_v |F₁(v) − F₂(v)| becomes max over the merged support of
+    * |c₁≤v·n₂ − c₂≤v·n₁| (one BIGINT per support point), with the
+    * n₁·n₂ denominator applied once at the end — a distribution-shift
+    * test with zero floating-point in the statistic itself. Cumulative
+    * counts run over the 50-value aggregated support, never fact rows.
+    * Compared groups: returned (A) vs refused-return (R) quantity
+    * distributions. */
+  val q152 = QueryDef.sql("q152_ks_stat",
+    """WITH c AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v,
+      |    count(*) FILTER (WHERE l_returnflag = 'A') AS ca,
+      |    count(*) FILTER (WHERE l_returnflag = 'R') AS cr
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+      |cum AS (SELECT v,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS f1,
+      |    CAST(sum(cr) OVER w AS BIGINT) AS f2
+      |  FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      |n AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+      |    CAST(sum(cr) AS BIGINT) AS n2 FROM c)
+      |SELECT n1, n2,
+      |  CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num,
+      |  round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE) /
+      |    CAST(n1 * n2 AS DOUBLE), 6) AS ks
+      |FROM cum CROSS JOIN n GROUP BY n1, n2""")(
+    (s, dir) => {
+      val c = Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_quantity").cast("decimal(18,2)").as("v"))
+        .agg(count(when(col("l_returnflag") === "A", 1)).as("ca"),
+          count(when(col("l_returnflag") === "R", 1)).as("cr"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = c.select(col("v"), sum(col("ca")).over(w).as("f1"),
+        sum(col("cr")).over(w).as("f2"))
+      val n = c.agg(sum(col("ca")).as("n1"), sum(col("cr")).as("n2"))
+      cum.crossJoin(broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+          .as("ks_num"))
+        .select(col("n1"), col("n2"), col("ks_num"),
+          round(col("ks_num").cast("double") /
+            (col("n1") * col("n2")).cast("double"), 6).as("ks"))
+    })
+
+  /** Behavioural diversity per user: Gini impurity of the event-type
+    * mix, 1 − Σ(cᵢ/n)² — exact rational (n² − Σcᵢ²)/n², the
+    * classification-impurity measure applied as an entity profile
+    * (0 = single-typed, →0.8 = uniform over 5 types). Two bounded
+    * aggregations; the O(1)-magnitude division rounds once. */
+  val q153 = QueryDef.sql("q153_type_diversity",
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(n * n) AS BIGINT) AS ssq FROM c GROUP BY 1)
+      |SELECT user_id, n,
+      |  round(CAST(n * n - ssq AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+      |    AS impurity
+      |FROM u""")(
+    (s, dir) => {
+      val c = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      c.groupBy("user_id")
+        .agg(sum(col("n")).as("n"), sum(col("n") * col("n")).as("ssq"))
+        .select(col("user_id"), col("n"),
+          round((col("n") * col("n") - col("ssq")).cast("double") /
+            (col("n") * col("n")).cast("double"), 6).as("impurity"))
+    })
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-      q145, q146, q147, q148, q149, q150)
+      q145, q146, q147, q148, q149, q150, q151, q152, q153)
 }
