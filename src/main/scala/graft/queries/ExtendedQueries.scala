@@ -1356,9 +1356,77 @@ object ExtendedQueries {
             (col("n") * col("n")).cast("double"), 6).as("impurity"))
     })
 
+  /** Repeat-purchase cadence: exact day gaps between a customer's
+    * consecutive orders (lag over the per-customer order sequence,
+    * (date, orderkey) total order), then the median interval per
+    * market segment — the replenishment-cycle metric. Integer day
+    * arithmetic; exact interpolated median. */
+  val q154 = QueryDef.sql("q154_reorder_interval",
+    """WITH g AS (
+      |  SELECT c.c_mktsegment,
+      |    date_diff('day',
+      |      lag(CAST(o.o_orderdate AS DATE)) OVER (
+      |        PARTITION BY o.o_custkey
+      |        ORDER BY CAST(o.o_orderdate AS DATE), o.o_orderkey),
+      |      CAST(o.o_orderdate AS DATE)) AS gap_days
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT c_mktsegment, count(gap_days) AS n_intervals,
+      |  quantile_cont(gap_days, 0.5) AS median_gap_days
+      |FROM g WHERE gap_days IS NOT NULL GROUP BY 1""")(
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(to_date(col("o_orderdate")), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          datediff(to_date(col("o_orderdate")),
+            lag(to_date(col("o_orderdate")), 1).over(w)).as("gap_days"))
+        .where(col("gap_days").isNotNull)
+        .groupBy("c_mktsegment")
+        .agg(count(col("gap_days")).as("n_intervals"),
+          expr("percentile(gap_days, 0.5)").as("median_gap_days"))
+    })
+
+  /** New-vs-returning revenue split per week: each order classified by
+    * whether it falls on its customer's acquisition DAY (all same-day
+    * first orders are 'new' — a date-level rule, deterministic with no
+    * tiebreak needed), then weekly exact-cent revenue per class. The
+    * first-order frame is one aggregation, joined back on the customer
+    * key — no window over fact rows. */
+  val q155 = QueryDef.sql("q155_new_vs_returning",
+    """WITH f AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE))
+      |      AS first_dt FROM orders GROUP BY 1),
+      |cls AS (SELECT
+      |    CAST(date_trunc('week', o.o_orderdate) AS DATE) AS week,
+      |    CASE WHEN CAST(o.o_orderdate AS DATE) = f.first_dt
+      |         THEN 'new' ELSE 'returning' END AS cohort,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey)
+      |SELECT week, cohort, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM cls GROUP BY 1, 2""")(
+    (s, dir) => {
+      val f = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("fk"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_dt"))
+      Tables.orders(s, dir)
+        .join(f, col("o_custkey") === col("fk"))
+        .select(date_trunc("week", col("o_orderdate")).cast("date")
+            .as("week"),
+          when(to_date(col("o_orderdate")) === col("first_dt"), "new")
+            .otherwise("returning").as("cohort"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy("week", "cohort")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("revenue_cents"))
+    })
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-      q145, q146, q147, q148, q149, q150, q151, q152, q153)
+      q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
+      q155)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -295,6 +296,68 @@ class OperatorPropertySpec extends AnyFunSuite {
         assert(g.length == g.head._4)
         assert(g.map(_._3).sorted.toSeq == (1L to g.length.toLong))
       }
+    }
+  }
+
+  test("labelPropagationMin: labels never increase with rounds and " +
+       "lower-bound the component minimum on random graphs") {
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      val edgeGen = for {
+        u <- Gen.choose(1L, n.toLong); v <- Gen.choose(1L, n.toLong)
+      } yield (u, v)
+      val raw = Gen.listOfN(n, edgeGen).apply(params, Seed(16000L + trial))
+        .get.filter(e => e._1 != e._2)
+      if (raw.nonEmpty) {
+        val edges = raw.toDF("u", "v")
+        val r2 = Graph.labelPropagationMin(edges, "u", "v", 2)
+          .as[(Long, Long)].collect().toMap
+        val r4 = Graph.labelPropagationMin(edges, "u", "v", 4)
+          .as[(Long, Long)].collect().toMap
+        val comp = Graph.connectedComponents(edges, "u", "v")
+          .as[(Long, Long)].collect().toMap
+        assert(r2.keySet == r4.keySet && r4.keySet == comp.keySet)
+        for (id <- r2.keys) {
+          assert(r4(id) <= r2(id), s"label grew with rounds at $id")
+          assert(r4(id) >= comp(id), s"label below component min at $id")
+          assert(r2(id) <= id) // a node never keeps more than its own id
+        }
+      }
+    }
+  }
+
+  test("tvDistance ∈ [0, 1] and is 0 for a lone group on random token bags") {
+    val tokGen = for {
+      g <- Gen.oneOf("s1", "s2", "s3")
+      t <- Gen.oneOf("a", "b", "c", "d", "e", "f")
+    } yield (g, t)
+    for (trial <- 0 until 3) {
+      val rows = Gen.listOfN(120, tokGen).apply(params, Seed(17000L + trial))
+        .get
+      val out = TextAnalysis.tvDistance(rows.toDF("g", "token"), "g", "token")
+        .as[(String, Long, Double)].collect()
+      assert(out.nonEmpty)
+      for ((g, cs, tv) <- out) {
+        assert(cs == rows.count(_._1 == g).toLong)
+        assert(tv >= 0.0 && tv <= 1.0, s"$g tv=$tv out of range")
+      }
+    }
+  }
+
+  test("globalPrefixSum: last value equals the total; deltas equal the " +
+       "row weights, on random weights and partitionings") {
+    for (trial <- 0 until 3) {
+      val n = 100 + trial * 57
+      val ws = Gen.listOfN(n, Gen.choose(0L, 9L))
+        .apply(params, Seed(18000L + trial)).get
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w").repartition(5 + trial * 7)
+      val got = Rank.globalPrefixSum(df, "cum", "w", col("id"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.last._3 == ws.sum)
+      val byId = got.map(r => r._1 -> r._3).toMap
+      for (((w, i)) <- ws.zipWithIndex; if i > 0)
+        assert(byId(i.toLong) - byId(i.toLong - 1) == w)
     }
   }
 }
