@@ -299,33 +299,33 @@ object Graph {
     * rounds" in an iterative-dataflow pipeline) and the alternating-star
     * fixpoint when true components of unknown diameter are required.
     *
-    * Shape per round: one join of the label frame with the resident
-    * symmetrized edge set + one map-side-combined min — identical to
-    * [[pageRankScaled]]'s iteration (count-then-dial broadcast of the
-    * |nodes|-row frame when it fits, shuffle join when it doesn't);
-    * label frames locally checkpointed so lineage stays flat. */
+    * Shape per round: ONE join of the label frame with the resident
+    * symmetrized edge set + one map-side-combined min — the
+    * min(own, neighbours) merge is folded into the aggregation by
+    * adding a self-loop per node to the resident edge set, so no
+    * second merge join exists (identical semantics: min over
+    * N(v) ∪ {v}). Count-then-dial broadcast of the |nodes|-row frame
+    * when it fits, shuffle join when it doesn't (the
+    * [[pageRankScaled]] iteration pattern); label frames locally
+    * checkpointed so lineage stays flat. */
   def labelPropagationMin(edges: DataFrame, srcCol: String, dstCol: String,
                           rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val e = canon(edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v")))
-    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = false)
-    val nodes = sym.select(col("u").as("id")).distinct()
+    val nodes = e.select(col("u")).unionByName(e.select(col("v").as("u")))
+      .distinct().localCheckpoint(eager = false)
+    val symSelf = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .unionByName(nodes.select(col("u"), col("u").as("v")))
       .localCheckpoint(eager = false)
     val nNodes = nodes.count()
     val small = nNodes * 16 < (64L << 20)
     def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    var lab = nodes.select(col("id"), col("id").as("label"))
+    var lab = nodes.select(col("u").as("id"), col("u").as("label"))
     for (_ <- 1 to rounds) {
-      val nbrMin = sym
+      lab = symSelf
         .join(dial(lab.select(col("id").as("u"), col("label"))), "u")
-        .groupBy(col("v").as("id")).agg(min(col("label")).as("nl"))
-      // symmetrized degree >= 1 ⇒ every node has a neighbour min; the
-      // coalesce types the left join, it is never a real fallback
-      lab = lab.join(dial(nbrMin), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .groupBy(col("v").as("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(eager = false)
     }
     lab
