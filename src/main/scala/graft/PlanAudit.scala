@@ -21,7 +21,8 @@ object PlanAudit {
       "q17_scd2_apply", "q32_cosine_topk", "q51_sketches_portable",
       "q70_interval_overlap", "q74_curation_funnel", "q75_typicality",
       "q84_weighted_sample", "q89_global_shuffle", "q94_segment_dedup",
-      "q98_hard_negatives", "q104_pagerank")
+      "q98_hard_negatives", "q104_pagerank", "q115_cc_labelprop",
+      "q123_vocab_coverage", "q144_abc_classes", "q152_ks_stat")
     for (name <- interesting) {
       println(s"\n======== $name ========")
       val plan = SparkEntry.queries(name)(spark, sf)

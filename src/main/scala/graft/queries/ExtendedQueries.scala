@@ -1423,10 +1423,72 @@ object ExtendedQueries {
           sum(col("cents")).as("revenue_cents"))
     })
 
+  /** DISCRETE percentile per group — the smallest actual data value
+    * whose cumulative count reaches ⌈p·n⌉ (PostgreSQL percentile_disc
+    * semantics, empirically pinned against DuckDB's quantile_disc),
+    * unlike q43's interpolated quantile_cont which may emit a value
+    * that exists in no row. Spark lacks an exact disc percentile, so
+    * the definition computes directly over the AGGREGATED value
+    * support (50 quantity values per flag — cumulative counts never
+    * touch fact rows), which is also the shape that scales: the
+    * per-fact-row window formulation would sort whole groups in
+    * single tasks. */
+  val q156 = QueryDef.sql("q156_percentile_disc",
+    """SELECT l_returnflag,
+      |  CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.5)
+      |    AS DOUBLE) AS p50_disc,
+      |  CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.9)
+      |    AS DOUBLE) AS p90_disc
+      |FROM lineitem GROUP BY 1""")(
+    (s, dir) => {
+      val c = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy("l_returnflag")
+      val cum = c
+        .withColumn("cumc", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wN))
+      cum.groupBy("l_returnflag")
+        .agg(
+          min(when(col("cumc") >= ceil(lit(0.5) * col("n")), col("v")))
+            .cast("double").as("p50_disc"),
+          min(when(col("cumc") >= ceil(lit(0.9) * col("n")), col("v")))
+            .cast("double").as("p90_disc"))
+    })
+
+  /** Per-vector L2 norms over the embedding corpus: Σx² in exact
+    * floor-quantized micro-units (q128's contract), then ONE sqrt —
+    * IEEE 754 requires sqrt to be correctly rounded, so unlike libm
+    * log/exp it IS contract-grade across engines. The norm audit run
+    * before cosine similarity assumes unit-ish vectors. */
+  val q157 = QueryDef.sql("q157_embedding_norms",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)),
+      |s AS (SELECT vec_id, count(*) AS dim,
+      |    CAST(sum(qx * qx) AS BIGINT) AS ssq FROM q GROUP BY 1)
+      |SELECT vec_id, dim,
+      |  round(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0, 6) AS l2_norm
+      |FROM s""")(
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(col("vec_id"), explode(col("embedding")).as("x"))
+      .select(col("vec_id"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("qx"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("dim"),
+        sum(col("qx") * col("qx")).as("ssq"))
+      .select(col("vec_id"), col("dim"),
+        round(sqrt(col("ssq").cast("double")) / lit(1000000.0), 6)
+          .as("l2_norm")))
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
       q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-      q155)
+      q155, q156, q157)
 }
