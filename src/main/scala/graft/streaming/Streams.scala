@@ -71,6 +71,58 @@ object Streams {
       }
   }
 
+  final case class TokenRow(source: String, token: String)
+  final case class DriftPoint(source: String, c_s: Long, tv_micro: Long)
+  // public: the state encoder's generated code instantiates it
+  final case class DriftState(tokens: Map[String, Long])
+
+  /** Streaming mixture-drift monitor — the stateful twin of q119's
+    * total-variation distance: per-source RUNNING token counts live in
+    * group state, and after every micro-batch each updated source
+    * re-emits its TV distance against a STATIC corpus distribution
+    * (the frozen reference the pipeline was tuned on). Exactly q119's
+    * folded formula — Σ_{t∈Vs}|c_st·c_c − c_t·c_s| plus the uncovered
+    * corpus mass — evaluated over the state's token map, with the TV
+    * in floor-divided micro-units (the q128 no-round contract; integer
+    * state makes replay exact). State per source is its running
+    * vocabulary (bounded by the source's distinct tokens — the same
+    * bound the batch aggregation pays, but resident).
+    *
+    * Once the stream has delivered exactly the corpus the reference
+    * was computed from, the emitted TV equals the batch operator's
+    * (the spec's assertion, micro-unit exact). */
+  def tvDriftStream(tokens: Dataset[TokenRow],
+                    corpusCounts: Map[String, Long]): Dataset[DriftPoint] = {
+    import tokens.sparkSession.implicits._
+    val cC: Long = corpusCounts.valuesIterator.sum
+    tokens.groupByKey(_.source)
+      .flatMapGroupsWithState[DriftState, DriftPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[TokenRow], state: GroupState[DriftState]) =>
+          var counts = state.getOption.map(_.tokens).getOrElse(Map.empty)
+          it.foreach { r =>
+            counts = counts.updated(r.token, counts.getOrElse(r.token, 0L) + 1L)
+          }
+          state.update(DriftState(counts))
+          val cS = counts.valuesIterator.sum
+          if (cS == 0) Iterator.empty
+          else {
+            var present = 0L
+            var covered = 0L
+            counts.foreach { case (t, cSt) =>
+              val cT = corpusCounts.getOrElse(t, 0L)
+              present += math.abs(cSt * cC - cT * cS)
+              covered += cT
+            }
+            val num = present + (cC - covered) * cS
+            val tvMicro = math.floor(
+              num.toDouble / (2.0 * cS.toDouble * cC.toDouble) * 1000000.0)
+              .toLong
+            Iterator.single(DriftPoint(source, cS, tvMicro))
+          }
+      }
+  }
+
   /** Checkpointed file source over a directory of parquet drops. */
   def fileStream(spark: SparkSession, dir: String,
                  schema: org.apache.spark.sql.types.StructType): DataFrame =

@@ -359,4 +359,45 @@ class StreamsSpec extends AnyFunSuite {
     }
     assert(got == batch) // bit-for-bit, not approximately
   }
+
+  test("tvDriftStream converges to the batch TV once the corpus is replayed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "b"), ("s2", "d"), ("s2", "d"), ("s2", "d"))
+      .map { case (s, t) => Streams.TokenRow(s, t) }
+    val corpus = rows.groupBy(_.token).view.mapValues(_.size.toLong).toMap
+    val cC = corpus.values.sum
+
+    val mem = MemoryStream[Streams.TokenRow]
+    val q = Streams.tvDriftStream(mem.toDS(), corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("drift_out").start()
+    val (b1, b2) = rows.splitAt(3) // counts must survive the batch boundary
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // final emission per source = highest running c_s
+    val got = spark.table("drift_out").as[Streams.DriftPoint].collect()
+      .groupBy(_.source).view.mapValues(_.maxBy(_.c_s)).toMap
+
+    // driver-side batch twin with the operator's exact micro-unit math
+    for ((src, grp) <- rows.groupBy(_.source)) {
+      val counts = grp.groupBy(_.token).view.mapValues(_.size.toLong).toMap
+      val cS = counts.values.sum
+      val present = counts.map { case (t, cSt) =>
+        math.abs(cSt * cC - corpus.getOrElse(t, 0L) * cS) }.sum
+      // keysIterator, not keys: mapping the key SET to counts would
+      // collapse equal counts before summing
+      val covered = counts.keysIterator.map(t => corpus.getOrElse(t, 0L)).sum
+      val num = present + (cC - covered) * cS
+      val want = math.floor(
+        num.toDouble / (2.0 * cS.toDouble * cC.toDouble) * 1000000.0).toLong
+      assert(got(src).c_s == cS && got(src).tv_micro == want, s"$src")
+    }
+    // s1 saw both micro-batches: an interim emission must also exist
+    assert(spark.table("drift_out").as[Streams.DriftPoint].collect()
+      .count(_.source == "s1") == 2)
+  }
 }
