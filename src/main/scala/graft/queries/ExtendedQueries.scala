@@ -840,14 +840,15 @@ object ExtendedQueries {
 
   /** RFM customer segmentation: recency (days from the batch horizon),
     * frequency (order count), monetary (exact cents), each scored into
-    * quintiles. ntile is deterministic here because every ORDER BY
-    * ends in the unique customer key — the A1 DISTINCT ON discipline
-    * applied to bucketing. The quintile windows run over the
-    * per-customer aggregate (|customers| rows), partitioned... by
-    * nothing semantically, so this is the one catalog query class
-    * whose windows a 100 TB run would swap for
-    * [[graft.operators.Rank.globalRank]]'s two-pass prefix machinery
-    * (q142 demonstrates exactly that swap on the same shape). */
+    * quintiles. The oracle states the scores as `ntile(5)` windows;
+    * the Spark side NEVER runs a global window — each score is a
+    * [[graft.operators.Rank.globalRank]] two-pass rank (the
+    * per-customer frame is fact-sized at warehouse scale; an
+    * unpartitioned ntile would drain it through one task) with the SQL
+    * ntile bucket formula applied to (rank, n) in exact integers:
+    * sizes ⌈n/k⌉ for the first n mod k buckets, ⌊n/k⌋ after.
+    * Deterministic because every order ends in the unique customer
+    * key. */
   val q139 = QueryDef.sql("q139_rfm",
     """WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS horizon
       |           FROM orders),
@@ -876,14 +877,34 @@ object ExtendedQueries {
           count(lit(1)).as("frequency"),
           (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
             .cast("long").as("monetary_cents"))
-      c.select(col("o_custkey"), col("recency_days"), col("frequency"),
-        col("monetary_cents"),
-        ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey")))
-          .cast("int").as("r_score"),
-        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-          .cast("int").as("f_score"),
-        ntile(5).over(Window.orderBy(col("monetary_cents").desc,
-          col("o_custkey"))).cast("int").as("m_score"))
+      // SQL ntile(k) from a 1-based dense rank i over n rows: the
+      // first n mod k buckets take ceil(n/k) rows, the rest floor —
+      // bucket = if i <= (q+1)·r then ceil(i/(q+1)) else
+      // r + ceil((i−(q+1)·r)/q), with q = n DIV k, r = n MOD k.
+      // (q = 0 ⇒ every i falls in the first branch; no 0-division.)
+      def ntileOf(rank: org.apache.spark.sql.Column,
+                  n: org.apache.spark.sql.Column, k: Int) = {
+        // Column./ is double division; floor-cast restores the integer
+        // quotient (operands positive and far below 2^53 per partition
+        // count, so the double is exact)
+        val q = floor(n / k).cast("long"); val r = n % k
+        when(rank <= (q + 1) * r, ceil(rank / (q + 1)))
+          .otherwise(r + ceil((rank - (q + 1) * r) / q))
+          .cast("int")
+      }
+      val withR = graft.operators.Rank.globalRank(c, "rk_r",
+        col("recency_days"), col("o_custkey"))
+      val withF = graft.operators.Rank.globalRank(withR, "rk_f",
+        col("frequency").unary_-, col("o_custkey"))
+      val withM = graft.operators.Rank.globalRank(withF, "rk_m",
+        col("monetary_cents").unary_-, col("o_custkey"))
+      val n = c.agg(count(lit(1)).as("n_cust"))
+      withM.crossJoin(broadcast(n))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          ntileOf(col("rk_r"), col("n_cust"), 5).as("r_score"),
+          ntileOf(col("rk_f"), col("n_cust"), 5).as("f_score"),
+          ntileOf(col("rk_m"), col("n_cust"), 5).as("m_score"))
     })
 
   /** Near-zero-variance feature audit: unbiased variance of each

@@ -111,6 +111,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q144 running sum lost its per-partition window spec: $p")
   }
 
+  test("q139 RFM: quintiles rank via range partitions, never one task") {
+    val p = plan("q139_rfm")
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("ntile"), s"q139 regressed to a global ntile window: $p")
+    // every window in the plan is a per-range-partition row_number —
+    // none may run unpartitioned (the nested cached rank subtrees
+    // repeat 1-row aggregate exchanges in the STRING, so counting
+    // SinglePartition occurrences is not meaningful here)
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val pidSpecs = "windowspecdefinition\\(__pid".r.findAllIn(p).size
+    assert(specs > 0 && specs == pidSpecs,
+      s"q139 has ${specs - pidSpecs} non-pid-partitioned window specs: $p")
+  }
+
   test("q87: PII redaction is a pure per-row scan — zero exchanges") {
     val p = plan("q87_pii_redact")
     assert(!p.contains("Exchange"),
