@@ -1506,10 +1506,62 @@ object ExtendedQueries {
         round(sqrt(col("ssq").cast("double")) / lit(1000000.0), 6)
           .as("l2_norm")))
 
+  /** DAU / WAU / stickiness by day — the canonical engagement panel.
+    * "Distinct users in the trailing 7 days" is NOT a distinct-in-
+    * window (unbounded at scale): the distinct (user, day) frame joins
+    * the day spine on a 7-day band — a bounded ≤7× row expansion —
+    * and each day counts distinct users from its own slice. Exact
+    * integers; one O(1) rounded ratio. */
+  val q158 = QueryDef.sql("q158_dau_wau",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |            FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |  FROM days d JOIN ud u
+      |    ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1)
+      |SELECT d.day, dau.dau, wau.wau,
+      |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+      |    AS stickiness
+      |FROM days d JOIN dau ON d.day = dau.day
+      |JOIN wau ON d.day = wau.day""")(
+    (s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select("day").distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = days.select(col("day").as("d"))
+        .join(ud, col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d").as("day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+      days.join(dau, "day").join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    })
+
+  /** Log₂ magnitude histogram of order values WITHOUT libm: for a
+    * positive integer, floor(log₂ x) + 1 is the LENGTH OF ITS BINARY
+    * STRING (`bin()` exists on both engines, integer-exact by
+    * construction) — the power-law/skew fingerprint read before
+    * choosing salting thresholds, with zero floating-point anywhere. */
+  val q159 = QueryDef.sql("q159_log2_hist",
+    """WITH b AS (
+      |  SELECT CAST(length(bin(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |      * 100 AS BIGINT))) - 1 AS INTEGER) AS log2_bucket
+      |  FROM orders WHERE o_totalprice > 0)
+      |SELECT log2_bucket, count(*) AS n
+      |FROM b GROUP BY 1""")(
+    (s, dir) => Tables.orders(s, dir).where(col("o_totalprice") > 0)
+      .select((length(bin((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long"))) - 1).cast("int").as("log2_bucket"))
+      .groupBy("log2_bucket").agg(count(lit(1)).as("n")))
+
   def all: Seq[QueryDef] =
     Seq(q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
       q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-      q155, q156, q157)
+      q155, q156, q157, q158, q159)
 }
