@@ -262,10 +262,21 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, srcCol: String,
               dstCol: String, idCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
+    // EAGER checkpoints throughout the iteration, and the canonical edge
+    // set materialized BEFORE symmetrization. Lazy checkpoints persist on
+    // first computation — but the per-hop broadcast-build jobs of the
+    // final plan launch concurrently (BroadcastExchangeExec runs on its
+    // own thread pool), so with lazy frames several hops' jobs each
+    // re-derived the edge set from the source table before any had
+    // finished persisting it (measured by the round-5 driver: ~750 MB
+    // input read against an 11 MB source parquet). Eager materialization
+    // serializes the derivation into one job; every later job — frontier
+    // joins, broadcast builds, the final union — hits resident blocks,
+    // so total input read ≈ one source scan.
     val e = canon(edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v")))
+      col(dstCol).cast("long").as("v"))).localCheckpoint(eager = true)
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // A level set is bounded by the node count; when nodes are
     // broadcast-sized, ship the FRONTIER to the resident edge set each
     // hop instead of re-shuffling 2·m edge rows per hop — the
@@ -276,11 +287,11 @@ object Graph {
     val small = nNodes * 16 < (64L << 20)
     def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var levels = Seq(seeds.select(col(idCol).cast("long").as("id")).distinct()
-      .withColumn("d", lit(0L)).localCheckpoint(eager = false))
+      .withColumn("d", lit(0L)).localCheckpoint(eager = true))
     for (h <- 1 to maxHops) {
       val next = sym.join(dial(levels.last.select(col("id").as("u"))), "u")
         .select(col("v").as("id")).distinct()
-        .withColumn("d", lit(h.toLong)).localCheckpoint(eager = false)
+        .withColumn("d", lit(h.toLong)).localCheckpoint(eager = true)
       levels = levels :+ next
     }
     levels.reduce(_ unionByName _)
@@ -311,13 +322,19 @@ object Graph {
   def labelPropagationMin(edges: DataFrame, srcCol: String, dstCol: String,
                           rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    // EAGER materialization before and inside the round loop — the lazy
+    // variant let the concurrent per-round broadcast-build jobs each
+    // re-derive the edge set from the source table (see the note in
+    // [[bfsHops]]; the round-5 driver measured q115 reading ~756 MB
+    // against an 11 MB source). e first, so nodes/symSelf derive from
+    // resident blocks: total input read ≈ one source scan.
     val e = canon(edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v")))
+      col(dstCol).cast("long").as("v"))).localCheckpoint(eager = true)
     val nodes = e.select(col("u")).unionByName(e.select(col("v").as("u")))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().localCheckpoint(eager = true)
     val symSelf = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .unionByName(nodes.select(col("u"), col("u").as("v")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val nNodes = nodes.count()
     val small = nNodes * 16 < (64L << 20)
     def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -326,7 +343,7 @@ object Graph {
       lab = symSelf
         .join(dial(lab.select(col("id").as("u"), col("label"))), "u")
         .groupBy(col("v").as("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
     }
     lab
   }
@@ -358,12 +375,16 @@ object Graph {
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    // EAGER materialization (see [[bfsHops]]): e first, then sym/deg from
+    // resident blocks, then one eager frame per iteration — without it
+    // the concurrent broadcast builds re-derived the edge set per
+    // iteration (round-5 driver: ~754 MB read vs 11 MB source on q104).
     val e = canon(edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v")))
+      col(dstCol).cast("long").as("v"))).localCheckpoint(eager = true)
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // Rank vectors are |nodes| rows; when that is broadcast-sized, ship
     // the RANKS to the resident edge set each iteration instead of
     // re-shuffling 2·m edge rows per iteration (count-then-dial, the
@@ -389,7 +410,7 @@ object Graph {
         .select(col("id"), col("deg"),
           (lit(15L * scale / 100L) +
             expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
     }
     rank.select(col("id"), col("r").as("rank_scaled"))
   }

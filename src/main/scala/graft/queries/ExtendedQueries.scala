@@ -1070,10 +1070,16 @@ object ExtendedQueries {
       |       ELSE 'C' END AS abc_class
       |FROM c CROSS JOIN t""")(
     (s, dir) => {
+      // eager: r feeds THREE independent jobs (the range-bound sampling
+      // pass inside globalPrefixSum, the per-partition totals collect,
+      // and t's broadcast build) — materialized once, each hits
+      // resident blocks instead of re-aggregating lineitem (round-5
+      // bench recorded q144 at 10.3 s for a ~20k-row frame)
       val r = Tables.lineitem(s, dir)
         .groupBy("l_partkey")
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
           .cast("long").as("cents"))
+        .localCheckpoint(eager = true)
       val c = graft.operators.Rank.globalPrefixSum(r, "cum_cents", "cents",
         col("cents").unary_-, col("l_partkey"))
       val t = r.agg(sum(col("cents")).as("tot"))

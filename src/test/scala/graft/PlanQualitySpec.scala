@@ -211,6 +211,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p)
   }
 
+  test("iterative graph ops read the source ONCE, not once per round") {
+    // The round-5 driver caught q115 reading ~756 MB against an 11 MB
+    // parquet: lazy localCheckpoints let the concurrent per-round
+    // broadcast-build jobs each re-derive the edge set from the source.
+    // TaskMetrics input_read cannot pin this down (it counts resident-
+    // block reads too), but Hadoop FileSystem statistics count actual
+    // file bytes — parquet data pages bypass them in Spark 4 (NIO), so
+    // what registers is ~the footer per scan PASS, exactly the unit we
+    // want to budget: scans of the source, not bytes of it.
+    import scala.jdk.CollectionConverters._
+    def fsRead: Long = org.apache.hadoop.fs.FileSystem.getAllStatistics
+      .asScala.map(_.getBytesRead).sum
+    def measure(body: => Unit): Long = { val b = fsRead; body; fsRead - b }
+    val baseline = measure(Tables.lineitem(spark, sf).count())
+    assert(baseline > 0, "fs statistics must register parquet reads")
+    // budget 4×: one scan for the edge derivation, one for a seed/aux
+    // frame, headroom for listing — the failure mode this guards
+    // against was ~70× (one scan per round per broadcast build)
+    for (q <- Seq("q115_cc_labelprop", "q102_bfs_hops", "q104_pagerank")) {
+      val d = measure {
+        SparkEntry.queries(q)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      assert(d <= 4 * baseline,
+        s"$q read ${d}B of source files vs one-scan ${baseline}B — " +
+          "re-scanning the source per iteration")
+    }
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     // q55's cross join is at BLOCK granularity (blocks² rows, each row
     // one packed block) — bounded by construction, not an n² row plan
