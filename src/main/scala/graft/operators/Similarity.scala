@@ -280,23 +280,49 @@ object Similarity {
               dim: Int, planes: Int, tables: Int, k: Int,
               multiprobe: Int = -1): DataFrame = {
     val mp = math.min(if (multiprobe < 0) math.min(3, planes) else multiprobe, planes)
+    // cached: the bucket side and the probe side each explode this
+    // frame; no count/dial action — the bucket join below pairs one
+    // packed row per (table, bucket) on each side, never a broadcast
+    // of corpus vectors
     val v = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v"))).cache()
-    val base = v.select(col("id").as("id_b"),
-      posexplode(graft.functions.VectorExpressions
-        .lshBucketsNative(col("v"), dim, planes, tables)).as(Seq("t", "b")))
-    val probe = v.select(col("id").as("id_a"),
+      .cache()
+    // BOTH sides pack into one row per (table, bucket) — candidate
+    // scoring then runs as ONE [[BlockTopK]] kernel call per occupied
+    // bucket (the [[cosineTopKBlocked]] shape restricted to co-bucketed
+    // pairs): each side unpacks to primitive arrays once per bucket,
+    // the dense loop scores every (probe, member) pair in-cache, and
+    // only the per-probe-per-bucket top-k (≤ k·memberships rows, not
+    // the Σ probe·bucket candidate multiset — ~20M rows at sf0.1)
+    // reaches the aggregate. Per-bucket top-k merges to the exact
+    // global top-k (a global winner wins every bucket containing it;
+    // (cosine DESC, id ASC) is total), and cross-table duplicates
+    // deduplicate inside `topkByScoreDistinct` as before — output is
+    // bit-identical to the per-pair formulation.
+    val blocks = v
+      .select(col("id"), col("v"),
+        posexplode(graft.functions.VectorExpressions
+          .lshBucketsNative(col("v"), dim, planes, tables)).as(Seq("t", "b")))
+      .groupBy(col("t"), col("b"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("rows"))
+    // probe memberships group by the SAME (t, b) key: one shuffle of
+    // n·tables·(mp+1) query-vector rows — the price of batching kernel
+    // calls; at 100 TB this is the standard ANN-serve shuffle (queries
+    // route to their buckets), and it dwarfs the alternative's per-pair
+    // row traffic (Σ bucket² pairs through joins + aggregate).
+    val probes = v.select(col("id").as("id_a"), col("v").as("va"),
         posexplode(graft.functions.VectorExpressions
           .lshProbesNative(col("v"), dim, planes, tables, mp)).as(Seq("pt", "b")))
-      .select(col("id_a"), (col("pt") / lit(mp + 1)).cast("int").as("t"), col("b"))
-    val pairs = probe.join(base, Seq("t", "b"))
-      .where(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b")
-    val scored = pairs
-      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-    rankTopK(scored, k, distinctIds = true)
+      .select(col("id_a"), col("va"),
+        (col("pt") / lit(mp + 1)).cast("int").as("t"), col("b"))
+      .groupBy(col("t"), col("b"))
+      .agg(collect_list(struct(col("id_a").as("id"), col("va").as("v")))
+        .as("qrows"))
+    val cand = probes.join(blocks, Seq("t", "b"))
+      .select(explode(graft.functions.VectorExpressions
+        .blockTopKNative(col("qrows"), col("rows"), k)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cosine").as("cosine"))
+    rankTopK(cand, k, distinctIds = true)
   }
 
   /** [[lshTopK]] with `planes` sized from the corpus: planes =

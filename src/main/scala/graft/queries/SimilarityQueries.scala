@@ -37,13 +37,58 @@ object SimilarityQueries {
     (s, dir) => Similarity.cosineNearDup(Tables.embeddings(s, dir),
       "vec_id", "embedding", threshold = 0.45))
 
-  /** LSH-bucketed approximate top-k — the 100 TB path. Rows-only driver
-    * check; recall vs exact (0.956 at sf0.1, ≥ 0.9 asserted in
-    * DedupSimilaritySpec; 0.917 at sf0.01) at wall-time below the exact
-    * brute force, via margin-guided multiprobe. Parameters sit on the
-    * measured recall-time frontier for this corpus's geometry — see
-    * Similarity.lshTopK and SCALING.md. */
-  val q34 = QueryDef.rowsOnly("q34_ann_lsh")(
+  /** LSH-bucketed approximate top-k — the 100 TB path. Recall vs exact
+    * (0.956 at sf0.1, ≥ 0.9 asserted in DedupSimilaritySpec; 0.917 at
+    * sf0.01) at wall-time below the exact brute force, via margin-guided
+    * multiprobe. Parameters sit on the measured recall-time frontier for
+    * this corpus's geometry — see Similarity.lshTopK and SCALING.md.
+    *
+    * HASH-CHECKED against a full DuckDB replay of the approximate
+    * pipeline — every step is deterministic: the md5-derived ±1 planes
+    * rebuild in SQL (first hex digit ≥ '8' ⇔ +1), plane dot products
+    * are strict in-order double folds on both engines (the q32
+    * `list_dot_product` contract), so bucket bits (s > 0), |margin|
+    * probe ranking (ties to the lowest plane index — the scan order of
+    * LshProbes.computeProbes), the probe⋈base candidate set, and the
+    * final (cosine DESC, id_b) top-5 all replay bit-for-bit. Constants
+    * 140 = tables·20 × planes·7; flips = multiprobe = 4. */
+  val q34 = QueryDef.sql("q34_ann_lsh",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |signs AS (
+      |  SELECT p, list(CASE WHEN strpos('89abcdef',
+      |                   substr(md5(p || ':' || d), 1, 1)) > 0
+      |                 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY d) AS sv
+      |  FROM range(0, 140) t1(p), range(0, 64) t2(d)
+      |  GROUP BY p),
+      |m AS (SELECT n.id, CAST(s.p // 7 AS INT) AS t, CAST(s.p % 7 AS INT) AS j,
+      |        list_dot_product(n.v, s.sv) AS s
+      |      FROM n CROSS JOIN signs s),
+      |base AS (SELECT id, t,
+      |        sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS b
+      |      FROM m GROUP BY id, t),
+      |flips AS (SELECT id, t, j,
+      |        row_number() OVER (PARTITION BY id, t ORDER BY abs(s), j) AS rnk
+      |      FROM m),
+      |probe AS (
+      |  SELECT id, t, b FROM base
+      |  UNION ALL
+      |  SELECT f.id, f.t, xor(b.b, (1::BIGINT << f.j)) AS b
+      |  FROM flips f JOIN base b ON b.id = f.id AND b.t = f.t
+      |  WHERE f.rnk <= 4),
+      |pairs AS (SELECT DISTINCT p.id AS id_a, c.id AS id_b
+      |      FROM probe p JOIN base c ON p.t = c.t AND p.b = c.b
+      |      WHERE p.id <> c.id),
+      |scored AS (SELECT pr.id_a, pr.id_b,
+      |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |      FROM pairs pr
+      |      JOIN n a ON a.id = pr.id_a
+      |      JOIN n b ON b.id = pr.id_b),
+      |r AS (SELECT id_a, id_b, cosine,
+      |        row_number() OVER (PARTITION BY id_a
+      |                           ORDER BY cosine DESC, id_b) AS rnk
+      |      FROM scored)
+      |SELECT id_a, id_b, round(cosine, 6) AS sim, rnk FROM r WHERE rnk <= 5""")(
     (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir),
       "vec_id", "embedding", dim = 64, planes = 7, tables = 20, k = 5,
       multiprobe = 4))

@@ -52,14 +52,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q34 LSH plan: joins broadcast, one shuffle (the top-k aggregation)") {
+  test("q34 LSH plan: one bucket join feeding the block kernel, one top-k shuffle") {
     val df = SparkEntry.queries("q34_ann_lsh")(spark, sf)
     df.write.format("noop").mode("overwrite").save()
-    // post-execution: what AQE actually chose
+    // post-execution: what AQE actually chose. The blocked form pairs
+    // packed (t, b) rows with ONE join and scores inside block_topk —
+    // per-pair candidate rows never materialize, so the old 3-join
+    // (pairs ⋈ va ⋈ vb) shape must not reappear.
     val p = df.queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
-      s"LSH pair generation must not reintroduce shuffle exchanges: $p")
+    assert(p.contains("block_topk"), s"q34 lost the blocked scoring kernel: $p")
+    assert("Join".r.findAllIn(p).size == 1,
+      s"bucket pairing must be the only join (no per-pair re-joins): $p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"blocked LSH needs at most the two (t,b) packs + the top-k exchange: $p")
     assert(p.contains("partial_topk_by_score"),
       "top-k must aggregate map-side before the exchange")
   }
