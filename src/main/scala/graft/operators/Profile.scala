@@ -29,39 +29,51 @@ import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampN
   */
 object Profile {
 
+  /** Reference a column by its RAW name: `col()` parses dots and
+    * backticks as structure, so arbitrary intake names (a backtick, a
+    * dot, a quote) must be backtick-quoted with doubling to reference
+    * the attribute literally. */
+  private def rawCol(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
   def columnProfile(df: DataFrame): DataFrame = {
     val cols = df.schema.fields
     def numView(name: String) = df.schema(name).dataType match {
-      case _: NumericType => col(name).cast("double")
-      case _: TimestampType => unix_micros(col(name)).cast("double")
+      case _: NumericType => rawCol(name).cast("double")
+      case _: TimestampType => unix_micros(rawCol(name)).cast("double")
       // NTZ: exact under the engine-wide UTC session contract
       case _: TimestampNTZType =>
-        unix_micros(col(name).cast("timestamp")).cast("double")
-      case _: DateType => col(name).cast("int").cast("double")
+        unix_micros(rawCol(name).cast("timestamp")).cast("double")
+      case _: DateType => rawCol(name).cast("int").cast("double")
       case _ => lit(null).cast("double")
     }
     def strView(name: String) = df.schema(name).dataType match {
-      case _: StringType => col(name)
+      case _: StringType => rawCol(name)
       case _ => lit(null).cast("string")
     }
     val plainAggs = cols.flatMap { f =>
       val n = f.name
       Seq(
         count(lit(1)).as(s"__n_$n"),
-        count(col(n)).as(s"__nn_$n"),
+        count(rawCol(n)).as(s"__nn_$n"),
         min(numView(n)).as(s"__minn_$n"),
         max(numView(n)).as(s"__maxn_$n"),
         min(strView(n)).as(s"__mins_$n"),
         max(strView(n)).as(s"__maxs_$n"))
     }
     val distinctAggs = cols.map(f =>
-      count_distinct(col(f.name)).as(s"__nd_${f.name}"))
+      count_distinct(rawCol(f.name)).as(s"__nd_${f.name}"))
     val wide = df.agg(plainAggs.head, plainAggs.tail: _*)
       .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
     val stackArgs = cols.map { f =>
+      // arbitrary intake names reach this interpolation: backticks
+      // double inside a quoted identifier, quotes double inside the
+      // string literal (SQL escaping), so no name can break the parse
       val n = f.name
-      s"'$n', `__n_$n`, `__n_$n` - `__nn_$n`, `__nd_$n`, " +
-        s"`__minn_$n`, `__maxn_$n`, `__mins_$n`, `__maxs_$n`"
+      val q = n.replace("`", "``")
+      val l = n.replace("'", "''")
+      s"'$l', `__n_$q`, `__n_$q` - `__nn_$q`, `__nd_$q`, " +
+        s"`__minn_$q`, `__maxn_$q`, `__mins_$q`, `__maxs_$q`"
     }.mkString(", ")
     wide.selectExpr(
       s"stack(${cols.length}, $stackArgs) AS " +

@@ -201,9 +201,12 @@ object Sketches {
       .select(col(itemCol), col("h1"), col("h2"),
         explode(sequence(lit(0L), lit((depth - 1).toLong))).as("i"))
       .withColumn("bucket", pmod(col("h1") + col("i") * col("h2"), lit(width.toLong)))
-      .join(broadcast(counters), Seq("i", "bucket"))
+      .join(broadcast(counters), Seq("i", "bucket"), "left")
       .groupBy(col(itemCol))
-      .agg(min(col("cnt")).as("est_c"))
+      // an absent counter row means that (i, bucket) cell is 0 — an
+      // item hashed to an all-empty row estimates 0, and a partially
+      // empty depth row clamps the min instead of dropping the row
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_c"))
 
   /** The k rows per group with the smallest 60-bit md5 of `keyCol` — a
     * deterministic uniform sample. If `keyCol` is not unique (rows

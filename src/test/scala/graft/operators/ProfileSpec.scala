@@ -23,6 +23,17 @@ class ProfileSpec extends AnyFunSuite {
     assert(got("x") == ("x", 4L, 1L, 2L, Some(-1.0), Some(2.5), None, None))
   }
 
+  test("columnProfile: hostile column names (backticks, quotes) survive " +
+      "the stack projection") {
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("a`b", "it's")
+    val got = Profile.columnProfile(df)
+      .select("col_name", "n_rows", "n_distinct")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a`b") == ("a`b", 2L, 2L))
+    assert(got("it's") == ("it's", 2L, 2L))
+  }
+
   test("fdViolations: reports only keys with more than one distinct rhs") {
     val df = Seq(
       ("t1", "paris"), ("t1", "paris"), ("t1", "lyon"),

@@ -57,6 +57,37 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("cmsEstimate: an item absent from the corpus estimates 0, not " +
+      "a dropped row (absent counters read as 0)") {
+    val toks = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("string").as("item"))
+    val counters = Sketches.cmsCounters(toks, "item")
+    val items = Seq("9999-12-31", "not-a-date-at-all").toDF("item")
+    val got = Sketches.cmsEstimate(counters, items, "item")
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("9999-12-31", "not-a-date-at-all"),
+      "absent items must still appear in the output")
+    // width 1024 vs ~2.5k distinct dates: collisions possible but a
+    // min over 4 independent rows of a sparse table is overwhelmingly
+    // 0; assert the semantic bound (never negative, present in output)
+    assert(got.values.forall(_ >= 0L))
+  }
+
+  test("cmsEstimate: corpus-present items estimate >= true count " +
+      "(one-sided CMS error)") {
+    val toks = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("string").as("item"))
+    val counters = Sketches.cmsCounters(toks, "item")
+    val truth = toks.groupBy("item").count()
+      .as[(String, Long)].collect().toMap
+    val items = truth.keys.take(50).toSeq.toDF("item")
+    val got = Sketches.cmsEstimate(counters, items, "item")
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (k, est) =>
+      assert(est >= truth(k), s"CMS underestimated $k: $est < ${truth(k)}")
+    }
+  }
+
   test("bottom-k sample is deterministic and uniform enough for quantiles") {
     val li = Tables.lineitem(spark, sf)
     // the (orderkey, linenumber) key is NOT unique in the testdata
