@@ -53,6 +53,20 @@ object Curation {
     *                  a small vocabulary, low-order grams saturate (every
     *                  doc shares 3-grams with any large eval set) — raise
     *                  n / the threshold until only true eval copies trip.
+    * @param decontam  "exact" (broadcast the benchmark gram set — the
+    *                  default for eval-set-sized benchmarks) or "bloom"
+    *                  (Bloom-prefiltered, for the regime where the gram
+    *                  set outgrows a broadcast: contamination sweeps
+    *                  against many benchmarks, or corpus-vs-corpus
+    *                  overlap). Bit-identical verdicts — the Bloom path
+    *                  exact-verifies its candidates — so the dial is a
+    *                  pure memory/scale trade (CurationSpec asserts
+    *                  kept-set parity between the two). Caveat: the
+    *                  Bloom sketch is BUILT when curate() is called
+    *                  (one eager job over the benchmark grams) — the
+    *                  exception to this pipeline's otherwise fully lazy
+    *                  contract, inherent to serializing the filter into
+    *                  the probe expression.
     * @param nearDup   "jaccard" (exact set overlap, df-capped — the
     *                  default for corpora where most pairs are
     *                  dissimilar) or "simhash" (banded 60-bit signatures,
@@ -73,11 +87,14 @@ object Curation {
              minTokens: Int = 5, maxDigitRatio: Double = 0.3,
              jaccardThreshold: Double = 0.3, jaccardMaxDf: Int = 100,
              deconN: Int = 3, deconThreshold: Double = 0.05,
+             decontam: String = "exact",
              nearDup: String = "jaccard",
              cuts: Seq[(String, Int)] = Seq("train" -> 98, "val" -> 99, "test" -> 100),
              window: Int = 32, stride: Int = 24): Curated = {
     require(nearDup == "jaccard" || nearDup == "simhash",
       s"nearDup must be jaccard|simhash, got $nearDup")
+    require(decontam == "exact" || decontam == "bloom",
+      s"decontam must be exact|bloom, got $decontam")
     // 1. quality gate: per-row metrics, no shuffle
     val q = TextAnalysis.quality(docs, idCol, textCol)
       .where(col("n_tokens") >= minTokens && col("digit_ratio") <= maxDigitRatio)
@@ -112,10 +129,14 @@ object Curation {
     // 4. optional decontamination: drop docs overlapping the eval set
     val cleanDocs = benchmark match {
       case Some(bench) =>
-        val contaminated = TextAnalysis.decontaminate(
-          nearDocs, bench, idCol, textCol, n = deconN,
-          threshold = deconThreshold)
-          .select(col(idCol))
+        val contaminated = (decontam match {
+          case "bloom" => TextAnalysis.decontaminateBloom(
+            nearDocs, bench, idCol, textCol, n = deconN,
+            threshold = deconThreshold)
+          case _ => TextAnalysis.decontaminate(
+            nearDocs, bench, idCol, textCol, n = deconN,
+            threshold = deconThreshold)
+        }).select(col(idCol))
         nearDocs.join(contaminated, Seq(idCol), "left_anti")
       case None => nearDocs
     }

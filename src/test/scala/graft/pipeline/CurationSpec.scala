@@ -75,6 +75,18 @@ class CurationSpec extends AnyFunSuite {
     assert(c.kept.groupBy("text").count().where(col("count") > 1).count() == 0)
   }
 
+  test("decontam = bloom: kept set is row-identical to the exact path") {
+    val exact = Curation.curate(corpus, "doc_id", "text",
+      benchmark = Some(bench)).kept
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val bloom = Curation.curate(corpus, "doc_id", "text",
+      benchmark = Some(bench), decontam = "bloom").kept
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(exact == bloom,
+      s"bloom dial must be a pure scale trade: ${exact.size} vs ${bloom.size}")
+    assert(exact.nonEmpty)
+  }
+
   test("quality gate drops short and digit-heavy docs before any shuffle stage") {
     val junk = Seq(
       (900001L, "one two three"),                    // 3 tokens < 5
