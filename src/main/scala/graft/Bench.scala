@@ -164,12 +164,23 @@ object Bench {
     val qs = shortKeys.zip(results).map { case (sk, (_, (v, _, _, _, _, _))) =>
       "\"" + sk + "\":" + sec(v)
     }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    def mkLine(errs: String) =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver json-parses the last ~2000 chars of raw stdout; an
-    // over-long line silently truncates to parsed:null there. Fail HERE
-    // instead (same contract as the short-key collision require above).
-    require(line.length <= 1900,
+    // over-long line silently truncates to parsed:null there. When error
+    // MESSAGES are what overflows (one broken table ⇒ dozens of failed
+    // queries × 200-char messages), degrade to error NAMES — a parseable
+    // line with per-query timings plus which queries failed beats no
+    // metric line at all. Full messages are always in bench_detail.json.
+    val line = {
+      val full = mkLine(errJson)
+      if (full.length <= 1900) full
+      else mkLine(errors.keys.map(k => s"${jstr(k)}:${jstr("failed")}")
+        .mkString("{", ",", "}"))
+    }
+    // Capacity (not failure-mode) overflows must still fail loudly at
+    // dev time: with zero errors the line is all query keys/timings.
+    require(errors.nonEmpty || line.length <= 1900,
       s"bench metric line ${line.length} chars exceeds the ~2000-char " +
         "driver tail window; shorten keys or precision before adding queries")
     println(line)

@@ -7,10 +7,8 @@ import org.apache.spark.sql.functions._
   *
   * All loads are plain parquet scans so Catalyst's column pruning and
   * predicate pushdown reach the file scan. The one exception is `events`,
-  * whose parquet carries TIMESTAMP(NANOS) — illegal for Spark's vectorized
-  * reader — so it is read with `spark.sql.legacy.parquet.nanosAsLong` and
-  * converted to microsecond timestamps with exact integer arithmetic
-  * (the generator emits microsecond-precision values, so this is lossless).
+  * whose `ts` physical type has drifted across testdata drops — see
+  * [[events]] for the normalization contract (always TimestampType µs).
   */
 object Tables {
   private def p(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -26,10 +24,39 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
 
-  /** events with `ts` as TimestampType (µs). Nanos → micros via integer DIV. */
+  /** events with `ts` as TimestampType (µs).
+    *
+    * The generator has emitted `ts` as TIMESTAMP(NANOS) in some testdata
+    * drops and TIMESTAMP(MICROS) in others. NANOS is illegal for Spark's
+    * vectorized reader, so we read with `nanosAsLong` (a no-op for MICROS
+    * files) and then branch on the type actually loaded: LongType means the
+    * file was NANOS and we convert with exact integer arithmetic (the
+    * generator's values are µs-precision, so DIV 1000 is lossless);
+    * TIMESTAMP_NTZ (plain `timestamp[us]` parquet) is RE-READ with an
+    * explicit schema requesting TimestampType — value-preserving because
+    * every entrypoint pins `spark.sql.session.timeZone=UTC`, and required
+    * because the query catalog uses `unix_micros`/window functions that
+    * take TIMESTAMP. An explicit-schema read (not a `.cast`) so that `ts`
+    * predicates still PUSH DOWN to the parquet scan — a cast wrapper
+    * would strand every time filter above the scan, which at 100 TB is
+    * the difference between pruning row groups and reading them all.
+    * The schema is the file's own inferred one with only `ts` overridden,
+    * so unrelated generator drift (new/renamed columns) passes through.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    val raw = p(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val sch = org.apache.spark.sql.types.StructType(raw.schema.fields.map {
+          f =>
+            if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+            else f
+        })
+        spark.read.schema(sch).parquet(s"$dir/events.parquet")
+      case _ => raw
+    }
   }
 }
