@@ -164,8 +164,11 @@ object Bench {
     val qs = shortKeys.zip(results).map { case (sk, (_, (v, _, _, _, _, _))) =>
       "\"" + sk + "\":" + sec(v)
     }.mkString("{", ",", "}")
+    // basename only ("sf0.1") — the driver wrapper records the full dir
+    // itself, and every char here is headroom against its tail window
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def mkLine(errs: String) =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfShort"}"""
     // The driver json-parses the last ~2000 chars of raw stdout; an
     // over-long line silently truncates to parsed:null there. When error
     // MESSAGES are what overflows (one broken table ⇒ dozens of failed

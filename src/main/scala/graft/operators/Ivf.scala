@@ -135,4 +135,53 @@ object Ivf {
     val nprobe = math.max(4, nlist / 8)
     ivfTopK(emb, idCol, vecCol, k, nlist, nprobe, seed)
   }
+
+  /** Deterministic IVF index: the coarse quantizer is HASH-SAMPLED from
+    * the corpus — the `nlist` vectors whose ids rank first by
+    * `md5(id)` become the centroids (cell = rank) — instead of KMeans
+    * output. Random-sample centroid selection is a standard IVF-flat
+    * initialization (it IS KMeans' init step, minus the Lloyd
+    * iterations); recall at equal nprobe trails the fitted index's —
+    * IvfSpec measures both — which is the price of the property that
+    * matters here: every step (centroid choice, assignment, probe
+    * ranking, scoring) is a pure function of the data, so the WHOLE
+    * approximate pipeline replays bit-for-bit in an independent engine
+    * (q160's DuckDB oracle — the same treatment [[Similarity.lshTopK]]
+    * got in q34). The fitted-KMeans path (q39) keeps recall; this path
+    * proves the serving machinery end-to-end.
+    *
+    * Scale shape is identical to [[buildIndex]]: the md5 ranking is a
+    * distributed TakeOrderedAndProject (top-nlist, no global sort), the
+    * collected centroid matrix is tiny (nlist × dim — the same
+    * driver-side object every IvfIndex carries), and assignment is the
+    * fused one-loop [[graft.functions.VectorExpressions.IvfProbe]] with
+    * nprobe = 1 (ties → lowest cell, matching the replay's
+    * `row_number() OVER (ORDER BY d2, cell)`). */
+  def buildIndexDeterministic(emb: DataFrame, idCol: String, vecCol: String,
+                              nlist: Int): IvfIndex = {
+    val v = emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cents: Array[(Int, Array[Double])] = v.select("id", "v")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    require(cents.nonEmpty, "empty corpus: no centroids to sample")
+    val dim = cents.head._2.length
+    val flat = new Array[Double](cents.length * dim)
+    cents.foreach { case (i, c) => System.arraycopy(c, 0, flat, i * dim, dim) }
+    val indexed = v.withColumn("cell", element_at(
+        graft.functions.VectorExpressions.ivfProbeNative(col("v"), flat, dim, 1), 1))
+      .select("id", "v", "nrm", "cell").cache()
+    IvfIndex(indexed, cents)
+  }
+
+  /** Self-search ANN over a [[buildIndexDeterministic]] index — the
+    * fully-deterministic IVF twin of [[ivfTopK]]. */
+  def ivfTopKDeterministic(emb: DataFrame, idCol: String, vecCol: String,
+                           k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val index = buildIndexDeterministic(emb, idCol, vecCol, nlist)
+    probeTopK(index.indexed.select(col("id"), col("v")), index,
+      "id", "v", k, nprobe, excludeSelf = true)
+  }
 }

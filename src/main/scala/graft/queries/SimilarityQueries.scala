@@ -214,5 +214,54 @@ object SimilarityQueries {
         "vec_id", "embedding", "label")
     })
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98)
+  /** Deterministic IVF ANN — hash-sampled centroids (the 64 corpus
+    * vectors ranking first by md5(id) become cells 0..63), fused
+    * one-loop assignment/probing, nprobe = 8, exact rescoring.
+    *
+    * HASH-CHECKED against a full DuckDB replay (the q34 treatment for
+    * the IVF family): centroid choice is a pure md5-rank sample,
+    * d² = nrm² − 2⟨v,c⟩ + ‖c‖² is evaluated in the same literal order
+    * with in-index-order dot folds on both engines (the q32
+    * `list_dot_product` contract; nrm² is sqrt-then-square, matching
+    * IvfProbe), assignment/probe ties break to the lowest cell, and a
+    * candidate pair arises at most once (a corpus vector has ONE
+    * primary cell), so the final (cosine DESC, id_b) top-5 replays
+    * bit-for-bit. The fitted-KMeans path stays q39 (rows-only +
+    * recall-spec'd); this pins the serving machinery end-to-end. */
+  val q160 = QueryDef.sql("q160_ann_ivf_det",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+      |           AS cell,
+      |         v AS cv, list_dot_product(v, v) AS cn2
+      |  FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 64),
+      |d AS (SELECT n.id, c.cell,
+      |        n.nrm * n.nrm - 2.0::DOUBLE * list_dot_product(n.v, c.cv)
+      |          + c.cn2 AS d2
+      |      FROM n CROSS JOIN cent c),
+      |rkd AS (SELECT id, cell,
+      |        row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS r
+      |      FROM d),
+      |asgn AS (SELECT id, cell FROM rkd WHERE r = 1),
+      |probe AS (SELECT id, cell FROM rkd WHERE r <= 16),
+      |cand AS (SELECT p.id AS id_a, a.id AS id_b
+      |      FROM probe p JOIN asgn a ON p.cell = a.cell
+      |      WHERE p.id <> a.id),
+      |scored AS (SELECT c.id_a, c.id_b,
+      |        list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+      |      FROM cand c
+      |      JOIN n x ON x.id = c.id_a
+      |      JOIN n y ON y.id = c.id_b),
+      |r AS (SELECT id_a, id_b, cosine,
+      |        row_number() OVER (PARTITION BY id_a
+      |                           ORDER BY cosine DESC, id_b) AS rnk
+      |      FROM scored)
+      |SELECT id_a, id_b, round(cosine, 6) AS sim, rnk FROM r WHERE rnk <= 5""")(
+    (s, dir) => graft.operators.Ivf.ivfTopKDeterministic(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 5, nlist = 64, nprobe = 16))
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
+    q160)
 }
