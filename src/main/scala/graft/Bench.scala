@@ -121,6 +121,14 @@ object Bench {
         // OWN cache build, storage doesn't accumulate across the bench,
         // and no run inherits a predecessor's warm cache.
         spark.catalog.clearCache()
+        // clearCache only drops the SQL cache registry — localCheckpoint
+        // blocks (every iterative graph op) live as persistent RDDs
+        // outside it and otherwise accumulate across the 160-query run,
+        // strangling execution memory for everything downstream
+        // (measured: q115 12.0 s mid-bench vs 3.1 s isolated, and the
+        // alphabetically-later q40 at 5.1 s vs 1.1 s isolated).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         (elapsed, after._1 - before._1, after._2 - before._2,
           after._3 - before._3, after._4 - before._4, after._5 - before._5)
       }.toVector
