@@ -62,6 +62,7 @@ class IvfSpec extends AnyFunSuite {
         k = 5, nlist = 64, nprobe = 16)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       val recall = exact.count(approx.contains).toDouble / exact.size
+      info(f"deterministic IVF recall vs exact at sf0.01: $recall%.3f")
       // unfitted (hash-sampled) centroids trade recall for replayability;
       // the floor documents the trade rather than hiding it
       assert(recall >= 0.5, s"deterministic IVF recall $recall")
@@ -77,6 +78,7 @@ class IvfSpec extends AnyFunSuite {
     val approx = Ivf.ivfTopKAuto(emb, "vec_id", "embedding", k = 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
+    info(f"fitted (KMeans) auto IVF recall vs exact at sf0.01: $recall%.3f")
     assert(recall >= 0.5, s"auto IVF recall $recall")
     assert(approx.size <= exact.size)
   }
