@@ -334,6 +334,50 @@ object ScaleStress {
     rows.unpersist()
     }
 
+    if (sections("reconcile")) {
+    // --- snapshot reconciliation: full-row compare (every row crosses
+    // the join) vs fingerprint + drill-down (2 x nBuckets fingerprint
+    // rows cross; row movement ∝ drift). Sparse drift — the regime the
+    // operator is FOR (dense drift degenerates both paths to a full
+    // compare; see SCALING.md sizing rule).
+    val o0 = Tables.orders(spark, sf).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      col("o_totalprice").cast("decimal(18,2)").as("pr"))
+    val aSnap = (0 until mult).map { i =>
+      o0.select((col("k") + lit(i.toLong * 1000000000L)).as("k"),
+        col("st"), col("pr"))
+    }.reduce(_ unionByName _).cache()
+    println(s"snapshot rows: ${aSnap.count()}")
+    val bSnap = aSnap.where(pmod(col("k"), lit(20011)) =!= 0)
+      .select(col("k"), col("st"),
+        when(pmod(col("k"), lit(9973)) === 0,
+          (col("pr") + lit(1).cast("decimal(18,2)")).cast("decimal(18,2)"))
+          .otherwise(col("pr")).as("pr")).cache()
+    bSnap.count()
+    val rcols = Seq(col("k").cast("string"), col("st"),
+      col("pr").cast("string"))
+    val Rec = graft.operators.Reconcile
+    time("full-outer row compare") {
+      aSnap.select(col("k"), Rec.rowHash(rcols).as("ha"))
+        .join(bSnap.select(col("k"), Rec.rowHash(rcols).as("hb")),
+          Seq("k"), "full_outer")
+        .where(not(col("ha") <=> col("hb"))).count()
+    }
+    time("fingerprint + drill-down (65536 buckets)")(
+      Rec.drillDown(aSnap, bSnap, col("k"), "k", rcols, 65536).count())
+    // maintained-state regime: fingerprints already exist (a periodic
+    // job or Streams.fingerprintStream's state) — a comparison costs
+    // the 2 x nBuckets-row diff plus drift-proportional drill-down only
+    val faM = Rec.fingerprint(aSnap, col("k"), rcols, 65536)
+      .localCheckpoint(true)
+    val fbM = Rec.fingerprint(bSnap, col("k"), rcols, 65536)
+      .localCheckpoint(true)
+    time("diff + drill-down, maintained fingerprints")(
+      Rec.drillDown(aSnap, bSnap, col("k"), "k", rcols, 65536,
+        badBuckets = Some(Rec.diffFingerprints(faM, fbM))).count())
+    aSnap.unpersist(); bSnap.unpersist()
+    }
+
     if (sections("ann")) {
     // --- ANN: brute force vs LSH vs IVF on mult x embeddings
     // (replicas perturbed per-dimension so they are distinct vectors)

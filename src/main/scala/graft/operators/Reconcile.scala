@@ -47,22 +47,29 @@ object Reconcile {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
 
-  /** Buckets where two snapshots disagree, with both sides' counts
-    * (coalesced to 0 for buckets one side lacks entirely). Shuffle =
-    * 2 × nBuckets fingerprint rows — nothing else moves. */
-  def diffBuckets(a: DataFrame, b: DataFrame, bucketKey: Column,
-                  cols: Seq[Column], nBuckets: Int): DataFrame = {
-    val fa = fingerprint(a, bucketKey, cols, nBuckets)
-      .select(col("bucket"), col("n").as("n_a"), col("fp").as("fp_a"))
-    val fb = fingerprint(b, bucketKey, cols, nBuckets)
-      .select(col("bucket"), col("n").as("n_b"), col("fp").as("fp_b"))
-    fa.join(fb, Seq("bucket"), "full_outer")
+  /** Mismatched buckets given the two sides' already-computed
+    * fingerprints — the MAINTAINED-state entry point: when fingerprints
+    * are kept current (a periodic job, or
+    * [[graft.streaming.Streams.fingerprintStream]]'s state), a replica
+    * comparison costs exactly this — 2 × nBuckets rows, ZERO scans of
+    * either snapshot. */
+  def diffFingerprints(fa: DataFrame, fb: DataFrame): DataFrame =
+    fa.select(col("bucket"), col("n").as("n_a"), col("fp").as("fp_a"))
+      .join(fb.select(col("bucket"), col("n").as("n_b"),
+        col("fp").as("fp_b")), Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         col("fp_a"), col("fp_b"))
       .where(not(col("n_a") === col("n_b") && col("fp_a") <=> col("fp_b")))
-  }
+
+  /** Buckets where two snapshots disagree, with both sides' counts
+    * (coalesced to 0 for buckets one side lacks entirely). Shuffle =
+    * 2 × nBuckets fingerprint rows — nothing else moves. */
+  def diffBuckets(a: DataFrame, b: DataFrame, bucketKey: Column,
+                  cols: Seq[Column], nBuckets: Int): DataFrame =
+    diffFingerprints(fingerprint(a, bucketKey, cols, nBuckets),
+      fingerprint(b, bucketKey, cols, nBuckets))
 
   /** Drill-down inside mismatched buckets only: the changed row KEYS,
     * labelled 'A' (present/changed on the a-side) or 'B'. A modified
@@ -71,17 +78,32 @@ object Reconcile {
     * mismatched buckets BEFORE the row-level anti-join (semi join on
     * the tiny bucket list), so row movement is proportional to drift —
     * the property that makes this viable when the snapshots are 100 TB
-    * and the drift is megabytes. */
+    * and the drift is megabytes.
+    *
+    * Pass `badBuckets` when the mismatched-bucket list is already known
+    * (from [[diffFingerprints]] over maintained state) to skip the two
+    * fingerprint scans entirely.
+    *
+    * The bucket list and both filtered row sets are eagerly
+    * materialized: each is consumed by BOTH anti-joins (and the bucket
+    * list by both semi-joins), and without pinning, Spark re-derives
+    * them per consumer — measured 19.5 s → 6.9 s at 4.8M rows
+    * (ScaleStress `reconcile`). Bounded by the dirty-bucket row count,
+    * i.e. drift-proportional in the sized-right regime; the blocks are
+    * persistent RDDs, so long-lived applications release them via the
+    * same hygiene the bench applies (see SCALING.md). */
   def drillDown(a: DataFrame, b: DataFrame, bucketKey: Column,
-                keyCol: String, cols: Seq[Column],
-                nBuckets: Int): DataFrame = {
-    val bad = diffBuckets(a, b, bucketKey, cols, nBuckets)
-      .select("bucket")
+                keyCol: String, cols: Seq[Column], nBuckets: Int,
+                badBuckets: Option[DataFrame] = None): DataFrame = {
+    val bad = badBuckets.getOrElse(
+        diffBuckets(a, b, bucketKey, cols, nBuckets))
+      .select("bucket").localCheckpoint(true)
     def rows(df: DataFrame) =
       df.select(col(keyCol).as("key"),
           pmod(bucketKey, lit(nBuckets)).cast("int").as("bucket"),
           rowHash(cols).as("h"))
         .join(bad, Seq("bucket"), "left_semi")
+        .localCheckpoint(true)
     val ra = rows(a)
     val rb = rows(b)
     ra.join(rb, Seq("bucket", "key", "h"), "left_anti")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -420,4 +420,25 @@ object Streams {
         .dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .select("query_id", "corpus_id", "cosine")
   }
+
+  /** Streaming twin of [[graft.operators.Reconcile.fingerprint]]:
+    * maintain the per-bucket (n, fp) table fingerprints continuously as
+    * rows arrive, instead of re-scanning the snapshot per comparison —
+    * the anti-entropy shape for a table that is WRITTEN as a stream
+    * (the 100 TB replica never has a quiet moment to re-fingerprint).
+    *
+    * Both aggregates are commutative and single-valued (`count`,
+    * `bit_xor`), so an update-mode streaming aggregation maintains
+    * them exactly: after any prefix of the stream, the state equals
+    * the batch fingerprint of the rows seen so far — bit-for-bit,
+    * shuffle- and batch-boundary-independent (StreamsSpec replays a
+    * row stream in micro-batches and asserts parity with
+    * [[graft.operators.Reconcile.fingerprint]] after every batch).
+    * State is nBuckets rows regardless of stream length. */
+  def fingerprintStream(rows: DataFrame, bucketKey: Column,
+                        cols: Seq[Column], nBuckets: Int): DataFrame =
+    rows.select(pmod(bucketKey, lit(nBuckets)).cast("int").as("bucket"),
+        graft.operators.Reconcile.rowHash(cols).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
 }

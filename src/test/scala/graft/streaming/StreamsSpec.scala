@@ -189,6 +189,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("fingerprintStream state equals the batch fingerprint after every micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("pr"))
+      .as[(Long, String, String)].collect()
+    val cols = Seq(col("st"), col("pr"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.fingerprintStream(
+      mem.toDF().toDF("k", "st", "pr"), col("k"), cols, nBuckets = 32)
+    // default trigger (not AvailableNow: that would terminate before the
+    // post-start addData calls below)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("fp_out")
+      .start()
+    // replay in 3 micro-batches; after EACH, state must equal the batch
+    // fingerprint of the prefix seen so far (commutative aggregates ⇒
+    // batch-boundary independence, the mergeability claim)
+    val chunks = orders.grouped(math.max(1, orders.length / 3)).toSeq
+    var seen = Vector.empty[(Long, String, String)]
+    for (chunk <- chunks) {
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+      seen = seen ++ chunk
+      val want = graft.operators.Reconcile.fingerprint(
+        seen.toDF("k", "st", "pr"), col("k"), cols, nBuckets = 32)
+        .as[(Int, Long, Long)].collect().toSet
+      val got = spark.table("fp_out").as[(Int, Long, Long)].collect().toSet
+      assert(got == want, s"after ${seen.size} rows")
+    }
+    q.stop()
+  }
+
   test("streaming LSH dedup finds the batch stream×corpus pairs on a replayed delta") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
