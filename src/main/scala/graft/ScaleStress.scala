@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{BandJoin, Ivf, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: measure the scale-path operators against their naive twins
@@ -199,6 +199,60 @@ object ScaleStress {
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.sql("DROP TABLE IF EXISTS ss_orders_b")
     spark.sql("DROP TABLE IF EXISTS ss_lineitem_b")
+    }
+
+    if (sections("zorder")) {
+    // --- multi-dimension file skipping: ts-range layout vs Z-order
+    // (ts, user_id) under single- and two-dimension predicates.
+    // Bytes = actual file bytes (FileSystem statistics, the Bench
+    // meter), so row-group pruning inside touched files counts too.
+    val ev0 = Tables.events(spark, sf).select("event_id", "ts", "user_id", "value")
+    val ev = (0 until mult).map { i =>
+      ev0.select((col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("value"))
+    }.reduce(_ unionByName _)
+    println(s"events for layout: ${ev.count()} rows")
+    def fsBytes: Long = {
+      import scala.jdk.CollectionConverters._
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .map(_.getBytesRead).sum
+    }
+    val tsDir = java.nio.file.Files.createTempDirectory("ss_ts").toString
+    val zDir = java.nio.file.Files.createTempDirectory("ss_z").toString
+    time("write ts-range layout (64 files)") {
+      graft.sources.Layout.writeRangeLayout(ev, tsDir, Seq("ts"), 64); 1L }
+    time("write z-order(ts, user_id) layout (64 files)") {
+      graft.sources.Layout.writeZOrder(ev, zDir, Seq("ts", "user_id"), 64); 1L }
+    val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      max(col("user_id"))).head()
+    val (tLo, tHi, uMax) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val tCut = tLo + (tHi - tLo) / 16
+    def scan(dir: String, pred: Column): Unit = {
+      val before = fsBytes
+      val n = spark.read.parquet(dir).where(pred).count()
+      val mb = (fsBytes - before) / 1e6
+      // files that actually CONTAIN matching rows — the deterministic
+      // locality signal (byte counts on a warm local FS under-report)
+      val touched = spark.read.parquet(dir).where(pred)
+        .select(input_file_name()).distinct().count()
+      println(f"  $mb%8.1f MB read, $touched%2d/64 files hold the $n matching rows")
+    }
+    for ((label, pred) <- Seq(
+        ("ts window (1/16)", unix_micros(col("ts")) <= tCut),
+        ("user slice (1/16)", col("user_id") <= uMax / 16),
+        ("ts AND user", unix_micros(col("ts")) <= tCut &&
+          col("user_id") <= uMax / 16))) {
+      println(s"predicate: $label")
+      print("  ts-range layout:"); scan(tsDir, pred)
+      print("  z-order layout: "); scan(zDir, pred)
+    }
+    for (dir <- Seq(tsDir, zDir)) {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
     }
 
     if (sections("graph")) {

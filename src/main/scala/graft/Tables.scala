@@ -14,13 +14,30 @@ object Tables {
   private def p(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Insurance against the generator re-emitting TIMESTAMP(NANOS) (it
+    * did for events in rounds ≤6): with `nanosAsLong` set by [[events]],
+    * a NANOS column loads as LongType — convert it back to a timestamp
+    * (exact: generator values are µs-precision) instead of letting
+    * every downstream date expression fail analysis. A no-op for the
+    * current MICROS drops (column loads as a timestamp type already). */
+  private def deNanos(df: DataFrame, tsCols: String*): DataFrame =
+    tsCols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c DIV 1000L")))
+        case _ => d
+      }
+    }
+
   def region(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = p(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   =
+    deNanos(p(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    deNanos(p(spark, dir, "lineitem"), "l_shipdate")
   def documents(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
 

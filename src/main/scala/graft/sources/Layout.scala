@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout writers: the storage-side half of the 100 TB story.
   *
@@ -79,6 +79,59 @@ object Layout {
     require(files >= 1, s"files=$files must be positive")
     df.repartitionByRange(files, rangeCols.map(col): _*)
       .sortWithinPartitions(rangeCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Morton (Z-order) code: interleave the low `bits` bits of each
+    * already-binned dimension column — bit i of dimension d lands at
+    * position i·D + d. Pure bit arithmetic (shifts and ORs), so it
+    * stays inside whole-stage codegen; 2·bits·D terms in the
+    * expression tree, constant per plan. */
+  def zCode(binCols: Seq[Column], bits: Int): Column = {
+    require(binCols.size >= 2, "z-order needs >= 2 dimensions")
+    require(bits >= 1 && bits * binCols.size <= 62,
+      s"bits=$bits x ${binCols.size} dims exceeds a signed 64-bit code")
+    val d = binCols.size
+    (for { i <- 0 until bits; (b, dim) <- binCols.zipWithIndex } yield
+      shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * d + dim))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` clustered by the Z-order (Morton) interleaving of
+    * `zCols` — the MULTI-dimension file-skipping layout.
+    * [[writeRangeLayout]] gives perfect skipping on its LEAD column and
+    * none on the others; Z-order trades a little of the lead column's
+    * locality for locality on EVERY listed dimension, so a predicate on
+    * any subset of `zCols` touches ~files^(1 - |subset|/D) of the files
+    * instead of all of them (measured: ScaleStress `zorder`). The
+    * standard lakehouse layout for facts queried along several axes
+    * (time AND user AND …).
+    *
+    * Dimensions are equi-width binned to `bits` bits from one min/max
+    * aggregation (numeric or timestamp columns; heavy skew wants
+    * equi-depth edges instead — compose [[zCode]] with your own bin
+    * columns for that). The z code is a write-time ordering device
+    * only; it is not persisted. */
+  def writeZOrder(df: DataFrame, path: String, zCols: Seq[String],
+                  files: Int, bits: Int = 10): Unit = {
+    require(files >= 1, s"files=$files must be positive")
+    val aggExprs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val nBins = 1L << bits
+    val binCols = zCols.map { c =>
+      val mn = stats.getAs[Double](s"mn_$c")
+      val mx = stats.getAs[Double](s"mx_$c")
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(nBins - 1), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(nBins))
+          .cast("long")))
+    }
+    df.withColumn("__z", zCode(binCols, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -73,6 +73,57 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS layout_orders_g")
   }
 
+  test("zCode interleaves bits exactly (reference implementation)") {
+    import spark.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rows = for (a <- 0L to 7L; b <- 0L to 7L) yield (a, b)
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.zCode(Seq(col("a"), col("b")), bits = 3).as("z"))
+      .as[(Long, Long, Long)].collect()
+    for ((a, b, z) <- got) assert(z == ref(a, b, 3), s"a=$a b=$b")
+    // morton codes over the full grid are a permutation of 0..63
+    assert(got.map(_._3).sorted.toSeq == (0L until 64L))
+  }
+
+  test("z-order layout: predicates on EITHER dimension touch few files; " +
+      "ts-range layout only skips on ts") {
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "user_id", "value")
+    val tsDir = java.nio.file.Files.createTempDirectory("layout_ts").toString
+    val zDir = java.nio.file.Files.createTempDirectory("layout_z").toString
+    try {
+      Layout.writeRangeLayout(ev, tsDir, Seq("ts"), files = 16)
+      Layout.writeZOrder(ev, zDir, Seq("ts", "user_id"), files = 16)
+      val zBack = spark.read.parquet(zDir)
+      assert(zBack.count() == ev.count())
+      // narrow user_id slice (~1/8 of the id space)
+      val uMax = ev.agg(max("user_id")).head().getLong(0)
+      def touched(dir: String): Long = {
+        val d = spark.read.parquet(dir)
+        d.where(col("user_id") <= uMax / 8)
+          .select(input_file_name()).distinct().count()
+      }
+      val zTouched = touched(zDir)
+      val tsTouched = touched(tsDir)
+      // the ts-range layout scatters every user across all files; the
+      // z-order layout clusters user_id too, so the slice lives in a
+      // strict subset of files
+      assert(tsTouched >= 14, s"ts layout unexpectedly skipped: $tsTouched")
+      assert(zTouched <= tsTouched / 2,
+        s"z-order touched $zTouched of 16 vs ts layout $tsTouched")
+    } finally {
+      for (dir <- Seq(tsDir, zDir)) {
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
+  }
+
   test("range layout: files cover pairwise-disjoint ranges, no rows lost") {
     val ev = Tables.events(spark, sf).select("event_id", "ts", "value")
     val dir = java.nio.file.Files.createTempDirectory("layout_range").toString
