@@ -113,6 +113,84 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** EXACT Jaccard similarity join by PREFIX FILTERING (AllPairs /
+    * PPJoin family — Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06):
+    * the principled exact-at-scale alternative to [[ngramJaccard]]'s
+    * df-capped index. Guarantee: for whitespace-token sets with
+    * Jaccard(a, b) ≥ t, the two docs MUST share a token within the
+    * first |s| − ⌈t·|s|⌉ + 1 tokens of each, once every doc's tokens
+    * are sorted by one global order — so an inverted index over only
+    * those short prefixes produces a candidate superset with zero
+    * false negatives, no df cap discarding evidence. The global order
+    * is (df ASC, token ASC): rarest-first minimizes prefix collisions,
+    * because common tokens land at the ends of every sorted set and
+    * never enter an index.
+    *
+    * Scale shape: postings shuffle once for df, once for the per-doc
+    * sort; the candidate join touches only prefix postings (≈
+    * (1 − t)·|s| + 1 per doc); verification rejoins the two sorted
+    * token arrays BY ID (candidates travel as bare id pairs, not with
+    * arrays in tow) and intersects in-row. Everything is integer/string
+    * deterministic, so the whole join — order, prefixes, candidates,
+    * scores — replays in DuckDB (q163). The trade vs banding: LSH/
+    * MinHash drop recall probabilistically and never look at the
+    * discarded mass; prefix filtering is exact but its candidate count
+    * grows with token-frequency skew (every doc sharing a rare typo
+    * pairs up). Curation uses banding; audits use this. */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, ngram: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold in (0,1]")
+    require(ngram >= 1, s"ngram=$ngram must be >= 1")
+    // token set = distinct words (ngram = 1) or distinct word n-grams —
+    // single words barely discriminate template-generated corpora
+    // (every doc shares the vocabulary), n-grams encode word ORDER
+    val tokExpr =
+      if (ngram == 1)
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+      else graft.functions.TextExpressions.tokenNgrams(col(textCol), ngram)
+    val toks = df.select(col(idCol).as("id"),
+        array_distinct(tokExpr).as("toks"))
+      .where(size(col("toks")) > 0)
+    val posting = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Tokens leave the string domain HERE (the q29 "postings are
+    // identities" lesson): each distinct token gets its dense global
+    // rank by (df, tok) — rarest first — via the two-pass distributed
+    // rank (no single-partition window), and every downstream step
+    // (per-doc sort, prefix index, candidate join, intersection) runs
+    // on int ranks. The rank order IS the prefix-filter order, and
+    // rank-set intersection size equals token-set intersection size
+    // (bijection), so scores are unchanged.
+    val ranked = Rank.globalRank(dfreq, "r", col("df"), col("tok"))
+      .select(col("tok"), col("r"))
+    val sorted = posting.join(ranked, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("r"))).as("stoks"))
+    val pre = sorted
+      .withColumn("n", size(col("stoks")))
+      .withColumn("plen",
+        (col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1))
+      .localCheckpoint(true) // consumed by the index AND both verify joins
+    val pt = pre.select(col("id"), col("n"),
+      explode(slice(col("stoks"), lit(1), col("plen"))).as("tok"))
+    // length filter (Jaccard ≥ t ⇒ t ≤ |a|/|b| ≤ 1/t) rides the join as
+    // a residual — the standard prefix-join pruning for mismatched sizes
+    val cand = pt.as("a").join(pt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("b.n") >= lit(threshold) * col("a.n") &&
+          col("a.n") >= lit(threshold) * col("b.n"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(pre.select(col("id").as("id1"), col("stoks").as("ta")), "id1")
+      .join(pre.select(col("id").as("id2"), col("stoks").as("tb")), "id2")
+      .withColumn("c", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", round(col("c").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("c")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** N-gram CONTAINMENT near-dup pairs: c / min(|A|, |B|) ≥ threshold —
     * the asymmetric twin of [[ngramJaccard]] that catches SUB-DOCUMENT
     * duplication (a short doc embedded in a long one scores containment

@@ -1063,7 +1063,47 @@ object TextQueries {
         hashes, "doc_id", "text", segTokens = 10)
     })
 
+  /** Exact Jaccard similarity join by prefix filtering
+    * ([[graft.operators.Dedup.jaccardPrefixJoin]]): docs sharing a
+    * token inside their rarest-first sorted prefixes are the ONLY
+    * possible ≥-threshold pairs (no false negatives — the guarantee
+    * the df-capped q29 index can't make), length-filtered and exactly
+    * verified. Every step is integer/string-deterministic — global
+    * (df, token) order, ⌈t·n⌉ prefix lengths, list intersection — so
+    * the full join replays in DuckDB. */
+  val q163 = QueryDef.sql("q163_jaccard_prefix_join",
+    """WITH wt AS (SELECT doc_id AS id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS w
+      |  FROM documents),
+      |tk AS (SELECT DISTINCT id,
+      |        w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+      |          || ' ' || w[CAST(i + 2 AS INT)] AS tok
+      |      FROM (SELECT id, w, unnest(range(1, len(w) - 1)) AS i
+      |            FROM wt WHERE len(w) >= 3)),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+      |srt AS (SELECT id, list(tok ORDER BY df, tok) AS stoks
+      |      FROM tk JOIN dfreq USING (tok) GROUP BY id),
+      |pre AS (SELECT id, stoks, len(stoks) AS n,
+      |        CAST(len(stoks) - ceil(0.7::DOUBLE * len(stoks)) + 1 AS INT)
+      |          AS plen
+      |      FROM srt),
+      |pt AS (SELECT id, n, unnest(stoks[1:plen]) AS tok FROM pre),
+      |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+      |      FROM pt a JOIN pt b ON a.tok = b.tok AND a.id < b.id
+      |        AND b.n >= 0.7::DOUBLE * a.n AND a.n >= 0.7::DOUBLE * b.n),
+      |v AS (SELECT c.id1, c.id2,
+      |        len(list_intersect(x.stoks, y.stoks)) AS i,
+      |        x.n AS na, y.n AS nb
+      |      FROM cand c JOIN pre x ON x.id = c.id1 JOIN pre y ON y.id = c.id2)
+      |SELECT id1, id2,
+      |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+      |FROM v
+      |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.7::DOUBLE""")(
+    (s, dir) => graft.operators.Dedup.jaccardPrefixJoin(
+      Tables.documents(s, dir), "doc_id", "text", threshold = 0.7, ngram = 3))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111)
+    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163)
 }

@@ -30,6 +30,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("prefix-filter jaccard join ≡ brute-force exact join (no false " +
+      "negatives, sf0.001 docs)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // brute force over the SAME token sets: all pairs, exact jaccard
+    val toks = docs.select(col("doc_id").as("id"), array_distinct(
+        graft.functions.TextExpressions.tokenNgrams(col("text"), 3)).as("t"))
+      .where(size(col("t")) > 0).cache()
+    val a = toks.select(col("id").as("id1"), col("t").as("ta"))
+    val b = toks.select(col("id").as("id2"), col("t").as("tb"))
+    val brute = a.crossJoin(b).where(col("id1") < col("id2"))
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("j", round(col("i").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("i")), 6))
+      .where(col("j") >= 0.6)
+      .select(col("id1"), col("id2"), col("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.jaccardPrefixJoin(docs, "doc_id", "text",
+        threshold = 0.6, ngram = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    toks.unpersist()
+    assert(pref == brute, s"prefix=${pref.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain >=1 near-dup pair")
+  }
+
+  test("prefix-filter candidates stay sub-quadratic on near-dup-free docs") {
+    // docs with pairwise-disjoint vocabularies: zero candidates at all
+    val df = (1L to 40L)
+      .map(i => (i, (0 until 20).map(w => s"w${i}_$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardPrefixJoin(df, "doc_id", "text",
+      threshold = 0.6, ngram = 1)
+    assert(out.count() == 0L)
+  }
+
   test("ngram containment catches a sub-document the jaccard misses") {
     val short = "the quick brown fox jumps over the lazy dog"
     val long = short + " and then continues with a much longer tail of " +
