@@ -432,6 +432,41 @@ object ScaleStress {
     aSnap.unpersist(); bSnap.unpersist()
     }
 
+    if (sections("maintain")) {
+    // --- incremental MV maintenance: recompute-from-scratch vs
+    // delta-apply. The delta is PRE-MATERIALIZED (the CDC-feed regime
+    // the operator is for — a warehouse batch hands you the changed
+    // rows); the snapshot-diff derivation is timed separately since
+    // it re-scans both snapshots and is the fallback path only.
+    val om = Tables.orders(spark, sf).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val aMv = (0 until mult).map { i =>
+      om.select((col("k") + lit(i.toLong * 1000000000L)).as("k"),
+        col("st"), col("cents"))
+    }.reduce(_ unionByName _).cache()
+    println(s"MV base rows: ${aMv.count()}")
+    // sparse drift: ~0.03% of keys touched
+    val bMv = aMv.where(pmod(col("k"), lit(20011)) =!= 0)
+      .select(col("k"), col("st"),
+        when(pmod(col("k"), lit(9973)) === 0, col("cents") + 100L)
+          .otherwise(col("cents")).as("cents")).cache()
+    bMv.count()
+    val Mat = graft.operators.Materialize
+    val mv0 = Mat.groupedMv(aMv, "st", col("cents")).localCheckpoint(true)
+    val deltaM = Mat.signedDelta(aMv, bMv, "k", Seq("st", "cents"))
+      .localCheckpoint(true)
+    println(s"delta rows: ${deltaM.count()}")
+    time("recompute grouped agg over full B")(
+      Mat.groupedMv(bMv, "st", col("cents")).count())
+    time("maintain MV from materialized delta")(
+      Mat.maintain(mv0, deltaM, "st", col("cents")).count())
+    time("snapshot-diff delta derivation (fallback path)")(
+      Mat.signedDelta(aMv, bMv, "k", Seq("st", "cents")).count())
+    aMv.unpersist(); bMv.unpersist()
+    }
+
     if (sections("ann")) {
     // --- ANN: brute force vs LSH vs IVF on mult x embeddings
     // (replicas perturbed per-dimension so they are distinct vectors)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
 
@@ -98,4 +98,58 @@ object Profile {
       .agg(count_distinct(col(rhs)).as("n_distinct_rhs"),
         count(lit(1)).as("n_rows"))
       .where(col("n_distinct_rhs") > 1)
+
+  /** One declared data-quality constraint: `metric` is an aggregate
+    * counting VIOLATIONS (a BIGINT — integer metrics keep every cell
+    * exact and cross-engine stable, where fraction metrics would ride
+    * a double through engine-specific rounding), and the check passes
+    * when the count stays within `maxAllowed` (0 for hard
+    * constraints, >0 for tolerance-budgeted ones). */
+  final case class MetricCheck(name: String, metric: Column,
+                               maxAllowed: Long = 0L)
+
+  /** Deequ-style constraint evaluation: the declared checks for ONE
+    * table computed in a SINGLE aggregation pass (completeness,
+    * uniqueness, range, set-membership — anything expressible as a
+    * violation-counting aggregate), emitted one row per constraint as
+    * `(constraint, metric, passed)`. `passed` is 0/1 BIGINT, not
+    * BOOLEAN — boolean rendering differs across engines, integers
+    * never do.
+    *
+    * Scale shape: the metrics all ride one map-side-combined aggregate
+    * over one scan (count_distinct rewrites to two-level aggregation);
+    * adding a check adds a column to the agg, not a pass over the
+    * data. Cross-table checks (referential integrity) can't share the
+    * pass — build them with [[referentialCheck]] and `unionByName` the
+    * one-row frames. */
+  def checkSuite(df: DataFrame, checks: Seq[MetricCheck]): DataFrame = {
+    require(checks.nonEmpty, "checkSuite needs at least one check")
+    val aggs = checks.map(c => c.metric.cast("long").as(c.name))
+    val entries = array(checks.map { c =>
+      // rawCol: check names are dotted paths ("orders.o_orderkey.complete")
+      struct(lit(c.name).as("constraint"),
+        coalesce(rawCol(c.name), lit(0L)).as("metric"),
+        when(coalesce(rawCol(c.name), lit(0L)) <= c.maxAllowed, lit(1L))
+          .otherwise(lit(0L)).as("passed"))
+    }: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(entries).as("__e")).select(col("__e.*"))
+  }
+
+  /** Referential-integrity check in [[checkSuite]]'s output shape:
+    * counts non-null `childKey` values with no matching `parentKey`
+    * (a left-anti join shuffled on the key — broadcast the parent side
+    * yourself when it's dimension-sized). One row:
+    * `(constraint, metric = orphan count, passed)`. */
+  def referentialCheck(name: String, child: DataFrame, childKey: String,
+                       parent: DataFrame, parentKey: String,
+                       maxAllowed: Long = 0L): DataFrame =
+    child.select(col(childKey)).where(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("__orphans"))
+      .select(lit(name).as("constraint"),
+        col("__orphans").cast("long").as("metric"),
+        when(col("__orphans") <= maxAllowed, lit(1L)).otherwise(lit(0L))
+          .as("passed"))
 }

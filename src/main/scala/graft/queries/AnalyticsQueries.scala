@@ -1043,7 +1043,64 @@ object AnalyticsQueries {
           round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_part"))
     })
 
+  /** Bloom semi-join reduction — the runtime-filter pattern for
+    * fact-to-fact joins: a selective predicate on `orders` (urgent
+    * orders of one quarter, ~2% of rows) would still drag EVERY
+    * lineitem row through the join shuffle, so a Bloom filter built
+    * from the filtered keys (Spark's own `BloomFilterAggregate`,
+    * partial-aggregated and OR-merged per partition) pre-filters the
+    * lineitem SCAN — the fact table's shuffle volume drops to the
+    * semi-join's ~2% plus the Bloom's false positives, and those FPs
+    * die in the exact join that follows. The oracle is the PLAIN join:
+    * the driver hash proves sketch + verify is invisible to results.
+    * Same shape Spark's AQE runtime filters inject automatically —
+    * spelled explicitly here so the reduction also applies when the
+    * build side is a separate pipeline stage (e.g. a decontamination
+    * keylist), not a join sibling. */
+  val q167 = QueryDef.sql("q167_bloom_join_prune",
+    """SELECT o.o_orderstatus,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+      |               AS BIGINT)
+      |           * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
+      |                         AS BIGINT))) AS BIGINT) AS rev_cpct
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      |GROUP BY o.o_orderstatus""")(
+    (s, dir) => {
+      import org.apache.spark.sql.graftshim.Shim
+      val sel = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-04-01")))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .cache() // two consumers: Bloom build + exact verify join
+      // classic sizing for 1% fpp; the count is the build side's own
+      // cardinality — one driver long, not data
+      val nKeys = math.max(1L, sel.count())
+      val numBits = math.max(64L, math.ceil(
+        -nKeys * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+      val bloom = sel.select(
+        Shim.bloomAgg(col("o_orderkey"), nKeys, numBits).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val pruned = Tables.lineitem(s, dir)
+        .where(Shim.bloomMightContain(bloom, col("l_orderkey")))
+      // discounted revenue in exact integer cents×pct units (both
+      // factors are integral BIGINTs, so the sum is exact on any
+      // engine under any order — no decimal rounding to disagree on)
+      pruned.join(sel, pruned("l_orderkey") === sel("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long") *
+            (lit(100L) - (col("l_discount").cast("decimal(4,2)") * 100)
+              .cast("long"))).as("rev_cpct"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
-    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
+    q167)
 }

@@ -92,5 +92,37 @@ object ReconcileQueries {
       Reconcile.drillDown(a, b, col("k"), "k", renderCols, nBuckets = 128)
     })
 
-  val all: Seq[QueryDef] = Seq(q161, q162)
+  /** Incremental MV maintenance ([[graft.operators.Materialize]]):
+    * the per-status (count, revenue-cents) aggregate of snapshot A,
+    * MAINTAINED to snapshot B by applying only the signed delta rows
+    * (inserts +1, deletes −1, updates −old +new) — never rescanning
+    * the fact table. The oracle RECOMPUTES the aggregate directly over
+    * B, so the driver hash proves maintenance lands bit-exactly on the
+    * recompute — the invariant that lets a 100 TB warehouse refresh
+    * its reporting MVs at O(|Δ|) per batch instead of O(everything).
+    * Cents (exact BIGINT) rather than decimal sums: retractable sums
+    * must be exact under any add/retract order. */
+  val q164 = QueryDef.sql("q164_incr_agg_maintain",
+    """WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |        CAST(o_totalprice AS DECIMAL(18,2)) AS pr FROM orders),
+      |b AS (SELECT k, st,
+      |        CASE WHEN k % 97 = 0 THEN CAST(pr + 1.00 AS DECIMAL(18,2))
+      |             ELSE pr END AS pr
+      |      FROM a WHERE k % 131 <> 0
+      |      UNION ALL
+      |      SELECT k + 100000000, 'N', pr FROM a WHERE k % 211 = 0)
+      |SELECT st, count(*) AS n,
+      |  CAST(sum(pr) * 100 AS BIGINT) AS cents
+      |FROM b GROUP BY st""")(
+    (s, dir) => {
+      import graft.operators.Materialize
+      val (a, b) = snapshots(s, dir)
+      val cents = (col("pr") * 100).cast("long")
+      val mv = Materialize.groupedMv(a, "st", cents)
+      val delta = Materialize.signedDelta(a, b, "k", Seq("st", "pr"))
+      Materialize.maintain(mv, delta, "st", cents)
+        .select(col("st"), col("n"), col("s").as("cents"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q161, q162, q164)
 }

@@ -74,4 +74,49 @@ class ProfileSpec extends AnyFunSuite {
     assert(row._1 == 1704067200000000.0)
     assert(row._2 == 1704153601000000.0)
   }
+
+  test("checkSuite: violation counts, pass flags and tolerance budgets") {
+    import Profile.MetricCheck
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(1L), "a", 10.0), (Some(2L), "b", -1.0),
+      (Some(2L), "c", 5.0), (None, "a", 3.0)
+    ).toDF("k", "tag", "v")
+    val got = Profile.checkSuite(df, Seq(
+      MetricCheck("k.complete", count(lit(1)) - count(col("k"))),
+      MetricCheck("k.unique", count(col("k")) - count_distinct(col("k"))),
+      MetricCheck("v.positive", sum(when(col("v") <= 0, 1L).otherwise(0L))),
+      MetricCheck("v.positive.tolerant",
+        sum(when(col("v") <= 0, 1L).otherwise(0L)), maxAllowed = 1L),
+      MetricCheck("tag.domain",
+        sum(when(!col("tag").isin("a", "b", "c"), 1L).otherwise(0L)))))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("k.complete") == ((1L, 0L)))
+    assert(got("k.unique") == ((1L, 0L)))
+    assert(got("v.positive") == ((1L, 0L)))
+    assert(got("v.positive.tolerant") == ((1L, 1L))) // same metric, budgeted
+    assert(got("tag.domain") == ((0L, 1L)))
+  }
+
+  test("referentialCheck: orphan count ignores null child keys") {
+    import org.apache.spark.sql.functions._
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = Profile.referentialCheck("fk.in.parent", child, "fk",
+      parent, "pk").as[(String, Long, Long)].head()
+    assert(row == (("fk.in.parent", 1L, 0L)))
+  }
+
+  test("checkSuite over an all-clean table passes every check") {
+    import Profile.MetricCheck
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 5.0), (2L, 7.0)).toDF("k", "v")
+    val got = Profile.checkSuite(df, Seq(
+      MetricCheck("k.unique", count(col("k")) - count_distinct(col("k"))),
+      MetricCheck("v.positive", sum(when(col("v") <= 0, 1L).otherwise(0L)))))
+      .as[(String, Long, Long)].collect()
+    assert(got.forall(_._3 == 1L))
+    assert(got.forall(_._2 == 0L))
+  }
 }
