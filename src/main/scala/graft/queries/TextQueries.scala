@@ -1103,7 +1103,71 @@ object TextQueries {
     (s, dir) => graft.operators.Dedup.jaccardPrefixJoin(
       Tables.documents(s, dir), "doc_id", "text", threshold = 0.7, ngram = 3))
 
+  /** Train/heldout split-leakage audit — the eval-integrity check
+    * every LLM data pipeline needs: near-duplicate pairs (q30's
+    * MinHash+LSH banding) that STRADDLE a deterministic hash split
+    * (q52's machinery). A heldout doc with a train-side near-dup is a
+    * leaked eval item; the output is the offending pairs with their
+    * split labels. Composes two already-certified operators, so the
+    * oracle is q30's replay joined to q52's split CASE — and at scale
+    * it inherits both parents' shapes (per-row signatures, banded
+    * bucket join, no all-pairs). */
+  val q168 = {
+    val bands = 4
+    val rpb = 3
+    val hashes = (0 until bands * rpb)
+      .map(i => s"  min(h1 + $i * h2) AS h$i").mkString(",\n")
+    val bucketSelects = (0 until bands).map { b =>
+      val parts = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val split = s"CASE WHEN ${graft.operators.Split.hashBucketSql("doc_id", 100)} < 90" +
+      " THEN 'train' ELSE 'heldout' END"
+    QueryDef.sql("q168_split_leakage",
+      s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+         |  FROM (SELECT doc_id, text,
+         |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+         |        FROM documents)),
+         |hh AS (SELECT doc_id,
+         |         ('0x' || substring(md, 1, 15))::BIGINT AS h1,
+         |         ('0x' || substring(md, 17, 15))::BIGINT
+         |           % 576460752303423488 AS h2
+         |       FROM (SELECT doc_id, md5(s) AS md FROM sh) t),
+         |sig AS (SELECT doc_id,
+         |$hashes
+         |FROM hh GROUP BY doc_id),
+         |buckets AS (
+         |  $bucketSelects),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |lab AS (SELECT doc_id, $split AS sp FROM documents)
+         |SELECT id1, id2, l1.sp AS split_1, l2.sp AS split_2
+         |FROM pairs JOIN lab l1 ON pairs.id1 = l1.doc_id
+         |           JOIN lab l2 ON pairs.id2 = l2.doc_id
+         |WHERE l1.sp <> l2.sp""")(
+      (s, dir) => {
+        import graft.operators.{Dedup, Split}
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+          k = 8, bands = bands, rowsPerBand = rpb)
+        val lab = docs.select(col("doc_id"),
+          Split.splitLabel(col("doc_id"),
+            Seq("train" -> 90, "heldout" -> 100)).as("sp"))
+        // both label joins broadcast at dimension size or shuffle on
+        // the id — either way no new join family enters the plan
+        pairs
+          .join(lab.select(col("doc_id").as("id1"), col("sp").as("split_1")),
+            "id1")
+          .join(lab.select(col("doc_id").as("id2"), col("sp").as("split_2")),
+            "id2")
+          .where(col("split_1") =!= col("split_2"))
+          .select(col("id1"), col("id2"), col("split_1"), col("split_2"))
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
-    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163)
+    q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
+    q168)
 }

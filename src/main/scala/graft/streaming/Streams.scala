@@ -441,4 +441,23 @@ object Streams {
         graft.operators.Reconcile.rowHash(cols).as("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
+
+  /** Streaming twin of [[graft.operators.Materialize.maintain]]: the
+    * grouped `(n, s)` MV maintained continuously from a signed CDC
+    * feed (`__sign` = +1 insert / −1 delete, updates as both). Signed
+    * counts and integral sums are commutative aggregates, so an
+    * update-mode streaming aggregation maintains them exactly: after
+    * any prefix of the feed the state equals the batch
+    * `maintain(groupedMv(base), delta-so-far)` — bit-for-bit,
+    * batch-boundary independent (StreamsSpec replays a delta in
+    * micro-batches and asserts parity after every one). Bootstrap from
+    * an existing snapshot = feed it once as all-`+1` rows. State is
+    * |groups| rows regardless of feed length; groups retracted to
+    * zero rows are filtered out, matching the batch operator. */
+  def maintainAggStream(delta: DataFrame, groupCol: String,
+                        valueCol: Column): DataFrame =
+    delta.groupBy(col(groupCol))
+      .agg(sum(col("__sign").cast("long")).as("n"),
+        sum(col("__sign").cast("long") * valueCol.cast("long")).as("s"))
+      .where(col("n") > 0)
 }

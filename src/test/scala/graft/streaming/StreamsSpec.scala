@@ -434,4 +434,58 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.table("drift_out").as[Streams.DriftPoint].collect()
       .count(_.source == "s1") == 2)
   }
+
+  test("maintainAggStream state equals batch maintain after every micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Mat = graft.operators.Materialize
+    val base = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val drifted = base.where(col("k") % lit(131) =!= 0)
+      .select(col("k"), col("st"),
+        when(col("k") % lit(97) === 0, col("cents") + 100L)
+          .otherwise(col("cents")).as("cents"))
+      .unionByName(base.where(col("k") % lit(211) === 0)
+        .select((col("k") + 100000000L).as("k"), lit("N").as("st"),
+          col("cents")))
+    // the feed: base snapshot as all-+1 rows (bootstrap), then the
+    // snapshot-diff delta — replayed in micro-batches
+    val bootstrap = base.select(col("st"), lit(1).as("__sign"), col("cents"))
+      .as[(String, Int, Long)].collect()
+    val delta = Mat.signedDelta(base, drifted, "k", Seq("st", "cents"))
+      .select(col("st"), col("__sign"), col("cents"))
+      .as[(String, Int, Long)].collect()
+    assert(delta.nonEmpty)
+
+    val mem = MemoryStream[(String, Int, Long)]
+    val q = Streams.maintainAggStream(
+      mem.toDF().toDF("st", "__sign", "cents"), "st", col("cents"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mv_out")
+      .start()
+    // batch 1: bootstrap; batches 2..4: delta thirds
+    val chunks = Seq(bootstrap) ++
+      delta.grouped(math.max(1, delta.length / 3)).toSeq
+    var seenDelta = Vector.empty[(String, Int, Long)]
+    var first = true
+    for (chunk <- chunks) {
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+      if (!first) seenDelta = seenDelta ++ chunk
+      first = false
+      val want = Mat.maintain(Mat.groupedMv(base, "st", col("cents")),
+        seenDelta.toDF("st", "__sign", "cents"), "st", col("cents"))
+        .as[(String, Long, Long)].collect().toSet
+      val got = spark.table("mv_out").as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"after ${seenDelta.size} delta rows")
+    }
+    // after the full feed the state equals the recompute over drifted
+    val end = spark.table("mv_out").as[(String, Long, Long)].collect().toSet
+    val recompute = Mat.groupedMv(drifted, "st", col("cents"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(end == recompute)
+    q.stop()
+  }
 }
