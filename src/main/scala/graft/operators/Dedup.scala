@@ -637,4 +637,50 @@ object Dedup {
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("dist"))
     within.unionByName(cross)
   }
+
+  /** Content-defined chunking (rsync/LBFS-style): a chunk boundary
+    * falls after position i whenever the hash of the `window`-gram
+    * ending at i is ≡ 0 (mod `modulus`) — so boundaries are anchored
+    * to CONTENT, not offsets, and an insertion early in a document
+    * shifts only the chunk it lands in, leaving every later chunk's
+    * hash identical (offset-based fixed chunking would shift them
+    * all). Chunk-level md5s then make cross-document byte-range dedup
+    * an exact groupBy — the byte-level analog of shingle dedup, and
+    * the standard primitive for dedup of crawl snapshots where pages
+    * drift a few bytes between fetches.
+    *
+    * Expected chunk length ≈ `modulus` bytes. Everything is in-row
+    * (positions via `sequence` + `filter`, gram hashes md5-based like
+    * every signature in this file): zero shuffles, zero joins — the
+    * scan parallelizes embarrassingly and replays exactly in SQL.
+    * Output: one row per chunk (id, chunk_idx, start, chunk_len,
+    * chunk_md5); documents shorter than `window` yield one whole-doc
+    * chunk. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, modulus: Int = 64): DataFrame = {
+    require(window >= 1, s"window=$window must be positive")
+    require(modulus >= 2, s"modulus=$modulus must be >= 2")
+    val n = length(col(textCol))
+    val positions = when(n >= window,
+      filter(sequence(lit(window), n), i =>
+        conv(substring(md5(col(textCol).substr(i - lit(window - 1),
+          lit(window)).cast("binary")), 1, 15), 16, 10).cast("long")
+          % modulus === 0)).otherwise(array())
+    val bounds = array_distinct(concat(positions, array(n)))
+    df.where(n > 0)
+      .select(col(idCol), col(textCol).as("__text"), bounds.as("__bounds"))
+      .select(col(idCol),
+        explode(transform(col("__bounds"), (b, i) =>
+          struct(i.cast("int").as("chunk_idx"),
+            (when(i === 0, lit(1))
+              .otherwise(element_at(col("__bounds"), i) + 1))
+              .cast("int").as("start"),
+            b.cast("int").as("end")))).as("c"),
+        col("__text"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start").as("start"),
+        (col("c.end") - col("c.start") + 1).as("chunk_len"),
+        md5(col("__text").substr(col("c.start"),
+          col("c.end") - col("c.start") + 1).cast("binary")).as("chunk_md5"))
+  }
 }

@@ -110,6 +110,91 @@ object Multimodal {
       }
   }
 
+  /** Simulated re-encode of every payload: a deterministic one-byte
+    * perturbation (first byte → '~'), the stand-in for a decode →
+    * re-compress cycle that leaves the content perceptually identical
+    * but byte-different. Variant ids are offset by `idOffset`, which
+    * MUST be a multiple of 3 so the derived `kind` is preserved. */
+  def reencodeVariants(docs: DataFrame, idOffset: Long = 3000000L): DataFrame =
+    corpusFromDocuments(docs
+      .withColumn("doc_id", col("doc_id") + lit(idOffset))
+      .withColumn("text",
+        concat(lit("~"), expr("substring(text, 2, length(text) - 1)"))))
+
+  final case class PerceptualHash(media_id: Long, k: Int, ahash: Long)
+
+  /** Perceptual average-hash over resized thumbnails: bit j of the
+    * signature is set iff thumbnail byte j is STRICTLY above the
+    * thumbnail mean — compared in integers (`byte_j · k > Σ bytes`), so
+    * the hash replays exactly in SQL with no division. `target` must be
+    * ≤ 60 bits (matches the repo-wide 60-bit signature convention and
+    * dodges BIGINT left-shift overflow in the oracle engine).
+    *
+    * Near-identical payloads (re-encodes, crops of the resize grid)
+    * land within a few bits; downstream pairing reuses the SimHash
+    * pigeonhole banding on the very same signature column. */
+  def perceptualHash(media: DataFrame, target: Int = 60): Dataset[PerceptualHash] = {
+    require(target >= 1 && target <= 60, s"target=$target outside [1, 60]")
+    import media.sparkSession.implicits._
+    resizeStub(media, target).filter(_.n_resized > 0).map { r =>
+      val k = r.resized.length
+      var tot = 0L
+      var j = 0
+      while (j < k) { tot += (r.resized(j) & 0xff); j += 1 }
+      var sig = 0L
+      j = 0
+      while (j < k) {
+        if ((r.resized(j) & 0xff).toLong * k > tot) sig |= (1L << j)
+        j += 1
+      }
+      PerceptualHash(r.media_id, k, sig)
+    }
+  }
+
+  final case class FrameEnergy(media_id: Long, frame_idx: Int, energy: Long)
+
+  /** Per-frame energy of "audio" payloads: non-overlapping 16-byte
+    * frames (partial tail frame dropped), energy = Σ unsigned byte
+    * values — the integer stand-in for Σ sample² a real VAD would
+    * compute. mapPartitions seam as with [[decodeStub]]. */
+  def frameEnergies(media: DataFrame, frameLen: Int = 16): Dataset[FrameEnergy] = {
+    require(frameLen >= 1, s"frameLen=$frameLen must be positive")
+    import media.sparkSession.implicits._
+    media.where(col("kind") === "audio")
+      .select("media_id", "bytes").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nf = bytes.length / frameLen
+        (0 until nf).iterator.map { f =>
+          var e = 0L
+          var j = f * frameLen
+          val end = j + frameLen
+          while (j < end) { e += (bytes(j) & 0xff); j += 1 }
+          FrameEnergy(id, f, e)
+        }
+      }
+  }
+
+  /** Voice-activity segments: maximal runs of consecutive frames with
+    * energy strictly above `threshold` (gaps-and-islands; the island id
+    * is `frame_idx − dense run position`, a per-media window — bounded
+    * by payload length, never a global window). Output one row per
+    * segment: [seg_start, seg_end] frame span and the segment's total
+    * energy. */
+  def vadSegments(frames: Dataset[FrameEnergy], threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = frames.toDF().where(col("energy") > threshold)
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    active
+      .withColumn("island", col("frame_idx") - (row_number().over(w) - lit(1)))
+      .groupBy(col("media_id"), col("island"))
+      .agg(
+        min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("energy")).as("energy_sum"))
+      .drop("island")
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 16-byte
     * chunk becomes a frame row (explode plumbing; a real impl samples
     * decoded frames the same way). */

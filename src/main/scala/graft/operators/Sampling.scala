@@ -124,4 +124,33 @@ object Sampling {
       .where(col("rk") <= col("slots"))
       .select(col(idCol), col(srcCol), col("rk"), col("slots"))
   }
+
+  /** Nucleus (top-p) truncation of a weighted key set per group — the
+    * mixture-pruning move of data curation ("per language, keep the
+    * head sources that together carry p of the tokens, drop the long
+    * tail"). A key is KEPT iff the cumulative weight of strictly
+    * heavier keys (ties broken by key order) is still below p·total,
+    * so the key that crosses the p line is included — matching nucleus
+    * sampling's definition — and at least one key per group always
+    * survives.
+    *
+    * Integer weights in, one IEEE multiply (p·total) and one division
+    * (the reported share) — deterministic across engines. The windows
+    * partition by `groupCol`: per-group key cardinality (sources per
+    * language, domains per bucket) is bounded by catalog size, never
+    * by corpus row count, so no single partition grows with data
+    * volume — run it on the AGGREGATED weights, not raw rows. */
+  def nucleusTopP(weights: DataFrame, groupCol: String, keyCol: String,
+                  weightCol: String, p: Double): DataFrame = {
+    require(p > 0 && p <= 1, s"p=$p outside (0, 1]")
+    val order = Window.partitionBy(groupCol)
+      .orderBy(col(weightCol).desc, col(keyCol))
+    val whole = Window.partitionBy(groupCol)
+    weights
+      .withColumn("cum", sum(col(weightCol)).over(order))
+      .withColumn("tot", sum(col(weightCol)).over(whole))
+      .select(col(groupCol), col(keyCol), col(weightCol),
+        round(col("cum").cast("double") / col("tot"), 6).as("cum_share"),
+        ((col("cum") - col(weightCol)) < lit(p) * col("tot")).as("kept"))
+  }
 }

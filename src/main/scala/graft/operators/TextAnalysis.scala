@@ -472,4 +472,41 @@ object TextAnalysis {
           (lit(2.0) * col("c_s").cast("double") * col("c_c").cast("double")),
           6).as("tv_dist"))
   }
+
+  /** Per-document unigram surprisal under the corpus's own Laplace-
+    * smoothed unigram LM — the classic perplexity-style quality dial
+    * (very low = boilerplate, very high = gibberish / OCR noise),
+    * without shipping an external language model.
+    *
+    * Token surprisal is quantized to WHOLE BITS via integer floor-log2:
+    * bits(tok) = ⌊log2((T+V) / (c+1))⌋ computed as
+    * `length(bin((T+V) div (c+1))) − 1` — exact integer division plus
+    * the binary-string length, so there is NO libm call anywhere (the
+    * q159 lesson: Math.log vs libm log differ in the last ulp and can
+    * flip a floor at quantization boundaries; bin() cannot).
+    *
+    * Scale shape: one token explode, one vocab-sized aggregation, a
+    * single-row totals broadcast, one join of instances to the vocab
+    * (shuffle on token — skew-capped because stop words hit the ⌊⌋ at
+    * small bits but still join 1:1), one per-doc aggregation. */
+  def unigramSurprisalBits(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("t_total"),
+      count(lit(1)).as("v_vocab"))
+    val bits = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr("CAST(length(bin((t_total + v_vocab) DIV (c + 1))) - 1 AS BIGINT)")
+          .as("bits"))
+    toks.join(bits, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_bits",
+        round(col("surprisal_bits").cast("double") / col("n_tokens"), 6))
+  }
 }

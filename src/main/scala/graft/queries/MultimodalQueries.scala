@@ -107,5 +107,75 @@ object MultimodalQueries {
       .select(col("media_id"), col("n_orig"), col("n_resized"),
         md5(col("resized")).as("resized_md5")))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q73)
+  /** Perceptual near-dup over image payloads: 60-bit average-hash of
+    * the 60-byte thumbnail (bit j = byte j strictly above the
+    * thumbnail mean, integer-compared), pairs at Hamming ≤ 3 via the
+    * SimHash pigeonhole banding — the multimodal twin of q50. The
+    * corpus is originals plus deterministic one-byte "re-encode"
+    * variants (id + 3000000), which land at distance 0–3 of their
+    * source; organically distinct images sit ≥ 9 bits apart, so the
+    * band join's candidate volume stays near the true-pair count.
+    * FULL oracle: resize replay is q73's CTE, the hash is
+    * shift-and-sum over integer comparisons, and the oracle pairs via
+    * the exact quadratic join the banding provably equals. */
+  val q169 = QueryDef.sql("q169_image_ahash_neardup",
+    """WITH imgs AS (SELECT doc_id AS media_id, text FROM documents
+      |    WHERE doc_id % 3 = 0 AND length(text) > 0),
+      |corpus AS (
+      |  SELECT media_id, text FROM imgs
+      |  UNION ALL
+      |  SELECT media_id + 3000000, '~' || substring(text, 2) FROM imgs),
+      |m AS (SELECT media_id, text, length(text) AS n FROM corpus),
+      |b AS (SELECT media_id, n, (i * 60) // n AS bucket,
+      |    ascii(substring(text, CAST(i + 1 AS INT), 1)) AS v
+      |  FROM (SELECT media_id, text, n, unnest(range(n)) AS i FROM m) t),
+      |r AS (SELECT media_id, bucket, SUM(v) // COUNT(*) AS byte
+      |      FROM b GROUP BY 1, 2),
+      |agg AS (SELECT media_id, count(*) AS k, sum(byte) AS tot,
+      |        list(byte ORDER BY bucket) AS bytes FROM r GROUP BY 1),
+      |h AS (SELECT media_id,
+      |  (SELECT coalesce(sum(CASE WHEN bytes[CAST(j + 1 AS INT)] * k > tot
+      |            THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END), 0)
+      |   FROM unnest(range(k)) AS t(j)) AS ahash
+      |  FROM agg)
+      |SELECT a.media_id AS id1, b.media_id AS id2,
+      |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS dist
+      |FROM h a JOIN h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.corpusFromDocuments(docs)
+        .unionByName(Multimodal.reencodeVariants(docs))
+        .where(col("kind") === "image")
+      val sig = Multimodal.perceptualHash(media, target = 60).toDF()
+        .select(col("media_id"), col("ahash").as("simhash"))
+      graft.operators.Dedup.simhashPairsBanded(sig, "media_id",
+        maxDist = 3, bits = 60)
+    })
+
+  /** Voice-activity segments over audio payloads: 16-byte frame
+    * energies (Σ unsigned bytes — integer-exact), then maximal runs of
+    * frames strictly above the corpus-median energy, one row per
+    * segment. The islands window is per-media (bounded by payload
+    * length); FULL oracle via the same gaps-and-islands in SQL. */
+  val q170 = QueryDef.sql("q170_audio_vad",
+    """WITH a AS (SELECT doc_id AS media_id, text, length(text) // 16 AS nf
+      |    FROM documents WHERE doc_id % 3 = 1),
+      |f AS (SELECT media_id, CAST(f AS INT) AS frame_idx,
+      |    (SELECT sum(ascii(substring(text, CAST(f * 16 + j + 1 AS INT), 1)))
+      |     FROM unnest(range(16)) t(j)) AS e
+      |  FROM (SELECT media_id, text, unnest(range(nf)) AS f FROM a) t),
+      |act AS (SELECT media_id, frame_idx, e,
+      |    frame_idx - (row_number() OVER (PARTITION BY media_id
+      |                                    ORDER BY frame_idx) - 1) AS island
+      |  FROM f WHERE e > 1512)
+      |SELECT media_id, min(frame_idx) AS seg_start, max(frame_idx) AS seg_end,
+      |  CAST(count(*) AS INT) AS n_frames, CAST(sum(e) AS BIGINT) AS energy_sum
+      |FROM act GROUP BY media_id, island""")(
+    (s, dir) => Multimodal.vadSegments(
+      Multimodal.frameEnergies(
+        Multimodal.corpusFromDocuments(Tables.documents(s, dir)), frameLen = 16),
+      threshold = 1512L))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q73, q169, q170)
 }

@@ -1166,8 +1166,77 @@ object TextQueries {
       })
   }
 
+  /** Nucleus (top-p) source truncation per language — mixture pruning:
+    * keep the head sources that together carry 80% of each language's
+    * characters, drop the tail. Runs on the AGGREGATED (lang, source)
+    * weights (catalog-bounded window partitions, see
+    * [[graft.operators.Sampling.nucleusTopP]]). */
+  val q171 = QueryDef.sql("q171_nucleus_sources",
+    """WITH w AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS tokens
+      |           FROM documents GROUP BY 1, 2),
+      |c AS (SELECT lang, source, tokens,
+      |    sum(tokens) OVER (PARTITION BY lang
+      |                      ORDER BY tokens DESC, source) AS cum,
+      |    sum(tokens) OVER (PARTITION BY lang) AS tot
+      |  FROM w)
+      |SELECT lang, source, tokens,
+      |  round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share,
+      |  (cum - tokens) < 0.8 * tot AS kept
+      |FROM c""")(
+    (s, dir) => graft.operators.Sampling.nucleusTopP(
+      Tables.documents(s, dir).groupBy("lang", "source")
+        .agg(sum(col("n_chars")).as("tokens")),
+      "lang", "source", "tokens", p = 0.8))
+
+  /** Per-document unigram surprisal in whole bits under the corpus's
+    * own Laplace-smoothed unigram LM (floor-log2 via binary-string
+    * length — libm-free, replays exactly; see
+    * [[graft.operators.TextAnalysis.unigramSurprisalBits]]). */
+  val q172 = QueryDef.sql("q172_unigram_surprisal",
+    """WITH tk AS (SELECT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+      |tv AS (SELECT count(*) AS t, count(DISTINCT tok) AS v FROM tk),
+      |b AS (SELECT tok,
+      |        CAST(length(bin((t + v) // (c + 1))) - 1 AS BIGINT) AS bits
+      |      FROM cnt, tv)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+      |  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS mean_bits
+      |FROM tk JOIN b USING (tok) GROUP BY doc_id""")(
+    (s, dir) => TextAnalysis.unigramSurprisalBits(
+      Tables.documents(s, dir), "doc_id", "text"))
+
+  /** Content-defined chunking (rsync/LBFS boundaries, expected chunk
+    * ≈ 64 bytes): boundary after position i iff md5 of the 8-gram
+    * ending at i ≡ 0 (mod 64). In-row sequence/filter — zero shuffles;
+    * the oracle replays positions with unnest(range) + window lag. */
+  val q173 = QueryDef.sql("q173_cdc_chunks",
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |           WHERE length(text) > 0),
+      |pos AS (SELECT doc_id, i FROM (
+      |    SELECT doc_id, text, unnest(range(8, n + 1)) AS i FROM d) t
+      |  WHERE ('0x' || substring(md5(substring(text, CAST(i - 7 AS INT), 8)),
+      |           1, 15))::BIGINT % 64 = 0),
+      |bounds AS (SELECT doc_id, i AS e FROM pos
+      |           UNION SELECT doc_id, n FROM d),
+      |o AS (SELECT doc_id, e,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx,
+      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+      |  FROM bounds)
+      |SELECT o.doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(prev + 1 AS INT) AS start,
+      |  CAST(e - prev AS INT) AS chunk_len,
+      |  md5(substring(d.text, CAST(prev + 1 AS INT), CAST(e - prev AS INT)))
+      |    AS chunk_md5
+      |FROM o JOIN d USING (doc_id)""")(
+    (s, dir) => Dedup.cdcChunks(
+      Tables.documents(s, dir), "doc_id", "text", window = 8, modulus = 64))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
-    q168)
+    q168, q171, q172, q173)
 }

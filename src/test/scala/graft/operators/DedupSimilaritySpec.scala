@@ -319,4 +319,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("cdcChunks: chunks tile the document exactly, short docs = 1 chunk") {
+    val text = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 4
+    val df = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(df, "doc_id", "text")
+      .as[(Long, Int, Int, Int, String)].collect()
+    // per doc: chunks are contiguous, start at 1, end at length(text)
+    for ((id, t) <- Seq(1L -> text, 2L -> "tiny")) {
+      val cs = got.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1)
+      assert(cs.map(c => (c._3, c._4)).sliding(2).forall {
+        case Array((s1, l1), (s2, _)) => s2 == s1 + l1
+        case _ => true
+      })
+      assert(cs.last._3 + cs.last._4 - 1 == t.length)
+      // md5 really is the chunk's md5
+      val c0 = cs.head
+      assert(c0._5 == org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(t.substring(c0._3 - 1, c0._3 - 1 + c0._4)))
+    }
+    // a doc shorter than the window is one whole-document chunk
+    assert(got.count(_._1 == 2L) == 1 && got.find(_._1 == 2L).get._4 == 4)
+  }
+
+  test("cdcChunks: boundaries are content-anchored — an early insertion " +
+    "leaves later chunks' hashes intact") {
+    val base = ("the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill in the afternoon sun ") * 5
+    val edited = base.substring(0, 10) + "INSERTED BYTES " + base.substring(10)
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(df, "doc_id", "text")
+      .as[(Long, Int, Int, Int, String)].collect()
+    val h1 = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._5).toSet
+    assert(h1.size >= 4, s"want a multi-chunk doc, got ${h1.size} chunks")
+    // only the chunk containing the insertion (plus at most the chunk
+    // whose leading gram window overlaps it) may change
+    val changed = h1.size - (h1 & h2).size
+    assert(changed <= 2, s"$changed of ${h1.size} chunk hashes changed " +
+      "after a front insertion — boundaries are not content-anchored")
+    // fixed-offset chunking for contrast WOULD shift everything: verify
+    // most hashes survived, not just a couple
+    assert((h1 & h2).size >= h1.size - 2)
+  }
 }

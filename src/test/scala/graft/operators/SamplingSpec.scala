@@ -87,4 +87,28 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("nucleusTopP: crossing key kept, tail dropped, ties by key order") {
+    // group g: weights 50, 30, 15, 5 — p=0.7 → 50 kept (0 < 70),
+    // 30 kept (50 < 70, crosses the line), 15 dropped (80 ≥ 70)
+    val df = Seq(("g", "a", 50L), ("g", "b", 30L), ("g", "c", 15L),
+      ("g", "d", 5L)).toDF("grp", "key", "w")
+    val got = Sampling.nucleusTopP(df, "grp", "key", "w", p = 0.7)
+      .as[(String, String, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(got == Map("a" -> true, "b" -> true, "c" -> false, "d" -> false))
+
+    // the heaviest key always survives, even when p is tiny
+    val one = Sampling.nucleusTopP(df, "grp", "key", "w", p = 0.01)
+      .as[(String, String, Long, Double, Boolean)].collect()
+    assert(one.count(_._5) == 1 && one.find(_._5).get._2 == "a")
+
+    // equal weights: ties broken by key order, deterministically
+    val ties = Seq(("g", "x", 10L), ("g", "y", 10L), ("g", "z", 10L))
+      .toDF("grp", "key", "w")
+    val kept = Sampling.nucleusTopP(ties, "grp", "key", "w", p = 0.5)
+      .as[(String, String, Long, Double, Boolean)].collect()
+      .filter(_._5).map(_._2).toSet
+    assert(kept == Set("x", "y")) // cum-before: x=0, y=10 < 15, z=20 ≥ 15
+  }
 }

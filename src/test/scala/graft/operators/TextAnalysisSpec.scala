@@ -232,4 +232,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().map(_._3).toSeq
     assert(disj == Seq(0.5, 0.5))
   }
+
+  test("unigramSurprisalBits: floor-log2 of the smoothed corpus LM") {
+    // corpus: "a a a b" ⇒ T=4 instances, V=2 types.
+    // bits(a) = ⌊log2((4+2)/(3+1))⌋ = ⌊log2(1)⌋ = 0 (integer div 6//4=1)
+    // bits(b) = ⌊log2(6/2)⌋ = ⌊log2(3)⌋ = 1
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisalBits(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 0L, 0.0)))  // 3 tokens × 0 bits
+    assert(got(2L) == ((1L, 1L, 1.0)))  // 1 token × 1 bit
+    // rarer token ⇒ strictly more bits than a stopword-heavy doc
+    val corpus = (1L to 20L).map(i => (i, "the the the the rare" + i))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.unigramSurprisalBits(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+    // every doc: 4× "the" (c=80) + 1 unique token (c=1); all symmetric
+    assert(scores.map(_._3).distinct.length == 1 && scores.head._3 > 0)
+  }
 }
