@@ -683,4 +683,28 @@ object Dedup {
         md5(col("__text").substr(col("c.start"),
           col("c.end") - col("c.start") + 1).cast("binary")).as("chunk_md5"))
   }
+
+  /** Byte-range containment of new documents against a reference
+    * corpus, at [[cdcChunks]] granularity: for each batch document,
+    * what fraction of its content-defined chunks already exist (by
+    * md5) anywhere in the corpus. This is the incremental-crawl dedup
+    * decision ("mostly chunks we have → near-refetch, drop or delta-
+    * store it") at byte level, complementing token-level containment
+    * (q88). Both inputs are (id, chunk_md5) chunk tables from
+    * [[cdcChunks]]. One distinct on the corpus side, one hash join on
+    * the chunk hash, one per-doc aggregation — no quadratic term; at
+    * warehouse scale the distinct corpus chunk set is exactly the
+    * "chunk store" a dedup service maintains incrementally. */
+  def chunkContainment(batchChunks: DataFrame, corpusChunks: DataFrame,
+                       idCol: String): DataFrame = {
+    val seen = corpusChunks.select(col("chunk_md5")).distinct()
+      .withColumn("__seen", lit(1L))
+    batchChunks.select(col(idCol), col("chunk_md5"))
+      .join(seen, Seq("chunk_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .withColumn("containment",
+        round(col("n_seen").cast("double") / col("n_chunks"), 6))
+  }
 }

@@ -152,4 +152,30 @@ object Profile {
         col("__orphans").cast("long").as("metric"),
         when(col("__orphans") <= maxAllowed, lit(1L)).otherwise(lit(0L))
           .as("passed"))
+
+  /** Cohen's kappa between two categorical labelings of the same rows —
+    * the inter-annotator-agreement audit for label quality (human vs
+    * model labels, declared vs detected language, two model versions).
+    * Chance agreement comes from the marginals:
+    * κ = (N·agree − Σᵢ rᵢcᵢ) / (N² − Σᵢ rᵢcᵢ), all integer until the
+    * single final division (round 6) — replays exactly in SQL. κ is
+    * NULL when both raters are constant and identical (pe = 1, κ
+    * undefined). One row out; three shuffles of label-cardinality
+    * size, no window, no collect. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val pairs = df.select(col(aCol).as("a"), col(bCol).as("b"))
+    val tot = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val ra = pairs.groupBy("a").agg(count(lit(1)).as("ra"))
+    val cb = pairs.groupBy("b").agg(count(lit(1)).as("cb"))
+    val expd = ra.join(cb, col("a") === col("b"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("exp"))
+    tot.crossJoin(expd).select(
+      col("n"), col("agree"),
+      round(col("agree").cast("double") / col("n"), 6).as("po"),
+      round(col("exp").cast("double") / (col("n") * col("n")), 6).as("pe"),
+      when(col("n") * col("n") === col("exp"), lit(null))
+        .otherwise(round((col("n") * col("agree") - col("exp")).cast("double")
+          / (col("n") * col("n") - col("exp")), 6)).as("kappa"))
+  }
 }

@@ -56,8 +56,9 @@ object TextQueries {
       (s, dir) => TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text"))
   }
 
-  /** Stopword-profile language ID with fixed-priority argmax. */
-  val q26 = {
+  /** (score columns, argmax CASE) SQL for the stopword-profile
+    * language ID — shared by q26 and the q175 agreement audit. */
+  private def langIdSqlParts: (String, String) = {
     val langs = TextAnalysis.LangMarkers
     val scoreSql = langs.map { case (lang, words) =>
       s"  ${words.map(hitsSql).mkString(" + ")} AS score_$lang"
@@ -69,6 +70,12 @@ object TextQueries {
         .mkString(" AND ")
       s"WHEN $conds THEN '$lang'"
     }.mkString(" ")
+    (scoreSql, caseSql)
+  }
+
+  /** Stopword-profile language ID with fixed-priority argmax. */
+  val q26 = {
+    val (scoreSql, caseSql) = langIdSqlParts
     QueryDef.sql("q26_lang_id",
       s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
          |s AS (SELECT doc_id,
@@ -1209,13 +1216,12 @@ object TextQueries {
     (s, dir) => TextAnalysis.unigramSurprisalBits(
       Tables.documents(s, dir), "doc_id", "text"))
 
-  /** Content-defined chunking (rsync/LBFS boundaries, expected chunk
-    * ≈ 64 bytes): boundary after position i iff md5 of the 8-gram
-    * ending at i ≡ 0 (mod 64). In-row sequence/filter — zero shuffles;
-    * the oracle replays positions with unnest(range) + window lag. */
-  val q173 = QueryDef.sql("q173_cdc_chunks",
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
-      |           WHERE length(text) > 0),
+  /** CTE chain replaying [[graft.operators.Dedup.cdcChunks]] (window 8,
+    * modulus 64) ending in `chunks(doc_id, chunk_idx, start, chunk_len,
+    * chunk_md5)` — shared by q173 and q174. */
+  private val CdcChunksCtes: String =
+    """d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |      WHERE length(text) > 0),
       |pos AS (SELECT doc_id, i FROM (
       |    SELECT doc_id, text, unnest(range(8, n + 1)) AS i FROM d) t
       |  WHERE ('0x' || substring(md5(substring(text, CAST(i - 7 AS INT), 8)),
@@ -1225,18 +1231,85 @@ object TextQueries {
       |o AS (SELECT doc_id, e,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx,
       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
-      |  FROM bounds)
-      |SELECT o.doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  FROM bounds),
+      |chunks AS (SELECT o.doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
       |  CAST(prev + 1 AS INT) AS start,
       |  CAST(e - prev AS INT) AS chunk_len,
       |  md5(substring(d.text, CAST(prev + 1 AS INT), CAST(e - prev AS INT)))
       |    AS chunk_md5
-      |FROM o JOIN d USING (doc_id)""")(
+      |FROM o JOIN d USING (doc_id))""".stripMargin
+
+  /** Content-defined chunking (rsync/LBFS boundaries, expected chunk
+    * ≈ 64 bytes): boundary after position i iff md5 of the 8-gram
+    * ending at i ≡ 0 (mod 64). In-row sequence/filter — zero shuffles;
+    * the oracle replays positions with unnest(range) + window lag. */
+  val q173 = QueryDef.sql("q173_cdc_chunks",
+    s"""WITH $CdcChunksCtes
+      |SELECT doc_id, chunk_idx, start, chunk_len, chunk_md5 FROM chunks""")(
     (s, dir) => Dedup.cdcChunks(
       Tables.documents(s, dir), "doc_id", "text", window = 8, modulus = 64))
+
+  /** Byte-range containment of a new batch (doc_id % 10 ≥ 8) against
+    * the corpus's chunk store: fraction of each batch doc's
+    * content-defined chunks already present anywhere in the corpus —
+    * the incremental-crawl "near-refetch" dedup decision at byte
+    * level (token-level twin: q88). */
+  val q174 = QueryDef.sql("q174_chunk_containment",
+    s"""WITH $CdcChunksCtes,
+      |store AS (SELECT DISTINCT chunk_md5 FROM chunks WHERE doc_id % 10 < 8),
+      |b AS (SELECT doc_id, chunk_md5 FROM chunks WHERE doc_id % 10 >= 8)
+      |SELECT b.doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_seen,
+      |  round(CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS containment
+      |FROM b LEFT JOIN store s USING (chunk_md5)
+      |GROUP BY b.doc_id""")(
+    (s, dir) => {
+      val chunks = Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.chunkContainment(
+        chunks.where(pmod(col("doc_id"), lit(10)) >= 8),
+        chunks.where(pmod(col("doc_id"), lit(10)) < 8), "doc_id")
+    })
+
+  /** Inter-labeling agreement audit: Cohen's kappa between the
+    * DECLARED language column and the DETECTED language (q26's
+    * stopword argmax) — the label-quality check run before trusting
+    * metadata for mixture decisions. Integer marginal arithmetic, one
+    * final division (see [[graft.operators.Profile.cohensKappa]]). */
+  val q175 = {
+    val (scoreSql, caseSql) = langIdSqlParts
+    QueryDef.sql("q175_label_agreement",
+      s"""WITH n AS (SELECT doc_id, lang, $NormSql AS norm FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |$scoreSql
+         |FROM n),
+         |p AS (SELECT lang AS a, CASE $caseSql ELSE 'und' END AS b FROM s),
+         |tot AS (SELECT count(*) AS n,
+         |        sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM p),
+         |ra AS (SELECT a, count(*) AS ra FROM p GROUP BY 1),
+         |cb AS (SELECT b, count(*) AS cb FROM p GROUP BY 1),
+         |e AS (SELECT coalesce(sum(ra * cb), 0) AS exp
+         |      FROM ra JOIN cb ON ra.a = cb.b)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+         |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+         |  round(CAST(exp AS DOUBLE) / (n * n), 6) AS pe,
+         |  CASE WHEN n * n = exp THEN NULL
+         |       ELSE round(CAST(n * agree - exp AS DOUBLE) / (n * n - exp), 6)
+         |  END AS kappa
+         |FROM tot, e""")(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Profile.cohensKappa(
+          docs.select(col("doc_id"), col("lang"))
+            .join(TextAnalysis.langId(docs, "doc_id", "text")
+              .select(col("doc_id"), col("detected_lang")), "doc_id"),
+          "lang", "detected_lang")
+      })
+  }
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
-    q168, q171, q172, q173)
+    q168, q171, q172, q173, q174, q175)
 }

@@ -364,4 +364,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // most hashes survived, not just a couple
     assert((h1 & h2).size >= h1.size - 2)
   }
+
+  test("chunkContainment: exact-refetch = 1.0, novel doc = 0.0") {
+    val shared = ("shared content that appears in both corpora verbatim " +
+      "and is long enough to split into several chunks of text ") * 4
+    val corpus = Dedup.cdcChunks(
+      Seq((1L, shared)).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Dedup.cdcChunks(
+      Seq((10L, shared),                       // exact refetch
+          (11L, "totally novel words here"))   // nothing shared
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val got = Dedup.chunkContainment(batch, corpus, "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L)._4 == 1.0 && got(10L)._2 == got(10L)._3)
+    assert(got(11L)._4 == 0.0 && got(11L)._3 == 0L)
+  }
 }

@@ -119,4 +119,29 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 1L))
     assert(got.forall(_._2 == 0L))
   }
+
+  test("cohensKappa: perfect, chance-level, and degenerate agreement") {
+    def kappa(rows: Seq[(String, String)]) =
+      Profile.cohensKappa(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Double, Double, Option[Double])].collect().head
+
+    // perfect agreement → κ = 1
+    val perfect = kappa(Seq("x" -> "x", "y" -> "y", "x" -> "x"))
+    assert(perfect._5.contains(1.0) && perfect._3 == 1.0)
+
+    // textbook example: 2×2 with po=0.6, pe=0.5 → κ=0.2
+    // A: 5×x 5×y; B: 5×x 5×y; agree on 3 x's and 3 y's
+    val rows = Seq.fill(3)("x" -> "x") ++ Seq.fill(2)("x" -> "y") ++
+      Seq.fill(2)("y" -> "x") ++ Seq.fill(3)("y" -> "y")
+    val mid = kappa(rows)
+    assert(mid == ((10L, 6L, 0.6, 0.5, Some(0.2))))
+
+    // both raters constant and identical → pe = 1, κ undefined (null)
+    val degen = kappa(Seq("x" -> "x", "x" -> "x"))
+    assert(degen._5.isEmpty && degen._3 == 1.0 && degen._4 == 1.0)
+
+    // disjoint label spaces: zero agreement, zero expected → κ = 0
+    val disj = kappa(Seq("x" -> "u", "y" -> "v"))
+    assert(disj._2 == 0L && disj._5.contains(0.0))
+  }
 }
