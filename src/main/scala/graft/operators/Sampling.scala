@@ -153,4 +153,25 @@ object Sampling {
         round(col("cum").cast("double") / col("tot"), 6).as("cum_share"),
         ((col("cum") - col(weightCol)) < lit(p) * col("tot")).as("kept"))
   }
+
+  /** Uniform-target mixture epochs: given per-source token weights,
+    * how many passes (epochs) over each source a training run makes
+    * when every source must contribute an EQUAL share of the token
+    * budget (the budget being the corpus total) — epochs > 1 marks
+    * sources that will repeat (risking memorization), epochs < 1
+    * sources that are subsampled. Integer sums, one division per
+    * reported ratio (round 6); the totals row is a broadcast, never a
+    * window over the corpus. */
+  def mixtureEpochs(weights: DataFrame, keyCol: String,
+                    weightCol: String): DataFrame = {
+    val t = weights.agg(sum(col(weightCol)).as("__total"),
+      count(lit(1)).as("__k"))
+    weights.crossJoin(broadcast(t)).select(
+      col(keyCol), col(weightCol),
+      round(col(weightCol).cast("double") / col("__total"), 6)
+        .as("natural_share"),
+      round(lit(1.0) / col("__k"), 6).as("target_share"),
+      round(col("__total").cast("double") / (col("__k") * col(weightCol)), 6)
+        .as("epochs"))
+  }
 }

@@ -341,4 +341,36 @@ object Similarity {
       math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt))
     lshTopK(emb, idCol, vecCol, dim, planes, tables, k, multiprobe)
   }
+
+  /** Matryoshka truncation audit: per vector and prefix length k, the
+    * fraction of L2 norm retained by keeping only the first k
+    * dimensions — the measurement that decides how far matryoshka-
+    * style embeddings can be truncated for cheap ANN pre-passes
+    * before exact rescoring on the full vector.
+    *
+    * Entirely IN-ROW (higher-order fold over the array, then an
+    * inline explode over the k values): zero shuffles, scales
+    * embarrassingly. Exactness: elements are floor-quantized to
+    * micro-unit BIGINTs (q157's contract), prefix/total sums of
+    * squares are integer, and the final sqrt-ratio is one
+    * correctly-rounded sqrt pair and one division (round 6). Vectors
+    * with zero total norm report NULL. */
+  def matryoshkaRetention(emb: DataFrame, idCol: String, vecCol: String,
+                          ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad prefix lengths $ks")
+    val qsq = (v: Column) => aggregate(v, lit(0L),
+      (acc, x) => acc +
+        floor(x.cast("double") * 1000000).cast("long")
+          * floor(x.cast("double") * 1000000).cast("long"))
+    val kArr = array(ks.map(k => lit(k)): _*)
+    emb.select(col(idCol), col(vecCol).as("__v"), qsq(col(vecCol)).as("__ssq"))
+      .select(col(idCol), col("__ssq"),
+        explode(transform(kArr, k =>
+          struct(k.as("k"), qsq(slice(col("__v"), lit(1), k)).as("ssqk")))).as("p"))
+      .select(col(idCol), col("p.k").as("k"),
+        when(col("__ssq") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            sqrt(col("p.ssqk").cast("double")) / sqrt(col("__ssq").cast("double")),
+            6)).as("retained_norm"))
+  }
 }

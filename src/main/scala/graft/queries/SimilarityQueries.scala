@@ -262,6 +262,29 @@ object SimilarityQueries {
       Tables.embeddings(s, dir), "vec_id", "embedding",
       k = 5, nlist = 64, nprobe = 16))
 
+  /** Matryoshka truncation audit: per vector, L2-norm fraction
+    * retained by the first k ∈ {8,16,32} of 64 dimensions. In-row
+    * integer micro-unit arithmetic (q157's contract), zero shuffles;
+    * see [[graft.operators.Similarity.matryoshkaRetention]]. */
+  val q176 = QueryDef.sql("q176_matryoshka_retention",
+    """WITH q AS (SELECT vec_id, i AS pos,
+      |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS qx
+      |  FROM (SELECT vec_id, embedding,
+      |        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+      |s AS (SELECT vec_id, k,
+      |    sum(CASE WHEN pos <= k THEN qx * qx ELSE 0 END) AS ssqk,
+      |    sum(qx * qx) AS ssq
+      |  FROM q CROSS JOIN (SELECT unnest([8, 16, 32]) AS k) ks
+      |  GROUP BY vec_id, k)
+      |SELECT vec_id, CAST(k AS INT) AS k,
+      |  CASE WHEN ssq = 0 THEN NULL
+      |       ELSE round(sqrt(CAST(ssqk AS DOUBLE)) / sqrt(CAST(ssq AS DOUBLE)),
+      |                  6) END AS retained_norm
+      |FROM s""")(
+    (s, dir) => Similarity.matryoshkaRetention(
+      Tables.embeddings(s, dir), "vec_id", "embedding", ks = Seq(8, 16, 32)))
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160)
+    q160, q176)
 }

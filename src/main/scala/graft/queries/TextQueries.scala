@@ -1308,8 +1308,27 @@ object TextQueries {
       })
   }
 
+  /** Uniform-target mixture epochs per language: how many passes over
+    * each language's corpus an equal-share token budget implies —
+    * epochs > 1 flags languages that will repeat.
+    * See [[graft.operators.Sampling.mixtureEpochs]]. */
+  val q177 = QueryDef.sql("q177_mixture_epochs",
+    """WITH w AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tokens
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+      |             count(*) AS n_langs FROM w)
+      |SELECT lang, tokens,
+      |  round(CAST(tokens AS DOUBLE) / total, 6) AS natural_share,
+      |  round(1.0 / n_langs, 6) AS target_share,
+      |  round(CAST(total AS DOUBLE) / (n_langs * tokens), 6) AS epochs
+      |FROM w, t""")(
+    (s, dir) => graft.operators.Sampling.mixtureEpochs(
+      Tables.documents(s, dir).groupBy("lang")
+        .agg(sum(col("n_chars")).as("tokens")),
+      "lang", "tokens"))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
-    q168, q171, q172, q173, q174, q175)
+    q168, q171, q172, q173, q174, q175, q177)
 }

@@ -379,4 +379,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(10L)._4 == 1.0 && got(10L)._2 == got(10L)._3)
     assert(got(11L)._4 == 0.0 && got(11L)._3 == 0L)
   }
+
+  test("matryoshkaRetention: prefix norm fractions, monotone in k") {
+    val emb = Seq(
+      (1L, Array(3.0f, 0.0f, 4.0f, 0.0f)),  // |(3,0)|/|(3,0,4,0)| = 3/5
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))  // zero vector → NULL
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRetention(emb, "vec_id", "embedding",
+        ks = Seq(2, 4))
+      .as[(Long, Int, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2)).contains(0.6) && got((1L, 4)).contains(1.0))
+    assert(got((2L, 2)).isEmpty && got((2L, 4)).isEmpty)
+    // retention is monotone nondecreasing in k for every vector
+    val rnd = (1 to 20).map(i => (i.toLong,
+      Array.tabulate(8)(j => ((i * 31 + j * 17) % 13 - 6).toFloat)))
+    val r2 = Similarity.matryoshkaRetention(
+        rnd.toDF("vec_id", "embedding"), "vec_id", "embedding", Seq(2, 4, 8))
+      .as[(Long, Int, Option[Double])].collect()
+      .groupBy(_._1).values
+    assert(r2.forall { rows =>
+      val byK = rows.sortBy(_._2).flatMap(_._3)
+      byK.isEmpty || byK.sameElements(byK.sorted)
+    })
+  }
 }

@@ -111,4 +111,16 @@ class SamplingSpec extends AnyFunSuite {
       .filter(_._5).map(_._2).toSet
     assert(kept == Set("x", "y")) // cum-before: x=0, y=10 < 15, z=20 ≥ 15
   }
+
+  test("mixtureEpochs: equal-share budget implies total/(k·w) passes") {
+    val w = Seq(("big", 300L), ("small", 100L)).toDF("src", "tokens")
+    val got = Sampling.mixtureEpochs(w, "src", "tokens")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // total 400, 2 sources → each targets 200 tokens
+    assert(got("big") == (("big", 300L, 0.75, 0.5, 0.666667))) // round 6
+    assert(got("small") == (("small", 100L, 0.25, 0.5, 2.0)))
+    // weighted mixture identity: Σ natural_share = 1, Σ 1/k = 1
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+  }
 }
