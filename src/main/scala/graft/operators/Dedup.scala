@@ -656,17 +656,35 @@ object Dedup {
     * Output: one row per chunk (id, chunk_idx, start, chunk_len,
     * chunk_md5); documents shorter than `window` yield one whole-doc
     * chunk. */
+  /** In-row chunk-boundary positions for [[cdcChunks]]: ascending end
+    * positions of every chunk (the last element is always the text
+    * length). Shared by the batch operator and the streaming novelty
+    * twin so both cut identical chunks. */
+  private[graft] def chunkBoundsCol(text: Column, window: Int,
+                                    modulus: Int): Column = {
+    val n = length(text)
+    val positions = when(n >= window,
+      filter(sequence(lit(window), n), i =>
+        conv(substring(md5(text.substr(i - lit(window - 1),
+          lit(window)).cast("binary")), 1, 15), 16, 10).cast("long")
+          % modulus === 0)).otherwise(array())
+    array_distinct(concat(positions, array(n)))
+  }
+
+  /** The chunk substrings cut by a [[chunkBoundsCol]] array — in-row,
+    * order-preserving. `boundsCol` must reference a materialized
+    * column (not re-derive), so each bound is computed once. */
+  private[graft] def chunkTextsCol(text: Column, boundsCol: Column): Column =
+    transform(boundsCol, (b, i) => text.substr(
+      when(i === 0, lit(1)).otherwise(element_at(boundsCol, i) + 1),
+      b - when(i === 0, lit(0)).otherwise(element_at(boundsCol, i))))
+
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 window: Int = 8, modulus: Int = 64): DataFrame = {
     require(window >= 1, s"window=$window must be positive")
     require(modulus >= 2, s"modulus=$modulus must be >= 2")
     val n = length(col(textCol))
-    val positions = when(n >= window,
-      filter(sequence(lit(window), n), i =>
-        conv(substring(md5(col(textCol).substr(i - lit(window - 1),
-          lit(window)).cast("binary")), 1, 15), 16, 10).cast("long")
-          % modulus === 0)).otherwise(array())
-    val bounds = array_distinct(concat(positions, array(n)))
+    val bounds = chunkBoundsCol(col(textCol), window, modulus)
     df.where(n > 0)
       .select(col(idCol), col(textCol).as("__text"), bounds.as("__bounds"))
       .select(col(idCol),
@@ -706,5 +724,26 @@ object Dedup {
         sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
       .withColumn("containment",
         round(col("n_seen").cast("double") / col("n_chunks"), 6))
+  }
+
+  /** The chunk store as a sorted xxhash64 array — the broadcastable
+    * static side for the STREAMING novelty twin
+    * ([[graft.streaming.Streams.chunkNoveltyStream]]): distinct 64-bit
+    * hashes of every content-defined chunk in the corpus, probed
+    * in-row with a codegen'd binary search. Collected to the driver —
+    * same contract as [[hotSegmentHashes]] (the store is the compact
+    * derived artifact a periodic batch job rebuilds; its size is the
+    * corpus's DISTINCT chunk count, already the working set any chunk
+    * dedup service must hold). */
+  def chunkStoreHashes(corpus: DataFrame, idCol: String, textCol: String,
+                       window: Int = 8, modulus: Int = 64): Array[Long] = {
+    val bounds = chunkBoundsCol(col(textCol), window, modulus)
+    corpus.where(length(col(textCol)) > 0)
+      .select(col(textCol).as("__t"), bounds.as("__b"))
+      .select(explode(chunkTextsCol(col("__t"), col("__b"))).as("__c"))
+      .select(xxhash64(col("__c")).as("h"))
+      .distinct()
+      .orderBy("h")
+      .collect().map(_.getLong(0))
   }
 }

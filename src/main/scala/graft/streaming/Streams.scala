@@ -311,6 +311,37 @@ object Streams {
     graft.operators.Dedup
       .lshBuckets(corpus, idCol, textCol, k, bands, rowsPerBand)
 
+  /** Streaming chunk-level novelty — the live twin of
+    * [[graft.operators.Dedup.chunkContainment]] for incremental crawl
+    * intake: each arriving document is cut into content-defined chunks
+    * IN-ROW ([[graft.operators.Dedup.chunkBoundsCol]] — the identical
+    * boundary expression the batch operator uses), and each chunk is
+    * probed against the static chunk store (sorted xxhash64 array from
+    * [[graft.operators.Dedup.chunkStoreHashes]], rebuilt by a periodic
+    * batch job) with a codegen'd binary search. Entirely stateless —
+    * no watermark, no stream state, append mode — because the store is
+    * a broadcast artifact, exactly the [[stripBoilerplateStream]]
+    * contract. Output row-for-row matches the batch operator modulo
+    * the md5→xxhash64 store representation (64-bit-collision trade;
+    * StreamsSpec asserts exact equality on a replayed corpus). */
+  def chunkNoveltyStream(docs: DataFrame, storeHashes: Array[Long],
+                         idCol: String, textCol: String,
+                         window: Int = 8, modulus: Int = 64): DataFrame = {
+    import graft.operators.Dedup
+    val store = lit(storeHashes)
+    docs.where(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"),
+        Dedup.chunkBoundsCol(col(textCol), window, modulus).as("__b"))
+      .select(col(idCol),
+        Dedup.chunkTextsCol(col("__t"), col("__b")).as("__chunks"))
+      .select(col(idCol),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        size(filter(col("__chunks"), c => graft.functions.PairExpressions
+          .sortedLongContains(store, xxhash64(c)))).cast("long").as("n_seen"))
+      .withColumn("containment",
+        round(col("n_seen").cast("double") / col("n_chunks"), 6))
+  }
+
   /** True-streaming sessionization: like [[sessionize]], but an open
     * session is ALSO emitted once the event-time watermark passes its
     * last event + gap — no more events can extend it at that point, so

@@ -488,4 +488,37 @@ class StreamsSpec extends AnyFunSuite {
     assert(end == recompute)
     q.stop()
   }
+
+  test("chunkNoveltyStream matches batch chunkContainment on a replayed batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.where(col("doc_id") % 10 < 8)
+    val batch = docs.where(col("doc_id") % 10 >= 8)
+
+    import graft.operators.Dedup
+    val want = Dedup.chunkContainment(
+        Dedup.cdcChunks(batch, "doc_id", "text"),
+        Dedup.cdcChunks(corpus, "doc_id", "text"), "doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val store = Dedup.chunkStoreHashes(corpus, "doc_id", "text")
+    assert(store.length > 10)
+    assert((store, store.sorted).zipped.forall(_ == _)) // probe contract
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(batch.select("doc_id", "text").as[(Long, String)].collect(): _*)
+    val q = Streams.chunkNoveltyStream(
+        mem.toDF().toDF("doc_id", "text"), store, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_novelty_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("chunk_novelty_out")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // identical modulo md5-vs-xxhash64 store representation; on this
+    // corpus there are no 64-bit collisions, so equality is exact
+    assert(got == want)
+    assert(got.exists(_._3 > 0), "want at least one seen chunk")
+  }
 }
