@@ -486,6 +486,62 @@ object ScaleStress {
     time("IVF top-5 (nlist 128, nprobe 8)")(
       Ivf.ivfTopK(emb, "vec_id", "embedding", 5, 128, 8).count())
     }
+
+    if (sections("chunks")) {
+    // --- content-defined chunking + chunk-store containment at mult×
+    // documents (each replica's text is prefixed so replica chunks
+    // differ across groups while in-group chunk sharing is preserved)
+    import graft.operators.Dedup
+    val docs0 = Tables.documents(spark, sf)
+    val docs = (0 until mult).map { i =>
+      docs0.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        concat(lit(s"v$i "), col("text")).as("text"))
+    }.reduce(_ unionByName _).cache()
+    println(s"documents: ${docs.count()} rows")
+    time("cdcChunks (in-row boundaries, window 8, mod 64)")(
+      Dedup.cdcChunks(docs, "doc_id", "text").count())
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text").cache()
+    chunks.count()
+    val batchC = chunks.where(pmod(col("doc_id"), lit(10)) >= 8)
+    val corpusC = chunks.where(pmod(col("doc_id"), lit(10)) < 8)
+    time("chunkContainment, md5 hash join (batch 20% vs store 80%)")(
+      Dedup.chunkContainment(batchC, corpusC, "doc_id").count())
+    val corpusDocs = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+    var store: Array[Long] = null
+    time("chunk store build (distinct xxhash64 → sorted driver array)") {
+      store = Dedup.chunkStoreHashes(corpusDocs, "doc_id", "text")
+      store.length.toLong
+    }
+    time("in-row store probe (stream shape: binary search, no join)")(
+      graft.streaming.Streams.chunkNoveltyStream(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 8), store,
+        "doc_id", "text").count())
+    chunks.unpersist(); docs.unpersist()
+    }
+
+    if (sections("ahash")) {
+    // --- perceptual-hash near-dup: banded vs quadratic at mult× image
+    // corpora. Replica i of each image perturbs byte i+1 (a distinct
+    // one-byte "re-encode"), so every replica group is a near-dup
+    // cluster: candidate volume scales with TRUE pairs, not n².
+    import graft.operators.{Dedup, Multimodal}
+    val docs0 = Tables.documents(spark, sf)
+    val media = (0 until mult).map { i =>
+      Multimodal.corpusFromDocuments(
+        docs0.select((col("doc_id") + lit(i.toLong * 3000000L)).as("doc_id"),
+          concat(col("text").substr(lit(1), lit(i)), lit("~"),
+            expr(s"substring(text, ${i + 2})")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+    }.reduce(_ unionByName _).where(col("kind") === "image")
+    val sig = Multimodal.perceptualHash(media, target = 60).toDF()
+      .select(col("media_id"), col("ahash").as("simhash")).cache()
+    println(s"image signatures: ${sig.count()} rows")
+    time("aHash pairs, pigeonhole banded (dist ≤ 3, 4×15-bit bands)")(
+      Dedup.simhashPairsBanded(sig, "media_id", maxDist = 3, bits = 60).count())
+    time("aHash pairs, quadratic baseline (same threshold)")(
+      Dedup.simhashPairs(sig, "media_id", maxDist = 3).count())
+    sig.unpersist()
+    }
     spark.stop()
   }
 }

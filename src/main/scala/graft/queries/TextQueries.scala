@@ -1327,8 +1327,117 @@ object TextQueries {
         .agg(sum(col("n_chars")).as("tokens")),
       "lang", "tokens"))
 
+  /** Per-source byte-dedup savings report: what chunk-level dedup
+    * would save, per source — total chunk bytes vs bytes of the
+    * DISTINCT chunk set (identical md5 ⇒ identical length, so
+    * min(chunk_len) per hash is exact). The go/no-go sizing number
+    * before running corpus-wide dedup. */
+  val q178 = QueryDef.sql("q178_dedup_savings",
+    s"""WITH $CdcChunksCtes,
+      |sc AS (SELECT d2.source, c.chunk_md5, c.chunk_len
+      |       FROM chunks c JOIN documents d2 ON c.doc_id = d2.doc_id),
+      |per AS (SELECT source, chunk_md5, count(*) AS occ,
+      |               min(chunk_len) AS len
+      |        FROM sc GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(occ) AS BIGINT) AS n_chunks,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(occ * len) AS BIGINT) AS total_bytes,
+      |  CAST(sum(len) AS BIGINT) AS distinct_bytes,
+      |  round(1.0 - CAST(sum(len) AS DOUBLE) / sum(occ * len), 6)
+      |    AS savings_ratio
+      |FROM per GROUP BY source""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.cdcChunks(docs, "doc_id", "text")
+        .join(broadcast(docs.select("doc_id", "source")), "doc_id")
+        .groupBy(col("source"), col("chunk_md5"))
+        .agg(count(lit(1)).as("occ"), min(col("chunk_len")).as("len"))
+        .groupBy(col("source"))
+        .agg(sum(col("occ")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("occ") * col("len")).as("total_bytes"),
+          sum(col("len")).cast("long").as("distinct_bytes"))
+        .withColumn("savings_ratio",
+          round(lit(1.0) - col("distinct_bytes").cast("double")
+            / col("total_bytes"), 6))
+    })
+
+  /** Cluster-size distribution of the near-dup graph (q56's clusters):
+    * how much of the corpus sits in 2-, 3-, n-doc duplicate groups —
+    * the dedup-impact histogram every curation report leads with. */
+  val q179 = QueryDef.sql("q179_cluster_size_hist",
+    s"""SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      |  CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM (SELECT cluster, count(*) AS cluster_size
+      |      FROM (${q56.oracle.get}) t GROUP BY cluster) s
+      |GROUP BY 1""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Graph.dedupClusters(docs, "doc_id",
+          Dedup.ngramJaccard(docs, "doc_id", "text",
+            k = 8, maxDf = 100, threshold = 0.3), "id1", "id2")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    })
+
+  /** Tokenizer fertility per language: BPE-ish tokens (q44's
+    * pre-tokenization) per whitespace word — the tokenizer-equity
+    * metric that decides whether a language pays a token tax under a
+    * given vocabulary. Integer sums per language, one division. */
+  val q180 = QueryDef.sql("q180_tokenizer_fertility",
+    """WITH per AS (SELECT lang,
+      |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+      |      AS n_bpeish,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE length(string_split_regex(trim(text), '\s+')) END
+      |      AS n_words
+      |  FROM documents)
+      |SELECT lang, CAST(sum(n_bpeish) AS BIGINT) AS bpeish_tokens,
+      |  CAST(sum(n_words) AS BIGINT) AS words,
+      |  round(CAST(sum(n_bpeish) AS DOUBLE) / sum(n_words), 6) AS fertility
+      |FROM per GROUP BY lang""")(
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("lang"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_bpeish")).cast("long").as("bpeish_tokens"),
+        sum(col("n_words")).cast("long").as("words"))
+      .withColumn("fertility",
+        round(col("bpeish_tokens").cast("double") / col("words"), 6)))
+
+  /** Cross-source duplication matrix: near-dup candidate pairs (q30's
+    * MinHash+LSH) rolled up by the source pair — "which sources copy
+    * from which", the provenance signal behind domain-level dedup and
+    * crawl-priority decisions. Source pair normalized least/greatest
+    * so the matrix is upper-triangular. */
+  val q181 = QueryDef.sql("q181_cross_source_dupes",
+    s"""SELECT least(d1.source, d2.source) AS source_1,
+      |  greatest(d1.source, d2.source) AS source_2,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM (${q30.oracle.get}) p
+      |JOIN documents d1 ON p.id1 = d1.doc_id
+      |JOIN documents d2 ON p.id2 = d2.doc_id
+      |GROUP BY 1, 2""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        k = 8, bands = 4, rowsPerBand = 3)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(src.select(col("doc_id").as("id1"),
+          col("source").as("s1"))), "id1")
+        .join(broadcast(src.select(col("doc_id").as("id2"),
+          col("source").as("s2"))), "id2")
+        .groupBy(least(col("s1"), col("s2")).as("source_1"),
+          greatest(col("s1"), col("s2")).as("source_2"))
+        .agg(count(lit(1)).as("n_pairs"))
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
-    q168, q171, q172, q173, q174, q175, q177)
+    q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181)
 }
