@@ -659,9 +659,20 @@ object Dedup {
   /** In-row chunk-boundary positions for [[cdcChunks]]: ascending end
     * positions of every chunk (the last element is always the text
     * length). Shared by the batch operator and the streaming novelty
-    * twin so both cut identical chunks. */
+    * twin so both cut identical chunks. Fused single-pass expression
+    * ([[graft.functions.CdcBoundaries]]); the composable form below is
+    * the independently-derived twin it is spec-verified against. */
   private[graft] def chunkBoundsCol(text: Column, window: Int,
-                                    modulus: Int): Column = {
+                                    modulus: Int): Column =
+    graft.functions.TextExpressions.cdcBoundaries(text, window, modulus)
+
+  /** The `sequence`/`filter` composable formulation of
+    * [[chunkBoundsCol]] — interpreted per position (higher-order
+    * lambdas are CodegenFallback); the fused expression nearly halved
+    * q173 end-to-end at sf0.1. Kept ONLY as the verification twin
+    * (TextExpressionsSpec asserts bit-parity over the corpus). */
+  private[graft] def chunkBoundsColComposable(text: Column, window: Int,
+                                              modulus: Int): Column = {
     val n = length(text)
     val positions = when(n >= window,
       filter(sequence(lit(window), n), i =>

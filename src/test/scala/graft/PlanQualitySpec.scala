@@ -141,7 +141,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // aggregations to single-pass expressions — a regression that
     // reintroduces an exchange is a 100 TB shuffle of the whole corpus;
     // sliding chunking (q71) is a pure tokenize-explode-slice generator
-    for (q <- Seq("q31_simhash", "q59_repetition", "q71_chunk_sliding")) {
+    // cdc chunking (q173) cuts chunks with in-row sequence/filter —
+    // the md5-per-position cost is per-row CPU, never a shuffle
+    for (q <- Seq("q31_simhash", "q59_repetition", "q71_chunk_sliding",
+        "q173_cdc_chunks")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q reintroduced a shuffle: $p")
     }

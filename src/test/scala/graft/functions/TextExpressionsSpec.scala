@@ -175,4 +175,32 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(fused(edges)(2L)(words.indexOf("the")) == 2)
     assert(fused(edges)(4L)(words.indexOf("the")) == 1)
   }
+
+  test("CdcBoundaries equals the composable sequence/filter form") {
+    import graft.operators.Dedup
+    def both(df: org.apache.spark.sql.DataFrame) = (
+      df.select(col("doc_id"),
+          Dedup.chunkBoundsCol(col("text"), 8, 64).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toIndexedSeq).toMap,
+      df.select(col("doc_id"),
+          Dedup.chunkBoundsColComposable(col("text"), 8, 64).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toIndexedSeq).toMap)
+    val docs = Tables.documents(spark, sf)
+    val (f, c) = both(docs)
+    assert(f == c)
+    assert(f.values.exists(_.length > 1), "want multi-chunk docs")
+    // edge cases: empty, shorter than window, exactly window,
+    // multi-byte characters (codepoint semantics must match substr)
+    val edges = Seq(
+      (1L, ""), (2L, "short"), (3L, "exactly8"),
+      (4L, "héllo wörld ✓ çà et là — ünïcode txt " * 12),
+      (5L, "a" * 200)
+    ).toDF("doc_id", "text")
+    val (fe, ce) = both(edges)
+    assert(fe == ce)
+    assert(fe(1L) == IndexedSeq(0) && fe(2L) == IndexedSeq(5))
+    // bounds are strictly ascending and end at the text length
+    assert(fe(4L).last == ("héllo wörld ✓ çà et là — ünïcode txt " * 12).length)
+    assert(fe.values.forall(b => b == b.sorted && b.distinct == b))
+  }
 }
