@@ -737,6 +737,31 @@ object Dedup {
         round(col("n_seen").cast("double") / col("n_chunks"), 6))
   }
 
+  /** [[chunkContainment]] when batch and corpus are SPLITS OF ONE
+    * TABLE (a predicate over the id, as in q174's doc_id % 10 split):
+    * chunks derive in ONE pass instead of two, then a single shuffle
+    * on the chunk hash groups each hash's corpus presence with its
+    * batch occurrences (collect_list keeps instance multiplicity), and
+    * the per-doc rollup reads the exploded occurrences. Output and
+    * semantics identical to the two-input form (spec-asserted); the
+    * per-hash occurrence list is bounded by the corpus's duplication
+    * structure, the same bound the join form's probe-side fan-out has. */
+  def chunkContainmentSplit(docs: DataFrame, idCol: String, textCol: String,
+                            isBatch: Column, window: Int = 8,
+                            modulus: Int = 64): DataFrame = {
+    val per = cdcChunks(docs, idCol, textCol, window, modulus)
+      .withColumn("__b", isBatch)
+      .groupBy(col("chunk_md5"))
+      .agg(max(when(!col("__b"), 1L).otherwise(0L)).as("__corp"),
+        collect_list(when(col("__b"), col(idCol))).as("__ids"))
+      .where(size(col("__ids")) > 0)
+    per.select(explode(col("__ids")).as(idCol), col("__corp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("__corp")).as("n_seen"))
+      .withColumn("containment",
+        round(col("n_seen").cast("double") / col("n_chunks"), 6))
+  }
+
   /** The chunk store as a sorted xxhash64 array — the broadcastable
     * static side for the STREAMING novelty twin
     * ([[graft.streaming.Streams.chunkNoveltyStream]]): distinct 64-bit

@@ -1265,12 +1265,9 @@ object TextQueries {
       |    AS DOUBLE) / count(*), 6) AS containment
       |FROM b LEFT JOIN store s USING (chunk_md5)
       |GROUP BY b.doc_id""")(
-    (s, dir) => {
-      val chunks = Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
-      Dedup.chunkContainment(
-        chunks.where(pmod(col("doc_id"), lit(10)) >= 8),
-        chunks.where(pmod(col("doc_id"), lit(10)) < 8), "doc_id")
-    })
+    (s, dir) => Dedup.chunkContainmentSplit(
+      Tables.documents(s, dir), "doc_id", "text",
+      isBatch = pmod(col("doc_id"), lit(10)) >= 8))
 
   /** Inter-labeling agreement audit: Cohen's kappa between the
     * DECLARED language column and the DETECTED language (q26's

@@ -380,6 +380,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(11L)._4 == 0.0 && got(11L)._3 == 0L)
   }
 
+  test("chunkContainmentSplit equals the two-input join form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isBatch = pmod(col("doc_id"), lit(10)) >= 8
+    val joinForm = Dedup.chunkContainment(
+        Dedup.cdcChunks(docs.where(isBatch), "doc_id", "text"),
+        Dedup.cdcChunks(docs.where(!isBatch), "doc_id", "text"), "doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val splitForm = Dedup.chunkContainmentSplit(docs, "doc_id", "text", isBatch)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(splitForm == joinForm)
+    assert(splitForm.nonEmpty)
+  }
+
   test("matryoshkaRetention: prefix norm fractions, monotone in k") {
     val emb = Seq(
       (1L, Array(3.0f, 0.0f, 4.0f, 0.0f)),  // |(3,0)|/|(3,0,4,0)| = 3/5
