@@ -177,5 +177,64 @@ object MultimodalQueries {
         Multimodal.corpusFromDocuments(Tables.documents(s, dir)), frameLen = 16),
       threshold = 1512L))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q73, q169, q170)
+  /** Multimodal dedup END-TO-END: connected components over q169's
+    * perceptual-hash near-dup pairs, every image labelled with its
+    * cluster minimum and whether it is the kept canonical — the same
+    * cluster/keep contract as text dedup (q56), driven by the aHash
+    * pair generator. The oracle replays the fixpoint with a recursive
+    * transitive-closure CTE over the exact pair set. */
+  val q182 = QueryDef.sql("q182_media_dedup_clusters",
+    s"""WITH RECURSIVE pairs AS (${q169.oracle.get}),
+      |ids AS (SELECT doc_id AS media_id FROM documents
+      |        WHERE doc_id % 3 = 0 AND length(text) > 0
+      |        UNION ALL
+      |        SELECT doc_id + 3000000 FROM documents
+      |        WHERE doc_id % 3 = 0 AND length(text) > 0),
+      |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+      |          UNION SELECT id2 AS u, id1 AS v FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT media_id, media_id FROM ids
+      |  UNION
+      |  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.id)
+      |SELECT id AS media_id, min(lab) AS cluster, min(lab) = id AS keep
+      |FROM reach GROUP BY id""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.corpusFromDocuments(docs)
+        .unionByName(Multimodal.reencodeVariants(docs))
+        .where(col("kind") === "image")
+      val sig = Multimodal.perceptualHash(media, target = 60).toDF()
+        .select(col("media_id"), col("ahash").as("simhash"))
+      val pairs = graft.operators.Dedup.simhashPairsBanded(sig, "media_id",
+        maxDist = 3, bits = 60)
+      graft.operators.Graph.dedupClusters(
+        media.select(col("media_id")), "media_id", pairs, "id1", "id2")
+    })
+
+  /** Speech ratio per audio payload: fraction of 16-byte frames with
+    * energy strictly above the q170 threshold — the audio-level
+    * quality dial (mostly-silence payloads filter out before
+    * expensive transcription). */
+  val q183 = QueryDef.sql("q183_speech_ratio",
+    """WITH a AS (SELECT doc_id AS media_id, text, length(text) // 16 AS nf
+      |    FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 16),
+      |f AS (SELECT media_id, f,
+      |    (SELECT sum(ascii(substring(text, CAST(f * 16 + j + 1 AS INT), 1)))
+      |     FROM unnest(range(16)) t(j)) AS e
+      |  FROM (SELECT media_id, text, unnest(range(nf)) AS f FROM a) t)
+      |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(CASE WHEN e > 1512 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |  round(CAST(sum(CASE WHEN e > 1512 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS speech_ratio
+      |FROM f GROUP BY media_id""")(
+    (s, dir) => Multimodal.frameEnergies(
+        Multimodal.corpusFromDocuments(Tables.documents(s, dir)), frameLen = 16)
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("energy") > 1512L, 1L).otherwise(0L)).as("n_active"))
+      .withColumn("speech_ratio",
+        round(col("n_active").cast("double") / col("n_frames"), 6)))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q73, q169, q170, q182, q183)
 }
