@@ -538,8 +538,12 @@ object ScaleStress {
     println(s"image signatures: ${sig.count()} rows")
     time("aHash pairs, pigeonhole banded (dist ≤ 3, 4×15-bit bands)")(
       Dedup.simhashPairsBanded(sig, "media_id", maxDist = 3, bits = 60).count())
-    time("aHash pairs, quadratic baseline (same threshold)")(
+    // the HammingJoinRewrite rule would silently band the "quadratic"
+    // spelling too — disable it so the baseline measures the cartesian
+    spark.conf.set(graft.plans.HammingJoinRewrite.ConfKey, "false")
+    time("aHash pairs, quadratic baseline (same threshold, rule off)")(
       Dedup.simhashPairs(sig, "media_id", maxDist = 3).count())
+    spark.conf.unset(graft.plans.HammingJoinRewrite.ConfKey)
     sig.unpersist()
     }
     spark.stop()

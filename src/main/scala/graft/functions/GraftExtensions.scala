@@ -71,5 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // BandJoin operator applies by hand (kill switch:
     // spark.graft.bandJoinRewrite.enabled=false)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    // Hamming-distance joins (`bit_count(a ^ b) <= k`) written as plain
+    // SQL get the pigeonhole banding simhashPairsBanded applies by hand
+    // (kill switch: spark.graft.hammingJoinRewrite.enabled=false)
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
   }
 }

@@ -1433,8 +1433,24 @@ object TextQueries {
         .agg(count(lit(1)).as("n_pairs"))
     })
 
+  /** The q50 Hamming join in its PLAIN-SQL quadratic spelling — what a
+    * user actually writes. [[graft.plans.HammingJoinRewrite]] turns the
+    * would-be cartesian into the pigeonhole-banded hash join at plan
+    * time (spec-pinned in HammingJoinRewriteSpec); this query puts the
+    * rewritten plan through the driver's oracle, sharing q50's oracle
+    * verbatim — the rule must be invisible to results. */
+  val q184 = QueryDef.sql("q184_hamming_sql", q50.oracle.get)(
+    (s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 60)
+        .createOrReplaceTempView("q184_sig")
+      s.sql("""SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS dist
+              |FROM q184_sig a JOIN q184_sig b ON a.doc_id < b.doc_id
+              |WHERE bit_count(a.simhash ^ b.simhash) <= 3""".stripMargin)
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
-    q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181)
+    q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184)
 }

@@ -150,8 +150,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("banded simhash pairs ≡ all-pairs crossJoin (pigeonhole exactness)") {
     val docs = Tables.documents(spark, sf)
     val sig60 = Dedup.simhash(docs, "doc_id", "text", bits = 60)
-    val exact = Dedup.simhashPairs(sig60, "doc_id", maxDist = 3)
+    // pin the optimizer rule OFF so the baseline really is the
+    // cartesian, not HammingJoinRewrite's banding of it
+    spark.conf.set(graft.plans.HammingJoinRewrite.ConfKey, "false")
+    val exact = try Dedup.simhashPairs(sig60, "doc_id", maxDist = 3)
       .as[(Long, Long, Int)].collect().toSet
+    finally spark.conf.unset(graft.plans.HammingJoinRewrite.ConfKey)
     val banded = Dedup.simhashPairsBanded(sig60, "doc_id", maxDist = 3, bits = 60)
       .as[(Long, Long, Int)].collect().toSet
     assert(banded == exact)
