@@ -179,7 +179,12 @@ object Multimodal {
     * is `frame_idx − dense run position`, a per-media window — bounded
     * by payload length, never a global window). Output one row per
     * segment: [seg_start, seg_end] frame span and the segment's total
-    * energy. */
+    * energy.
+    *
+    * Kept as the independently-derived relational twin that verifies
+    * [[vadSegmentsInRow]] (MultimodalSpec asserts equality); the
+    * in-row form is the default — a payload's frames all live in its
+    * own row, so the window shuffle here buys nothing. */
   def vadSegments(frames: Dataset[FrameEnergy], threshold: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val active = frames.toDF().where(col("energy") > threshold)
@@ -193,6 +198,47 @@ object Multimodal {
         count(lit(1)).cast("int").as("n_frames"),
         sum(col("energy")).as("energy_sum"))
       .drop("island")
+  }
+
+  final case class VadSegment(media_id: Long, seg_start: Int, seg_end: Int,
+                              n_frames: Int, energy_sum: Long)
+
+  /** [[vadSegments]] computed entirely IN-ROW: every frame of a
+    * payload lives inside that payload's row, so the gaps-and-islands
+    * pass is a single loop per row — zero shuffles, zero window state,
+    * and because it is stateless it doubles as the STREAMING form
+    * (append mode, no watermark) for live media intake. Output rows
+    * identical to the relational twin (spec-asserted). */
+  def vadSegmentsInRow(media: DataFrame, threshold: Long,
+                       frameLen: Int = 16): Dataset[VadSegment] = {
+    require(frameLen >= 1, s"frameLen=$frameLen must be positive")
+    import media.sparkSession.implicits._
+    media.where(col("kind") === "audio")
+      .select("media_id", "bytes").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nf = bytes.length / frameLen
+        val segs = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+        var start = -1
+        var energySum = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var j = f * frameLen
+          val end = j + frameLen
+          while (j < end) { e += (bytes(j) & 0xff); j += 1 }
+          if (e > threshold) {
+            if (start < 0) { start = f; energySum = 0L }
+            energySum += e
+          } else if (start >= 0) {
+            segs += VadSegment(id, start, f - 1, f - start, energySum)
+            start = -1
+          }
+          f += 1
+        }
+        if (start >= 0)
+          segs += VadSegment(id, start, nf - 1, nf - start, energySum)
+        segs
+      }
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th 16-byte

@@ -172,10 +172,9 @@ object MultimodalQueries {
       |SELECT media_id, min(frame_idx) AS seg_start, max(frame_idx) AS seg_end,
       |  CAST(count(*) AS INT) AS n_frames, CAST(sum(e) AS BIGINT) AS energy_sum
       |FROM act GROUP BY media_id, island""")(
-    (s, dir) => Multimodal.vadSegments(
-      Multimodal.frameEnergies(
-        Multimodal.corpusFromDocuments(Tables.documents(s, dir)), frameLen = 16),
-      threshold = 1512L))
+    (s, dir) => Multimodal.vadSegmentsInRow(
+      Multimodal.corpusFromDocuments(Tables.documents(s, dir)),
+      threshold = 1512L, frameLen = 16).toDF())
 
   /** Multimodal dedup END-TO-END: connected components over q169's
     * perceptual-hash near-dup pairs, every image labelled with its

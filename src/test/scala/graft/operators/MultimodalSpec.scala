@@ -73,4 +73,22 @@ class MultimodalSpec extends AnyFunSuite {
     // threshold at/above every energy → no segments (strictly-above)
     assert(Multimodal.vadSegments(frames, threshold = 1952L).count() == 0)
   }
+
+  test("vadSegmentsInRow ≡ relational gaps-and-islands twin on the corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = Multimodal.corpusFromDocuments(docs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id", "seg_start", "seg_end", "n_frames", "energy_sum")
+        .as[(Long, Int, Int, Int, Long)].collect().toSet
+    val inRow = canon(Multimodal.vadSegmentsInRow(m, threshold = 1512L).toDF())
+    val twin = canon(Multimodal.vadSegments(
+      Multimodal.frameEnergies(m, 16), threshold = 1512L))
+    assert(inRow == twin)
+    assert(inRow.nonEmpty)
+    // open-run tail: a payload ending mid-segment closes at the last frame
+    val tail = Multimodal.vadSegmentsInRow(
+      media((1L, "z" * 33)), threshold = 1000L).collect()
+    assert(tail.toSeq == Seq(
+      Multimodal.VadSegment(1L, 0, 1, 2, 2 * 16 * 122L)))
+  }
 }
