@@ -1449,8 +1449,44 @@ object TextQueries {
               |WHERE bit_count(a.simhash ^ b.simhash) <= 3""".stripMargin)
     })
 
+  /** Cross-lingual parallel-corpus candidates: documents from the SAME
+    * source in DIFFERENT languages whose lengths agree within
+    * [0.8, 1.25]× — the classic first-pass filter for translation-pair
+    * mining. The ratio window is exact integer arithmetic
+    * (4·n₁ ≤ 5·n₂ ∧ 4·n₂ ≤ 5·n₁); the join's equi key is the source,
+    * so candidate volume is bounded per source — at warehouse scale a
+    * length-bucket joins the key, the same Δ-bucket move the band
+    * operators make. */
+  val q185 = QueryDef.sql("q185_parallel_candidates",
+    """SELECT d1.source, d1.lang AS lang_1, d2.lang AS lang_2,
+      |  d1.doc_id AS id_1, d2.doc_id AS id_2,
+      |  d1.n_chars AS len_1, d2.n_chars AS len_2,
+      |  round(CAST(d1.n_chars AS DOUBLE) / d2.n_chars, 6) AS len_ratio
+      |FROM documents d1 JOIN documents d2
+      |  ON d1.source = d2.source AND d1.lang < d2.lang
+      |  AND 4 * d1.n_chars <= 5 * d2.n_chars
+      |  AND 4 * d2.n_chars <= 5 * d1.n_chars
+      |WHERE d1.n_chars > 0 AND d2.n_chars > 0""")(
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .where(col("n_chars") > 0)
+      val d1 = d.select(col("doc_id").as("id_1"), col("lang").as("lang_1"),
+        col("source"), col("n_chars").as("len_1"))
+      val d2 = d.select(col("doc_id").as("id_2"), col("lang").as("lang_2"),
+        col("source").as("source"), col("n_chars").as("len_2"))
+      d1.join(d2, Seq("source"))
+        .where(col("lang_1") < col("lang_2") &&
+          lit(4) * col("len_1") <= lit(5) * col("len_2") &&
+          lit(4) * col("len_2") <= lit(5) * col("len_1"))
+        .select(col("source"), col("lang_1"), col("lang_2"),
+          col("id_1"), col("id_2"), col("len_1"), col("len_2"),
+          round(col("len_1").cast("double") / col("len_2"), 6).as("len_ratio"))
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
-    q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184)
+    q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
+    q185)
 }

@@ -499,6 +499,48 @@ object WarehouseQueries {
         .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
     })
 
+  /** Per-user burstiness: coefficient of variation of inter-event
+    * gaps — CV ≈ 1 is memoryless (Poisson) traffic, CV ≫ 1 bursts,
+    * CV ≪ 1 a metronome (bot signature). Gaps floor to whole seconds
+    * so n·Σg² stays in BIGINT (µs² would overflow); the identity
+    * CV = √(n·Σg² − S²)/S is all-integer until one correctly-rounded
+    * sqrt and one division. Users whose gaps all floor to 0 s report
+    * NULL (undefined mean). */
+  val q186 = QueryDef.sql("q186_burstiness",
+    """WITH g AS (SELECT user_id,
+      |    (epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gs
+      |  FROM events),
+      |a AS (SELECT user_id, count(*) AS n_gaps,
+      |    CAST(sum(gs) AS BIGINT) AS s,
+      |    CAST(sum(gs * gs) AS BIGINT) AS ss
+      |  FROM g WHERE gs IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_gaps,
+      |  round(CAST(s AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+      |  CASE WHEN s = 0 THEN NULL
+      |       ELSE round(sqrt(CAST(n_gaps * ss - s * s AS DOUBLE)) / s, 6)
+      |  END AS cv_gap
+      |FROM a""")(
+    (s, dir) => {
+      // DIV (truncating) == DuckDB's // (floor) here: gaps are >= 0 by
+      // the window ordering
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) - lag(unix_micros(ts), 1) OVER " +
+            "(PARTITION BY user_id ORDER BY ts, event_id)) DIV 1000000")
+            .as("gs"))
+        .where(col("gs").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gs")).as("s"),
+          sum(col("gs") * col("gs")).as("ss"))
+        .select(col("user_id"), col("n_gaps"),
+          round(col("s").cast("double") / col("n_gaps"), 6).as("mean_gap_s"),
+          when(col("s") === 0, lit(null).cast("double"))
+            .otherwise(round(
+              sqrt((col("n_gaps") * col("ss") - col("s") * col("s"))
+                .cast("double")) / col("s"), 6)).as("cv_gap"))
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48, q67,
-    q68, q80, q82, q86, q95, q97)
+    q68, q80, q82, q86, q95, q97, q186)
 }
