@@ -184,4 +184,64 @@ object Ivf {
     probeTopK(index.indexed.select(col("id"), col("v")), index,
       "id", "v", k, nprobe, excludeSelf = true)
   }
+
+  /** One FULLY DETERMINISTIC Lloyd (k-means) step, exact enough to
+    * hash-check across engines: seeds are the hash-sample centroids of
+    * [[buildIndexDeterministic]] (first k vectors by md5(id) — KMeans'
+    * init minus the randomness), every element is floor-quantized to
+    * micro-unit BIGINTs (q157's contract), assignment is the exact
+    * integer argmin of Σ(q−c)² with ties to the smaller centroid
+    * index, and the recomputed centroid means are integer sums with
+    * ONE final division per dimension. This is the distributed-
+    * linear-algebra shape of training-data clustering (topic bucketing,
+    * SemDeDup cluster stage) with none of the float-reduction
+    * nondeterminism that usually makes k-means unverifiable.
+    *
+    * Scale shape: centroids collect to the driver (k·dim doubles — the
+    * same broadcast any Lloyd implementation ships), assignment is one
+    * typed map over the corpus (zero shuffles), and the recompute is a
+    * single (cluster, dim) aggregation. Empty clusters emit no rows
+    * (standard Lloyd drop). Output: cluster, dim_idx, n_members,
+    * dim_mean. */
+  def kmeansStepDeterministic(emb: DataFrame, idCol: String, vecCol: String,
+                              k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+    val cents: Array[Array[Long]] = q
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k).select("qv").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cents.nonEmpty, "empty corpus: no centroids to seed")
+    val assigned = q.as[(Long, Array[Long])].map { case (id, qv) =>
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        var d = 0L
+        var j = 0
+        while (j < qv.length) {
+          val diff = qv(j) - cv(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (id, best, qv)
+    }.toDF("id", "cluster", "qv")
+    assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("dim_idx", "qx")))
+      .groupBy(col("cluster"), col("dim_idx"))
+      .agg(count(lit(1)).as("n_members"), sum(col("qx")).as("sq"))
+      // truncating integer division in MICRO-UNITS: a rounded double
+      // here hits the cross-engine half-up/half-even tie trap (the
+      // q128 lesson — sq/(n·10⁶) lands on 6-decimal ties constantly);
+      // Spark DIV and DuckDB // both truncate toward zero, so the
+      // quantized mean is bit-exact everywhere
+      .select(col("cluster"), col("dim_idx"), col("n_members"),
+        expr("sq DIV n_members").as("dim_mean_micro"))
+  }
 }

@@ -285,6 +285,38 @@ object SimilarityQueries {
     (s, dir) => Similarity.matryoshkaRetention(
       Tables.embeddings(s, dir), "vec_id", "embedding", ks = Seq(8, 16, 32)))
 
+  /** One deterministic Lloyd step over the embedding corpus (64
+    * hash-sampled seeds, micro-unit integer distances, exact argmin,
+    * integer centroid sums) — hash-checked k-means, see
+    * [[graft.operators.Ivf.kmeansStepDeterministic]]. */
+  val q187 = QueryDef.sql("q187_kmeans_step",
+    """WITH q AS (SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |r AS (SELECT id, qv,
+      |    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS rk
+      |  FROM q),
+      |cent AS (SELECT rk AS cidx, qv AS cv FROM r WHERE rk < 64),
+      |d AS (SELECT q.id, c.cidx,
+      |    (SELECT sum((q.qv[CAST(j + 1 AS INT)] - c.cv[CAST(j + 1 AS INT)])
+      |              * (q.qv[CAST(j + 1 AS INT)] - c.cv[CAST(j + 1 AS INT)]))
+      |     FROM unnest(range(len(q.qv))) t(j)) AS dist
+      |  FROM q CROSS JOIN cent c),
+      |a AS (SELECT id, cidx FROM (
+      |    SELECT id, cidx,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist, cidx) AS rn
+      |    FROM d) WHERE rn = 1),
+      |e AS (SELECT a.cidx AS cluster, CAST(j AS INT) AS dim_idx,
+      |    q.qv[CAST(j + 1 AS INT)] AS qx
+      |  FROM a JOIN q USING (id), unnest(range(len(q.qv))) t(j))
+      |SELECT CAST(cluster AS INT) AS cluster, dim_idx,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(CAST(sum(qx) AS BIGINT) // count(*) AS BIGINT) AS dim_mean_micro
+      |FROM e GROUP BY 1, 2""")(
+    (s, dir) => graft.operators.Ivf.kmeansStepDeterministic(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 64))
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160, q176)
+    q160, q176, q187)
 }

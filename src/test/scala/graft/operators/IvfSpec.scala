@@ -82,4 +82,25 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"auto IVF recall $recall")
     assert(approx.size <= exact.size)
   }
+
+  test("kmeansStepDeterministic: members partition the corpus, " +
+    "stable under repartitioning") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val step = Ivf.kmeansStepDeterministic(emb, "vec_id", "embedding", k = 8)
+      .as[(Int, Int, Long, Long)].collect()
+    // every dimension sees every member exactly once
+    val perDim = step.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDim.values.toSet == Set(n), s"members per dim: $perDim")
+    // a cluster's member count is identical across its dims
+    assert(step.groupBy(_._1).values.forall(_.map(_._3).distinct.length == 1))
+    // micro-unit means stay inside the quantized data range
+    assert(step.forall(r => math.abs(r._4) <= 2000000L))
+    // deterministic under a different input partitioning
+    val again = Ivf.kmeansStepDeterministic(
+      emb.repartition(7), "vec_id", "embedding", k = 8)
+      .as[(Int, Int, Long, Long)].collect()
+    assert(step.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
