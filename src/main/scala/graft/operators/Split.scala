@@ -115,4 +115,89 @@ object Split {
         array_join(slice(col("toks"), col("chunk_id") * stride + 1, lit(window)), " ")
           .as("chunk_text"))
   }
+
+  /** Temporal cold-start audit for a time-based train/serve split: per
+    * group (event type), how many serve-side entities have NO history
+    * before the cutoff — exactly the rows for which a feature store
+    * built on the train window returns nulls. The train-side entity
+    * set joins as a distinct key table (semi-join sized); the serve
+    * side aggregates once per (group, entity) before the flag rollup,
+    * so the join carries entities, not events. */
+  def temporalColdStart(events: DataFrame, entityCol: String,
+                        groupCol: String, tsCol: String,
+                        cutoff: Column): DataFrame = {
+    val train = events.where(col(tsCol) < cutoff)
+      .select(col(entityCol)).distinct()
+      .withColumn("__seen", lit(1L))
+    events.where(col(tsCol) >= cutoff)
+      .groupBy(col(groupCol), col(entityCol))
+      .agg(count(lit(1)).as("__n"))
+      .join(train, Seq(entityCol), "left")
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_cold_users"))
+      .withColumn("cold_ratio",
+        round(col("n_cold_users").cast("double") / col("n_users"), 6))
+  }
+
+  /** md5-prefix position on the 60-bit hash ring for vnode `v` of
+    * shard `s` — same hex-prefix convention as every signature in the
+    * library, so the ring replays in SQL verbatim. */
+  private[graft] def ringPos(s: Int, v: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"shard-$s-$v".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** The consistent-hash ring for `shards` shards × `vnodes` virtual
+    * nodes, sorted by ring position. Tiny (shards·vnodes entries) —
+    * the broadcast artifact any shard router holds. */
+  private[graft] def consistentRing(shards: Int, vnodes: Int): Array[(Long, Int)] =
+    (0 until shards).flatMap(s => (0 until vnodes).map(v => (ringPos(s, v), s)))
+      .sortBy(_._1).toArray
+
+  /** Resharding cost report, mod-N vs consistent hashing: the fraction
+    * of keys that MOVE when the shard count grows n1 → n2. Mod-N
+    * reshuffles ~1−1/n2 of the corpus (every key whose hash changes
+    * residue); the ring moves only keys captured by the new shard's
+    * vnodes (~1/n2) — the planning number for corpus repartitioning
+    * and shard-store growth. Key positions are 60-bit md5 prefixes;
+    * ring lookup is a binary-search successor probe against the
+    * broadcast ring (driver-built, shards·vnodes entries), one typed
+    * map over the corpus, zero shuffles before the single summary
+    * aggregation. One output row. */
+  def rebalanceReport(df: DataFrame, idCol: String,
+                      n1: Int, n2: Int, vnodes: Int = 64): DataFrame = {
+    require(n1 >= 1 && n2 >= 1 && vnodes >= 1, "positive shard/vnode counts")
+    import df.sparkSession.implicits._
+    val ring1 = consistentRing(n1, vnodes)
+    val ring2 = consistentRing(n2, vnodes)
+    def owner(ring: Array[(Long, Int)], h: Long): Int = {
+      var lo = 0
+      var hi = ring.length // first index with pos >= h
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ring(mid)._1 >= h) hi = mid else lo = mid + 1
+      }
+      ring(if (lo == ring.length) 0 else lo)._2
+    }
+    val moved = df
+      .select(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .as[Long].map { h =>
+        val modMoved = if (h % n1 != h % n2) 1L else 0L
+        val ringMoved = if (owner(ring1, h) != owner(ring2, h)) 1L else 0L
+        (modMoved, ringMoved)
+      }.toDF("mod_moved", "ring_moved")
+    moved.agg(count(lit(1)).as("n_keys"),
+        sum(col("mod_moved")).as("moved_mod"),
+        sum(col("ring_moved")).as("moved_ring"))
+      .select(col("n_keys"), col("moved_mod"), col("moved_ring"),
+        round(col("moved_mod").cast("double") / col("n_keys"), 6)
+          .as("mod_ratio"),
+        round(col("moved_ring").cast("double") / col("n_keys"), 6)
+          .as("ring_ratio"))
+  }
 }

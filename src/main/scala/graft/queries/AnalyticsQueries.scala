@@ -1099,8 +1099,47 @@ object AnalyticsQueries {
               .cast("long"))).as("rev_cpct"))
     })
 
+  /** Resharding cost, mod-N vs consistent hashing (8 → 9 shards, 64
+    * vnodes): the fraction of keys that must MOVE — mod-N reshuffles
+    * ~8/9 of the corpus, the ring ~1/9. The repartition-planning
+    * number for growing a sharded corpus store; all md5-prefix
+    * arithmetic, replayed exactly. See
+    * [[graft.operators.Split.rebalanceReport]]. */
+  val q189 = QueryDef.sql("q189_rebalance_cost",
+    """WITH d AS (SELECT doc_id,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |r1 AS (SELECT s, ('0x' || substring(md5('shard-' || s || '-' || v),
+      |         1, 15))::BIGINT AS pos
+      |  FROM (SELECT unnest(range(8)) AS s) ss
+      |  CROSS JOIN (SELECT unnest(range(64)) AS v) vv),
+      |r2 AS (SELECT s, ('0x' || substring(md5('shard-' || s || '-' || v),
+      |         1, 15))::BIGINT AS pos
+      |  FROM (SELECT unnest(range(9)) AS s) ss
+      |  CROSS JOIN (SELECT unnest(range(64)) AS v) vv),
+      |o1 AS (SELECT d.doc_id, d.h,
+      |    coalesce(min_by(s, pos) FILTER (WHERE pos >= h), min_by(s, pos))
+      |      AS sh
+      |  FROM d CROSS JOIN r1 GROUP BY d.doc_id, d.h),
+      |o2 AS (SELECT d.doc_id,
+      |    coalesce(min_by(s, pos) FILTER (WHERE pos >= h), min_by(s, pos))
+      |      AS sh
+      |  FROM d CROSS JOIN r2 GROUP BY d.doc_id, d.h),
+      |m AS (SELECT o1.doc_id,
+      |    CASE WHEN o1.h % 8 != o1.h % 9 THEN 1 ELSE 0 END AS mm,
+      |    CASE WHEN o1.sh != o2.sh THEN 1 ELSE 0 END AS rm
+      |  FROM o1 JOIN o2 USING (doc_id))
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(mm) AS BIGINT) AS moved_mod,
+      |  CAST(sum(rm) AS BIGINT) AS moved_ring,
+      |  round(CAST(sum(mm) AS DOUBLE) / count(*), 6) AS mod_ratio,
+      |  round(CAST(sum(rm) AS DOUBLE) / count(*), 6) AS ring_ratio
+      |FROM m""")(
+    (s, dir) => graft.operators.Split.rebalanceReport(
+      Tables.documents(s, dir), "doc_id", n1 = 8, n2 = 9, vnodes = 64))
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167)
+    q167, q189)
 }

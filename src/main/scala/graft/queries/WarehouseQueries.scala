@@ -541,6 +541,28 @@ object WarehouseQueries {
                 .cast("double")) / col("s"), 6)).as("cv_gap"))
     })
 
+  /** Temporal cold-start audit: events split at 2024-01-24; per event
+    * type, the share of post-cutoff users with NO pre-cutoff history —
+    * the feature-store null-rate a time-based serve split will see.
+    * See [[graft.operators.Split.temporalColdStart]]. */
+  val q188 = QueryDef.sql("q188_cold_start",
+    """WITH tr AS (SELECT DISTINCT user_id FROM events
+      |            WHERE ts < TIMESTAMP '2024-01-24 00:00:00'),
+      |u AS (SELECT event_type, user_id, count(*) AS n_ev FROM events
+      |      WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN tr.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cold_users,
+      |  round(CAST(sum(CASE WHEN tr.user_id IS NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS cold_ratio
+      |FROM u LEFT JOIN tr ON u.user_id = tr.user_id
+      |GROUP BY 1""")(
+    (s, dir) => graft.operators.Split.temporalColdStart(
+      Tables.events(s, dir), "user_id", "event_type", "ts",
+      lit("2024-01-24 00:00:00").cast("timestamp")))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48, q67,
-    q68, q80, q82, q86, q95, q97, q186)
+    q68, q80, q82, q86, q95, q97, q186, q188)
 }

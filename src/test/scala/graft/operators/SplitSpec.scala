@@ -103,4 +103,36 @@ class SplitSpec extends AnyFunSuite {
     val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
     assert(covered == Set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
   }
+
+  test("temporalColdStart: users without pre-cutoff history are cold") {
+    val ev = Seq(
+      (1L, "buy", "2024-01-10"), (1L, "buy", "2024-01-25"),  // warm
+      (2L, "buy", "2024-01-26"),                             // cold
+      (3L, "view", "2024-01-05"),                            // train-only
+      (4L, "view", "2024-01-28"), (4L, "view", "2024-01-29") // cold, 2 ev
+    ).toDF("user_id", "event_type", "d")
+      .select(col("user_id"), col("event_type"), col("d").cast("timestamp").as("ts"))
+    val got = Split.temporalColdStart(ev, "user_id", "event_type", "ts",
+        lit("2024-01-24").cast("timestamp"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("buy") == (("buy", 2L, 2L, 1L, 0.5)))
+    assert(got("view") == (("view", 2L, 1L, 1L, 1.0)))
+  }
+
+  test("rebalanceReport: consistent hashing moves ~1/n2, mod moves ~1-1/n2") {
+    val keys = (1L to 2000L).toDF("id")
+    val got = Split.rebalanceReport(keys, "id", n1 = 8, n2 = 9, vnodes = 64)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got._1 == 2000L)
+    // mod-N: expect ~8/9 = 0.889 moved; allow wide slack, require > 0.8
+    assert(got._4 > 0.8, s"mod ratio ${got._4}")
+    // ring: expect ~1/9 = 0.111; require well under the mod cost
+    assert(got._5 < 0.25, s"ring ratio ${got._5}")
+    assert(got._5 * 3 < got._4, "consistent hashing must beat mod-N clearly")
+    // the ring is sorted and covers all shards
+    val ring = Split.consistentRing(8, 64)
+    assert(ring.map(_._1).toSeq == ring.map(_._1).sorted.toSeq)
+    assert(ring.map(_._2).toSet == (0 until 8).toSet)
+  }
 }
