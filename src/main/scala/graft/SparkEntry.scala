@@ -9,7 +9,8 @@ object SparkEntry {
   private def defs: Seq[QueryDef] =
     CoreQueries.all ++ WarehouseQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
-      ExtendedQueries.all ++ ReconcileQueries.all ++ QualityQueries.all
+      ExtendedQueries.all ++ ReconcileQueries.all ++ QualityQueries.all ++
+      PlannerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -104,17 +104,25 @@ object Sketches {
   /** Raw-HLL estimate from a register table, named `hll_<alias>`. */
   def hllEstimate(registers: DataFrame, groupCol: String,
                   alias: String): DataFrame =
+    hllEstimateBy(registers, Seq(groupCol), alias)
+
+  /** [[hllEstimate]] generalized to a composite group key — the form a
+    * pairwise/lattice analysis needs when registers have been max-merged
+    * under a multi-column group (e.g. (set_a, set_b) union registers for
+    * inclusion–exclusion overlap estimates). */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String],
+                    alias: String): DataFrame =
     // Σ 2^-ρ in the exact integer domain: Σ 2^(RemBits+1-ρ), empty
     // buckets contribute 2^(RemBits+1) each (ρ = 0 ⇔ weight 1); the
     // total stays ≤ m·2^(RemBits+1) = 2^61 — never rounds in a long
-    registers.groupBy(col(groupCol))
+    registers.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("present"),
         sum(expr(s"shiftleft(1L, ${RemBits + 1} - rho)")).as("s_present"))
-      .select(col(groupCol),
+      .select(groupCols.map(col) :+
         (alphaExpr * lit(Buckets.toDouble) * lit(Buckets.toDouble) *
           lit(EmptyWeight.toDouble) /
           (col("s_present") + (lit(Buckets.toLong) - col("present")) * lit(EmptyWeight))
-            .cast("double")).as(s"hll_$alias"))
+            .cast("double")).as(s"hll_$alias"): _*)
 
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     hllEstimate(hllRegisters(df, groupCol, valueCol), groupCol, valueCol)

@@ -65,4 +65,29 @@ object Skew {
       explode(array((0 until salt).map(lit(_)): _*)))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew report: for each candidate key, the distinct-key
+    * count, row count, heaviest-key count, the skew factor max/avg
+    * (how much slower the hottest shuffle partition runs than the
+    * average one, in the limit of one key per partition), and the salt
+    * factor `ceil(max/avg)` [[saltedSumCount]]/[[saltedJoin]] would
+    * need to level it. All integer arithmetic (exact ceil-div), one
+    * map-side-combined aggregate per table — the profiling pass run
+    * BEFORE committing to a join strategy at 100 TB, at the cost of a
+    * distinct-key-sized shuffle instead of the join's row-sized one. */
+  def report(keyed: Seq[(String, DataFrame, String)]): DataFrame = {
+    val counted = keyed.map { case (label, df, key) =>
+      df.groupBy(df(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(label).as("key_col"), col("k"), col("cnt"))
+    }
+    counted.reduce(_ unionByName _)
+      .groupBy(col("key_col"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("key_col"), col("n_keys"), col("n_rows"), col("max_cnt"),
+        round((col("max_cnt") * col("n_keys")).cast("double") /
+          col("n_rows"), 6).as("skew_factor"),
+        expr("(max_cnt * n_keys + n_rows - 1) DIV n_rows").as("salt_factor"))
+  }
 }

@@ -509,4 +509,46 @@ object TextAnalysis {
       .withColumn("mean_bits",
         round(col("surprisal_bits").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Bigram conditional surprisal per document — the CCNet-style LM
+    * fluency filter with an integer-only scoring core. Each adjacent
+    * token pair (w1, w2) is scored floor(log2((c(w1) + V) / (c(w1w2)
+    * + 1))) bits — the add-one-smoothed inverse conditional probability
+    * — via the same `length(bin(x)) - 1` trick as
+    * [[unigramSurprisalBits]], so no libm call enters the contract and
+    * DuckDB replays bit-for-bit. Disfluent/rare-continuation docs score
+    * high, boilerplate scores low.
+    *
+    * Scale shape: tokens explode once; corpus bigram and unigram models
+    * are groupBy aggregates (map-side combined); the per-bigram score
+    * joins on (w1, w2) — at 100 TB the model frames are the Zipf head
+    * plus a long tail, so the join shuffles model-sized data, never
+    * re-shuffling documents. The only per-doc window is the in-document
+    * LEAD, co-partitioned with the explode. */
+  def bigramSurprisalBits(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+    val db = toks
+      .withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy(idCol).orderBy("pos")))
+      .where(col("w2").isNotNull)
+      .select(col(idCol), col("w").as("w1"), col("w2"))
+    val cb = db.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cu = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c_x"))
+    val v = cu.agg(count(lit(1)).as("vsz"))
+    val bits = cb.join(cu, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        expr("CAST(length(bin((c_x + vsz) DIV (c_xy + 1))) - 1 AS BIGINT)")
+          .as("bits"))
+    db.join(bits, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bigram_bits"))
+      .withColumn("mean_bits",
+        round(col("bigram_bits").cast("double") / col("n_bigrams"), 6))
+  }
 }

@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Skew, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Planner-grade profiling and cohort analytics: the queries a 100 TB
+  * warehouse runs ABOUT its data before running ON it — skew profiling
+  * ahead of join-strategy choice, exact join-cardinality estimation from
+  * key histograms, cohort retention, and LM-model fluency scoring.
+  * Every oracle is integer-exact or a round-6 of an integer ratio.
+  */
+object PlannerQueries {
+
+  /** Monthly cohort retention triangle over orders: cohort = month of a
+    * customer's first order; for each (cohort, month-offset), distinct
+    * active customers and the retention ratio vs the cohort size.
+    * Offset 0 is every cohort's size by construction, so the ratio
+    * denominator needs no separate scan. Plan shape: one groupBy on
+    * custkey for first-order month, one custkey-co-partitioned join
+    * back (same key ⇒ single exchange under AQE), then a months×offsets
+    * aggregate (tiny) and a broadcast of the offset-0 slice. */
+  val q190 = QueryDef.sql("q190_cohort_retention",
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od
+      |           FROM orders),
+      |f AS (SELECT o_custkey, min(date_trunc('month', od)) AS cm
+      |      FROM o GROUP BY 1),
+      |a AS (SELECT DISTINCT o.o_custkey, f.cm,
+      |    (year(o.od) - year(f.cm)) * 12 + (month(o.od) - month(f.cm))
+      |      AS moff
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey),
+      |r AS (SELECT cm, moff, count(*) AS n_active FROM a GROUP BY 1, 2),
+      |c0 AS (SELECT cm, n_active AS cohort_size FROM r WHERE moff = 0)
+      |SELECT CAST(r.cm AS DATE) AS cohort_month,
+      |  CAST(r.moff AS BIGINT) AS month_offset,
+      |  CAST(r.n_active AS BIGINT) AS n_active,
+      |  CAST(c0.cohort_size AS BIGINT) AS cohort_size,
+      |  round(CAST(r.n_active AS DOUBLE) / c0.cohort_size, 6) AS retention
+      |FROM r JOIN c0 ON r.cm = c0.cm""")(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      val f = o.groupBy("o_custkey").agg(min(trunc(col("od"), "month")).as("cm"))
+      val a = o.join(f, "o_custkey")
+        .select(col("o_custkey"), col("cm"),
+          ((year(col("od")) - year(col("cm"))) * 12 +
+            (month(col("od")) - month(col("cm")))).cast("long").as("moff"))
+        .distinct()
+      val r = a.groupBy(col("cm"), col("moff")).agg(count(lit(1)).as("n_active"))
+      val c0 = r.where(col("moff") === 0)
+        .select(col("cm"), col("n_active").as("cohort_size"))
+      r.join(broadcast(c0), "cm")
+        .select(col("cm").as("cohort_month"), col("moff").as("month_offset"),
+          col("n_active"), col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+    })
+
+  /** Join-key skew report over the warehouse's four hottest join keys.
+    * See [[graft.operators.Skew.report]] — max/avg skew factor plus the
+    * integer-exact salt factor a salted join would need. The profiling
+    * pass that decides broadcast vs shuffle vs salt BEFORE the join
+    * runs. */
+  val q191 = QueryDef.sql("q191_skew_report",
+    """WITH k AS (
+      |  SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+      |  UNION ALL SELECT 'o_custkey', o_custkey FROM orders
+      |  UNION ALL SELECT 'user_id', user_id FROM events),
+      |c AS (SELECT key_col, k, count(*) AS cnt FROM k GROUP BY 1, 2)
+      |SELECT key_col,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |  round(CAST(max(cnt) * count(*) AS DOUBLE) / sum(cnt), 6)
+      |    AS skew_factor,
+      |  CAST((max(cnt) * count(*) + sum(cnt) - 1) // sum(cnt) AS BIGINT)
+      |    AS salt_factor
+      |FROM c GROUP BY 1""")(
+    (s, dir) => Skew.report(Seq(
+      ("l_partkey", Tables.lineitem(s, dir), "l_partkey"),
+      ("l_suppkey", Tables.lineitem(s, dir), "l_suppkey"),
+      ("o_custkey", Tables.orders(s, dir), "o_custkey"),
+      ("user_id", Tables.events(s, dir), "user_id"))))
+
+  /** Exact join-cardinality estimation WITHOUT running the joins:
+    * |A ⋈ B| = Σ_k c_A(k)·c_B(k) over per-key count histograms. The
+    * histograms are map-side-combined aggregates (distinct-key-sized,
+    * not row-sized), their join is key-count vs key-count — so sizing a
+    * 100 TB fact-fact join costs two profiling aggregates instead of
+    * the join's full shuffle. The numbers are exact, not sketches; the
+    * same Σc·c machinery with HLL inputs is the approximate form. */
+  val q192 = QueryDef.sql("q192_join_card_est",
+    """WITH lo AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+      |            GROUP BY 1),
+      |oo AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      |lp AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      |pp AS (SELECT p_partkey AS k, count(*) AS c FROM part GROUP BY 1),
+      |ls AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      |ss AS (SELECT s_suppkey AS k, count(*) AS c FROM supplier GROUP BY 1),
+      |j AS (
+      |  SELECT 'lineitem_orders' AS join_name, count(*) AS nk,
+      |      sum(a.c * b.c) AS est
+      |    FROM lo a JOIN oo b ON a.k = b.k
+      |  UNION ALL SELECT 'lineitem_part', count(*), sum(a.c * b.c)
+      |    FROM lp a JOIN pp b ON a.k = b.k
+      |  UNION ALL SELECT 'lineitem_supplier', count(*), sum(a.c * b.c)
+      |    FROM ls a JOIN ss b ON a.k = b.k)
+      |SELECT join_name, CAST(nk AS BIGINT) AS n_match_keys,
+      |  CAST(est AS BIGINT) AS join_rows
+      |FROM j""")(
+    (s, dir) => {
+      def hist(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.groupBy(df(key).as("k")).agg(count(lit(1)).as("c"))
+      def est(name: String, a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame) =
+        a.join(b.withColumnRenamed("c", "c2"), "k")
+          .agg(count(lit(1)).as("n_match_keys"),
+            sum(col("c") * col("c2")).as("join_rows"))
+          .select(lit(name).as("join_name"), col("n_match_keys"),
+            col("join_rows"))
+      val li = Tables.lineitem(s, dir)
+      est("lineitem_orders", hist(li, "l_orderkey"),
+          hist(Tables.orders(s, dir), "o_orderkey"))
+        .unionByName(est("lineitem_part", hist(li, "l_partkey"),
+          hist(Tables.part(s, dir), "p_partkey")))
+        .unionByName(est("lineitem_supplier", hist(li, "l_suppkey"),
+          hist(Tables.supplier(s, dir), "s_suppkey")))
+    })
+
+  /** Bigram conditional surprisal per document — see
+    * [[graft.operators.TextAnalysis.bigramSurprisalBits]]. The bigram
+    * analogue of q172's unigram filter: integer floor-log2 bits of the
+    * add-one-smoothed inverse conditional probability, summed per doc. */
+  val q193 = QueryDef.sql("q193_bigram_surprisal",
+    """WITH tok AS (
+      |  SELECT doc_id, pos, t AS w FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t,
+      |      unnest(range(len(string_split_regex(lower(trim(text)), '\s+'))))
+      |        AS pos
+      |    FROM documents) WHERE t <> ''),
+      |bi AS (SELECT doc_id, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM tok),
+      |db AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+      |cb AS (SELECT w1, w2, count(*) AS c_xy FROM db GROUP BY 1, 2),
+      |cu AS (SELECT w AS w1, count(*) AS c_x FROM tok GROUP BY 1),
+      |v AS (SELECT count(*) AS vsz FROM cu),
+      |bits AS (SELECT cb.w1, cb.w2,
+      |    CAST(length(bin((cu.c_x + v.vsz) // (cb.c_xy + 1))) - 1 AS BIGINT)
+      |      AS bits
+      |  FROM cb JOIN cu USING (w1), v)
+      |SELECT db.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(bits) AS BIGINT) AS bigram_bits,
+      |  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS mean_bits
+      |FROM db JOIN bits USING (w1, w2) GROUP BY db.doc_id""")(
+    (s, dir) => TextAnalysis.bigramSurprisalBits(
+      Tables.documents(s, dir), "doc_id", "text"))
+
+  /** Pairwise audience overlap between event types WITHOUT a pairwise
+    * user-level shuffle: per-type HLL registers of the user set are
+    * computed in ONE scan, then pair-union estimates come from
+    * max-merging the (|types| × 256)-row register table — the
+    * inclusion–exclusion identity |A∩B| = |A| + |B| − |A∪B| applied to
+    * sketches. The exact overlap (a distinct-pairs self-join) rides
+    * along as the accuracy yardstick; at 100 TB the exact path is the
+    * one you delete, the register path costs one aggregate regardless
+    * of corpus size. Same portable-HLL machinery as q51/q107 — every
+    * arithmetic step integer-exact or IEEE-identical, so DuckDB
+    * replays the estimates bit-for-bit. */
+  val q194 = {
+    import graft.operators.Sketches
+    val rhoCase = Sketches.rhoSql(s"(h & ${(1L << Sketches.RemBits) - 1})")
+    val m = Sketches.Buckets
+    val ew = Sketches.EmptyWeight
+    val est = s"${Sketches.alphaSql} * ${m.toDouble}::DOUBLE * " +
+      s"${m.toDouble}::DOUBLE * ${ew.toDouble}::DOUBLE"
+    QueryDef.sql("q194_hll_overlap",
+      s"""WITH h AS (SELECT event_type,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM events),
+         |reg AS (SELECT event_type, h >> ${Sketches.RemBits} AS bucket,
+         |    max($rhoCase) AS rho
+         |  FROM h GROUP BY event_type, h >> ${Sketches.RemBits}),
+         |e1 AS (SELECT event_type, count(*) AS present,
+         |    SUM(1::BIGINT << (${Sketches.RemBits + 1} - rho)) AS s_present
+         |  FROM reg GROUP BY 1),
+         |est1 AS (SELECT event_type,
+         |    $est / CAST(s_present + ($m - present) * $ew AS DOUBLE) AS hll
+         |  FROM e1),
+         |pairs AS (SELECT a.event_type AS et_a, b.event_type AS et_b
+         |  FROM (SELECT DISTINCT event_type FROM events) a,
+         |       (SELECT DISTINCT event_type FROM events) b
+         |  WHERE a.event_type < b.event_type),
+         |preg AS (SELECT p.et_a, p.et_b, r.bucket, max(r.rho) AS rho
+         |  FROM pairs p JOIN reg r
+         |    ON r.event_type = p.et_a OR r.event_type = p.et_b
+         |  GROUP BY 1, 2, 3),
+         |pe AS (SELECT et_a, et_b, count(*) AS present,
+         |    SUM(1::BIGINT << (${Sketches.RemBits + 1} - rho)) AS s_present
+         |  FROM preg GROUP BY 1, 2),
+         |eu AS (SELECT et_a, et_b,
+         |    $est / CAST(s_present + ($m - present) * $ew AS DOUBLE)
+         |      AS hll_union
+         |  FROM pe),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |ex AS (SELECT x.event_type AS et_a, y.event_type AS et_b,
+         |    count(*) AS exact_overlap
+         |  FROM du x JOIN du y ON x.user_id = y.user_id
+         |    AND x.event_type < y.event_type
+         |  GROUP BY 1, 2)
+         |SELECT eu.et_a, eu.et_b,
+         |  CAST(ex.exact_overlap AS BIGINT) AS exact_overlap,
+         |  a.hll AS hll_a, b.hll AS hll_b, eu.hll_union,
+         |  a.hll + b.hll - eu.hll_union AS overlap_est
+         |FROM eu
+         |JOIN est1 a ON a.event_type = eu.et_a
+         |JOIN est1 b ON b.event_type = eu.et_b
+         |JOIN ex ON ex.et_a = eu.et_a AND ex.et_b = eu.et_b""")(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val regs = Sketches.hllRegisters(ev, "event_type", "user_id")
+        val types = ev.select("event_type").distinct()
+        val pairs = types.select(col("event_type").as("et_a"))
+          .crossJoin(types.select(col("event_type").as("et_b")))
+          .where(col("et_a") < col("et_b"))
+        val est1 = Sketches.hllEstimate(regs, "event_type", "users")
+        val pairRegs = broadcast(pairs)
+          .join(regs, col("event_type") === col("et_a") ||
+            col("event_type") === col("et_b"))
+          .groupBy("et_a", "et_b", "bucket").agg(max("rho").as("rho"))
+        val estU = Sketches.hllEstimateBy(pairRegs, Seq("et_a", "et_b"), "union")
+        val du = ev.select(col("event_type"), col("user_id")).distinct()
+        val exact = du.as("x")
+          .join(du.as("y"), col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("et_a"),
+            col("y.event_type").as("et_b"))
+          .agg(count(lit(1)).as("exact_overlap"))
+        estU
+          .join(est1.select(col("event_type").as("et_a"),
+            col("hll_users").as("hll_a")), "et_a")
+          .join(est1.select(col("event_type").as("et_b"),
+            col("hll_users").as("hll_b")), "et_b")
+          .join(exact, Seq("et_a", "et_b"))
+          .select(col("et_a"), col("et_b"), col("exact_overlap"),
+            col("hll_a"), col("hll_b"), col("hll_union"),
+            (col("hll_a") + col("hll_b") - col("hll_union")).as("overlap_est"))
+      })
+  }
+
+  /** File-layout skipping audit: simulate writing events as 64
+    * equal-row files under two physical orders — ts-clustered (the
+    * append-order default) vs user-clustered — and measure, for a
+    * deterministic probe sample of users, how many files a
+    * `user_id = ?` point query must touch given per-file min/max
+    * zone maps. The number a table-layout decision (z-order, bucketing,
+    * sort keys) should be driven by, computed from the table itself.
+    * The global file assignment uses [[graft.operators.Rank.globalRank]]
+    * — the two-pass range-partitioned rank, no single-task window. */
+  val q195 = QueryDef.sql("q195_layout_audit",
+    """WITH e AS (SELECT user_id, ts, event_id FROM events),
+      |n AS (SELECT count(*) AS cnt FROM e),
+      |r1 AS (SELECT user_id,
+      |    (row_number() OVER (ORDER BY ts, event_id) - 1) * 64 // cnt AS f
+      |  FROM e, n),
+      |r2 AS (SELECT user_id,
+      |    (row_number() OVER (ORDER BY user_id, ts, event_id) - 1) * 64
+      |      // cnt AS f
+      |  FROM e, n),
+      |b1 AS (SELECT f, min(user_id) AS lo, max(user_id) AS hi
+      |       FROM r1 GROUP BY 1),
+      |b2 AS (SELECT f, min(user_id) AS lo, max(user_id) AS hi
+      |       FROM r2 GROUP BY 1),
+      |p AS (SELECT DISTINCT user_id AS u FROM e WHERE user_id % 97 = 0),
+      |t1 AS (SELECT u, count(*) AS touched FROM p
+      |       JOIN b1 ON u BETWEEN lo AND hi GROUP BY 1),
+      |t2 AS (SELECT u, count(*) AS touched FROM p
+      |       JOIN b2 ON u BETWEEN lo AND hi GROUP BY 1)
+      |SELECT 'ts' AS layout, count(*) AS n_probes,
+      |  CAST(sum(touched) AS BIGINT) AS files_touched,
+      |  round(CAST(sum(touched) AS DOUBLE) / count(*), 6) AS avg_touched,
+      |  CAST(max(touched) AS BIGINT) AS max_touched
+      |FROM t1
+      |UNION ALL
+      |SELECT 'user', count(*),
+      |  CAST(sum(touched) AS BIGINT),
+      |  round(CAST(sum(touched) AS DOUBLE) / count(*), 6),
+      |  CAST(max(touched) AS BIGINT)
+      |FROM t2""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val cnt = e.count()
+      def zones(orderCols: org.apache.spark.sql.Column*) =
+        Rank.globalRank(e, "rn", orderCols: _*)
+          .select(col("user_id"),
+            expr(s"((rn - 1) * 64) DIV $cnt").as("f"))
+          .groupBy("f")
+          .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      val p = e.select(col("user_id").as("u"))
+        .where(col("u") % 97 === 0).distinct()
+      def audit(label: String, zone: org.apache.spark.sql.DataFrame) =
+        p.join(broadcast(zone),
+            col("u") >= col("lo") && col("u") <= col("hi"))
+          .groupBy("u").agg(count(lit(1)).as("touched"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(col("touched")).as("files_touched"),
+            max(col("touched")).as("max_touched"))
+          .select(lit(label).as("layout"), col("n_probes"),
+            col("files_touched"),
+            round(col("files_touched").cast("double") / col("n_probes"), 6)
+              .as("avg_touched"),
+            col("max_touched"))
+      audit("ts", zones(col("ts"), col("event_id")))
+        .unionByName(audit("user",
+          zones(col("user_id"), col("ts"), col("event_id"))))
+    })
+
+  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195)
+}
