@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Poisson bootstrap — uncertainty quantification that
+  * scales like an aggregation, not like a resample.
+  *
+  * The classical bootstrap draws n rows with replacement B times — at
+  * 100 TB that is B full shuffles of the fact table. The Poisson
+  * bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+  * Data Streams", Google 2012 — public) replaces the multinomial draw
+  * with an independent Poisson(1) weight per (row, replicate): each
+  * replicate's aggregate is then a weighted SUM computable in the SAME
+  * single pass as the plain aggregate, map-side combined, no shuffle of
+  * row data at all — only (group × B) partial rows move.
+  *
+  * Determinism: the Poisson draw is the 60-bit md5 prefix of
+  * `key|replicate` compared against precomputed integer thresholds
+  * floor(CDF_Poisson(1)(k) · 2^60) — no RNG state, no libm at query
+  * time, bit-identical on any engine (the q51 portable-sketch stance).
+  * Weights are capped at 4 (CDF 0.981 → the top 1.9% of draws);
+  * the cap loses ~0.4% of resample mass, far inside the CI noise floor,
+  * and keeps the CASE chain 4 branches deep.
+  */
+object Bootstrap {
+
+  /** floor(CDF_Poisson(λ=1)(k) · 2^60) for k = 0..3; ≥ t(3) ⇒ weight 4. */
+  val Thresholds: Seq[Long] = Seq(
+    424136118829305344L,   // CDF(0) = e^-1
+    848272237658610688L,   // CDF(1)
+    1060340297073263360L,  // CDF(2)
+    1131029650211480960L)  // CDF(3)
+
+  /** Poisson(1) weight of a 60-bit uniform hash. */
+  def poissonWeight(h: Column): Column =
+    when(h < Thresholds(0), 0)
+      .when(h < Thresholds(1), 1)
+      .when(h < Thresholds(2), 2)
+      .when(h < Thresholds(3), 3)
+      .otherwise(4)
+
+  /** The same CASE chain as DuckDB SQL over a hash expression. */
+  def poissonWeightSql(h: String): String =
+    s"""CASE WHEN $h < ${Thresholds(0)} THEN 0
+       |     WHEN $h < ${Thresholds(1)} THEN 1
+       |     WHEN $h < ${Thresholds(2)} THEN 2
+       |     WHEN $h < ${Thresholds(3)} THEN 3
+       |     ELSE 4 END""".stripMargin
+
+  /** Per-group mean of an exact integer value column (cents-scaled by
+    * `scale`) with a B-replicate Poisson-bootstrap percentile CI.
+    * `keyCol` must be a row-unique string. Returns one row per group:
+    * (group, n_rows, mean_<alias>, ci_lo, ci_hi) with the CI bounds the
+    * 2nd and (B−1)th order statistics of the replicate means (≈2.5% /
+    * 97.5% at B = 64).
+    *
+    * Plan shape: the fact scan explodes ×B (rows never shuffle — the
+    * weight is computed inline and partial sums combine map-side), one
+    * exchange of (group × B) partials, one tiny per-group window over B
+    * rows to pick the order statistics. */
+  def groupedMeanCI(df: DataFrame, groupCol: String, keyCol: Column,
+                    cents: Column, scale: Double = 100.0,
+                    b: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"), keyCol.as("key"),
+      cents.as("cents"))
+    // pinned: the ×B exploded pass reduces to (groups × B) rows here, and
+    // BOTH order-statistic joins below consume it — without the pin each
+    // join re-runs the replicate pass (the Reconcile drill-down lesson,
+    // SCALING.md). The weights come from the fused
+    // [[graft.functions.PoissonWeights]] expression — one md5 state per
+    // task, all B draws per invocation; the composable
+    // hash60(concat(key,'|',b)) form is bit-identical (PlannerSpec) but
+    // pays Spark's per-call Md5 overhead B times per row (measured 69 s
+    // → 7 s for the sf0.1 replicate pass).
+    val rep = base
+      .select(col("g"), col("cents"),
+        posexplode(graft.functions.BootstrapExpr.poissonWeights(
+          col("key"), b, Thresholds)).as(Seq("b", "w")))
+      .where(col("w") > 0)
+      .groupBy("g", "b")
+      .agg(sum(col("w") * col("cents")).as("s"), sum(col("w")).as("n"))
+      .withColumn("mean_b",
+        col("s").cast("double") / (col("n").cast("double") * lit(scale)))
+      .localCheckpoint(true)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("mean_b"), col("b"))))
+    val pt = base.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sc"))
+    pt.join(rep.where(col("rn") === 2)
+        .select(col("g"), round(col("mean_b"), 6).as("ci_lo")), "g")
+      .join(rep.where(col("rn") === b - 1)
+        .select(col("g"), round(col("mean_b"), 6).as("ci_hi")), "g")
+      .select(col("g"), col("n_rows"),
+        round(col("sc").cast("double") / (col("n_rows") * lit(scale)), 6)
+          .as("mean_v"),
+        col("ci_lo"), col("ci_hi"))
+  }
+}

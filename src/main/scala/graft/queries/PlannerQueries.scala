@@ -320,5 +320,55 @@ object PlannerQueries {
           zones(col("user_id"), col("ts"), col("event_id"))))
     })
 
-  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195)
+  /** Poisson-bootstrap 95% CI on the per-returnflag mean extended
+    * price — see [[graft.operators.Bootstrap]]: B = 64 deterministic
+    * hash-weighted replicates computed in ONE pass over the fact table
+    * (weighted partial sums, map-side combined; only group×B partials
+    * shuffle), vs the classical bootstrap's B full resamples. The CI
+    * bounds are the 2nd/63rd order statistics of the replicate means;
+    * every draw is an md5-threshold compare, so DuckDB replays the
+    * interval bit-for-bit. */
+  val q196 = {
+    import graft.operators.Bootstrap
+    val wCase = Bootstrap.poissonWeightSql("h")
+    QueryDef.sql("q196_bootstrap_ci",
+      s"""WITH li AS (SELECT l_returnflag AS g,
+         |    CAST(l_orderkey AS VARCHAR) || '|' ||
+         |      CAST(l_linenumber AS VARCHAR) AS key,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM lineitem),
+         |e AS (SELECT g, key, cents, unnest(range(64)) AS b FROM li),
+         |w AS (SELECT g, b, cents, $wCase AS w
+         |  FROM (SELECT *,
+         |      ('0x' || substring(md5(key || '|' || CAST(b AS VARCHAR)),
+         |        1, 15))::BIGINT AS h
+         |    FROM e)),
+         |m AS (SELECT g, b, CAST(sum(w * cents) AS BIGINT) AS s,
+         |    CAST(sum(w) AS BIGINT) AS n
+         |  FROM w WHERE w > 0 GROUP BY 1, 2),
+         |mb AS (SELECT g, b,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_b
+         |  FROM m),
+         |r AS (SELECT g, mean_b,
+         |    row_number() OVER (PARTITION BY g ORDER BY mean_b, b) AS rn
+         |  FROM mb),
+         |pt AS (SELECT g, count(*) AS n_rows, sum(cents) AS sc
+         |  FROM li GROUP BY 1)
+         |SELECT pt.g AS l_returnflag, CAST(pt.n_rows AS BIGINT) AS n_rows,
+         |  round(CAST(sc AS DOUBLE) / (n_rows * 100.0), 6) AS mean_v,
+         |  round(lo.mean_b, 6) AS ci_lo, round(hi.mean_b, 6) AS ci_hi
+         |FROM pt
+         |JOIN r lo ON lo.g = pt.g AND lo.rn = 2
+         |JOIN r hi ON hi.g = pt.g AND hi.rn = 63""")(
+      (s, dir) => Bootstrap.groupedMeanCI(
+          Tables.lineitem(s, dir), "l_returnflag",
+          concat(col("l_orderkey").cast("string"), lit("|"),
+            col("l_linenumber").cast("string")),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .select(col("g").as("l_returnflag"), col("n_rows"),
+          col("mean_v"), col("ci_lo"), col("ci_hi")))
+  }
+
+  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196)
 }

@@ -68,6 +68,43 @@ class PlannerSpec extends AnyFunSuite {
     assert(merged == direct) // bit-equal: max-merge of registers is exact
   }
 
+  test("fused PoissonWeights equals the composable hash60 form, and E[w] ≈ 1") {
+    val keys = Tables.lineitem(spark, sf)
+      .select(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")).as("key"))
+    val fused = keys.select(col("key"),
+        posexplode(graft.functions.BootstrapExpr.poissonWeights(
+          col("key"), 8, Bootstrap.Thresholds)).as(Seq("b", "w")))
+    val composable = keys
+      .withColumn("b", explode(sequence(lit(0), lit(7))))
+      .withColumn("w2", Bootstrap.poissonWeight(Sketches.hash60(
+        concat(col("key"), lit("|"), col("b").cast("string")))))
+    val diff = fused.join(composable, Seq("key", "b"))
+      .where(col("w") =!= col("w2")).count()
+    assert(diff == 0L)
+    // capped Poisson(1): mean weight within a few % of 1
+    val meanW = fused.agg(avg("w")).as[Double].collect().head
+    assert(meanW > 0.93 && meanW < 1.05, s"mean weight $meanW")
+  }
+
+  test("bootstrap CI brackets the point mean and shrinks with n") {
+    val ci = Bootstrap.groupedMeanCI(
+        Tables.lineitem(spark, "/root/testdata/sf0.01"), "l_returnflag",
+        concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string")),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .select("g", "n_rows", "mean_v", "ci_lo", "ci_hi")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(ci.length == 3)
+    ci.foreach { case (g, n, m, lo, hi) =>
+      assert(lo < m && m < hi, s"$g: CI [$lo, $hi] must bracket mean $m")
+      // CLT scale: half-width within ~5 se of se = sd/√n; sd(price) ≈ 30k
+      val half = (hi - lo) / 2
+      assert(half < 5 * 31000.0 / math.sqrt(n.toDouble), s"$g too wide: $half")
+      assert(half > 31000.0 / math.sqrt(n.toDouble) / 5, s"$g too tight: $half")
+    }
+  }
+
   test("layout audit: user-clustered zone maps have zero false positives") {
     // 64 zone "files" under a user-clustered order: a user's rows are
     // contiguous, so every file whose [lo,hi] covers the user MUST
