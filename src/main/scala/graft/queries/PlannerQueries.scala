@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Skew, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Planner-grade profiling and cohort analytics: the queries a 100 TB
@@ -370,5 +371,177 @@ object PlannerQueries {
           col("mean_v"), col("ci_lo"), col("ci_hi")))
   }
 
-  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196)
+  /** Zipf-slope audit of the corpus vocabulary: OLS slope of
+    * floor(log2 freq) on floor(log2 rank) — natural text sits near −1,
+    * so a corpus whose slope drifts is a contamination/boilerplate
+    * smell. Both "logs" are integer bit-lengths (`length(bin(x)) − 1`,
+    * the q172 stance — no libm in the contract) and the OLS closed form
+    * is exact integer sums, so the slope replays bit-for-bit. Ranking
+    * uses [[graft.operators.Rank.globalRank]] over the vocabulary (the
+    * model-sized frame, not the corpus), ties broken by token. */
+  val q197 = QueryDef.sql("q197_zipf_slope",
+    """WITH tok AS (SELECT t AS w FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |    FROM documents) WHERE t <> ''),
+      |cu AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+      |      FROM cu),
+      |xy AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+      |              CAST(length(bin(c)) - 1 AS BIGINT) AS y
+      |       FROM r),
+      |s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM xy)
+      |SELECT CAST(n AS BIGINT) AS vocab_size,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+      |  round((CAST(sy AS DOUBLE)
+      |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE), 6) AS zipf_intercept
+      |FROM s""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val cu = Tables.documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val r = Rank.globalRank(cu, "rank", col("c").unary_-, col("w"))
+      val xy = r.select(
+        expr("CAST(length(bin(rank)) - 1 AS BIGINT)").as("x"),
+        expr("CAST(length(bin(c)) - 1 AS BIGINT)").as("y"))
+      xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").as("vocab_size"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("zipf_slope"),
+          round((col("sy").cast("double")
+              - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                 / (col("n") * col("sxx") - col("sx") * col("sx"))
+                   .cast("double")) * col("sx").cast("double"))
+            / col("n").cast("double"), 6).as("zipf_intercept"))
+    })
+
+  /** Session funnel conversion view → click → purchase: sessions are
+    * 30-min-gap windows (the q186 sessionizer), stage times are per-type
+    * MIN event times within the session, and a stage converts only if
+    * strictly after the previous one. Per-user windows co-partition
+    * with the session grouping — the whole funnel is one shuffle on
+    * user_id. NULL stage times fail the strict < in both engines
+    * identically. */
+  val q198 = QueryDef.sql("q198_funnel_conversion",
+    """WITH p AS (SELECT user_id, ts, event_id, event_type,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_type,
+      |    sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM p),
+      |t AS (SELECT user_id, sess,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |  FROM s GROUP BY 1, 2)
+      |SELECT count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view,
+      |  CAST(sum(CASE WHEN tc > tv THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_click,
+      |  CAST(sum(CASE WHEN tc > tv AND tp > tc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_full,
+      |  round(CAST(sum(CASE WHEN tc > tv THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END), 6)
+      |    AS r_view_click,
+      |  round(CAST(sum(CASE WHEN tc > tv AND tp > tc THEN 1 ELSE 0 END)
+      |      AS DOUBLE)
+      |    / sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END), 6) AS r_full
+      |FROM t""")(
+    (s, dir) => {
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, dir)
+        .withColumn("prev", lag(unix_micros(col("ts")), 1).over(wo))
+        .withColumn("sess", sum(
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - col("prev") > 1800000000L, 1).otherwise(0))
+          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts")))).as("tv"),
+          min(when(col("event_type") === "click", unix_micros(col("ts")))).as("tc"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("tp"))
+      t.agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("tv").isNotNull, 1).otherwise(0)).as("n_view"),
+          sum(when(col("tc") > col("tv"), 1).otherwise(0)).as("n_view_click"),
+          sum(when(col("tc") > col("tv") && col("tp") > col("tc"), 1)
+            .otherwise(0)).as("n_full"))
+        .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+          col("n_full"),
+          round(col("n_view_click").cast("double") / col("n_view"), 6)
+            .as("r_view_click"),
+          round(col("n_full").cast("double") / col("n_view"), 6).as("r_full"))
+    })
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent view/click strictly before it and within a 7-day
+    * window, else 'none'. One per-user ordered window carries the last
+    * touch forward (`last(..., ignoreNulls)` over the preceding frame —
+    * both the touch time and its type resolve from the SAME row, so the
+    * pair is consistent); no self-join of the event stream. The shape a
+    * marketing warehouse runs daily at fact-table scale: one shuffle on
+    * user_id, then a 3-row aggregate. */
+  val q199 = QueryDef.sql("q199_attribution",
+    """WITH e AS (SELECT user_id, ts, event_id, event_type,
+      |    epoch_us(ts) AS us,
+      |    CASE WHEN event_type IN ('view', 'click') THEN epoch_us(ts) END
+      |      AS touch_us,
+      |    CASE WHEN event_type IN ('view', 'click') THEN event_type END
+      |      AS touch_ty
+      |  FROM events),
+      |w AS (SELECT user_id, us, event_type,
+      |    last_value(touch_us IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_us,
+      |    last_value(touch_ty IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ty
+      |  FROM e),
+      |a AS (SELECT CASE WHEN lt_us IS NOT NULL
+      |        AND us - lt_us <= 604800000000 THEN lt_ty
+      |        ELSE 'none' END AS touch_type
+      |  FROM w WHERE event_type = 'purchase'),
+      |tot AS (SELECT count(*) AS n FROM a)
+      |SELECT touch_type, count(*) AS n_purchases,
+      |  round(CAST(count(*) AS DOUBLE) / max(tot.n), 6) AS share
+      |FROM a, tot GROUP BY touch_type""")(
+    (s, dir) => {
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("touch_us", when(
+          col("event_type").isin("view", "click"), col("us")))
+        .withColumn("touch_ty", when(
+          col("event_type").isin("view", "click"), col("event_type")))
+        .withColumn("lt_us", last(col("touch_us"), ignoreNulls = true).over(wo))
+        .withColumn("lt_ty", last(col("touch_ty"), ignoreNulls = true).over(wo))
+      val a = w.where(col("event_type") === "purchase")
+        .select(when(col("lt_us").isNotNull &&
+            col("us") - col("lt_us") <= 604800000000L, col("lt_ty"))
+          .otherwise("none").as("touch_type"))
+      val tot = a.count()
+      a.groupBy("touch_type").agg(count(lit(1)).as("n_purchases"))
+        .select(col("touch_type"), col("n_purchases"),
+          round(col("n_purchases").cast("double") / lit(tot.toDouble), 6)
+            .as("share"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
+    q197, q198, q199)
 }
