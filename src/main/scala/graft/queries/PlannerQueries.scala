@@ -542,6 +542,87 @@ object PlannerQueries {
             .as("share"))
     })
 
+  /** Cumulative distinct users per day ("users to date") — the
+    * dashboard curve that naively costs one full history re-scan per
+    * day. Two scale-correct forms side by side:
+    * exact — each user contributes on their FIRST day only, so the
+    * curve is a cumulative sum over per-day first-appearance counts
+    * (one aggregate + a days-sized window);
+    * sketch — per-day HLL registers max-merged along the time axis
+    * (each register carried forward to every observed day ≥ it), so
+    * day d's estimate is exactly the sketch of days ≤ d without
+    * touching any earlier raw data — the day-d registers are what a
+    * nightly job would persist, and tomorrow's curve point is one
+    * 256-row merge. Both
+    * replay bit-for-bit (the q51 portable-HLL stance); rel_err is the
+    * observed sketch error at each day. */
+  val q200 = {
+    import graft.operators.Sketches
+    val rhoCase = Sketches.rhoSql(s"(h & ${(1L << Sketches.RemBits) - 1})")
+    val m = Sketches.Buckets
+    val ew = Sketches.EmptyWeight
+    val est = s"${Sketches.alphaSql} * ${m.toDouble}::DOUBLE * " +
+      s"${m.toDouble}::DOUBLE * ${ew.toDouble}::DOUBLE"
+    QueryDef.sql("q200_cume_distinct",
+      s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+         |  FROM events GROUP BY 1),
+         |nw AS (SELECT d0 AS day, count(*) AS new_users FROM f GROUP BY 1),
+         |ex AS (SELECT day,
+         |    sum(new_users) OVER (ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS cume_users
+         |  FROM nw),
+         |h AS (SELECT CAST(ts AS DATE) AS day,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM events),
+         |reg AS (SELECT day, h >> ${Sketches.RemBits} AS bucket,
+         |    max($rhoCase) AS rho
+         |  FROM h GROUP BY day, h >> ${Sketches.RemBits}),
+         |-- a register persists on days after its bucket's last update:
+         |-- carry each (day, bucket) forward to every OBSERVED day ≥ it,
+         |-- keeping the max (register merge along the time axis)
+         |days AS (SELECT DISTINCT day FROM reg),
+         |carry AS (SELECT d.day, r.bucket, max(r.rho) AS rho
+         |  FROM days d JOIN reg r ON r.day <= d.day
+         |  GROUP BY 1, 2),
+         |e AS (SELECT day, count(*) AS present,
+         |    SUM(1::BIGINT << (${Sketches.RemBits + 1} - rho)) AS s_present
+         |  FROM carry GROUP BY 1),
+         |hll AS (SELECT day,
+         |    $est / CAST(s_present + ($m - present) * $ew AS DOUBLE)
+         |      AS hll_users
+         |  FROM e)
+         |SELECT ex.day, CAST(ex.cume_users AS BIGINT) AS cume_users,
+         |  hll.hll_users,
+         |  round(abs(hll.hll_users - ex.cume_users) / ex.cume_users, 6)
+         |    AS rel_err
+         |FROM ex JOIN hll ON ex.day = hll.day""")(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val ex = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+          .groupBy(col("d0").as("day")).agg(count(lit(1)).as("new_users"))
+          .select(col("day"), sum(col("new_users")).over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cume_users"))
+        val regs = Sketches.hllRegisters(ev, "day", "user_id")
+        // carry each register forward to every observed day ≥ its day —
+        // the register table is (days × 256) rows, model-sized; the
+        // days⋈run join is bounded by |days|² × 256
+        val days = regs.select("day").distinct()
+        val carry = broadcast(days.withColumnRenamed("day", "d"))
+          .join(regs, col("day") <= col("d"))
+          .groupBy(col("d"), col("bucket")).agg(max("rho").as("rho"))
+          .withColumnRenamed("d", "day")
+        val hll = Sketches.hllEstimate(carry, "day", "users")
+        ex.join(hll, "day")
+          .select(col("day"), col("cume_users"), col("hll_users"),
+            round(abs(col("hll_users") - col("cume_users")) /
+              col("cume_users"), 6).as("rel_err"))
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199)
+    q197, q198, q199, q200)
 }
