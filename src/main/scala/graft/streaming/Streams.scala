@@ -491,4 +491,48 @@ object Streams {
       .agg(sum(col("__sign").cast("long")).as("n"),
         sum(col("__sign").cast("long") * valueCol.cast("long")).as("s"))
       .where(col("n") > 0)
+
+  final case class Attribution(event_id: Long, user_id: Long,
+                               touch_type: String)
+  // public: the state encoder's generated code instantiates it
+  final case class TouchState(us: Long, ty: String)
+
+  /** Streaming twin of q199's last-touch attribution: per-user state is
+    * ONE (time, type) pair — the most recent view/click — and each
+    * purchase emits its attribution the moment it arrives, instead of
+    * the batch query's full-history window. Events are ordered by
+    * (µs, event_id) within each micro-batch and state updates AFTER the
+    * purchase check, which reproduces the batch window's
+    * `ROWS … AND 1 PRECEDING` frame exactly; an in-order replay matches
+    * q199's per-purchase attribution bit-for-bit (StreamsSpec). State is
+    * O(16 bytes) per user, constant in stream length. Timestamps carry
+    * Timestamp.getNanos µs precision — ms-only arithmetic would break
+    * ties differently from the batch `unix_micros` ordering. */
+  def attributionStream(events: Dataset[Event],
+                        windowUs: Long = 7L * 24 * 3600 * 1000000L):
+      Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    def usOf(e: Event): Long =
+      math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[TouchState]) =>
+          val sorted = it.toSeq.sortBy(e => (usOf(e), e.event_id))
+          val out = Seq.newBuilder[Attribution]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val us = usOf(e)
+            if (e.event_type == "purchase") {
+              val ty = if (st != null && us - st.us <= windowUs) st.ty
+                       else "none"
+              out += Attribution(e.event_id, user, ty)
+            }
+            if (e.event_type == "view" || e.event_type == "click")
+              st = TouchState(us, e.event_type)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

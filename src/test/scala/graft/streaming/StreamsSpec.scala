@@ -521,4 +521,54 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.exists(_._3 > 0), "want at least one seen chunk")
   }
+
+  test("streaming attribution matches the q199 batch window per purchase") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{last, unix_micros}
+    val evDf = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // batch per-purchase attribution: q199's internals at row grain
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = evDf
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("tu", when(col("event_type").isin("view", "click"), col("us")))
+      .withColumn("tt", when(col("event_type").isin("view", "click"),
+        col("event_type")))
+      .withColumn("lt_us", last(col("tu"), ignoreNulls = true).over(wo))
+      .withColumn("lt_ty", last(col("tt"), ignoreNulls = true).over(wo))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        when(col("lt_us").isNotNull &&
+          col("us") - col("lt_us") <= 604800000000L, col("lt_ty"))
+          .otherwise("none").as("touch_type"))
+      .as[Streams.Attribution].collect().toSet
+    assert(want.nonEmpty)
+
+    val evs = evDf
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+
+    // batch-mode execution of the stateful twin
+    val inBatch = Streams.attributionStream(evs.toSeq.toDS()).collect().toSet
+    assert(inBatch == want)
+
+    // micro-batched replay split at the time median: state must carry
+    // the last touch across the batch boundary
+    val cut = evs(evs.length / 2).ts.getTime
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.attributionStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    mem.addData(evs.filter(_.ts.getTime < cut).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(evs.filter(_.ts.getTime >= cut).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .as[Streams.Attribution].collect().toSet
+    assert(streamed == want)
+  }
 }
