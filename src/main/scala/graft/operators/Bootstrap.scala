@@ -97,4 +97,52 @@ object Bootstrap {
           .as("mean_v"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Two-sample bootstrap: CI on mean(gA) − mean(gB). The SAME B
+    * replicates resample both groups (keys are globally unique, so the
+    * draws are independent between groups), each replicate yields one
+    * difference, and the CI is the 2nd/(B−1)th order statistic of the
+    * differences — the A/B-test read-out. One pass over both groups
+    * together; everything else as [[groupedMeanCI]]. Returns one row:
+    * (n_a, n_b, diff_mean, ci_lo, ci_hi). */
+  def diffMeanCI(df: DataFrame, groupCol: String, gA: String, gB: String,
+                 keyCol: Column, cents: Column, scale: Double = 100.0,
+                 b: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(groupCol).isin(gA, gB))
+      .select(col(groupCol).as("g"), keyCol.as("key"), cents.as("cents"))
+    val rep = base
+      .select(col("g"), col("cents"),
+        posexplode(graft.functions.BootstrapExpr.poissonWeights(
+          col("key"), b, Thresholds)).as(Seq("b", "w")))
+      .where(col("w") > 0)
+      .groupBy("g", "b")
+      .agg(sum(col("w") * col("cents")).as("s"), sum(col("w")).as("n"))
+      .withColumn("mean_b",
+        col("s").cast("double") / (col("n").cast("double") * lit(scale)))
+      .localCheckpoint(true) // both group slices + the window read it
+    val diffs = rep.where(col("g") === gA)
+      .select(col("b"), col("mean_b").as("ma"))
+      .join(rep.where(col("g") === gB)
+        .select(col("b"), col("mean_b").as("mb")), "b")
+      .withColumn("d", col("ma") - col("mb"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("d"), col("b")))) // B rows — bounded window
+    val pt = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    val pa = pt.where(col("g") === gA)
+      .select(col("n").as("n_a"), col("sc").as("sa"))
+    val pb = pt.where(col("g") === gB)
+      .select(col("n").as("n_b"), col("sc").as("sb"))
+    pa.crossJoin(pb)
+      .crossJoin(diffs.where(col("rn") === 2)
+        .select(round(col("d"), 6).as("ci_lo")))
+      .crossJoin(diffs.where(col("rn") === b - 1)
+        .select(round(col("d"), 6).as("ci_hi")))
+      .select(col("n_a"), col("n_b"),
+        round(col("sa").cast("double") / (col("n_a") * lit(scale)) -
+          col("sb").cast("double") / (col("n_b") * lit(scale)), 6)
+          .as("diff_mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -623,6 +623,86 @@ object PlannerQueries {
       })
   }
 
+  /** Time-decayed engagement with a daily half-life and ZERO libm:
+    * weight(age) = 2^−age is a sum of exact binary fractions, so the
+    * decayed count is maintained as the exact integer
+    * Σ 2^(30 − min(age, 30)) — deterministic under any partitioning
+    * and any summation order (a float `pow`/`exp` would be neither
+    * cross-engine stable nor order-exact). The feature-store recency
+    * feature, computable incrementally: yesterday's register halves
+    * (one shift) and today's events add 2^30 each. */
+  val q201 = QueryDef.sql("q201_decayed_engagement",
+    """WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+      |e AS (SELECT event_type,
+      |    least(date_diff('day', CAST(ts AS DATE), ref), 30) AS age
+      |  FROM events, r)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(1::BIGINT << (30 - age)) AS BIGINT) AS decayed_scaled,
+      |  round(CAST(sum(1::BIGINT << (30 - age)) AS DOUBLE) / 1073741824.0,
+      |    6) AS decayed
+      |FROM e GROUP BY 1""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ref = ev.agg(max(to_date(col("ts"))).as("ref"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("event_type"),
+          least(datediff(col("ref"), to_date(col("ts"))), lit(30)).as("age"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("shiftleft(1L, 30 - age)")).as("decayed_scaled"))
+        .select(col("event_type"), col("n_events"), col("decayed_scaled"),
+          round(col("decayed_scaled").cast("double") / lit(1073741824.0), 6)
+            .as("decayed"))
+    })
+
+  /** A/B read-out: bootstrap CI on mean(value | purchase) −
+    * mean(value | click) — see [[graft.operators.Bootstrap.diffMeanCI]].
+    * Same B = 64 deterministic replicates resample BOTH arms in one
+    * pass; the interval is the 2nd/63rd order statistic of the
+    * per-replicate differences. If the CI excludes 0, ship it. */
+  val q202 = {
+    import graft.operators.Bootstrap
+    val wCase = Bootstrap.poissonWeightSql("h")
+    QueryDef.sql("q202_ab_bootstrap",
+      s"""WITH ev AS (SELECT event_type AS g,
+         |    CAST(event_id AS VARCHAR) AS key,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |e AS (SELECT g, key, cents, unnest(range(64)) AS b FROM ev),
+         |w AS (SELECT g, b, cents, $wCase AS w
+         |  FROM (SELECT *,
+         |      ('0x' || substring(md5(key || '|' || CAST(b AS VARCHAR)),
+         |        1, 15))::BIGINT AS h
+         |    FROM e)),
+         |m AS (SELECT g, b, CAST(sum(w * cents) AS BIGINT) AS s,
+         |    CAST(sum(w) AS BIGINT) AS n
+         |  FROM w WHERE w > 0 GROUP BY 1, 2),
+         |mb AS (SELECT g, b,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean_b
+         |  FROM m),
+         |d AS (SELECT a.b, a.mean_b - c.mean_b AS d
+         |  FROM mb a JOIN mb c ON a.b = c.b
+         |  WHERE a.g = 'purchase' AND c.g = 'click'),
+         |r AS (SELECT d, row_number() OVER (ORDER BY d, b) AS rn FROM d),
+         |pt AS (SELECT g, count(*) AS n, sum(cents) AS sc FROM ev
+         |       GROUP BY 1)
+         |SELECT pa.n AS n_a, pb.n AS n_b,
+         |  round(CAST(pa.sc AS DOUBLE) / (pa.n * 1000000.0)
+         |    - CAST(pb.sc AS DOUBLE) / (pb.n * 1000000.0), 6) AS diff_mean,
+         |  (SELECT round(d, 6) FROM r WHERE rn = 2) AS ci_lo,
+         |  (SELECT round(d, 6) FROM r WHERE rn = 63) AS ci_hi
+         |FROM (SELECT n, sc FROM pt WHERE g = 'purchase') pa,
+         |     (SELECT n, sc FROM pt WHERE g = 'click') pb""")(
+      (s, dir) => Bootstrap.diffMeanCI(
+          Tables.events(s, dir), "event_type", "purchase", "click",
+          col("event_id").cast("string"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long"),
+          scale = 1000000.0)
+        .select(
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          col("diff_mean"), col("ci_lo"), col("ci_hi")))
+  }
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200)
+    q197, q198, q199, q200, q201, q202)
 }
