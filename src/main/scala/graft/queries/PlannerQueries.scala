@@ -567,10 +567,11 @@ object PlannerQueries {
       s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
          |  FROM events GROUP BY 1),
          |nw AS (SELECT d0 AS day, count(*) AS new_users FROM f GROUP BY 1),
-         |ex AS (SELECT day,
-         |    sum(new_users) OVER (ORDER BY day
+         |alldays AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+         |ex AS (SELECT d.day,
+         |    sum(coalesce(nw.new_users, 0)) OVER (ORDER BY d.day
          |      ROWS UNBOUNDED PRECEDING) AS cume_users
-         |  FROM nw),
+         |  FROM alldays d LEFT JOIN nw ON nw.day = d.day),
          |h AS (SELECT CAST(ts AS DATE) AS day,
          |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
          |      AS h
@@ -600,9 +601,11 @@ object PlannerQueries {
       (s, dir) => {
         val ev = Tables.events(s, dir)
           .select(to_date(col("ts")).as("day"), col("user_id"))
-        val ex = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+        val nw = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
           .groupBy(col("d0").as("day")).agg(count(lit(1)).as("new_users"))
-          .select(col("day"), sum(col("new_users")).over(
+        val ex = ev.select("day").distinct()
+          .join(nw, Seq("day"), "left")
+          .select(col("day"), sum(coalesce(col("new_users"), lit(0L))).over(
             Window.orderBy("day")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("cume_users"))
@@ -703,6 +706,94 @@ object PlannerQueries {
           col("diff_mean"), col("ci_lo"), col("ci_hi")))
   }
 
+  /** Robust anomaly days: per event type, flag days whose count sits
+    * more than 3·1.4826·MAD from the per-type median (the
+    * normal-consistent MAD z-score — outlier-proof where mean/stddev
+    * is not). The medians run over the AGGREGATED (type × day) frame —
+    * bounded, never the raw events — so the whole monitor is one
+    * count aggregate plus two tiny percentile passes. MAD = 0 (a
+    * metronome-flat week) degrades to flagging any deviation. */
+  val q203 = QueryDef.sql("q203_mad_anomaly_days",
+    """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+      |  FROM c GROUP BY 1),
+      |dev AS (SELECT c.event_type, c.day, c.n, med.med,
+      |    abs(c.n - med.med) AS ab
+      |  FROM c JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(ab, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.event_type, dev.day, CAST(dev.n AS BIGINT) AS n,
+      |  round(dev.med, 6) AS med, round(mad.mad, 6) AS mad,
+      |  CASE WHEN mad.mad > 0 THEN dev.ab > 4.4478 * mad.mad
+      |       ELSE dev.ab > 0 END AS is_anomaly
+      |FROM dev JOIN mad USING (event_type)""")(
+    (s, dir) => {
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = c.groupBy("event_type")
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val dev = c.join(broadcast(med), "event_type")
+        .withColumn("ab", abs(col("n") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(ab, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          when(col("mad") > 0, col("ab") > lit(4.4478) * col("mad"))
+            .otherwise(col("ab") > 0).as("is_anomaly"))
+    })
+
+  /** CUSUM changepoint per event type: the day t maximizing
+    * |T·S_t − t·C| (cumulative count vs the uniform-rate line, cross-
+    * multiplied so the statistic stays exact integer; the normalized
+    * stat divides once at the end). The drift detector a monitoring
+    * pipeline runs per metric — everything after the daily-count
+    * aggregate is bounded by |days|. Ties break to the earliest day. */
+  val q204 = QueryDef.sql("q204_cusum_changepoint",
+    """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, day, n,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS cume,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    count(*) OVER (PARTITION BY event_type) AS tt,
+      |    sum(n) OVER (PARTITION BY event_type) AS tot
+      |  FROM c),
+      |d AS (SELECT event_type, day,
+      |    abs(tt * cume - t * tot) AS stat, tt, tot,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(tt * cume - t * tot) DESC, day) AS rk
+      |  FROM s)
+      |SELECT event_type, day AS cp_day,
+      |  CAST(stat AS BIGINT) AS cusum_stat,
+      |  round(CAST(stat AS DOUBLE) / (tt * tot), 6) AS cusum_norm
+      |FROM d WHERE rk = 1""")(
+    (s, dir) => {
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy("event_type")
+      val wo = wp.orderBy("day")
+      val st = c
+        .withColumn("cume", sum("n").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t", row_number().over(wo))
+        .withColumn("tt", count(lit(1)).over(wp))
+        .withColumn("tot", sum("n").over(wp))
+        .withColumn("stat", abs(col("tt") * col("cume") - col("t") * col("tot")))
+        .withColumn("rk", row_number().over(
+          wp.orderBy(col("stat").desc, col("day"))))
+      st.where(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("stat").as("cusum_stat"),
+          round(col("stat").cast("double") / (col("tt") * col("tot")), 6)
+            .as("cusum_norm"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202)
+    q197, q198, q199, q200, q201, q202, q203, q204)
 }
