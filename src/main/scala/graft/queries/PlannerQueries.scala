@@ -794,6 +794,85 @@ object PlannerQueries {
             .as("cusum_norm"))
     })
 
+  /** Priority sampling (Duffield–Lund–Thorup): ONE weighted sample of
+    * k = 1000 rows answers ANY subset-sum query afterwards — est(S) =
+    * Σ_{kept ∩ S} max(w, τ) with τ the (k+1)-th priority. Priorities
+    * are w/u with u the md5-uniform of the row id, so the sample is
+    * deterministic and the whole construction replays in DuckDB. The
+    * sample itself comes from the one-pass bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate (n·k shuffle, never a
+    * global sort); the oracle ranks explicitly. τ is integerized to
+    * cents so the estimator sum stays exact under any order. Reported
+    * per returnflag: exact revenue vs the estimate from the shared
+    * 1000-row sample. */
+  val q205 = {
+    val two60 = "1152921504606846976.0"
+    QueryDef.sql("q205_priority_sample",
+      s"""WITH b AS (SELECT l_returnflag,
+         |    CAST(l_orderkey AS VARCHAR) || '|' ||
+         |    CAST(l_linenumber AS VARCHAR) || '|' ||
+         |    CAST(l_partkey AS VARCHAR) || '|' ||
+         |    CAST(l_suppkey AS VARCHAR) AS key,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM lineitem),
+         |p AS (SELECT *, CAST(cents AS DOUBLE) * $two60
+         |    / (CAST(h AS DOUBLE) + 1.0) AS q
+         |  FROM (SELECT *, ('0x' || substring(md5(key), 1, 15))::BIGINT AS h
+         |        FROM b)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY q DESC, h) AS rn
+         |      FROM p),
+         |tau AS (SELECT CAST(round(q) AS BIGINT) AS tau_c FROM r
+         |        WHERE rn = 1001),
+         |kept AS (SELECT h FROM r WHERE rn <= 1000),
+         |est AS (SELECT p.l_returnflag, count(*) AS n_sampled,
+         |    CAST(sum(greatest(p.cents, tau.tau_c)) AS BIGINT) AS est_cents
+         |  FROM p JOIN kept USING (h), tau GROUP BY 1),
+         |ex AS (SELECT l_returnflag, CAST(sum(cents) AS BIGINT)
+         |    AS exact_cents FROM b GROUP BY 1)
+         |SELECT ex.l_returnflag, ex.exact_cents, est.n_sampled,
+         |  est.est_cents,
+         |  round(CAST(abs(est.est_cents - ex.exact_cents) AS DOUBLE)
+         |    / ex.exact_cents, 6) AS rel_err
+         |FROM ex JOIN est USING (l_returnflag)""")(
+      (s, dir) => {
+        import graft.operators.Sketches
+        val k = 1000
+        val base = Tables.lineitem(s, dir).select(col("l_returnflag"),
+          concat(col("l_orderkey").cast("string"), lit("|"),
+            col("l_linenumber").cast("string"), lit("|"),
+            col("l_partkey").cast("string"), lit("|"),
+            col("l_suppkey").cast("string")).as("key"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        val withQ = base
+          .withColumn("h", Sketches.hash60(col("key")))
+          .withColumn("q", col("cents").cast("double") *
+            lit(1152921504606846976.0) / (col("h").cast("double") + lit(1.0)))
+          .localCheckpoint(true) // feeds the heap AND the kept join-back
+        val top = withQ
+          .agg(graft.functions.TopKAggregate.topkByScore(
+            col("q"), col("h"), k + 1).as("tk"))
+          .select(posexplode(col("tk")).as(Seq("pos", "p")))
+          .select(col("pos"), col("p.score").as("q"), col("p.id").as("h"))
+          .localCheckpoint(true) // 1001 rows; consumed twice below
+        val tau = top.where(col("pos") === k)
+          .select(round(col("q")).cast("long").as("tau_c"))
+        val kept = top.where(col("pos") < k).select("h")
+        val est = withQ.join(broadcast(kept), "h")
+          .crossJoin(broadcast(tau))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(greatest(col("cents"), col("tau_c"))).as("est_cents"))
+        base.groupBy("l_returnflag").agg(sum("cents").as("exact_cents"))
+          .join(est, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_cents"), col("n_sampled"),
+            col("est_cents"),
+            round(abs(col("est_cents") - col("exact_cents")).cast("double")
+              / col("exact_cents"), 6).as("rel_err"))
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q203, q204)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205)
 }
