@@ -105,6 +105,24 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("priority sample: 1000-row sample estimates group revenue within 15%") {
+    val got = graft.SparkEntry.queries("q205_priority_sample")(
+        spark, "/root/testdata/sf0.01")
+      .select("l_returnflag", "rel_err").as[(String, Double)].collect()
+    assert(got.length == 3)
+    got.foreach { case (g, e) => assert(e < 0.15, s"$g rel_err $e") }
+  }
+
+  test("A/B bootstrap: the CI brackets the point difference") {
+    val got = graft.SparkEntry.queries("q202_ab_bootstrap")(
+        spark, "/root/testdata/sf0.01")
+      .select("diff_mean", "ci_lo", "ci_hi")
+      .as[(Double, Double, Double)].collect().head
+    val (d, lo, hi) = got
+    assert(lo < d && d < hi, s"CI [$lo, $hi] must bracket $d")
+    assert(hi - lo < 10.0, s"CI too wide for n≈20k: [$lo, $hi]")
+  }
+
   test("layout audit: user-clustered zone maps have zero false positives") {
     // 64 zone "files" under a user-clustered order: a user's rows are
     // contiguous, so every file whose [lo,hi] covers the user MUST
