@@ -65,22 +65,10 @@ object Bootstrap {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(groupCol).as("g"), keyCol.as("key"),
       cents.as("cents"))
-    // pinned: the ×B exploded pass reduces to (groups × B) rows here, and
+    // pinned: the replicate pass reduces to (groups × B) rows here, and
     // BOTH order-statistic joins below consume it — without the pin each
-    // join re-runs the replicate pass (the Reconcile drill-down lesson,
-    // SCALING.md). The weights come from the fused
-    // [[graft.functions.PoissonWeights]] expression — one md5 state per
-    // task, all B draws per invocation; the composable
-    // hash60(concat(key,'|',b)) form is bit-identical (PlannerSpec) but
-    // pays Spark's per-call Md5 overhead B times per row (measured 69 s
-    // → 7 s for the sf0.1 replicate pass).
-    val rep = base
-      .select(col("g"), col("cents"),
-        posexplode(graft.functions.BootstrapExpr.poissonWeights(
-          col("key"), b, Thresholds)).as(Seq("b", "w")))
-      .where(col("w") > 0)
-      .groupBy("g", "b")
-      .agg(sum(col("w") * col("cents")).as("s"), sum(col("w")).as("n"))
+    // join re-runs it (the Reconcile drill-down lesson, SCALING.md).
+    val rep = replicateSums(base, b)
       .withColumn("mean_b",
         col("s").cast("double") / (col("n").cast("double") * lit(scale)))
       .localCheckpoint(true)
@@ -98,6 +86,25 @@ object Bootstrap {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** The (g, b, s = Σ w·cents, n = Σ w) replicate table over a
+    * `(g, key, cents)` frame — via the one-pass
+    * [[graft.functions.BootstrapSums]] aggregate: the B-way fan-out
+    * lives inside a 2B-long combiner buffer, so the shuffle carries
+    * groups × 2B longs, independent of row count (the explode-×B
+    * formulation it replaces shuffled nothing either, but pushed B
+    * rows per input row through the aggregation — measured 69 s at
+    * sf0.1 composable, ~7 s fused-explode, ~3 s this form; all three
+    * draw-for-draw identical, PlannerSpec). Replicates that drew no
+    * rows (n = 0, impossible beyond toy sizes) are dropped to match
+    * the exploded form's `w > 0` semantics. */
+  def replicateSums(base: DataFrame, b: Int): DataFrame =
+    base.groupBy("g")
+      .agg(graft.functions.BootstrapExpr.bootstrapSums(
+        col("key"), col("cents"), b, Thresholds).as("bs"))
+      .select(col("g"), posexplode(col("bs")).as(Seq("b", "p")))
+      .select(col("g"), col("b"), col("p.s").as("s"), col("p.n").as("n"))
+      .where(col("n") > 0)
+
   /** Two-sample bootstrap: CI on mean(gA) − mean(gB). The SAME B
     * replicates resample both groups (keys are globally unique, so the
     * draws are independent between groups), each replicate yields one
@@ -111,13 +118,7 @@ object Bootstrap {
     import org.apache.spark.sql.expressions.Window
     val base = df.where(col(groupCol).isin(gA, gB))
       .select(col(groupCol).as("g"), keyCol.as("key"), cents.as("cents"))
-    val rep = base
-      .select(col("g"), col("cents"),
-        posexplode(graft.functions.BootstrapExpr.poissonWeights(
-          col("key"), b, Thresholds)).as(Seq("b", "w")))
-      .where(col("w") > 0)
-      .groupBy("g", "b")
-      .agg(sum(col("w") * col("cents")).as("s"), sum(col("w")).as("n"))
+    val rep = replicateSums(base, b)
       .withColumn("mean_b",
         col("s").cast("double") / (col("n").cast("double") * lit(scale)))
       .localCheckpoint(true) // both group slices + the window read it

@@ -105,6 +105,26 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("BootstrapSums aggregate equals the exploded PoissonWeights path") {
+    val base = Tables.lineitem(spark, sf).select(
+      col("l_returnflag").as("g"),
+      concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")).as("key"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val viaAgg = Bootstrap.replicateSums(base, 16)
+      .as[(String, Int, Long, Long)].collect().toSet
+    val viaExplode = base
+      .select(col("g"), col("cents"),
+        posexplode(graft.functions.BootstrapExpr.poissonWeights(
+          col("key"), 16, Bootstrap.Thresholds)).as(Seq("b", "w")))
+      .where(col("w") > 0)
+      .groupBy("g", "b")
+      .agg(sum(col("w") * col("cents")).as("s"), sum(col("w")).as("n"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(viaAgg == viaExplode)
+  }
+
   test("priority sample: 1000-row sample estimates group revenue within 15%") {
     val got = graft.SparkEntry.queries("q205_priority_sample")(
         spark, "/root/testdata/sf0.01")
