@@ -546,6 +546,39 @@ object ScaleStress {
     spark.conf.unset(graft.plans.HammingJoinRewrite.ConfKey)
     sig.unpersist()
     }
+
+    if (sections("bootstrap")) {
+    // --- Poisson-bootstrap replicate pass: composable hash60 chain vs
+    // fused per-row weights expression vs the one-pass combiner
+    // aggregate, on a mult×-inflated fact table (distinct row keys per
+    // replica). B = 64 replicates throughout; all three paths are
+    // draw-for-draw identical (PlannerSpec).
+    import graft.operators.{Bootstrap, Sketches}
+    val li0 = Tables.lineitem(spark, sf)
+    val base = (0 until mult).map { i =>
+      li0.select(col("l_returnflag").as("g"),
+        concat(col("l_orderkey").cast("string"), lit(s"|$i|"),
+          col("l_linenumber").cast("string")).as("key"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    }.reduce(_ unionByName _).cache()
+    println(s"bootstrap input: ${base.count()} rows × 64 replicates")
+    time("replicate sums, composable (explode + hash60 per draw)")(
+      base.withColumn("b", explode(sequence(lit(0), lit(63))))
+        .withColumn("w", Bootstrap.poissonWeight(Sketches.hash60(
+          concat(col("key"), lit("|"), col("b").cast("string")))))
+        .where(col("w") > 0).groupBy("g", "b")
+        .agg(sum(col("w") * col("cents")), sum(col("w"))).count())
+    time("replicate sums, fused weights expression + explode")(
+      base.select(col("g"), col("cents"),
+          posexplode(graft.functions.BootstrapExpr.poissonWeights(
+            col("key"), 64, Bootstrap.Thresholds)).as(Seq("b", "w")))
+        .where(col("w") > 0).groupBy("g", "b")
+        .agg(sum(col("w") * col("cents")), sum(col("w"))).count())
+    time("replicate sums, one-pass combiner aggregate")(
+      Bootstrap.replicateSums(base, 64).count())
+    base.unpersist()
+    }
     spark.stop()
   }
 }
