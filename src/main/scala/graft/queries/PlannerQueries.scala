@@ -873,6 +873,56 @@ object PlannerQueries {
       })
   }
 
+  /** Permissive JSON ingest with quarantine accounting — the
+    * semi-structured twin of the CSV try_cast quarantine (SURVEY §2.1
+    * S2): a deterministic 1% of `props` payloads are mangled, then
+    * parsed with an explicit schema; unparseable records are COUNTED
+    * per type (the load-report metric), never dropped silently, and
+    * the valid remainder aggregates normally. The corruption is
+    * LEADING garbage ('X' prefixed) — the one class both parsers
+    * reject identically and completely. Trailing garbage does NOT
+    * work (Jackson accepts it, `json_valid` refuses) and truncation
+    * does not either (Jackson's partial-results mode salvages the
+    * parsed prefix) — both measured, not guessed. Corruption is
+    * detected as "schema field unextractable", which also covers
+    * payloads that are valid JSON of the wrong shape. */
+  val q206 = QueryDef.sql("q206_json_quarantine",
+    """WITH m AS (SELECT event_type,
+      |    CASE WHEN event_id % 100 = 0 THEN 'X' || props
+      |         ELSE props END AS pj
+      |  FROM events),
+      |p AS (SELECT event_type,
+      |    CASE WHEN json_valid(pj)
+      |         THEN CAST(json_extract(pj, '$.k') AS BIGINT) END AS k
+      |  FROM m),
+      |q AS (SELECT event_type, k,
+      |    CASE WHEN k IS NULL THEN 1 ELSE 0 END AS bad FROM p)
+      |SELECT event_type, count(*) AS n_rows,
+      |  CAST(sum(bad) AS BIGINT) AS n_quarantined,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  round(CAST(sum(bad) AS DOUBLE) / count(*), 6) AS quarantine_rate
+      |FROM q GROUP BY 1""")(
+    (s, dir) => {
+      val m = Tables.events(s, dir)
+        .select(col("event_type"),
+          when(col("event_id") % 100 === 0, concat(lit("X"), col("props")))
+            .otherwise(col("props")).as("pj"))
+      val p = m.select(col("event_type"),
+        from_json(col("pj"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).as("j"))
+      p.select(col("event_type"),
+          col("j.k").isNull.cast("long").as("bad"),
+          col("j.k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum(col("bad")).as("n_quarantined"),
+          sum(col("k")).as("sum_k"))
+        .select(col("event_type"), col("n_rows"), col("n_quarantined"),
+          col("sum_k"),
+          round(col("n_quarantined").cast("double") / col("n_rows"), 6)
+            .as("quarantine_rate"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q203, q204, q205)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
 }
