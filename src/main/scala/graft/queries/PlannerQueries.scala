@@ -923,6 +923,143 @@ object PlannerQueries {
             .as("quarantine_rate"))
     })
 
+  /** Sliding 7-day active users (WAU) per day — the windowed sibling of
+    * q200's cumulative curve: per-day HLL registers max-merged over a
+    * 7-day window. The exact twin (distinct users per window) rides
+    * along as the yardstick; at 100 TB the per-day registers are the
+    * persisted artifact and each day's WAU is a ≤ 7×256-row merge,
+    * where the exact form re-touches seven days of raw history per
+    * day. Same portable-HLL register machinery as q51/q194/q200. */
+  val q207 = {
+    import graft.operators.Sketches
+    val rhoCase = Sketches.rhoSql(s"(h & ${(1L << Sketches.RemBits) - 1})")
+    val m = Sketches.Buckets
+    val ew = Sketches.EmptyWeight
+    val est = s"${Sketches.alphaSql} * ${m.toDouble}::DOUBLE * " +
+      s"${m.toDouble}::DOUBLE * ${ew.toDouble}::DOUBLE"
+    QueryDef.sql("q207_wau_sketch",
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM du),
+         |exact AS (SELECT d.day, count(DISTINCT du.user_id) AS wau_exact
+         |  FROM days d JOIN du
+         |    ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+         |  GROUP BY 1),
+         |h AS (SELECT CAST(ts AS DATE) AS day,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM events),
+         |reg AS (SELECT day, h >> ${Sketches.RemBits} AS bucket,
+         |    max($rhoCase) AS rho
+         |  FROM h GROUP BY day, h >> ${Sketches.RemBits}),
+         |win AS (SELECT d.day, r.bucket, max(r.rho) AS rho
+         |  FROM days d JOIN reg r
+         |    ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+         |  GROUP BY 1, 2),
+         |e AS (SELECT day, count(*) AS present,
+         |    SUM(1::BIGINT << (${Sketches.RemBits + 1} - rho)) AS s_present
+         |  FROM win GROUP BY 1),
+         |hll AS (SELECT day,
+         |    $est / CAST(s_present + ($m - present) * $ew AS DOUBLE)
+         |      AS wau_hll
+         |  FROM e)
+         |SELECT exact.day, CAST(exact.wau_exact AS BIGINT) AS wau_exact,
+         |  hll.wau_hll,
+         |  round(abs(hll.wau_hll - exact.wau_exact) / exact.wau_exact, 6)
+         |    AS rel_err
+         |FROM exact JOIN hll ON exact.day = hll.day""")(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val du = ev.distinct()
+        val days = du.select("day").distinct()
+        val dd = broadcast(days.withColumnRenamed("day", "d"))
+        val exact = dd
+          .join(du, col("day") >= date_sub(col("d"), 6) &&
+            col("day") <= col("d"))
+          .groupBy(col("d")).agg(countDistinct("user_id").as("wau_exact"))
+        val regs = Sketches.hllRegisters(ev, "day", "user_id")
+        val win = dd
+          .join(regs, col("day") >= date_sub(col("d"), 6) &&
+            col("day") <= col("d"))
+          .groupBy(col("d"), col("bucket")).agg(max("rho").as("rho"))
+        val hll = Sketches.hllEstimate(win, "d", "wau")
+        exact.join(hll, "d")
+          .select(col("d").as("day"), col("wau_exact"),
+            col("hll_wau").as("wau_hll"),
+            round(abs(col("hll_wau") - col("wau_exact")) / col("wau_exact"),
+              6).as("rel_err"))
+      })
+  }
+
+  /** Table size profile — the stats a planner needs BEFORE choosing
+    * join strategies: per table, row count, estimated row width under
+    * an explicit byte model (8 B per numeric/temporal, avg string
+    * length for text), the resulting table estimate in MB, and the
+    * 10 MB broadcast-eligibility verdict the q191/q192 reports combine
+    * with. One map-side-combined aggregate per table; exact integer
+    * sums, one rounded division each at the end. */
+  val q208 = QueryDef.sql("q208_size_profile",
+    """WITH s AS (
+      |  SELECT 'region' AS tbl, count(*) AS n,
+      |    CAST(sum(8 + length(r_name)) AS BIGINT) AS bytes FROM region
+      |  UNION ALL SELECT 'nation', count(*),
+      |    CAST(sum(8 + 8 + length(n_name)) AS BIGINT) FROM nation
+      |  UNION ALL SELECT 'customer', count(*),
+      |    CAST(sum(8 + 8 + 8 + length(c_name) + length(c_mktsegment))
+      |      AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'supplier', count(*),
+      |    CAST(sum(8 + 8 + 8 + length(s_name)) AS BIGINT) FROM supplier
+      |  UNION ALL SELECT 'part', count(*),
+      |    CAST(sum(8 + 8 + 8 + length(p_name) + length(p_brand) +
+      |      length(p_type)) AS BIGINT) FROM part
+      |  UNION ALL SELECT 'orders', count(*),
+      |    CAST(sum(8 + 8 + 8 + 8 + length(o_orderstatus) +
+      |      length(o_orderpriority)) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'lineitem', count(*),
+      |    CAST(sum(8 * 8 + length(l_returnflag) + length(l_linestatus))
+      |      AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'events', count(*),
+      |    CAST(sum(8 + 8 + 8 + 8 + length(event_type) + length(props))
+      |      AS BIGINT) FROM events
+      |  UNION ALL SELECT 'documents', count(*),
+      |    CAST(sum(8 + 8 + length(text) + length(lang) + length(source))
+      |      AS BIGINT) FROM documents)
+      |SELECT tbl, CAST(n AS BIGINT) AS n_rows,
+      |  round(CAST(bytes AS DOUBLE) / n, 6) AS est_row_bytes,
+      |  round(CAST(bytes AS DOUBLE) / 1048576.0, 6) AS est_mb,
+      |  bytes <= 10485760 AS broadcast_ok
+      |FROM s""")(
+    (s, dir) => {
+      def prof(tbl: String, df: org.apache.spark.sql.DataFrame,
+               bytesExpr: String) =
+        df.agg(count(lit(1)).as("n"), sum(expr(bytesExpr)).as("bytes"))
+          .select(lit(tbl).as("tbl"), col("n"), col("bytes"))
+      Seq(
+        prof("region", Tables.region(s, dir), "8 + length(r_name)"),
+        prof("nation", Tables.nation(s, dir), "8 + 8 + length(n_name)"),
+        prof("customer", Tables.customer(s, dir),
+          "8 + 8 + 8 + length(c_name) + length(c_mktsegment)"),
+        prof("supplier", Tables.supplier(s, dir),
+          "8 + 8 + 8 + length(s_name)"),
+        prof("part", Tables.part(s, dir),
+          "8 + 8 + 8 + length(p_name) + length(p_brand) + length(p_type)"),
+        prof("orders", Tables.orders(s, dir),
+          "8 + 8 + 8 + 8 + length(o_orderstatus) + length(o_orderpriority)"),
+        prof("lineitem", Tables.lineitem(s, dir),
+          "8 * 8 + length(l_returnflag) + length(l_linestatus)"),
+        prof("events", Tables.events(s, dir),
+          "8 + 8 + 8 + 8 + length(event_type) + length(props)"),
+        prof("documents", Tables.documents(s, dir),
+          "8 + 8 + length(text) + length(lang) + length(source)"))
+        .reduce(_ unionByName _)
+        .select(col("tbl"), col("n").as("n_rows"),
+          round(col("bytes").cast("double") / col("n"), 6)
+            .as("est_row_bytes"),
+          round(col("bytes").cast("double") / lit(1048576.0), 6).as("est_mb"),
+          (col("bytes") <= 10485760L).as("broadcast_ok"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
 }
