@@ -66,6 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("bottomk_by_key", classOf[BottomKByKey], 3)(e =>
       BottomKByKey(e.head, e(1), intArg(e(2), "bottomk_by_key"))
         .toAggregateExpression())
+    inject("poisson_weights", classOf[PoissonWeights], 2)(e =>
+      PoissonWeights(e.head, intArg(e(1), "poisson_weights"),
+        graft.operators.Bootstrap.Thresholds))
+    inject("bootstrap_sums", classOf[BootstrapSums], 3)(e =>
+      BootstrapSums(e.head, e(1), intArg(e(2), "bootstrap_sums"),
+        graft.operators.Bootstrap.Thresholds).toAggregateExpression())
 
     // band joins written as plain SQL get the Δ-bucket rewrite the
     // BandJoin operator applies by hand (kill switch:

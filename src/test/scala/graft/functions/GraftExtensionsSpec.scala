@@ -39,4 +39,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |(2.0d, 12L) AS v(s, i)""".stripMargin).head().getSeq[Any](0)
     assert(agg.size == 2)
   }
+
+  test("bootstrap functions are callable from SQL") {
+    val w = spark.sql("SELECT poisson_weights('k1', 8) AS w")
+      .head().getSeq[Int](0)
+    assert(w.size == 8 && w.forall(x => x >= 0 && x <= 4))
+    val bs = spark.sql(
+      """SELECT bootstrap_sums(k, c, 4) FROM VALUES ('a', 10L), ('b', 20L),
+        |('c', 30L) AS v(k, c)""".stripMargin).head().getSeq[Any](0)
+    assert(bs.size == 4)
+  }
 }
