@@ -492,6 +492,28 @@ object Streams {
         sum(col("__sign").cast("long") * valueCol.cast("long")).as("s"))
       .where(col("n") > 0)
 
+  /** Streaming twin of [[graft.operators.Sketches.hllRegisters]]: the
+    * per-group HLL register table maintained continuously as rows
+    * arrive. `max(rho)` is commutative, associative and single-valued,
+    * so an update-mode streaming aggregation maintains it exactly —
+    * after any prefix of the stream the state equals the batch
+    * registers of the rows seen so far, bit-for-bit and
+    * batch-boundary-independent (StreamsSpec replays in micro-batches
+    * and asserts parity after every one; the [[fingerprintStream]]
+    * argument). The maintained registers are what q194/q200/q207 then
+    * query for overlaps and distinct-to-date curves WITHOUT re-scanning
+    * history — the nightly-persisted artifact becomes a live one.
+    * State is groups × 256 rows regardless of stream length. */
+  def hllRegisterStream(rows: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    import graft.operators.Sketches
+    val h = Sketches.hash60(col(valueCol))
+    rows.select(col(groupCol), shiftright(h, Sketches.RemBits).as("bucket"),
+        h.bitwiseAND(lit((1L << Sketches.RemBits) - 1)).as("r"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(Sketches.rho(col("r"))).as("rho"))
+  }
+
   final case class Attribution(event_id: Long, user_id: Long,
                                touch_type: String)
   // public: the state encoder's generated code instantiates it

@@ -522,6 +522,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "want at least one seen chunk")
   }
 
+  test("hllRegisterStream state equals batch registers after every micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("g"), col("user_id").as("u"))
+      .as[(String, Long)].collect()
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.hllRegisterStream(mem.toDF().toDF("g", "u"), "g", "u")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3)).toSeq
+    var seen = Vector.empty[(String, Long)]
+    for (chunk <- chunks) {
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+      seen = seen ++ chunk
+      val want = graft.operators.Sketches.hllRegisters(
+        seen.toDF("g", "u"), "g", "u")
+        .as[(String, Long, Int)].collect().toSet
+      val got = spark.table("hll_out").as[(String, Long, Int)].collect().toSet
+      assert(got == want, s"after ${seen.size} rows")
+    }
+    q.stop()
+  }
+
   test("streaming attribution matches the q199 batch window per purchase") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
