@@ -222,8 +222,12 @@ object PlannerQueries {
          |JOIN ex ON ex.et_a = eu.et_a AND ex.et_b = eu.et_b""")(
       (s, dir) => {
         val ev = Tables.events(s, dir)
+        // pinned: types×256 rows, consumed by the per-type estimates AND
+        // every pair merge — without the pin each consumer re-scans and
+        // re-aggregates events (plan-budgeted in PlanQualitySpec)
         val regs = Sketches.hllRegisters(ev, "event_type", "user_id")
-        val types = ev.select("event_type").distinct()
+          .localCheckpoint(true)
+        val types = regs.select("event_type").distinct()
         val pairs = types.select(col("event_type").as("et_a"))
           .crossJoin(types.select(col("event_type").as("et_b")))
           .where(col("et_a") < col("et_b"))

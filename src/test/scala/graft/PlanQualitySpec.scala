@@ -249,6 +249,33 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("planner-profiling queries stay within their scan budgets") {
+    // q191: one scan per profiled table (4), two-level aggregation —
+    // a skew report that re-scanned per statistic would defeat itself
+    val p191 = plan("q191_skew_report")
+    assert("Scan parquet".r.findAllIn(p191).size <= 4, p191)
+    // q192: the three join-cardinality estimates run on key-count
+    // HISTOGRAMS — six scans (lineitem thrice, three dims), and no
+    // row-level join anywhere in the plan
+    val p192 = plan("q192_join_card_est")
+    assert("Scan parquet".r.findAllIn(p192).size <= 6, p192)
+    // q196: the replicate table is pinned before plan construction, so
+    // the returned plan scans lineitem only for the point-estimate pass
+    val p196 = plan("q196_bootstrap_ci")
+    assert("Scan parquet".r.findAllIn(p196).size <= 1, p196)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  test("register-algebra queries scan events once per register build") {
+    // q194: ONE events scan feeds the registers; the pair merge and
+    // estimates run on register-table derivatives (the exact-overlap
+    // yardstick adds its own distinct scan) — budget 3 total
+    val p = plan("q194_hll_overlap")
+    assert("Scan parquet".r.findAllIn(p).size <= 3, p)
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     // q55's cross join is at BLOCK granularity (blocks² rows, each row
     // one packed block) — bounded by construction, not an n² row plan
