@@ -607,17 +607,20 @@ object PlannerQueries {
           .select(to_date(col("ts")).as("day"), col("user_id"))
         val nw = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
           .groupBy(col("d0").as("day")).agg(count(lit(1)).as("new_users"))
-        val ex = ev.select("day").distinct()
+        // pinned: days×256 rows — consumed by the carry join, the day
+        // spine (twice) and the estimate (plan-budgeted)
+        val regs = Sketches.hllRegisters(ev, "day", "user_id")
+          .localCheckpoint(true)
+        // carry each register forward to every observed day ≥ its day —
+        // the register table is (days × 256) rows, model-sized; the
+        // days⋈run join is bounded by |days|² × 256
+        val days = regs.select("day").distinct()
+        val ex = days
           .join(nw, Seq("day"), "left")
           .select(col("day"), sum(coalesce(col("new_users"), lit(0L))).over(
             Window.orderBy("day")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("cume_users"))
-        val regs = Sketches.hllRegisters(ev, "day", "user_id")
-        // carry each register forward to every observed day ≥ its day —
-        // the register table is (days × 256) rows, model-sized; the
-        // days⋈run join is bounded by |days|² × 256
-        val days = regs.select("day").distinct()
         val carry = broadcast(days.withColumnRenamed("day", "d"))
           .join(regs, col("day") <= col("d"))
           .groupBy(col("d"), col("bucket")).agg(max("rho").as("rho"))
@@ -975,7 +978,10 @@ object PlannerQueries {
       (s, dir) => {
         val ev = Tables.events(s, dir)
           .select(to_date(col("ts")).as("day"), col("user_id"))
-        val du = ev.distinct()
+        // pinned: the distinct (day, user) frame feeds both the day
+        // spine and the exact window join; the register table feeds the
+        // sketch merge (plan-budgeted)
+        val du = ev.distinct().localCheckpoint(true)
         val days = du.select("day").distinct()
         val dd = broadcast(days.withColumnRenamed("day", "d"))
         val exact = dd
@@ -983,6 +989,7 @@ object PlannerQueries {
             col("day") <= col("d"))
           .groupBy(col("d")).agg(countDistinct("user_id").as("wau_exact"))
         val regs = Sketches.hllRegisters(ev, "day", "user_id")
+          .localCheckpoint(true)
         val win = dd
           .join(regs, col("day") >= date_sub(col("d"), 6) &&
             col("day") <= col("d"))

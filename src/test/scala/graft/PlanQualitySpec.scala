@@ -274,6 +274,17 @@ class PlanQualitySpec extends AnyFunSuite {
     // yardstick adds its own distinct scan) — budget 3 total
     val p = plan("q194_hll_overlap")
     assert("Scan parquet".r.findAllIn(p).size <= 3, p)
+    // q200: pinned registers serve the carry, the spine and the
+    // estimate; the exact curve adds its first-appearance scan
+    val p200 = plan("q200_cume_distinct")
+    assert("Scan parquet".r.findAllIn(p200).size <= 1, p200)
+    // q207: pinned (day,user) distinct + pinned registers — nothing in
+    // the final plan re-reads events
+    val p207 = plan("q207_wau_sketch")
+    assert("Scan parquet".r.findAllIn(p207).size == 0, p207)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   test("the only nested-loop plans are the intentional all-pairs baselines") {
