@@ -1071,6 +1071,104 @@ object PlannerQueries {
           (col("bytes") <= 10485760L).as("broadcast_ok"))
     })
 
+  /** Decile lift & cumulative-gains curve — the model-evaluation table
+    * behind every targeting decision: rank by a score (o_totalprice as
+    * the stand-in model output), cut into 10 equal-population deciles
+    * with integer thresholds, and report per decile the positive rate
+    * (outcome: 1-URGENT priority), the lift over the base rate and the
+    * cumulative share of positives captured. Ranking is the two-pass
+    * [[graft.operators.Rank.globalRank]] (no single-task window over
+    * the fact table); everything after is a 10-row frame. */
+  val q209 = QueryDef.sql("q209_lift_curve",
+    """WITH b AS (SELECT
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc,
+      |    o_orderkey,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |r AS (SELECT y,
+      |    row_number() OVER (ORDER BY sc DESC, o_orderkey) AS rn FROM b),
+      |n AS (SELECT count(*) AS tot, CAST(sum(y) AS BIGINT) AS pos FROM b),
+      |d AS (SELECT ((rn - 1) * 10) // tot + 1 AS decile,
+      |    count(*) AS n_rows, CAST(sum(y) AS BIGINT) AS n_pos
+      |  FROM r, n GROUP BY 1),
+      |c AS (SELECT decile, n_rows, n_pos,
+      |    sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |      AS cum_pos
+      |  FROM d)
+      |SELECT CAST(c.decile AS BIGINT) AS decile,
+      |  CAST(c.n_rows AS BIGINT) AS n_rows, c.n_pos,
+      |  round(CAST(c.n_pos * n.tot AS DOUBLE) / (c.n_rows * n.pos), 6)
+      |    AS lift,
+      |  round(CAST(c.cum_pos AS DOUBLE) / n.pos, 6) AS cum_gain
+      |FROM c, n""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val b = Tables.orders(s, dir).select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("sc"),
+        col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val tot = b.count()
+      val r = Rank.globalRank(b, "rn", col("sc").unary_-, col("o_orderkey"))
+      val d = r.groupBy(expr(s"((rn - 1) * 10) DIV $tot + 1").as("decile"))
+        .agg(count(lit(1)).as("n_rows"), sum("y").as("n_pos"))
+      val n = d.agg(sum("n_rows").as("tot"), sum("n_pos").as("pos"))
+      d.withColumn("cum_pos", sum("n_pos").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(n))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          round((col("n_pos") * col("tot")).cast("double") /
+            (col("n_rows") * col("pos")), 6).as("lift"),
+          round(col("cum_pos").cast("double") / col("pos"), 6).as("cum_gain"))
+    })
+
+  /** Exact ties-aware AUC (the Mann–Whitney U form) at fact-table
+    * scale: AUC = P(score⁺ > score⁻) + ½P(=), computed from per-score
+    * group counts with a running negative count — 2U stays integer
+    * (each tie contributes 1 instead of ½), one exact division at the
+    * end. The running sum is the two-pass
+    * [[graft.operators.Rank.globalPrefixSum]], so no single-task
+    * window touches the score-group frame. MLlib's
+    * `areaUnderROC` approximates via thresholds; this is the exact
+    * number it converges to. */
+  val q210 = QueryDef.sql("q210_auc_exact",
+    """WITH b AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS sc,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+      |  FROM b GROUP BY 1),
+      |c AS (SELECT sc, np, nn,
+      |    sum(nn) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - nn
+      |      AS cnb
+      |  FROM g),
+      |t AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+      |    CAST(sum(nn) AS BIGINT) AS tn,
+      |    CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2 FROM c)
+      |SELECT tp AS n_pos, tn AS n_neg,
+      |  round(CAST(u2 AS DOUBLE) / (2.0 * tp * tn), 6) AS auc
+      |FROM t""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val g = Tables.lineitem(s, dir).select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("sc"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("sc")
+        .agg(sum("y").as("np"), (count(lit(1)) - sum("y")).as("nn"))
+      val c = Rank.globalPrefixSum(g, "cni", "nn", col("sc"))
+        .withColumn("cnb", col("cni") - col("nn"))
+      c.agg(sum("np").as("tp"), sum("nn").as("tn"),
+          sum(col("np") * (lit(2) * col("cnb") + col("nn"))).as("u2"))
+        .select(col("tp").as("n_pos"), col("tn").as("n_neg"),
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("tp") * col("tn")), 6).as("auc"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
+    q209, q210)
 }
