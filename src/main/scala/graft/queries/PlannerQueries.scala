@@ -1168,7 +1168,118 @@ object PlannerQueries {
             (lit(2.0) * col("tp") * col("tn")), 6).as("auc"))
     })
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the purchase
+    * and click value distributions: D = max |ECDF_A − ECDF_B| computed
+    * as integer cross-products |cumA·nB − cumB·nA| over per-score
+    * counts (the q210 AUC machinery pointed at a different statistic).
+    * Running counts via [[graft.operators.Rank.globalPrefixSum]]
+    * twice — never a single-task window over the score frame. The
+    * argmax score reports WHERE the distributions diverge most (ties →
+    * smallest score). */
+  val q211 = QueryDef.sql("q211_ks_two_sample",
+    """WITH b AS (SELECT
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sc,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |g AS (SELECT sc, CAST(sum(a) AS BIGINT) AS ca,
+      |    CAST(count(*) - sum(a) AS BIGINT) AS cb
+      |  FROM b GROUP BY 1),
+      |c AS (SELECT sc,
+      |    sum(ca) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cuma,
+      |    sum(cb) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cumb
+      |  FROM g),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb FROM g),
+      |d AS (SELECT sc, abs(cuma * t.nb - cumb * t.na) AS num FROM c, t),
+      |m AS (SELECT max(num) AS mnum FROM d)
+      |SELECT t.na AS n_a, t.nb AS n_b,
+      |  (SELECT min(sc) FROM d, m WHERE d.num = m.mnum) AS ks_at,
+      |  round(CAST(m.mnum AS DOUBLE) / (t.na * t.nb), 6) AS ks_d
+      |FROM t, m""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val g = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .select((col("value").cast("decimal(18,6)") * 1000000).cast("long")
+          .as("sc"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("a"))
+        .groupBy("sc")
+        .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
+        .localCheckpoint(true) // two prefix passes + the totals read it
+      val c = Rank.globalPrefixSum(
+        Rank.globalPrefixSum(g, "cuma", "ca", col("sc")),
+        "cumb", "cb", col("sc"))
+      val t = g.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val d = c.crossJoin(broadcast(t))
+        .select(col("sc"),
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("num"))
+        .localCheckpoint(true) // max + argmax both read it
+      val m = d.agg(max("num").as("mnum"))
+      val at = d.join(broadcast(m), col("num") === col("mnum"))
+        .agg(min("sc").as("ks_at"))
+      broadcast(t).crossJoin(broadcast(m)).crossJoin(broadcast(at))
+        .select(col("na").as("n_a"), col("nb").as("n_b"), col("ks_at"),
+          round(col("mnum").cast("double") / (col("na") * col("nb")), 6)
+            .as("ks_d"))
+    })
+
+  /** Calibration table + expected calibration error for a score
+    * treated as its own percentile-rank prediction: bin by rank
+    * deciles, compare the mean predicted percentile (Σ(rank−1) over
+    * N−1 — exact rational) with the observed positive rate. The ECE
+    * folds the per-bin gaps into ONE integer sum
+    * Σ_b |Σ(rank−1) − pos_b·(N−1)| before the single final division,
+    * so the number is partitioning-proof. Ranking is the two-pass
+    * [[graft.operators.Rank.globalRank]]. */
+  val q212 = QueryDef.sql("q212_calibration_ece",
+    """WITH b AS (SELECT
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc,
+      |    o_orderkey,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |n AS (SELECT count(*) AS nn FROM b),
+      |r AS (SELECT y,
+      |    row_number() OVER (ORDER BY sc, o_orderkey) - 1 AS rk FROM b),
+      |d AS (SELECT (rk * 10) // nn AS bin, count(*) AS n_rows,
+      |    CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(rk) AS BIGINT) AS srk
+      |  FROM r, n GROUP BY 1),
+      |e AS (SELECT CAST(sum(abs(srk - n_pos * (nn - 1))) AS BIGINT) AS enum
+      |  FROM d, n)
+      |SELECT CAST(d.bin AS BIGINT) AS bin,
+      |  CAST(d.n_rows AS BIGINT) AS n_rows, d.n_pos,
+      |  round(CAST(d.srk AS DOUBLE) / (d.n_rows * (n.nn - 1)), 6)
+      |    AS mean_pred,
+      |  round(CAST(d.n_pos AS DOUBLE) / d.n_rows, 6) AS pos_rate,
+      |  round(CAST(e.enum AS DOUBLE) / (n.nn * (n.nn - 1)), 6) AS ece
+      |FROM d, n, e""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val b = Tables.orders(s, dir).select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("sc"),
+        col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val nn = b.count()
+      val d = Rank.globalRank(b, "rn", col("sc"), col("o_orderkey"))
+        .select(col("y"), (col("rn") - 1).as("rk"))
+        .groupBy(expr(s"(rk * 10) DIV $nn").as("bin"))
+        .agg(count(lit(1)).as("n_rows"), sum("y").as("n_pos"),
+          sum("rk").as("srk"))
+        .localCheckpoint(true) // the ECE fold and the table both read it
+      val e = d.agg(sum(abs(col("srk") - col("n_pos") * lit(nn - 1)))
+        .as("enum"))
+      d.crossJoin(broadcast(e))
+        .select(col("bin"), col("n_rows"), col("n_pos"),
+          round(col("srk").cast("double") /
+            (col("n_rows") * lit(nn - 1)), 6).as("mean_pred"),
+          round(col("n_pos").cast("double") / col("n_rows"), 6)
+            .as("pos_rate"),
+          round(col("enum").cast("double") / (lit(nn) * lit(nn - 1)), 6)
+            .as("ece"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210)
+    q209, q210, q211, q212)
 }
