@@ -1279,7 +1279,123 @@ object PlannerQueries {
             .as("ece"))
     })
 
+  /** Time-to-repeat survival curve (Nelson–Aalen cumulative hazard):
+    * per customer, days from first to second distinct order day, right-
+    * censored at the corpus horizon. At each event time t: the risk set
+    * n_t = |{time ≥ t}| (suffix count = total − exclusive prefix), the
+    * events d_t, and H(t) = Σ_{s≤t} d_s/n_s. Each hazard term is a
+    * rational of two exact integers, fixed-pointed to nano-units BEFORE
+    * the cumulative sum — summing raw doubles would be order-dependent
+    * across engines; summing the rounded integers is exact under any
+    * partitioning (the q201 stance). The Kaplan–Meier product follows
+    * as exp(−H) downstream — deliberately NOT computed here (libm). */
+  val q213 = QueryDef.sql("q213_survival_hazard",
+    """WITH od AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE)
+      |    AS d FROM orders),
+      |h AS (SELECT max(d) AS horizon FROM od),
+      |f AS (SELECT o_custkey, min(d) AS f1 FROM od GROUP BY 1),
+      |s AS (SELECT od.o_custkey, min(od.d) AS s2
+      |  FROM od JOIN f ON od.o_custkey = f.o_custkey AND od.d > f.f1
+      |  GROUP BY 1),
+      |t AS (SELECT f.o_custkey,
+      |    CASE WHEN s.s2 IS NULL
+      |         THEN date_diff('day', f.f1, h.horizon) ELSE
+      |         date_diff('day', f.f1, s.s2) END AS tm,
+      |    CASE WHEN s.s2 IS NULL THEN 0 ELSE 1 END AS ev
+      |  FROM f LEFT JOIN s ON f.o_custkey = s.o_custkey, h),
+      |g AS (SELECT tm, CAST(sum(ev) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM g),
+      |r AS (SELECT tm, d, c,
+      |    n.tot - (sum(c) OVER (ORDER BY tm ROWS UNBOUNDED PRECEDING) - c)
+      |      AS n_risk
+      |  FROM g, n),
+      |z AS (SELECT tm, d, n_risk,
+      |    CAST(round(CAST(d AS DOUBLE) / n_risk * 1000000000.0) AS BIGINT)
+      |      AS h_nano
+      |  FROM r WHERE d > 0)
+      |SELECT CAST(tm AS BIGINT) AS t_days, d AS n_events,
+      |  CAST(n_risk AS BIGINT) AS n_risk,
+      |  round(CAST(sum(h_nano) OVER (ORDER BY tm ROWS UNBOUNDED PRECEDING)
+      |    AS DOUBLE) / 1000000000.0, 6) AS cum_hazard
+      |FROM z""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val od = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+        .distinct()
+        .localCheckpoint(true) // horizon, first and second pass read it
+      val horizon = od.agg(max("d").as("horizon"))
+      val f = od.groupBy("o_custkey").agg(min("d").as("f1"))
+      val s2 = od.join(f, Seq("o_custkey"))
+        .where(col("d") > col("f1"))
+        .groupBy("o_custkey").agg(min("d").as("s2"))
+      val t = f.join(s2, Seq("o_custkey"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("s2").isNull, datediff(col("horizon"), col("f1")))
+            .otherwise(datediff(col("s2"), col("f1"))).as("tm"),
+          when(col("s2").isNull, 0L).otherwise(1L).as("ev"))
+      val g = t.groupBy("tm").agg(sum("ev").as("d"), count(lit(1)).as("c"))
+      val tot = g.agg(sum("c")).head().getLong(0)
+      val r = Rank.globalPrefixSum(g, "cinc", "c", col("tm"))
+        .withColumn("n_risk", lit(tot) - (col("cinc") - col("c")))
+        .where(col("d") > 0)
+        .withColumn("h_nano",
+          round(col("d").cast("double") / col("n_risk") *
+            lit(1000000000.0)).cast("long"))
+      Rank.globalPrefixSum(r, "hcum", "h_nano", col("tm"))
+        .select(col("tm").as("t_days"), col("d").as("n_events"),
+          col("n_risk"),
+          round(col("hcum").cast("double") / lit(1000000000.0), 6)
+            .as("cum_hazard"))
+    })
+
+  /** Feature-hash collision audit: the hashing-trick dimensioning
+    * report. Every distinct token maps to one of 1024 signed buckets
+    * (md5-hash, the q51 stance); the output is the tokens-per-bucket
+    * occupancy histogram INCLUDING the empty-bucket row — the number
+    * that says whether 2^k features is enough before anyone trains on
+    * the hashed matrix. One token-distinct aggregate, then bucket- and
+    * histogram-sized frames. */
+  val q214 = QueryDef.sql("q214_feature_hash_audit",
+    """WITH tok AS (SELECT t AS w FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |    FROM documents) WHERE t <> ''),
+      |cu AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      |hb AS (SELECT w, c,
+      |    ('0x' || substring(md5(w), 1, 15))::BIGINT % 1024 AS b FROM cu),
+      |bk AS (SELECT b, count(*) AS n_toks, CAST(sum(c) AS BIGINT) AS occ
+      |  FROM hb GROUP BY 1),
+      |hist AS (SELECT n_toks, count(*) AS n_buckets,
+      |    CAST(sum(occ) AS BIGINT) AS occurrences
+      |  FROM bk GROUP BY 1)
+      |SELECT CAST(n_toks AS BIGINT) AS tokens_in_bucket, n_buckets,
+      |  occurrences FROM hist
+      |UNION ALL
+      |SELECT 0, 1024 - (SELECT count(*) FROM bk), 0""")(
+    (s, dir) => {
+      import graft.operators.Sketches
+      val cu = Tables.documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bk = cu
+        .select((Sketches.hash60(col("w")) % 1024).as("b"), col("c"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_toks"), sum("c").as("occ"))
+        .localCheckpoint(true) // histogram + empty-bucket count read it
+      val filled = bk.count()
+      bk.groupBy(col("n_toks").as("tokens_in_bucket"))
+        .agg(count(lit(1)).as("n_buckets"), sum("occ").as("occurrences"))
+        .unionByName(
+          Tables.documents(s, dir).sparkSession.range(1)
+            .select(lit(0L).as("tokens_in_bucket"),
+              lit(1024L - filled).as("n_buckets"),
+              lit(0L).as("occurrences")))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212)
+    q209, q210, q211, q212, q213, q214)
 }
