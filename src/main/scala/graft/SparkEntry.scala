@@ -10,7 +10,8 @@ object SparkEntry {
     CoreQueries.all ++ WarehouseQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
       ExtendedQueries.all ++ ReconcileQueries.all ++ QualityQueries.all ++
-      PlannerQueries.all
+      PlannerQueries.all ++ EvalQueries.all ++ SpatialQueries.all ++
+      ScoringQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1138,8 +1138,82 @@ object AnalyticsQueries {
     (s, dir) => graft.operators.Split.rebalanceReport(
       Tables.documents(s, dir), "doc_id", n1 = 8, n2 = 9, vnodes = 64))
 
+  /** Adamic–Adar link prediction over the support-≥2 co-purchase part
+    * graph — for every part, the single best NON-adjacent partner by
+    * common-neighbor evidence, Σ_w 1/ln(deg w): the "recommend the
+    * bundle that doesn't exist yet" companion to q103's lift on pairs
+    * that DO co-occur. The graph is the support-thresholded one
+    * (edges need ≥ 2 co-orders) for the same reason q103 demands
+    * c_ab ≥ 2: the support-1 co-purchase graph is Poisson-dense (the
+    * wedge table Σ deg² is ~10⁸ rows at sf0.1) and its single-co-
+    * occurrence edges are noise; thresholding IS the hub/noise guard,
+    * with a deg ≤ 50 wedge-center cap kept as the structural backstop
+    * (q29's df-cap stance). Selection is integer-exact end-to-end:
+    * candidates keyed by (cn DESC, partner ASC) per source node, the
+    * floating AA score display-only, rounded to 6. */
+  val q220 = QueryDef.sql("q220_adamic_adar",
+    """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT w, count(*) AS d FROM (
+      |    SELECT u AS w FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |adj AS (SELECT u AS w, v AS n FROM e
+      |  UNION ALL SELECT v, u FROM e),
+      |ctr AS (SELECT adj.w, adj.n, deg.d FROM adj
+      |  JOIN deg ON adj.w = deg.w WHERE deg.d <= 50),
+      |wedge AS (SELECT a.n AS u, b.n AS v, a.d
+      |  FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n),
+      |open_w AS (SELECT wedge.u, wedge.v, wedge.d FROM wedge
+      |  LEFT JOIN e ON wedge.u = e.u AND wedge.v = e.v
+      |  WHERE e.u IS NULL),
+      |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+      |    sum(1.0 / ln(CAST(d AS DOUBLE))) AS aa
+      |  FROM open_w GROUP BY 1, 2),
+      |sym AS (SELECT u AS src, v AS cand, cn, aa FROM sc
+      |  UNION ALL SELECT v, u, cn, aa FROM sc),
+      |r AS (SELECT src, cand, cn, aa, row_number()
+      |    OVER (PARTITION BY src ORDER BY cn DESC, cand) AS rk
+      |  FROM sym)
+      |SELECT src AS part_a, cand AS predicted, cn,
+      |  round(aa, 6) AS aa_score
+      |FROM r WHERE rk = 1""")(
+    (s, dir) => {
+      val po = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = po.toDF("ok", "u").join(po.toDF("ok2", "v"),
+          col("ok") === col("ok2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("u", "v")
+      val deg = e.select(col("u").as("w"))
+        .unionByName(e.select(col("v").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("d"))
+      val adj = e.select(col("u").as("w"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("w"), col("u").as("n")))
+      val ctr = adj.join(deg.where(col("d") <= 50), "w")
+      val wedge = ctr.toDF("w", "n1", "d")
+        .join(ctr.toDF("w", "n2", "d2").drop("d2"), "w")
+        .where(col("n1") < col("n2"))
+        .select(col("n1").as("u"), col("n2").as("v"), col("d"))
+      val open = wedge.join(e, Seq("u", "v"), "left_anti")
+      val sc = open.groupBy("u", "v")
+        .agg(count(lit(1)).as("cn"),
+          sum(lit(1.0) / log(col("d").cast("double"))).as("aa"))
+      val sym = sc.select(col("u").as("src"), col("v").as("cand"),
+          col("cn"), col("aa"))
+        .unionByName(sc.select(col("v").as("src"), col("u").as("cand"),
+          col("cn"), col("aa")))
+      sym.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("cn").desc, col("cand"))))
+        .where(col("rk") === 1)
+        .select(col("src").as("part_a"), col("cand").as("predicted"),
+          col("cn"), round(col("aa"), 6).as("aa_score"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189)
+    q167, q189, q220)
 }

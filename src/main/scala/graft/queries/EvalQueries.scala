@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift and ranking-evaluation queries — the monitoring
+  * battery a production training-data pipeline runs between refreshes:
+  * PSI feature drift (the go/no-go number on every model-retrain
+  * dashboard), graded-relevance retrieval metrics (nDCG@k / MRR /
+  * P@k) for judging an embedding index against labels, and rank-biased
+  * overlap for comparing two rankings without labels at all.
+  *
+  * Scale shape shared by all three: ONE distributed aggregate over the
+  * fact table reduces to a bounded frame (buckets × features, query
+  * groups, top-k lists); every log/power/division happens on that
+  * bounded frame. Integer counts stay exact end-to-end; doubles appear
+  * only in final scores, rounded to 6 so 1-ulp libm differences between
+  * engines can't flip the hash.
+  */
+object EvalQueries {
+
+  /** Population-stability-index drift report between the first and
+    * second half of the events stream (split at the exact integer
+    * midpoint of the µs time range — no calendar arithmetic to
+    * disagree on). Two features audited: the categorical event_type
+    * mix and the order-of-magnitude bucket of `value` (digit count of
+    * the exact µ-scaled integer — a base-10 log bucket with no
+    * floating log at bucket boundaries). Add-one smoothing keeps
+    * empty buckets finite, so the oracle is total: psi contribution
+    * per bucket plus the per-feature total, PSI ≥ 0.2 = "retrain".
+    * One scan, one groupBy; the PSI math runs on ≤ (2 features ×
+    * buckets) rows. */
+  val q215 = QueryDef.sql("q215_psi_drift",
+    """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+      |    AS mid FROM events),
+      |b AS (SELECT
+      |    CASE WHEN epoch_us(ts) < m.mid THEN 0 ELSE 1 END AS cur,
+      |    event_type,
+      |    length(CAST(GREATEST(
+      |      CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT),
+      |      1) AS VARCHAR)) AS vbucket
+      |  FROM events, m),
+      |u AS (SELECT 'event_type' AS feature, event_type AS bucket, cur
+      |    FROM b
+      |  UNION ALL
+      |  SELECT 'value_mag', CAST(vbucket AS VARCHAR), cur FROM b),
+      |c AS (SELECT feature, bucket,
+      |    CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ref,
+      |    CAST(sum(cur) AS BIGINT) AS n_cur
+      |  FROM u GROUP BY 1, 2),
+      |t AS (SELECT feature,
+      |    CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+      |    CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+      |    CAST(count(*) AS BIGINT) AS n_buckets
+      |  FROM c GROUP BY 1),
+      |p AS (SELECT c.feature, c.bucket, c.n_ref, c.n_cur,
+      |    CAST(c.n_ref + 1 AS DOUBLE) / (t.tot_ref + t.n_buckets)
+      |      AS p_ref,
+      |    CAST(c.n_cur + 1 AS DOUBLE) / (t.tot_cur + t.n_buckets)
+      |      AS p_cur
+      |  FROM c JOIN t ON c.feature = t.feature)
+      |SELECT feature, bucket, n_ref, n_cur,
+      |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+      |  round(sum((p_cur - p_ref) * ln(p_cur / p_ref))
+      |    OVER (PARTITION BY feature), 6) AS psi_feature
+      |FROM p""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = ev.agg(((min(unix_micros(col("ts"))) +
+        max(unix_micros(col("ts")))) / 2).cast("long").as("mid"))
+      val b = ev.crossJoin(broadcast(m)).select(
+        when(unix_micros(col("ts")) < col("mid"), 0).otherwise(1).as("cur"),
+        col("event_type"),
+        length(greatest(
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long"),
+          lit(1L)).cast("string")).as("vbucket"))
+      val u = b.select(lit("event_type").as("feature"),
+          col("event_type").as("bucket"), col("cur"))
+        .unionByName(b.select(lit("value_mag").as("feature"),
+          col("vbucket").cast("string").as("bucket"), col("cur")))
+      val c = u.groupBy("feature", "bucket").agg(
+        sum(when(col("cur") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum("cur").cast("long").as("n_cur"))
+      val t = c.groupBy("feature").agg(
+        sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"),
+        count(lit(1)).as("n_buckets"))
+      val p = c.join(broadcast(t), "feature").select(
+        col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + 1).cast("double") /
+          (col("tot_ref") + col("n_buckets"))).as("p_ref"),
+        ((col("n_cur") + 1).cast("double") /
+          (col("tot_cur") + col("n_buckets"))).as("p_cur"))
+      val term = (col("p_cur") - col("p_ref")) *
+        log(col("p_cur") / col("p_ref"))
+      p.select(col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
+        round(term, 6).as("psi_term"),
+        round(sum(term).over(Window.partitionBy("feature")), 6)
+          .as("psi_feature"))
+    })
+
+  /** Graded-relevance retrieval evaluation — nDCG@10, MRR and P@10 per
+    * query group, the table a similarity index (q32/q34/q160) is
+    * judged against. Stand-in labels: each brand is a "query", its
+    * parts ranked by retail price (the model's score, exact integer
+    * cents with partkey tiebreak) and graded by p_size (integer
+    * relevance 1–50, "relevant" = size ≥ 40 for MRR/P@k). DCG's
+    * log2(position+1) runs over positions 1–10 of an already-ranked
+    * ~100-row group — the fact-scale work is only the per-group
+    * window sort, which at 100 TB shards by query group. IDCG re-ranks
+    * the same group by relevance (tiebreak partkey), so ndcg = 1.0
+    * flags a perfectly calibrated score. */
+  val q216 = QueryDef.sql("q216_retrieval_eval",
+    // mrr is an int/int quotient (1/first_rel) — a 6-decimal tie
+    // generator (1/128 = .0078125) — so it ships as exact floor-ppm
+    // integer per the q128 rounding stance; ndcg/dcg are log2 sums
+    // (tie measure zero) and stay round(…, 6).
+    """WITH b AS (SELECT p_brand,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS sc,
+      |    p_partkey, CAST(p_size AS BIGINT) AS rel
+      |  FROM part),
+      |r AS (SELECT p_brand, rel,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY sc DESC, p_partkey) AS pos,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY rel DESC, p_partkey) AS ipos
+      |  FROM b),
+      |d AS (SELECT p_brand,
+      |    sum(CASE WHEN pos <= 10
+      |      THEN rel / log2(CAST(pos + 1 AS DOUBLE)) ELSE 0 END) AS dcg,
+      |    sum(CASE WHEN ipos <= 10
+      |      THEN rel / log2(CAST(ipos + 1 AS DOUBLE)) ELSE 0 END)
+      |      AS idcg,
+      |    min(CASE WHEN rel >= 40 THEN pos END) AS first_rel,
+      |    CAST(sum(CASE WHEN pos <= 10 AND rel >= 40 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS hits10
+      |  FROM r GROUP BY 1)
+      |SELECT p_brand AS query_group,
+      |  round(dcg / idcg, 6) AS ndcg10,
+      |  CAST(CASE WHEN first_rel IS NULL THEN 0
+      |    ELSE floor(1000000.0 / first_rel) END AS BIGINT) AS mrr_ppm,
+      |  round(hits10 / 10.0, 6) AS p_at_10
+      |FROM d""")(
+    (s, dir) => {
+      val b = Tables.part(s, dir).select(col("p_brand"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("sc"),
+        col("p_partkey"), col("p_size").cast("long").as("rel"))
+      val wSc = Window.partitionBy("p_brand")
+        .orderBy(col("sc").desc, col("p_partkey"))
+      val wRel = Window.partitionBy("p_brand")
+        .orderBy(col("rel").desc, col("p_partkey"))
+      val r = b.select(col("p_brand"), col("rel"),
+        row_number().over(wSc).as("pos"),
+        row_number().over(wRel).as("ipos"))
+      val d = r.groupBy("p_brand").agg(
+        sum(when(col("pos") <= 10,
+          col("rel") / log2((col("pos") + 1).cast("double")))
+          .otherwise(0d)).as("dcg"),
+        sum(when(col("ipos") <= 10,
+          col("rel") / log2((col("ipos") + 1).cast("double")))
+          .otherwise(0d)).as("idcg"),
+        min(when(col("rel") >= 40, col("pos"))).as("first_rel"),
+        sum(when(col("pos") <= 10 && col("rel") >= 40, 1L).otherwise(0L))
+          .as("hits10"))
+      d.select(col("p_brand").as("query_group"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg10"),
+        when(col("first_rel").isNull, 0L)
+          .otherwise(floor(lit(1000000.0) / col("first_rel")))
+          .cast("long").as("mrr_ppm"),
+        round(col("hits10") / lit(10.0), 6).as("p_at_10"))
+    })
+
+  /** Rank-biased overlap (p = 0.9, truncated at depth 50) between the
+    * part-revenue rankings of the two halves of the shipdate range —
+    * "did the bestseller list reorder?" without any relevance labels
+    * (Webber et al., TOIS 2010 shape). The trick that keeps it one
+    * aggregate: an item with ranks (ra, rb) is inside both top-d
+    * prefixes iff max(ra, rb) ≤ d, so the per-depth overlap X_d is a
+    * count over the joined rank table and the truncated series
+    * Σ p^(d-1)·X_d/d is a 50-row sum after a range join on
+    * max(ra,rb) ≤ d. Revenue in exact integer cents; the full-outer
+    * rank join is on ~n_parts rows; only the 50-term series is
+    * floating point. */
+  val q217 = QueryDef.sql("q217_rank_biased_overlap",
+    """WITH h AS (SELECT (SELECT
+      |      (min(date_diff('day', DATE '1970-01-01',
+      |         CAST(l_shipdate AS DATE))) +
+      |       max(date_diff('day', DATE '1970-01-01',
+      |         CAST(l_shipdate AS DATE)))) // 2 FROM lineitem) AS mid),
+      |g AS (SELECT l_partkey,
+      |    CASE WHEN date_diff('day', DATE '1970-01-01',
+      |        CAST(l_shipdate AS DATE)) < h.mid THEN 0 ELSE 1 END
+      |      AS half,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT)))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem, h GROUP BY 1, 2),
+      |ra AS (SELECT l_partkey, row_number()
+      |    OVER (ORDER BY rev DESC, l_partkey) AS r
+      |  FROM g WHERE half = 0),
+      |rb AS (SELECT l_partkey, row_number()
+      |    OVER (ORDER BY rev DESC, l_partkey) AS r
+      |  FROM g WHERE half = 1),
+      |j AS (SELECT GREATEST(ra.r, rb.r) AS mx
+      |  FROM ra JOIN rb ON ra.l_partkey = rb.l_partkey
+      |  WHERE ra.r <= 50 OR rb.r <= 50),
+      |depths AS (SELECT CAST(range AS BIGINT) AS d
+      |  FROM range(1, 51)),
+      |x AS (SELECT d, CAST(count(mx) AS BIGINT) AS xd
+      |  FROM depths LEFT JOIN j ON j.mx <= d GROUP BY 1)
+      |SELECT CAST(50 AS BIGINT) AS k,
+      |  (SELECT xd FROM x WHERE d = 50) AS overlap_at_k,
+      |  round((SELECT xd FROM x WHERE d = 50) / 50.0, 6)
+      |    AS jaccard_at_k,
+      |  round(0.1 * sum(power(0.9, d - 1) * xd / d), 6) AS rbo
+      |FROM x""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val epochDay = unix_date(col("l_shipdate").cast("date"))
+      val mid = li.agg(((min(epochDay) + max(epochDay)) / 2).cast("long")
+        .as("mid"))
+      val g = li.crossJoin(broadcast(mid))
+        .groupBy(col("l_partkey"),
+          when(epochDay < col("mid"), 0).otherwise(1).as("half"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long") *
+          (lit(100L) - (col("l_discount") * 100).cast("long")))
+          .cast("long").as("rev"))
+      def ranked(h: Int) = g.where(col("half") === h)
+        .select(col("l_partkey"), row_number()
+          .over(Window.orderBy(col("rev").desc, col("l_partkey"))).as("r"))
+      // Global row_number over ~n_parts aggregated rows (not the fact
+      // table) — bounded by the distinct-key count, same stance as the
+      // catalog's other post-aggregate windows.
+      val j = ranked(0).as("ra")
+        .join(ranked(1).as("rb"), col("ra.l_partkey") === col("rb.l_partkey"))
+        .where(col("ra.r") <= 50 || col("rb.r") <= 50)
+        .select(greatest(col("ra.r"), col("rb.r")).as("mx"))
+      val depths = s.range(1, 51).select(col("id").as("d"))
+      val x = broadcast(depths).join(j, col("mx") <= col("d"), "left")
+        .groupBy("d").agg(count(col("mx")).as("xd"))
+      val at50 = x.where(col("d") === 50)
+        .select(col("xd").as("overlap_at_k"))
+      x.agg(round(lit(0.1) * sum(pow(lit(0.9), col("d") - 1) * col("xd") /
+          col("d")), 6).as("rbo"))
+        .crossJoin(broadcast(at50))
+        .select(lit(50L).as("k"), col("overlap_at_k"),
+          round(col("overlap_at_k") / lit(50.0), 6).as("jaccard_at_k"),
+          col("rbo"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q215, q216, q217)
+}

@@ -1,0 +1,262 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Rank
+import org.apache.spark.sql.functions._
+
+/** Curation scoring and robust statistics: the hashed linear quality
+  * classifier (the fastText-shaped filter every web corpus is sieved
+  * through), greedy max-cover source selection (which sources buy the
+  * most vocabulary coverage per unit of data), the Theil–Sen robust
+  * trend estimator, and mutual information for feature relevance.
+  *
+  * Contract stance shared with the rest of the catalog: decisions are
+  * made on INTEGERS (milli-weights, token counts, integer day deltas),
+  * doubles appear only in reported ratios rounded to 6 — so the greedy
+  * argmax, the classifier's sign and the median-rank selection cannot
+  * flip between engines on a last-ulp disagreement.
+  */
+object ScoringQueries {
+
+  /** Hashed-feature linear text-quality scorer: token → 12-bit md5
+    * bucket → deterministic integer weight in [-1000, 1000] milli
+    * units; a document's score is the exact integer sum, its label the
+    * exact sign. This is the serving shape of a fastText/linear-SVM
+    * quality filter (hashing trick, no vocabulary table — the weight
+    * VECTOR is 4096 ints, broadcast-free because it's derived in the
+    * expression itself). One explode + one groupBy(doc) at fact scale;
+    * at 100 TB the per-token work is a codegen'd md5+conv, no join
+    * against a model table at all. */
+  val q221 = QueryDef.sql("q221_quality_linear_score",
+    """WITH tk AS (SELECT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |w AS (SELECT doc_id,
+      |    ('0x' || substring(md5('w|' || CAST(
+      |      ('0x' || substring(md5(tok), 1, 3))::BIGINT AS VARCHAR)),
+      |      1, 6))::BIGINT % 2001 - 1000 AS w_milli
+      |  FROM tk)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(w_milli) AS BIGINT) AS score_milli,
+      |  CAST(floor(CAST(sum(w_milli) * 1000 AS DOUBLE) / count(*))
+      |    AS BIGINT) AS mean_score_micro,
+      |  sum(w_milli) > 0 AS keep
+      |FROM w GROUP BY doc_id""")(
+    (s, dir) => {
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val bucket = conv(substring(md5(col("tok")), 1, 3), 16, 10)
+        .cast("long")
+      val wMilli = conv(substring(
+          md5(concat(lit("w|"), bucket.cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 2001 - 1000
+      tk.select(col("doc_id"), wMilli.as("w_milli"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("w_milli").as("score_milli"))
+        .select(col("doc_id"), col("n_tokens"), col("score_milli"),
+          // int/int quotient → exact floor micro-units, not round()
+          // (the q128 6-decimal-tie stance; milli sum × 1000 / n)
+          floor((col("score_milli") * 1000).cast("double") /
+            col("n_tokens")).cast("long").as("mean_score_micro"),
+          (col("score_milli") > 0).as("keep"))
+    })
+
+  private val CoverRounds = 5
+
+  /** Greedy max-cover source selection: pick 5 of the corpus's sources
+    * maximizing cumulative distinct-vocabulary coverage — the
+    * submodular data-mixing question ("which crawls buy the most new
+    * tokens?") answered with the classic (1 − 1/e) greedy. Each round
+    * is ONE distributed aggregate (remaining sources × uncovered
+    * tokens, map-side combined) followed by a 1-row argmax to the
+    * driver — k driver decisions over k rounds is the textbook lazy-
+    * greedy shape, NOT a collect of data (the covered set stays a
+    * DataFrame, anti-joined next round). Ties break lexicographically;
+    * gains are integer token counts, so the argmax is exact. The
+    * oracle replays the same 5 rounds as chained CTEs. */
+  val q222 = QueryDef.sql("q222_coverage_greedy", {
+    val rounds = (1 to CoverRounds).map { r =>
+      val prevP = (1 until r).map(i => s"SELECT source FROM p$i")
+        .mkString(" UNION ALL ")
+      val notPicked =
+        if (r == 1) "" else s" WHERE source NOT IN ($prevP)"
+      val uncovered =
+        if (r == 1) "st"
+        else s"(SELECT source, tok FROM st WHERE tok NOT IN (SELECT tok FROM c${r - 1}))"
+      val g =
+        s"""g$r AS (SELECT s.source, CAST(count(u.tok) AS BIGINT) AS gain
+           |  FROM (SELECT DISTINCT source FROM st$notPicked) s
+           |  LEFT JOIN $uncovered u ON s.source = u.source
+           |  GROUP BY 1),
+           |p$r AS (SELECT source, gain FROM g$r
+           |  ORDER BY gain DESC, source LIMIT 1),
+           |c$r AS (${if (r == 1) "" else s"SELECT tok FROM c${r - 1} UNION "}
+           |  SELECT DISTINCT st.tok FROM st JOIN p$r USING (source))"""
+      g
+    }.mkString(",\n")
+    val sel = (1 to CoverRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS pick, p$r.source, p$r.gain,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS cum_covered,
+         |  CAST(floor((SELECT count(*) FROM c$r) * 1000000.0 /
+         |    (SELECT v FROM tot)) AS BIGINT) AS coverage_ppm
+         |FROM p$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH st AS (SELECT DISTINCT source, tok FROM (
+       |    SELECT source,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) t WHERE length(tok) > 0),
+       |tot AS (SELECT count(DISTINCT tok) AS v FROM st),
+       |$rounds
+       |$sel"""
+  })(
+    (s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .distinct()
+        .cache()
+      val totalV = st.select("tok").distinct().count()
+      var covered: org.apache.spark.sql.DataFrame = null
+      var picked = Set.empty[String]
+      var cumCovered = 0L
+      val out = Seq.newBuilder[(Long, String, Long, Long, Long)]
+      for (r <- 1 to CoverRounds) {
+        val remaining = st.select("source").distinct()
+          .where(!col("source").isInCollection(picked.toSeq :+ ""))
+        val unc = if (covered == null) st
+          else st.join(covered, Seq("tok"), "left_anti")
+        val gains = remaining.join(unc, Seq("source"), "left")
+          .groupBy("source").agg(count(col("tok")).as("gain"))
+        val top = gains.orderBy(col("gain").desc, col("source")).limit(1)
+          .collect()(0)
+        val (src, gain) = (top.getString(0), top.getLong(1))
+        picked += src
+        cumCovered += gain
+        covered = st.where(col("source").isInCollection(picked.toSeq))
+          .select("tok").distinct().cache()
+        // exact integer floor-ppm (int/int quotient — q128 tie stance)
+        out += ((r.toLong, src, gain, cumCovered,
+          cumCovered * 1000000L / totalV))
+      }
+      st.unpersist(blocking = false)
+      s.createDataFrame(out.result())
+        .toDF("pick", "source", "gain", "cum_covered", "coverage_ppm")
+    })
+
+  /** Theil–Sen robust trend of daily order revenue: the exact lower
+    * median of all C(n_days, 2) pairwise slopes — the outlier-immune
+    * answer to q127's OLS. The pair table is quadratic in DAYS (a few
+    * million rows from 2.4k days), never in orders: the fact table
+    * reduces to one integer-cents daily aggregate first. Median
+    * selection is by integer rank over [[graft.operators.Rank]]'s
+    * two-pass globalRank — no single-task window; slope doubles are
+    * int64/int64 IEEE divisions, identical in both engines, and the
+    * selection rank itself is an integer. */
+  val q223 = QueryDef.sql("q223_theil_sen",
+    """WITH daily AS (SELECT
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT (b.rev - a.rev) / CAST(b.d - a.d AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON b.d > a.d),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_pos FROM p),
+      |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn
+      |  FROM p)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+      |  m.n_pairs,
+      |  CAST(floor((SELECT slope FROM r, m
+      |    WHERE rn = (m.n_pairs + 1) // 2) * 1000000.0) AS BIGINT)
+      |    AS ts_slope_micro,
+      |  CAST(floor(CAST(m.n_pos AS DOUBLE) * 1000000.0 / m.n_pairs)
+      |    AS BIGINT) AS pos_share_ppm
+      |FROM m""")(
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(unix_date(col("o_orderdate").cast("date")).as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).cast("long").as("rev"))
+        .cache()
+      val nDays = daily.count()
+      val p = daily.toDF("da", "ra").join(daily.toDF("db", "rb"),
+          col("db") > col("da"))
+        .select(((col("rb") - col("ra")) /
+          (col("db") - col("da")).cast("double")).as("slope"),
+          col("da"), col("db"))
+      val m = p.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("slope") > 0, 1L).otherwise(0L)).as("n_pos"))
+      val ranked = Rank.globalRank(p, "rn", col("slope"), col("da"),
+        col("db"))
+      val med = ranked.crossJoin(broadcast(m))
+        .where(col("rn") === expr("(n_pairs + 1) DIV 2"))
+        .select(col("slope"), col("n_pairs"), col("n_pos"))
+      // int/int quotients ship as exact floor micro-units (q128 tie
+      // stance); slope×1e6 floor is IEEE-identical across engines.
+      val res = med.select(lit(nDays).as("n_days"), col("n_pairs"),
+        floor(col("slope") * 1000000.0).cast("long")
+          .as("ts_slope_micro"),
+        floor(col("n_pos").cast("double") * 1000000.0 / col("n_pairs"))
+          .cast("long").as("pos_share_ppm"))
+      daily.unpersist(blocking = false)
+      res
+    })
+
+  /** Mutual information (and NMI) between customer market segment and
+    * order priority — the feature-relevance number behind every
+    * "should this column enter the model?" decision, computed from the
+    * exact 5×5 contingency of the orders⋈customer join. The join
+    * broadcasts nothing here (both sides fact-scale at 100 TB,
+    * custkey-co-partitioned); all logs run on the 25-cell table. NMI
+    * normalizes by √(H(X)·H(Y)). */
+  val q224 = QueryDef.sql("q224_mutual_info",
+    """WITH j AS (SELECT c.c_mktsegment AS x, o.o_orderpriority AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |cxy AS (SELECT x, y, count(*) AS nxy FROM j GROUP BY 1, 2),
+      |cx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cxy GROUP BY 1),
+      |cy AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cxy GROUP BY 1),
+      |n AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cxy),
+      |mi AS (SELECT sum((CAST(nxy AS DOUBLE) / n.n) *
+      |      ln(CAST(nxy AS DOUBLE) * n.n / (cx.nx * cy.ny))) AS mi
+      |  FROM cxy JOIN cx USING (x) JOIN cy USING (y), n),
+      |hx AS (SELECT -sum((CAST(nx AS DOUBLE) / n.n) *
+      |      ln(CAST(nx AS DOUBLE) / n.n)) AS h FROM cx, n),
+      |hy AS (SELECT -sum((CAST(ny AS DOUBLE) / n.n) *
+      |      ln(CAST(ny AS DOUBLE) / n.n)) AS h FROM cy, n)
+      |SELECT n.n AS n_rows, round(mi.mi, 6) AS mi_nats,
+      |  round(mi.mi / sqrt(hx.h * hy.h), 6) AS nmi
+      |FROM mi, hx, hy, n""")(
+    (s, dir) => {
+      val j = Tables.orders(s, dir).join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("x"), col("o_orderpriority").as("y"))
+      val cxy = j.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      val cx = cxy.groupBy("x").agg(sum("nxy").as("nx"))
+      val cy = cxy.groupBy("y").agg(sum("nxy").as("ny"))
+      val n = cxy.agg(sum("nxy").as("n"))
+      val t = cxy.join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
+      val mi = t.agg(
+        sum((col("nxy").cast("double") / col("n")) *
+          log(col("nxy").cast("double") * col("n") /
+            (col("nx") * col("ny")))).as("mi"))
+      val hx = cx.crossJoin(broadcast(n)).agg(
+        (lit(-1) * sum((col("nx").cast("double") / col("n")) *
+          log(col("nx").cast("double") / col("n")))).as("hx"))
+      val hy = cy.crossJoin(broadcast(n)).agg(
+        (lit(-1) * sum((col("ny").cast("double") / col("n")) *
+          log(col("ny").cast("double") / col("n")))).as("hy"))
+      n.crossJoin(broadcast(mi)).crossJoin(broadcast(hx))
+        .crossJoin(broadcast(hy))
+        .select(col("n").as("n_rows"), round(col("mi"), 6).as("mi_nats"),
+          round(col("mi") / sqrt(col("hx") * col("hy")), 6).as("nmi"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q221, q222, q223, q224)
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the drift/eval (q215–q217), spatial (q218/q219) and
+  * scoring (q220–q224) query families that the DuckDB hash oracle
+  * cannot express: set-equality of the blocked spatial join against
+  * the O(n²) brute force, DBSCAN label soundness re-derived from the
+  * raw pair set, greedy-coverage monotonicity, and metric range
+  * checks. Runs at sf0.001. */
+class EvalSpatialSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q218: grid-blocked ε-join equals the brute-force all-pairs join") {
+    val blocked = run("q218_grid_eps_join")
+      .select("k_a", "k_b", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: same derived coordinates, cross join, exact filter
+    val p = graft.Tables.customer(spark, sf).select(
+      col("c_custkey").as("k"),
+      conv(substring(md5(concat(lit("x|"), col("c_custkey").cast("string"))),
+        1, 6), 16, 10).cast("long").as("x"),
+      conv(substring(md5(concat(lit("y|"), col("c_custkey").cast("string"))),
+        1, 6), 16, 10).cast("long").as("y"))
+    val dx = col("a.x") - col("b.x")
+    val dy = col("a.y") - col("b.y")
+    val brute = p.as("a").crossJoin(p.as("b"))
+      .where(col("a.k") < col("b.k") &&
+        dx * dx + dy * dy <= (1L << 18) * (1L << 18))
+      .select(col("a.k"), col("b.k"), (dx * dx + dy * dy).as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute,
+      s"grid join missed/added pairs: ${blocked.size} vs ${brute.size}")
+    assert(brute.nonEmpty, "degenerate fixture: no ε-pairs at sf0.001")
+  }
+
+  test("q219: DBSCAN labels are sound against the raw neighbor sets") {
+    val labels = run("q219_dbscan_core").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = run("q218_grid_eps_join")
+      .select("k_a", "k_b").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+    val nbrs = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((k, (n, label)) <- labels) {
+      val actual = nbrs.getOrElse(k, Set.empty)
+      assert(actual.size == n, s"$k neighbor count $n != ${actual.size}")
+      val isCore = actual.size >= 4
+      val nearCore =
+        actual.exists(o => nbrs.getOrElse(o, Set.empty).size >= 4)
+      val expected =
+        if (isCore) "core" else if (nearCore) "border" else "noise"
+      assert(label == expected, s"$k labelled $label, expected $expected")
+    }
+  }
+
+  test("q217: RBO and overlap are in range and consistent") {
+    val r = run("q217_rank_biased_overlap").collect()(0)
+    val (k, overlap, rbo) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    assert(k == 50 && overlap >= 0 && overlap <= 50)
+    assert(rbo >= 0.0 && rbo <= 1.0, s"rbo out of range: $rbo")
+  }
+
+  test("q216: ndcg within (0, 1]; P@10 within [0, 1]") {
+    val rows = run("q216_retrieval_eval").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ndcg = r.getDouble(1)
+      assert(ndcg > 0 && ndcg <= 1.0 + 1e-9, s"ndcg $ndcg")
+      val p10 = r.getDouble(3)
+      assert(p10 >= 0 && p10 <= 1)
+    }
+  }
+
+  test("q222: greedy coverage is monotone with non-increasing gains") {
+    val rows = run("q222_coverage_greedy").orderBy("pick").collect()
+    assert(rows.length == 5)
+    val gains = rows.map(_.getLong(2))
+    val cum = rows.map(_.getLong(3))
+    assert(gains.sliding(2).forall(w => w(0) >= w(1)),
+      s"greedy gains must be non-increasing: ${gains.mkString(",")}")
+    assert(cum.sliding(2).forall(w => w(0) <= w(1)))
+    assert(rows.map(_.getString(1)).distinct.length == 5,
+      "greedy picked a source twice")
+    assert(cum.last == gains.sum)
+  }
+
+  test("q223: Theil–Sen slope lies within the pairwise-slope envelope") {
+    val r = run("q223_theil_sen").collect()(0)
+    val (nDays, nPairs) = (r.getLong(0), r.getLong(1))
+    assert(nPairs == nDays * (nDays - 1) / 2)
+    val share = r.getLong(3)
+    assert(share >= 0 && share <= 1000000)
+  }
+
+  test("q221: score bounds and keep-label consistency") {
+    val rows = run("q221_quality_linear_score").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, score, keep) = (r.getLong(1), r.getLong(2), r.getBoolean(4))
+      assert(math.abs(score) <= n * 1000, "per-token weight bound")
+      assert(keep == score > 0)
+    }
+  }
+
+  test("q215: PSI terms sum to the feature PSI; smoothing keeps it finite") {
+    val rows = run("q215_psi_drift").collect()
+    val byFeature = rows.groupBy(_.getString(0))
+    assert(byFeature.keySet == Set("event_type", "value_mag"))
+    for ((_, rs) <- byFeature) {
+      val total = rs.head.getDouble(5)
+      val sum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(sum - total) < 1e-4,
+        s"psi terms ${sum} != feature total ${total}")
+      assert(!total.isNaN && !total.isInfinite)
+    }
+  }
+
+  test("q224: MI is non-negative and NMI within [0, 1]") {
+    val r = run("q224_mutual_info").collect()(0)
+    val (mi, nmi) = (r.getDouble(1), r.getDouble(2))
+    assert(mi >= -1e-9, s"MI negative: $mi")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, s"NMI out of range: $nmi")
+  }
+
+  test("q220: predictions are open pairs — never existing edges") {
+    val preds = run("q220_adamic_adar").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val po = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = po.toDF("ok", "u").join(po.toDF("ok2", "v"),
+        col("ok") === col("ok2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((a, b) <- preds) {
+      val e = if (a < b) (a, b) else (b, a)
+      assert(!edges.contains(e), s"predicted an existing edge $e")
+    }
+  }
+}
