@@ -252,5 +252,86 @@ object EvalQueries {
           col("rbo"))
     })
 
-  def all: Seq[QueryDef] = Seq(q215, q216, q217)
+  /** Precision/recall of the MinHash+LSH candidate generator (q30's
+    * 12-perm, 4×3 banding) against the catalog's exact near-dup truth
+    * (q29's df-capped n-gram Jaccard ≥ 0.3) — the measurement that
+    * turns "LSH finds near-dups" from a claim into a dial: banding
+    * parameters trade recall against candidate volume, and THIS query
+    * is the feedback loop for turning them. Both relations already
+    * exist as oracled queries; the eval is their join plus one
+    * aggregate, so the oracle is the two CTE chains concatenated.
+    * Counts are integers; ratios ship as floor-ppm (q128 stance).
+    * Expect precision ≪ 1: banding at (4,3) is tuned for recall, and
+    * candidates are verified downstream (q29's exact pass) — the
+    * precision number here is the VERIFICATION COST dial, not an
+    * accuracy failure. */
+  val q225 = QueryDef.sql("q225_lsh_dedup_eval", {
+    val bands = 4
+    val rpb = 3
+    val hashes = (0 until bands * rpb)
+      .map(i => s"  min(h1 + $i * h2) AS h$i").mkString(",\n")
+    val bucketSelects = (0 until bands).map { b =>
+      val parts = (0 until rpb).map(r => s"h${b * rpb + r}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+       |  FROM (SELECT doc_id, text,
+       |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+       |        FROM documents)),
+       |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
+       |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+       |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id),
+       |tp AS (SELECT id1, id2
+       |  FROM co JOIN sz s1 ON co.id1 = s1.doc_id
+       |          JOIN sz s2 ON co.id2 = s2.doc_id
+       |  WHERE round(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 6) >= 0.3),
+       |hh AS (SELECT doc_id,
+       |         ('0x' || substring(md, 1, 15))::BIGINT AS h1,
+       |         ('0x' || substring(md, 17, 15))::BIGINT
+       |           % 576460752303423488 AS h2
+       |       FROM (SELECT doc_id, md5(s) AS md FROM sh) t),
+       |sig AS (SELECT doc_id,
+       |$hashes
+       |FROM hh GROUP BY doc_id),
+       |buckets AS (
+       |  $bucketSelects),
+       |cp AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |hit AS (SELECT count(*) AS n_hit FROM tp JOIN cp USING (id1, id2)),
+       |nt AS (SELECT count(*) AS n_true FROM tp),
+       |nc AS (SELECT count(*) AS n_cand FROM cp)
+       |SELECT CAST(nt.n_true AS BIGINT) AS n_true,
+       |  CAST(nc.n_cand AS BIGINT) AS n_cand,
+       |  CAST(hit.n_hit AS BIGINT) AS n_hit,
+       |  CAST(floor(hit.n_hit * 1000000.0 / nt.n_true) AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(floor(hit.n_hit * 1000000.0 / nc.n_cand) AS BIGINT)
+       |    AS precision_ppm
+       |FROM nt, nc, hit"""
+  })(
+    (s, dir) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.ngramJaccard(docs, "doc_id", "text",
+        k = 8, maxDf = 100, threshold = 0.3).select("id1", "id2")
+      val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        k = 8, bands = 4, rowsPerBand = 3)
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val hit = truth.join(cand, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("n_hit"))
+      nt.crossJoin(broadcast(nc)).crossJoin(broadcast(hit))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          floor(col("n_hit") * lit(1000000.0) / col("n_true"))
+            .cast("long").as("recall_ppm"),
+          floor(col("n_hit") * lit(1000000.0) / col("n_cand"))
+            .cast("long").as("precision_ppm"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q215, q216, q217, q225)
 }

@@ -1395,7 +1395,74 @@ object PlannerQueries {
               lit(0L).as("occurrences")))
     })
 
+  /** K-anonymity / l-diversity re-identification audit — the privacy
+    * profile a warehouse runs BEFORE exporting a "de-identified"
+    * extract: group customers by quasi-identifier combination
+    * (segment, nation, $1000 balance band), k = group size, and audit
+    * (a) how many customers sit in groups of k < 5 (re-identifiable)
+    * and (b) how many k ≥ 2 groups are homogeneous in the sensitive
+    * attribute (has-urgent-order), i.e. l-diversity 1 — attribute
+    * disclosure without re-identification. One groupBy at customer
+    * scale plus a semi-join-shaped flag; the balance band uses
+    * floor() (NOT integer DIV — negative balances, the q79 floor
+    * lesson); all shares are exact floor-ppm. */
+  val q226 = QueryDef.sql("q226_k_anonymity",
+    """WITH s AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+      |    CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) / 100000.0) AS BIGINT) AS band
+      |  FROM customer),
+      |u AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |q AS (SELECT s.c_custkey, s.c_mktsegment, s.c_nationkey, s.band,
+      |    u.o_custkey IS NOT NULL AS urgent
+      |  FROM s LEFT JOIN u ON s.c_custkey = u.o_custkey),
+      |g AS (SELECT c_mktsegment, c_nationkey, band,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    CAST(count(DISTINCT urgent) AS BIGINT) AS l
+      |  FROM q GROUP BY 1, 2, 3)
+      |SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(min(k) AS BIGINT) AS k_min,
+      |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  CAST(floor(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000.0
+      |    / sum(k)) AS BIGINT) AS reident_ppm,
+      |  CAST(sum(CASE WHEN k >= 2 AND l = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS homog_groups,
+      |  CAST(sum(CASE WHEN k >= 2 AND l = 1 THEN k ELSE 0 END)
+      |    AS BIGINT) AS homog_rows
+      |FROM g""")(
+    (s, dir) => {
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        floor((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long") /
+          lit(100000.0)).cast("long").as("band"))
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+        .withColumn("has_urgent", lit(true))
+      val q = cust.join(urgent, col("c_custkey") === col("o_custkey"),
+          "left")
+        .select(col("c_mktsegment"), col("c_nationkey"), col("band"),
+          coalesce(col("has_urgent"), lit(false)).as("urgent"))
+      val g = q.groupBy("c_mktsegment", "c_nationkey", "band")
+        .agg(count(lit(1)).as("k"), count_distinct(col("urgent")).as("l"))
+      g.agg(sum("k").as("n_rows"), count(lit(1)).as("n_groups"),
+          min("k").as("k_min"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(when(col("k") >= 2 && col("l") === 1, 1L).otherwise(0L))
+            .as("homog_groups"),
+          sum(when(col("k") >= 2 && col("l") === 1, col("k"))
+            .otherwise(0L)).as("homog_rows"))
+        .select(col("n_rows"), col("n_groups"), col("k_min"),
+          col("rows_at_risk"),
+          floor(col("rows_at_risk") * lit(1000000.0) / col("n_rows"))
+            .cast("long").as("reident_ppm"),
+          col("homog_groups"), col("homog_rows"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214)
+    q209, q210, q211, q212, q213, q214, q226)
 }

@@ -258,5 +258,71 @@ object ScoringQueries {
           round(col("mi") / sqrt(col("hx") * col("hy")), 6).as("nmi"))
     })
 
-  def all: Seq[QueryDef] = Seq(q221, q222, q223, q224)
+  /** Curriculum staging: order the corpus by per-token unigram
+    * surprisal (q172's integer-bits LM-fluency proxy) and cut exact
+    * terciles — easy/medium/hard training phases, the schedule a
+    * curriculum-learning run feeds from. Corpus-RELATIVE staging (rank
+    * terciles, not fixed thresholds) because absolute surprisal moves
+    * with corpus composition — the q74-funnel dial stance. Ranking is
+    * the two-pass [[graft.operators.Rank.globalRank]] over per-doc
+    * aggregates (never a single-task window); stage assignment is the
+    * exact integer ntile formula; per-stage means ship as floor
+    * micro-units. */
+  val q227 = QueryDef.sql("q227_curriculum_stages",
+    """WITH tk AS (SELECT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+      |tv AS (SELECT count(*) AS t, count(DISTINCT tok) AS v FROM tk),
+      |b AS (SELECT tok,
+      |        CAST(length(bin((t + v) // (c + 1))) - 1 AS BIGINT) AS bits
+      |      FROM cnt, tv),
+      |d AS (SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(bits) AS BIGINT) AS sbits
+      |  FROM tk JOIN b USING (tok) GROUP BY doc_id),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+      |r AS (SELECT doc_id, n_tokens, sbits,
+      |    row_number() OVER (ORDER BY CAST(sbits AS DOUBLE) / n_tokens,
+      |      doc_id) AS rn
+      |  FROM d),
+      |st AS (SELECT ((rn - 1) * 3) // n.nd AS stage, n_tokens, sbits
+      |  FROM r, n),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_toks FROM d)
+      |SELECT CAST(stage AS BIGINT) AS stage,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(floor(sum(sbits) * 1000000.0 / sum(n_tokens)) AS BIGINT)
+      |    AS stage_mean_bits_micro,
+      |  CAST(floor(sum(n_tokens) * 1000000.0 / tot.all_toks) AS BIGINT)
+      |    AS token_share_ppm
+      |FROM st, tot GROUP BY stage, tot.all_toks""")(
+    (s, dir) => {
+      import graft.operators.{Rank, TextAnalysis}
+      val d = TextAnalysis.unigramSurprisalBits(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          col("surprisal_bits").as("sbits"))
+        .cache()
+      val nd = d.count()
+      val ranked = Rank.globalRank(d, "rn",
+        col("sbits").cast("double") / col("n_tokens"), col("doc_id"))
+      val tot = d.agg(sum("n_tokens").as("all_toks"))
+      val res = ranked
+        .select(expr(s"((rn - 1) * 3) DIV $nd").as("stage"),
+          col("n_tokens"), col("sbits"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("sbits").as("ssb"))
+        .crossJoin(broadcast(tot))
+        .select(col("stage"), col("n_docs"), col("n_tokens"),
+          floor(col("ssb") * lit(1000000.0) / col("n_tokens"))
+            .cast("long").as("stage_mean_bits_micro"),
+          floor(col("n_tokens") * lit(1000000.0) / col("all_toks"))
+            .cast("long").as("token_share_ppm"))
+      d.unpersist(blocking = false)
+      res
+    })
+
+  def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227)
 }

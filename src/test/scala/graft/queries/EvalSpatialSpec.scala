@@ -129,6 +129,33 @@ class EvalSpatialSpec extends AnyFunSuite {
     assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, s"NMI out of range: $nmi")
   }
 
+  test("q225: hit count bounded by both relations; ratios in range") {
+    val r = run("q225_lsh_dedup_eval").collect()(0)
+    val (nt, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= math.min(nt, nc))
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000) // recall_ppm
+    assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000) // precision_ppm
+  }
+
+  test("q226: k-anonymity audit internally consistent") {
+    val r = run("q226_k_anonymity").collect()(0)
+    val (nRows, nGroups, kMin) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(kMin >= 1 && nGroups <= nRows)
+    assert(r.getLong(3) <= nRows)   // rows_at_risk
+    assert(r.getLong(5) <= nGroups) // homog_groups
+    assert(r.getLong(6) <= nRows)   // homog_rows
+  }
+
+  test("q227: terciles are balanced and ordered by difficulty") {
+    val rows = run("q227_curriculum_stages").orderBy("stage").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, "ntile split must be balanced")
+    val means = rows.map(_.getLong(3))
+    assert(means.sliding(2).forall(w => w(0) <= w(1)),
+      s"stage mean bits must be non-decreasing: ${means.mkString(",")}")
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
