@@ -579,6 +579,43 @@ object ScaleStress {
       Bootstrap.replicateSums(base, 64).count())
     base.unpersist()
     }
+
+    if (sections("spatial")) {
+    // --- grid ε-join vs brute force. Base points from customer keys;
+    // inflated set multiplies ids (fresh md5 coordinates per replica,
+    // so density rises ×mult and per-cell occupancy with it — the
+    // regime where the stencil join's candidate volume grows ~n²·ε²/W²
+    // while the cross join grows n²).
+    import graft.operators.Spatial
+    val keys0 = Tables.customer(spark, sf).select(col("c_custkey"))
+    val base = Spatial.derivePoints(keys0, "c_custkey").cache()
+    println(s"spatial base points: ${base.count()}")
+    time("eps pairs, brute force (base)")(
+      Spatial.epsPairsNaive(base, 18).count())
+    time("eps pairs, grid stencil (base)")(
+      Spatial.epsPairs(base, 18).count())
+    val big = Spatial.derivePoints(
+      (0 until mult).map(i => keys0.select(
+        (col("c_custkey") + lit(i.toLong * 10000000L)).as("c_custkey")))
+        .reduce(_ unionByName _), "c_custkey").cache()
+    println(s"spatial inflated points: ${big.count()}")
+    time("eps pairs, grid stencil (inflated)")(
+      Spatial.epsPairs(big, 18).count())
+    // hot-cell regime: all points collapse into ONE ε-cell (mod-2^16
+    // coordinates ⇒ max pairwise distance 92k < ε) — every pair IS a
+    // result, so the n²/2 output is information-theoretic, not a plan
+    // defect. The measurement documents that the stencil join degrades
+    // to exactly output cost (one fat cell task); the FIX at corpus
+    // scale is upstream density reduction (quantize/canopy dedup,
+    // q60/q61) before pairing — same stance as LSH banding on a
+    // template-saturated corpus.
+    val hot = base.select(col("k"), pmod(col("x"), lit(1L << 16)).as("x"),
+      pmod(col("y"), lit(1L << 16)).as("y")).cache()
+    println(s"hot-cell points: ${hot.count()} (all within one ε-cell)")
+    time("eps pairs, grid stencil (hot cell — output itself quadratic)")(
+      Spatial.epsPairs(hot, 18).count())
+    base.unpersist(); big.unpersist(); hot.unpersist()
+    }
     spark.stop()
   }
 }

@@ -27,10 +27,6 @@ object SpatialQueries {
   private def coordSql(axis: String, key: String) =
     s"('0x' || substring(md5('$axis|' || CAST($key AS VARCHAR)), 1, $CoordHex))::BIGINT"
 
-  private def coordCol(axis: String, key: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(s"$axis|"), key.cast("string"))), 1, CoordHex),
-      16, 10).cast("long")
-
   /** All customer pairs within ε in the derived plane — the spatial
     * self-join every geo dedup / co-location audit starts from. One
     * point table, a 9-cell stencil explode on the probe side, an equi
@@ -54,27 +50,9 @@ object SpatialQueries {
        |WHERE a.k < b.k
        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
        |    <= $Eps2""")(
-    (s, dir) => {
-      val p = Tables.customer(s, dir).select(
-        col("c_custkey").as("k"),
-        coordCol("x", col("c_custkey")).as("x"),
-        coordCol("y", col("c_custkey")).as("y"))
-      val c = p.select(col("k"), col("x"), col("y"),
-        shiftright(col("x"), CellShift).as("cx"),
-        shiftright(col("y"), CellShift).as("cy"))
-      val probe = c.withColumn("d", explode(lit(Array(-1, 0, 1))))
-        .withColumn("d2off", explode(lit(Array(-1, 0, 1))))
-        .select(col("k"), col("x"), col("y"),
-          (col("cx") + col("d")).as("pcx"), (col("cy") + col("d2off")).as("pcy"))
-      val dx = col("ax") - col("bx")
-      val dy = col("ay") - col("by")
-      probe.toDF("ka", "ax", "ay", "pcx", "pcy")
-        .join(c.toDF("kb", "bx", "by", "cx", "cy"),
-          col("pcx") === col("cx") && col("pcy") === col("cy"))
-        .where(col("ka") < col("kb") && dx * dx + dy * dy <= Eps2)
-        .select(col("ka").as("k_a"), col("kb").as("k_b"),
-          (dx * dx + dy * dy).as("d2"))
-    })
+    (s, dir) => graft.operators.Spatial.epsPairs(
+      graft.operators.Spatial.derivePoints(
+        Tables.customer(s, dir), "c_custkey"), CellShift))
 
   /** DBSCAN point labelling (ε as above, minPts = 5): core = ≥ 4
     * ε-neighbors, border = non-core with a core neighbor, noise =
@@ -111,39 +89,10 @@ object SpatialQueries {
        |      ON nbr.k_b = core.k WHERE nbr.k_a = cnt.k)
        |    THEN 'border' ELSE 'noise' END AS label
        |FROM cnt""")(
-    (s, dir) => {
-      val p = Tables.customer(s, dir).select(
-        col("c_custkey").as("k"),
-        coordCol("x", col("c_custkey")).as("x"),
-        coordCol("y", col("c_custkey")).as("y"))
-      val c = p.select(col("k"), col("x"), col("y"),
-        shiftright(col("x"), CellShift).as("cx"),
-        shiftright(col("y"), CellShift).as("cy"))
-      val probe = c.withColumn("d", explode(lit(Array(-1, 0, 1))))
-        .withColumn("d2off", explode(lit(Array(-1, 0, 1))))
-        .select(col("k"), col("x"), col("y"),
-          (col("cx") + col("d")).as("pcx"), (col("cy") + col("d2off")).as("pcy"))
-      val dx = col("ax") - col("bx")
-      val dy = col("ay") - col("by")
-      val nbr = probe.toDF("ka", "ax", "ay", "pcx", "pcy")
-        .join(c.toDF("kb", "bx", "by", "cx", "cy"),
-          col("pcx") === col("cx") && col("pcy") === col("cy"))
-        .where(col("ka") =!= col("kb") && dx * dx + dy * dy <= Eps2)
-        .select(col("ka").as("k_a"), col("kb").as("k_b"))
-      val cnt = p.select("k").join(
-          nbr.groupBy(col("k_a").as("k")).agg(count(lit(1)).as("nn")),
-          Seq("k"), "left")
-        .select(col("k"), coalesce(col("nn"), lit(0L)).as("n_nbr"))
-      val core = cnt.where(col("n_nbr") >= 4).select(col("k").as("ck"))
-      val borderKeys = nbr.join(core, nbr("k_b") === core("ck"), "left_semi")
-        .select(col("k_a").as("k")).distinct()
-        .withColumn("near_core", lit(true))
-      cnt.join(borderKeys, Seq("k"), "left")
-        .select(col("k").as("c_custkey"), col("n_nbr"),
-          when(col("n_nbr") >= 4, "core")
-            .when(col("near_core"), "border")
-            .otherwise("noise").as("label"))
-    })
+    (s, dir) => graft.operators.Spatial.dbscanLabels(
+        graft.operators.Spatial.derivePoints(
+          Tables.customer(s, dir), "c_custkey"), CellShift, minPts = 5)
+      .withColumnRenamed("k", "c_custkey"))
 
   def all: Seq[QueryDef] = Seq(q218, q219)
 }

@@ -22,18 +22,9 @@ class EvalSpatialSpec extends AnyFunSuite {
       .select("k_a", "k_b", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // brute force: same derived coordinates, cross join, exact filter
-    val p = graft.Tables.customer(spark, sf).select(
-      col("c_custkey").as("k"),
-      conv(substring(md5(concat(lit("x|"), col("c_custkey").cast("string"))),
-        1, 6), 16, 10).cast("long").as("x"),
-      conv(substring(md5(concat(lit("y|"), col("c_custkey").cast("string"))),
-        1, 6), 16, 10).cast("long").as("y"))
-    val dx = col("a.x") - col("b.x")
-    val dy = col("a.y") - col("b.y")
-    val brute = p.as("a").crossJoin(p.as("b"))
-      .where(col("a.k") < col("b.k") &&
-        dx * dx + dy * dy <= (1L << 18) * (1L << 18))
-      .select(col("a.k"), col("b.k"), (dx * dx + dy * dy).as("d2"))
+    val brute = graft.operators.Spatial.epsPairsNaive(
+        graft.operators.Spatial.derivePoints(
+          graft.Tables.customer(spark, sf), "c_custkey"), 18)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(blocked == brute,
       s"grid join missed/added pairs: ${blocked.size} vs ${brute.size}")
