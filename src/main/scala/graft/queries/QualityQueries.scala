@@ -104,5 +104,158 @@ object QualityQueries {
         broadcast(Tables.customer(s, dir)), "c_custkey"))
     })
 
-  val all: Seq[QueryDef] = Seq(q165, q166)
+  /** Fellegi–Sunter probabilistic record-linkage scoring over a
+    * corpus with deterministic re-entered clones (every 4th customer
+    * re-appears under a shifted id with a one-character name typo;
+    * every 8th additionally drifts its segment — the q28 synthetic-
+    * clone stance applied to linkage). Candidates come from the
+    * sorted-neighborhood blocking already oracled as q165; each pair
+    * is scored by the classic FS log₂(m/u) agreement weights with m
+    * fixed at 0.9 and u ESTIMATED FROM THE DATA as the exact chance-
+    * agreement rational Σc_v²/n² per field (integer cross products —
+    * the u-estimation pass is one value-frequency aggregate, no EM).
+    * Name agreement tolerates the suffix typo (levenshtein ≤ 1 AND
+    * unequal lengths — sorted neighbors are numerically adjacent
+    * `Customer#…` names at levenshtein 1 with EQUAL lengths, so the
+    * length clause is what separates typo from neighbor). The match
+    * decision is the integer pattern (name ∧ nation agree); the
+    * floating score is display-only, rounded to 6. */
+  val q228 = QueryDef.sql("q228_fellegi_sunter",
+    """WITH c0 AS (SELECT c_custkey AS id, c_name AS name,
+      |    c_nationkey AS nat, c_mktsegment AS seg FROM customer),
+      |corpus AS (SELECT * FROM c0
+      |  UNION ALL
+      |  SELECT id + 10000000, name || 'x', nat,
+      |    CASE WHEN id % 8 = 0 THEN 'DRIFTED' ELSE seg END
+      |  FROM c0 WHERE id % 4 = 0),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+      |un AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM (
+      |  SELECT count(*) AS c FROM corpus GROUP BY name)),
+      |ut AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM (
+      |  SELECT count(*) AS c FROM corpus GROUP BY nat)),
+      |us AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM (
+      |  SELECT count(*) AS c FROM corpus GROUP BY seg)),
+      |r AS (SELECT *, row_number() OVER (ORDER BY name, id) AS rn
+      |  FROM corpus),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    (a.name = b.name OR (levenshtein(a.name, b.name) <= 1
+      |      AND length(a.name) <> length(b.name))) AS ag_name,
+      |    a.nat = b.nat AS ag_nat, a.seg = b.seg AS ag_seg
+      |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2)
+      |SELECT id_a, id_b, ag_name, ag_nat, ag_seg,
+      |  round(
+      |    (CASE WHEN ag_name THEN log2(0.9 * n.n * n.n / un.s2)
+      |      ELSE log2(0.1 * n.n * n.n / (n.n * n.n - un.s2)) END) +
+      |    (CASE WHEN ag_nat THEN log2(0.9 * n.n * n.n / ut.s2)
+      |      ELSE log2(0.1 * n.n * n.n / (n.n * n.n - ut.s2)) END) +
+      |    (CASE WHEN ag_seg THEN log2(0.9 * n.n * n.n / us.s2)
+      |      ELSE log2(0.1 * n.n * n.n / (n.n * n.n - us.s2)) END), 6)
+      |    AS fs_score,
+      |  (ag_name AND ag_nat) AS is_match
+      |FROM p, n, un, ut, us""")(
+    (s, dir) => {
+      import graft.operators.Linkage
+      val c0 = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+      val corpus = c0.unionByName(c0.where(col("id") % 4 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        concat(col("name"), lit("x")).as("name"), col("nat"),
+        when(col("id") % 8 === 0, "DRIFTED").otherwise(col("seg"))
+          .as("seg"))).cache()
+      val n = corpus.agg(count(lit(1)).as("n"))
+      def u(c: String) = corpus.groupBy(col(c)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as(s"s2_$c"))
+      val pairs = Linkage.sortedNeighborhood(corpus, 2,
+          col("name"), col("id"))
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+          (col("a_name") === col("b_name") ||
+            (levenshtein(col("a_name"), col("b_name")) <= 1 &&
+              length(col("a_name")) =!= length(col("b_name"))))
+            .as("ag_name"),
+          (col("a_nat") === col("b_nat")).as("ag_nat"),
+          (col("a_seg") === col("b_seg")).as("ag_seg"))
+      val n2 = col("n") * col("n")
+      def w(flag: String, s2: org.apache.spark.sql.Column) =
+        when(col(flag), log2(lit(0.9) * n2 / s2))
+          .otherwise(log2(lit(0.1) * n2 / (n2 - s2)))
+      val res = pairs.crossJoin(broadcast(n))
+        .crossJoin(broadcast(u("name"))).crossJoin(broadcast(u("nat")))
+        .crossJoin(broadcast(u("seg")))
+        .select(col("id_a"), col("id_b"),
+          col("ag_name"), col("ag_nat"), col("ag_seg"),
+          round(w("ag_name", col("s2_name")) + w("ag_nat", col("s2_nat")) +
+            w("ag_seg", col("s2_seg")), 6).as("fs_score"),
+          (col("ag_name") && col("ag_nat")).as("is_match"))
+      res
+    })
+
+  /** The dataset card ("datasheet") rollup a training corpus publishes
+    * per source: document/token/char volumes, language mix (majority
+    * language and its share), and the exact-duplicate footprint
+    * against the WHOLE corpus (cross-source duplicates count — the
+    * number that q181 decomposes). One scan for the per-doc signals;
+    * the dup flag is a corpus-wide md5 group count; shares in exact
+    * floor-ppm. The composition query every mixture decision (q90/
+    * q171/q177/q230) reads first. */
+  val q229 = QueryDef.sql("q229_dataset_card",
+    """WITH d AS (SELECT source, doc_id, lang, n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE length(string_split_regex(trim(text), '\s+')) END
+      |      AS toks,
+      |    md5(text) AS h
+      |  FROM documents),
+      |dup AS (SELECT h, count(*) AS c FROM d GROUP BY h),
+      |lg AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+      |top AS (SELECT source, lang AS top_lang, c AS top_c,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY c DESC, lang) AS rk
+      |  FROM lg),
+      |agg AS (SELECT d.source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(d.toks) AS BIGINT) AS n_tokens,
+      |    CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+      |    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS dup_docs
+      |  FROM d JOIN dup USING (h) GROUP BY 1)
+      |SELECT agg.source, n_docs, n_tokens, n_chars, n_langs,
+      |  t.top_lang,
+      |  CAST(floor(t.top_c * 1000000.0 / n_docs) AS BIGINT)
+      |    AS top_lang_ppm,
+      |  dup_docs,
+      |  CAST(floor(dup_docs * 1000000.0 / n_docs) AS BIGINT) AS dup_ppm
+      |FROM agg JOIN (SELECT * FROM top WHERE rk = 1) t
+      |  ON agg.source = t.source""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val d = docs.select(col("source"), col("doc_id"), col("lang"),
+        col("n_chars"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("toks"),
+        md5(col("text").cast("binary")).as("h")).cache()
+      val dup = d.groupBy("h").agg(count(lit(1)).as("c"))
+      val lg = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val top = lg.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("c").desc, col("lang"))))
+        .where(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("c").as("top_c"))
+      val agg = d.join(dup, "h").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      agg.join(broadcast(top), "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_langs"), col("top_lang"),
+          floor(col("top_c") * lit(1000000.0) / col("n_docs"))
+            .cast("long").as("top_lang_ppm"),
+          col("dup_docs"),
+          floor(col("dup_docs") * lit(1000000.0) / col("n_docs"))
+            .cast("long").as("dup_ppm"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q165, q166, q228, q229)
 }

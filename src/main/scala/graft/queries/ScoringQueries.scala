@@ -324,5 +324,86 @@ object ScoringQueries {
       res
     })
 
-  def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227)
+  /** Token-budget waterfilling: allocate a corpus-wide sampling budget
+    * (half the total tokens) across sources, equalizing allocations
+    * subject to per-source supply caps — the canonical max-min-fair
+    * solution to "upsample the small sources without inventing data",
+    * complementing q90's proportional apportionment. ENTIRELY integer:
+    * sort sources by supply (ascending, name tiebreak), prefix-sum,
+    * a source is capped iff its supply fits the budget left for it and
+    * everything above it (P_{i−1} + s_i·(n−i+1) ≤ B — a prefix
+    * property under ascending order), uncapped sources get the floor
+    * water level with the mod-remainder distributed one token each to
+    * the first remainder sources. Σalloc = B exactly, asserted by the
+    * spec. The sources frame is tiny — all windows run post-aggregate
+    * (q209 stance); supplies come from the one fact-scale scan. */
+  val q230 = QueryDef.sql("q230_budget_waterfill",
+    """WITH sup AS (SELECT source,
+      |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE length(string_split_regex(trim(text), '\s+')) END)
+      |      AS BIGINT) AS supply
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(supply) AS BIGINT) AS tot,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(supply) // 2 AS BIGINT) AS b FROM sup),
+      |r AS (SELECT source, supply,
+      |    row_number() OVER (ORDER BY supply, source) AS rn,
+      |    sum(supply) OVER (ORDER BY supply, source
+      |      ROWS UNBOUNDED PRECEDING) - supply AS p_below
+      |  FROM sup),
+      |cap AS (SELECT r.*, t.b, t.n,
+      |    p_below + supply * (t.n - rn + 1) <= t.b AS capped
+      |  FROM r, t),
+      |k AS (SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k,
+      |    CAST(sum(CASE WHEN capped THEN supply ELSE 0 END) AS BIGINT)
+      |      AS p_k
+      |  FROM cap)
+      |SELECT source, supply,
+      |  CAST(CASE WHEN capped THEN supply
+      |    ELSE (cap.b - k.p_k) // (cap.n - k.k) +
+      |      (CASE WHEN rn - k.k <= (cap.b - k.p_k) % (cap.n - k.k)
+      |        THEN 1 ELSE 0 END) END AS BIGINT) AS alloc,
+      |  capped,
+      |  CAST(floor(CAST(CASE WHEN capped THEN supply
+      |    ELSE (cap.b - k.p_k) // (cap.n - k.k) +
+      |      (CASE WHEN rn - k.k <= (cap.b - k.p_k) % (cap.n - k.k)
+      |        THEN 1 ELSE 0 END) END AS DOUBLE) * 1000000.0 / supply)
+      |    AS BIGINT) AS fill_ppm
+      |FROM cap, k""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))))
+          .cast("long").as("supply"))
+      val t = sup.agg(sum("supply").as("tot"), count(lit(1)).as("n"),
+        (sum("supply") / 2).cast("long").as("b"))
+      val w = Window.orderBy("supply", "source")
+      // post-aggregate frame (|sources| rows) — bounded global window
+      val r = sup.select(col("source"), col("supply"),
+        row_number().over(w).as("rn"),
+        (sum("supply").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - col("supply")).as("p_below"))
+      val cap = r.crossJoin(broadcast(t))
+        .withColumn("capped",
+          col("p_below") + col("supply") * (col("n") - col("rn") + 1)
+            <= col("b"))
+      val k = cap.agg(
+        sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+        sum(when(col("capped"), col("supply")).otherwise(0L)).as("p_k"))
+      val level = expr("(b - p_k) DIV (n - k)")
+      val rem = expr("(b - p_k) % (n - k)")
+      val alloc = when(col("capped"), col("supply"))
+        .otherwise(level +
+          when(col("rn") - col("k") <= rem, 1L).otherwise(0L))
+      cap.crossJoin(broadcast(k))
+        .select(col("source"), col("supply"),
+          alloc.cast("long").as("alloc"), col("capped"),
+          floor(alloc.cast("double") * lit(1000000.0) / col("supply"))
+            .cast("long").as("fill_ppm"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227, q230)
 }

@@ -147,6 +147,57 @@ class EvalSpatialSpec extends AnyFunSuite {
       s"stage mean bits must be non-decreasing: ${means.mkString(",")}")
   }
 
+  test("q228: every synthetic clone links back to its original as a match") {
+    val rows = run("q228_fellegi_sunter").collect()
+    val matched = rows.filter(_.getBoolean(6))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cloneIds = graft.Tables.customer(spark, sf)
+      .where(col("c_custkey") % 4 === 0)
+      .select("c_custkey").collect().map(_.getLong(0))
+    assert(cloneIds.nonEmpty)
+    for (id <- cloneIds) {
+      val pair = (id, id + 10000000L)
+      assert(matched.contains(pair) || matched.contains(pair.swap),
+        s"clone of $id not linked")
+    }
+    // agreement weights separate: every full-agreement pair outscores
+    // every zero-agreement pair
+    val scoresBy = (f: org.apache.spark.sql.Row => Boolean) =>
+      rows.filter(f).map(_.getDouble(5))
+    val full = scoresBy(r => r.getBoolean(2) && r.getBoolean(3) &&
+      r.getBoolean(4))
+    val none = scoresBy(r => !r.getBoolean(2) && !r.getBoolean(3) &&
+      !r.getBoolean(4))
+    if (full.nonEmpty && none.nonEmpty)
+      assert(full.min > none.max)
+  }
+
+  test("q229: dataset card totals reconcile with the corpus") {
+    val rows = run("q229_dataset_card").collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    for (r <- rows) {
+      assert(r.getLong(6) <= 1000000)        // top_lang_ppm
+      assert(r.getLong(7) <= r.getLong(1))   // dup_docs <= n_docs
+    }
+  }
+
+  test("q230: waterfill exhausts the budget with max-min fairness") {
+    val rows = run("q230_budget_waterfill").collect()
+    val supply = rows.map(_.getLong(1)).sum
+    val alloc = rows.map(_.getLong(2)).sum
+    assert(alloc == supply / 2, s"sum(alloc)=$alloc != B=${supply / 2}")
+    val (capped, uncapped) = rows.partition(_.getBoolean(3))
+    for (r <- capped) assert(r.getLong(2) == r.getLong(1))
+    if (uncapped.nonEmpty) {
+      val allocs = uncapped.map(_.getLong(2))
+      assert(allocs.max - allocs.min <= 1, "water level must be flat")
+      // fairness: no capped source's supply exceeds any uncapped alloc
+      for (c <- capped)
+        assert(c.getLong(1) <= allocs.max + 1)
+    }
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
