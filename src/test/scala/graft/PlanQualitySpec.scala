@@ -287,6 +287,23 @@ class PlanQualitySpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = false))
   }
 
+  test("q218: the spatial stencil join is an equi join on cell ids") {
+    // the grid-blocked ε-join must never degrade to a nested-loop
+    // over points — the cell key is what makes it shuffle-joinable
+    val p = plan("q218_grid_eps_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q218 lost its cell equi key: $p")
+  }
+
+  test("q221: the hashed linear scorer joins against NOTHING") {
+    // the weight vector is derived inside the expression (hashing
+    // trick) — a join against a model table would be the thing this
+    // operator exists to avoid at 100 TB
+    val p = plan("q221_quality_linear_score")
+    assert(!p.contains("Join"), s"q221 grew a model-table join: $p")
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     // q55's cross join is at BLOCK granularity (blocks² rows, each row
     // one packed block) — bounded by construction, not an n² row plan
