@@ -235,5 +235,80 @@ object MultimodalQueries {
       .withColumn("speech_ratio",
         round(col("n_active").cast("double") / col("n_frames"), 6)))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q73, q169, q170, q182, q183)
+  /** Shot-boundary detection over sampled "video" frames: per-frame
+    * 16-bit average-hash (bit j set iff byte_j·16 > Σ bytes — the q169
+    * aHash at frame granularity, integer-exact), then a cut wherever
+    * consecutive frames' signatures differ by ≥ 6 of 16 bits. The
+    * window is per-media ordered by frame index — co-partitioned with
+    * the frame explode, never global. Output is the per-media shot
+    * summary a video-curation pipeline keys on (sample one frame per
+    * SHOT, not per second). Payloads are the ASCII stub corpus
+    * (q35–q37); the production swap-in is a real decoder behind the
+    * same frame schema. */
+  val q232 = {
+    val totSql = (1 to 16)
+      .map(j => s"ascii(substring(f, $j, 1))").mkString(" + ")
+    val sigSql = (1 to 16)
+      .map(j => s"(CASE WHEN ascii(substring(f, $j, 1)) * 16 > tot " +
+        s"THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")
+    QueryDef.sql("q232_shot_boundaries",
+      s"""WITH fr AS (SELECT doc_id AS media_id, CAST(i AS INT)
+         |    AS frame_idx,
+         |    substring(text, CAST(i * 64 + 1 AS INT), 16) AS f
+         |  FROM (SELECT doc_id, text,
+         |      unnest(range(greatest(CAST(floor(length(text) / 64.0)
+         |        AS BIGINT), 1))) AS i
+         |    FROM documents WHERE doc_id % 3 = 2) t),
+         |ok AS (SELECT media_id, frame_idx, f, $totSql AS tot
+         |  FROM fr WHERE length(f) = 16),
+         |sig AS (SELECT media_id, frame_idx, CAST($sigSql AS BIGINT)
+         |    AS sig
+         |  FROM ok),
+         |d AS (SELECT media_id, frame_idx, sig,
+         |    lag(sig) OVER (PARTITION BY media_id ORDER BY frame_idx)
+         |      AS prev
+         |  FROM sig)
+         |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND
+         |    bit_count(xor(sig, prev)) >= 6 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cuts,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND
+         |    bit_count(xor(sig, prev)) >= 6 THEN 1 ELSE 0 END) + 1
+         |    AS BIGINT) AS n_shots,
+         |  CAST(sum(CASE WHEN prev IS NULL THEN 0
+         |    ELSE bit_count(xor(sig, prev)) END) AS BIGINT) AS sum_dist
+         |FROM d GROUP BY media_id""")(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val frames = graft.operators.Multimodal.frameSample(
+            graft.operators.Multimodal.corpusFromDocuments(
+              Tables.documents(s, dir)), stride = 4)
+          .select(col("media_id"), col("frame_idx"),
+            col("frame_bytes").cast("string").as("f"))
+          .where(length(col("f")) === 16)
+        val bytes = (1 to 16).map(j => ascii(substring(col("f"), j, 1)))
+        val withArr = frames
+          .withColumn("arr", array(bytes: _*))
+          .withColumn("tot", expr("aggregate(arr, 0, (a, x) -> a + x)"))
+        val sig = (1 to 16).map { j =>
+          when(element_at(col("arr"), j) * 16 > col("tot"),
+            lit(1L << (j - 1))).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        val d = withArr.select(col("media_id"), col("frame_idx"),
+            sig.as("sig"))
+          .withColumn("prev", lag(col("sig"), 1).over(w))
+        val dist = bit_count(col("sig").bitwiseXOR(col("prev")))
+        val isCut = col("prev").isNotNull && dist >= 6
+        d.groupBy("media_id").agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(isCut, 1L).otherwise(0L)).as("n_cuts"),
+          (sum(when(isCut, 1L).otherwise(0L)) + 1).as("n_shots"),
+          sum(when(col("prev").isNull, 0L).otherwise(dist.cast("long")))
+            .as("sum_dist"))
+      })
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q73, q169, q170, q182, q183,
+    q232)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{broadcast, col, count, floor, lit, pmod, row_number, sum, when}
 
 /** Similarity search over the embeddings table. The brute-force queries
   * carry exact DuckDB oracles (`embedding::DOUBLE[]` upcast first, so
@@ -317,6 +317,72 @@ object SimilarityQueries {
     (s, dir) => graft.operators.Ivf.kmeansStepDeterministic(
       Tables.embeddings(s, dir), "vec_id", "embedding", k = 64))
 
+  /** Held-out kNN label-prediction accuracy — the end-to-end quality
+    * number for the embedding space itself (q216 scores a ranking
+    * against graded labels; this scores the SPACE against class
+    * labels). Split is deterministic and leakage-free (q168's stance):
+    * vec_id % 50 = 0 becomes the query set, the rest the corpus; each
+    * query takes its 10 nearest corpus neighbours (exact brute force —
+    * the same [[graft.operators.Similarity.retrieveTopK]] the ANN
+    * paths are recalled against) and predicts by majority vote with
+    * (count DESC, label ASC) integer tie-break. Per-label accuracy in
+    * floor-ppm. At corpus scale the candidate stream swaps for the IVF/
+    * LSH prefilter; the brute-force eval subset (2% of vectors) is the
+    * standing harness. */
+  val q231 = QueryDef.sql("q231_knn_label_eval",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+      |  FROM embeddings),
+      |n AS (SELECT id, v, label, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM v),
+      |q AS (SELECT * FROM n WHERE id % 50 = 0),
+      |c AS (SELECT * FROM n WHERE id % 50 <> 0),
+      |p AS (SELECT q.id AS id_a, q.label AS label_a, c.id AS id_b,
+      |    c.label AS label_b,
+      |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      |  FROM q, c),
+      |r AS (SELECT id_a, label_a, label_b,
+      |    row_number() OVER (PARTITION BY id_a
+      |      ORDER BY cosine DESC, id_b) AS rnk
+      |  FROM p),
+      |votes AS (SELECT id_a, label_a, label_b, count(*) AS cnt
+      |  FROM r WHERE rnk <= 10 GROUP BY 1, 2, 3),
+      |pred AS (SELECT id_a, label_a, label_b AS predicted
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+      |      ORDER BY cnt DESC, label_b) AS vr FROM votes)
+      |  WHERE vr = 1)
+      |SELECT CAST(label_a AS INT) AS label,
+      |  CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(sum(CASE WHEN predicted = label_a THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST(floor(sum(CASE WHEN predicted = label_a THEN 1 ELSE 0 END)
+      |    * 1000000.0 / count(*)) AS BIGINT) AS acc_ppm
+      |FROM pred GROUP BY 1""")(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 50 === 0)
+      val corpus = emb.where(col("vec_id") % 50 =!= 0)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val nn = Similarity.retrieveTopK(corpus, queries,
+          "vec_id", "embedding", k = 10)
+        .select("id_a", "id_b")
+      val votes = nn
+        .join(broadcast(labels.toDF("id_b", "label_b")), "id_b")
+        .groupBy("id_a", "label_b").agg(count(lit(1)).as("cnt"))
+      val pred = votes.withColumn("vr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+            .orderBy(col("cnt").desc, col("label_b"))))
+        .where(col("vr") === 1)
+        .select(col("id_a"), col("label_b").as("predicted"))
+      pred.join(broadcast(labels.toDF("id_a", "label_a")), "id_a")
+        .groupBy(col("label_a").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("predicted") === col("label_a"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n_queries"), col("n_correct"),
+          floor(col("n_correct") * lit(1000000.0) / col("n_queries"))
+            .cast("long").as("acc_ppm"))
+    })
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160, q176, q187)
+    q160, q176, q187, q231)
 }

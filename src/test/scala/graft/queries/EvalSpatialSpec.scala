@@ -198,6 +198,27 @@ class EvalSpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("q231: every held-out query is predicted exactly once") {
+    val rows = run("q231_knn_label_eval").collect()
+    val expected = graft.Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 50 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == expected)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1)) // correct <= queries
+      assert(r.getLong(3) <= 1000000)
+    }
+  }
+
+  test("q232: shot counts are cuts+1 over video media only") {
+    val rows = run("q232_shot_boundaries").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(0) % 3 == 2, "only video payloads")
+      assert(r.getLong(3) == r.getLong(2) + 1) // shots = cuts + 1
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
