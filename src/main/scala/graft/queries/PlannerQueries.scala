@@ -1462,7 +1462,74 @@ object PlannerQueries {
           col("homog_groups"), col("homog_rows"))
     })
 
+  /** Watermark planning audit — the profiling run that sizes a
+    * Structured Streaming `withWatermark` BEFORE deploying the
+    * stream: replay the events under a deterministic delivery-delay
+    * model (md5-derived jitter up to 10 min — the generator's
+    * event_id order is exactly ts order, so disorder must be
+    * modeled), compute each event's LATENESS against the high-water
+    * mark of event time among strictly-earlier arrival minutes, and
+    * report the drop rate per event type at four candidate watermarks.
+    * The per-minute high-water prefix runs over the arrival-minute
+    * frame (calendar-bounded, the q131 stance), never over rows; all
+    * lateness arithmetic is integer µs; shares are floor-ppm. The
+    * output row that first shows ≈ 0 drops is the watermark to
+    * deploy — this is q22/q48's missing sizing step. */
+  val q234 = QueryDef.sql("q234_watermark_planner",
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+      |    epoch_us(ts) + ('0x' || substring(md5('d|' ||
+      |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 600000000
+      |      AS arr
+      |  FROM events),
+      |b AS (SELECT *, arr // 60000000 AS abk FROM e),
+      |m AS (SELECT abk, max(us) AS mx FROM b GROUP BY 1),
+      |p AS (SELECT abk, max(mx) OVER (ORDER BY abk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM m),
+      |l AS (SELECT b.event_type,
+      |    GREATEST(COALESCE(p.hwm - b.us, 0), 0) AS late_us
+      |  FROM b JOIN p USING (abk)),
+      |w AS (SELECT CAST(w AS BIGINT) AS watermark_s
+      |  FROM (VALUES (60), (300), (900), (3600)) v(w))
+      |SELECT l.event_type, w.watermark_s,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN late_us > w.watermark_s * 1000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+      |  CAST(floor(sum(CASE WHEN late_us > w.watermark_s * 1000000
+      |    THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT)
+      |    AS drop_ppm
+      |FROM l, w GROUP BY 1, 2""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (unix_micros(col("ts")) +
+          conv(substring(md5(concat(lit("d|"),
+            col("event_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 600000000L).as("arr"))
+      val b = e.withColumn("abk", expr("arr DIV 60000000"))
+      val m = b.groupBy("abk").agg(max("us").as("mx"))
+      // calendar-bounded frame (arrival minutes), not a row window
+      val p = m.withColumn("hwm", max("mx").over(Window.orderBy("abk")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      val l = b.join(p.select("abk", "hwm"), "abk")
+        .select(col("event_type"),
+          greatest(coalesce(col("hwm") - col("us"), lit(0L)), lit(0L))
+            .as("late_us"))
+      val w = s.createDataFrame(Seq(Tuple1(60L), Tuple1(300L),
+        Tuple1(900L), Tuple1(3600L))).toDF("watermark_s")
+      l.crossJoin(broadcast(w))
+        .groupBy("event_type", "watermark_s")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late_us") > col("watermark_s") * 1000000L, 1L)
+            .otherwise(0L)).as("dropped"))
+        .select(col("event_type"), col("watermark_s"), col("n"),
+          col("dropped"),
+          floor(col("dropped") * lit(1000000.0) / col("n")).cast("long")
+            .as("drop_ppm"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214, q226)
+    q209, q210, q211, q212, q213, q214, q226, q234)
 }

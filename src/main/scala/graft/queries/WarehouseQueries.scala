@@ -563,6 +563,147 @@ object WarehouseQueries {
       Tables.events(s, dir), "user_id", "event_type", "ts",
       lit("2024-01-24 00:00:00").cast("timestamp")))
 
+  /** Referentially-consistent sampling: a dev/staging copy of the
+    * warehouse that joins EXACTLY like production — sample the
+    * CUSTOMER population by md5 threshold (~1/8), then take those
+    * customers' orders and those orders' lineitems in full. Sampling
+    * rows independently per table would orphan nearly every foreign
+    * key (a 12.5% uniform sample of orders keeps ~1.5% of order⋈cust
+    * pairs); entity-rooted sampling preserves every relationship by
+    * construction, and the audit columns PROVE it (zero orphans,
+    * exact per-table keep shares). Scale shape: the customer filter
+    * is one codegen'd md5 predicate; membership flows down via two
+    * semi joins on the natural join keys — no shuffle beyond them. */
+  val q233 = QueryDef.sql("q233_consistent_sample",
+    """WITH sc AS (SELECT c_custkey FROM customer
+      |  WHERE ('0x' || substring(md5('cs|' || CAST(c_custkey AS VARCHAR)),
+      |    1, 15))::BIGINT % 8 = 0),
+      |so AS (SELECT o_orderkey, o_custkey FROM orders
+      |  JOIN sc ON o_custkey = sc.c_custkey),
+      |sl AS (SELECT l.l_orderkey FROM lineitem l
+      |  JOIN so ON l.l_orderkey = so.o_orderkey),
+      |t AS (SELECT 'customer' AS tbl,
+      |    (SELECT count(*) FROM sc) AS kept,
+      |    (SELECT count(*) FROM customer) AS total,
+      |    0 AS orphans
+      |  UNION ALL SELECT 'orders', (SELECT count(*) FROM so),
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM so WHERE o_custkey NOT IN
+      |      (SELECT c_custkey FROM sc))
+      |  UNION ALL SELECT 'lineitem', (SELECT count(*) FROM sl),
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM sl WHERE l_orderkey NOT IN
+      |      (SELECT o_orderkey FROM so)))
+      |SELECT tbl, CAST(kept AS BIGINT) AS kept,
+      |  CAST(total AS BIGINT) AS total,
+      |  CAST(floor(kept * 1000000.0 / total) AS BIGINT) AS keep_ppm,
+      |  CAST(orphans AS BIGINT) AS orphans
+      |FROM t""")(
+    (s, dir) => {
+      val sc = Tables.customer(s, dir).where(
+        conv(substring(md5(concat(lit("cs|"),
+          col("c_custkey").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 8 === 0)
+        .select("c_custkey")
+      val so = Tables.orders(s, dir)
+        .join(sc, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey").cache()
+      val sl = Tables.lineitem(s, dir)
+        .join(so.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey").cache()
+      // orphan audit: sampled child rows whose parent is missing from
+      // the sample — structurally zero under entity rooting, but
+      // COMPUTED (anti-join), so a refactor that breaks the rooting
+      // changes the hashed result instead of being assumed away
+      def row(tbl: String, kept: org.apache.spark.sql.DataFrame,
+              total: org.apache.spark.sql.DataFrame,
+              orphans: org.apache.spark.sql.DataFrame) =
+        kept.agg(count(lit(1)).as("kept"))
+          .crossJoin(broadcast(total.agg(count(lit(1)).as("total"))))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("orphans"))))
+          .select(lit(tbl).as("tbl"), col("kept"), col("total"),
+            col("orphans"))
+      val oOrph = so.join(sc, col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      val lOrph = sl.join(so.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      row("customer", sc, Tables.customer(s, dir), sc.limit(0))
+        .unionByName(row("orders", so, Tables.orders(s, dir), oOrph))
+        .unionByName(row("lineitem", sl, Tables.lineitem(s, dir), lOrph))
+        .select(col("tbl"), col("kept"), col("total"),
+          floor(col("kept") * lit(1000000.0) / col("total")).cast("long")
+            .as("keep_ppm"),
+          col("orphans"))
+    })
+
+  /** Error-recovery funnel: for every 'error' event, the time until
+    * the SAME user's next non-error event, bucketed at 1/5/15/60
+    * minutes plus 'unrecovered' — the reliability ops metric behind
+    * "did users route around the failure?". Mechanically a
+    * directional same-key band join (the q13 shape with a type
+    * residual) followed by a min-gap per error; cumulative bucket
+    * counts are integers, shares floor-ppm. At fraud-rule scale the
+    * Δ-bucketed twin (q38's operator) drops in unchanged — same key,
+    * same band. */
+  val q235 = QueryDef.sql("q235_error_recovery",
+    """WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'error'),
+      |nxt AS (SELECT user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type <> 'error'),
+      |g AS (SELECT err.event_id, min(nxt.us - err.us) AS gap_us
+      |  FROM err JOIN nxt ON err.user_id = nxt.user_id
+      |    AND nxt.us > err.us AND nxt.us <= err.us + 3600000000
+      |  GROUP BY 1),
+      |t AS (SELECT (SELECT count(*) FROM err) AS n_err),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN gap_us <= 60000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m1,
+      |    CAST(sum(CASE WHEN gap_us <= 300000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m5,
+      |    CAST(sum(CASE WHEN gap_us <= 900000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m15,
+      |    CAST(count(*) AS BIGINT) AS m60
+      |  FROM g)
+      |SELECT b.bucket, b.n,
+      |  CAST(floor(b.n * 1000000.0 / t.n_err) AS BIGINT) AS share_ppm
+      |FROM (SELECT 'recovered_1m' AS bucket, m1 AS n FROM c
+      |  UNION ALL SELECT 'recovered_5m', m5 FROM c
+      |  UNION ALL SELECT 'recovered_15m', m15 FROM c
+      |  UNION ALL SELECT 'recovered_60m', m60 FROM c
+      |  UNION ALL SELECT 'unrecovered', t.n_err - m60 FROM c, t) b, t""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val nxt = ev.where(col("event_type") =!= "error")
+        .select(col("user_id").as("nuser"),
+          unix_micros(col("ts")).as("nus"))
+      val g = err.join(nxt, col("user_id") === col("nuser") &&
+          col("nus") > col("us") &&
+          col("nus") <= col("us") + 3600000000L)
+        .groupBy("event_id")
+        .agg(min(col("nus") - col("us")).as("gap_us"))
+      val t = err.agg(count(lit(1)).as("n_err"))
+      val c = g.agg(
+        sum(when(col("gap_us") <= 60000000L, 1L).otherwise(0L)).as("m1"),
+        sum(when(col("gap_us") <= 300000000L, 1L).otherwise(0L))
+          .as("m5"),
+        sum(when(col("gap_us") <= 900000000L, 1L).otherwise(0L))
+          .as("m15"),
+        count(lit(1)).as("m60")).crossJoin(broadcast(t))
+      val rows = Seq(("recovered_1m", col("m1")),
+        ("recovered_5m", col("m5")), ("recovered_15m", col("m15")),
+        ("recovered_60m", col("m60")),
+        ("unrecovered", col("n_err") - col("m60")))
+      rows.map { case (nm, n) =>
+        c.select(lit(nm).as("bucket"), n.cast("long").as("n"),
+          floor(n * lit(1000000.0) / col("n_err")).cast("long")
+            .as("share_ppm"))
+      }.reduce(_ unionByName _)
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q48, q67,
-    q68, q80, q82, q86, q95, q97, q186, q188)
+    q68, q80, q82, q86, q95, q97, q186, q188, q233, q235)
 }

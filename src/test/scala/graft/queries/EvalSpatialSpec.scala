@@ -219,6 +219,42 @@ class EvalSpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("q233: entity-rooted sample has zero orphans, plausible rate") {
+    val rows = run("q233_consistent_sample").collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((_, r) <- rows) {
+      assert(r.getLong(4) == 0, s"orphans in ${r.getString(0)}")
+      assert(r.getLong(1) <= r.getLong(2))
+    }
+    val custPpm = rows("customer").getLong(3)
+    assert(custPpm > 30000 && custPpm < 300000,
+      s"1/8 md5 sample wildly off: $custPpm ppm")
+  }
+
+  test("q234: drops shrink as the watermark grows") {
+    val rows = run("q234_watermark_planner").collect()
+    val byType = rows.groupBy(_.getString(0))
+    for ((_, rs) <- byType) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(2)).distinct.length == 1,
+        "n must not depend on the watermark")
+      val drops = sorted.map(_.getLong(3))
+      assert(drops.sliding(2).forall(w => w(0) >= w(1)),
+        s"drops must be non-increasing: ${drops.mkString(",")}")
+    }
+  }
+
+  test("q235: recovery buckets are cumulative and total to the error count") {
+    val rows = run("q235_error_recovery").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("recovered_1m") <= rows("recovered_5m"))
+    assert(rows("recovered_5m") <= rows("recovered_15m"))
+    assert(rows("recovered_15m") <= rows("recovered_60m"))
+    val nErr = graft.Tables.events(spark, sf)
+      .where(col("event_type") === "error").count()
+    assert(rows("recovered_60m") + rows("unrecovered") == nErr)
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
