@@ -252,4 +252,27 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         col("bytes").substr(col("frame_idx") * lit(16 * stride) + 1, lit(16))
           .as("frame_bytes"))
+
+  /** Per-frame 16-bit average-hash over [[frameSample]] output — the
+    * q169 aHash at frame granularity (bit j set iff byte_j·16 >
+    * Σ bytes, integer-exact), one codegen'd expression per frame with
+    * no shuffle. Shared by the batch shot-boundary query (q232) and
+    * [[graft.streaming.Streams.shotBoundaryStream]]. Partial tail
+    * frames (< 16 bytes) are dropped — their hash would compare
+    * payload noise. */
+  def frameSignatures(media: DataFrame, stride: Int): DataFrame = {
+    val frames = frameSample(media, stride)
+      .select(col("media_id"), col("frame_idx"),
+        col("frame_bytes").cast("string").as("f"))
+      .where(length(col("f")) === 16)
+    val bytes = (1 to 16).map(j => ascii(substring(col("f"), j, 1)))
+    val withArr = frames
+      .withColumn("arr", array(bytes: _*))
+      .withColumn("tot", expr("aggregate(arr, 0, (a, x) -> a + x)"))
+    val sig = (1 to 16).map { j =>
+      when(element_at(col("arr"), j) * 16 > col("tot"),
+        lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withArr.select(col("media_id"), col("frame_idx"), sig.as("sig"))
+  }
 }

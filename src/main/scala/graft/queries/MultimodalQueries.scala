@@ -280,23 +280,10 @@ object MultimodalQueries {
          |FROM d GROUP BY media_id""")(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val frames = graft.operators.Multimodal.frameSample(
+        val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        val d = graft.operators.Multimodal.frameSignatures(
             graft.operators.Multimodal.corpusFromDocuments(
               Tables.documents(s, dir)), stride = 4)
-          .select(col("media_id"), col("frame_idx"),
-            col("frame_bytes").cast("string").as("f"))
-          .where(length(col("f")) === 16)
-        val bytes = (1 to 16).map(j => ascii(substring(col("f"), j, 1)))
-        val withArr = frames
-          .withColumn("arr", array(bytes: _*))
-          .withColumn("tot", expr("aggregate(arr, 0, (a, x) -> a + x)"))
-        val sig = (1 to 16).map { j =>
-          when(element_at(col("arr"), j) * 16 > col("tot"),
-            lit(1L << (j - 1))).otherwise(lit(0L))
-        }.reduce(_ + _)
-        val w = Window.partitionBy("media_id").orderBy("frame_idx")
-        val d = withArr.select(col("media_id"), col("frame_idx"),
-            sig.as("sig"))
           .withColumn("prev", lag(col("sig"), 1).over(w))
         val dist = bit_count(col("sig").bitwiseXOR(col("prev")))
         val isCut = col("prev").isNotNull && dist >= 6

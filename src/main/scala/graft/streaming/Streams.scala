@@ -557,4 +557,45 @@ object Streams {
           out.result().iterator
       }
   }
+
+  final case class FrameSig(media_id: Long, frame_idx: Int, sig: Long)
+  final case class ShotSummary(media_id: Long, n_frames: Long,
+                               n_cuts: Long, n_shots: Long, sum_dist: Long)
+  // public: the state encoder's generated code instantiates it
+  final case class ShotState(lastSig: Long, n: Long, cuts: Long,
+                             dist: Long)
+
+  /** Streaming twin of q232's shot-boundary detection: per-media state
+    * is the LAST frame signature plus three counters — each arriving
+    * frame contributes its Hamming distance to the previous one, a cut
+    * when ≥ `cutBits`, and the stream emits the updated per-media shot
+    * summary every micro-batch (update-style). After any prefix of
+    * in-order frames the emitted summary equals the batch query over
+    * the frames seen so far, bit-for-bit and batch-boundary-
+    * independent (StreamsSpec replays in micro-batches). Frames are
+    * sorted by frame_idx within each batch; cross-batch late frames
+    * would diff against the wrong predecessor — pair with an upstream
+    * watermark + in-order delivery per media (q234 is the sizing
+    * tool), the [[ewmaStream]] caveat. State is O(32 bytes) per media,
+    * constant in stream length. */
+  def shotBoundaryStream(frames: Dataset[FrameSig],
+                         cutBits: Int = 6): Dataset[ShotSummary] = {
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.media_id)
+      .flatMapGroupsWithState[ShotState, ShotSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[FrameSig], state: GroupState[ShotState]) =>
+          var st = state.getOption.getOrElse(ShotState(0L, 0L, 0L, 0L))
+          for (f <- it.toSeq.sortBy(_.frame_idx)) {
+            if (st.n == 0) st = ShotState(f.sig, 1L, 0L, 0L)
+            else {
+              val d = java.lang.Long.bitCount(st.lastSig ^ f.sig).toLong
+              st = ShotState(f.sig, st.n + 1,
+                st.cuts + (if (d >= cutBits) 1L else 0L), st.dist + d)
+            }
+          }
+          state.update(st)
+          Iterator(ShotSummary(id, st.n, st.cuts, st.cuts + 1, st.dist))
+      }
+  }
 }

@@ -597,4 +597,42 @@ class StreamsSpec extends AnyFunSuite {
       .as[Streams.Attribution].collect().toSet
     assert(streamed == want)
   }
+
+  test("shotBoundaryStream matches the q232 batch summary after in-order replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val want = graft.SparkEntry.queries("q232_shot_boundaries")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val frames = graft.operators.Multimodal.frameSignatures(
+        graft.operators.Multimodal.corpusFromDocuments(
+          graft.Tables.documents(spark, sf)), stride = 4)
+      .as[Streams.FrameSig].collect()
+      .sortBy(f => (f.frame_idx, f.media_id)) // in-order per media
+    val mem = MemoryStream[Streams.FrameSig]
+    val q = Streams.shotBoundaryStream(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("shots_out").start()
+    // three micro-batches split by frame index — per-media order holds
+    // across batches, the operator's stated delivery contract
+    val (b1, rest) = frames.partition(_.frame_idx == 0)
+    val (b2, b3) = rest.partition(_.frame_idx <= 2)
+    for (b <- Seq(b1, b2, b3)) {
+      mem.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // update mode: counters are monotone, so the max (n_frames, …)
+    // struct per media IS its final state — no reliance on sink order
+    val got = spark.table("shots_out")
+      .groupBy("media_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          "n_frames", "n_cuts", "n_shots", "sum_dist")).as("s"))
+      .select(col("media_id"), col("s.n_frames"), col("s.n_cuts"),
+        col("s.n_shots"), col("s.sum_dist"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
 }
