@@ -906,10 +906,10 @@ object TextQueries {
     * as three CTE stages. Exact integer pair counts, lexicographic
     * tiebreaks; the output is the ordered merge table a BPE tokenizer
     * consumes. */
-  val q100 = {
-    // one round of the shared window algebra, parameterized by the
-    // state CTE it reads and the index of the round
-    def round(n: Int, in: String): String = {
+  // one round of the BPE window algebra, parameterized by the state
+  // CTE it reads and the index of the round — shared by q100 (merge
+  // induction) and q236 (encoding with the induced merges)
+  private def bpeRound(n: Int, in: String): String = {
       s"""p$n AS (SELECT syms[CAST(i AS INT)] AS a,
          |    syms[CAST(i+1 AS INT)] AS b, CAST(sum(cnt) AS BIGINT) AS c
          |  FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM $in)
@@ -936,26 +936,85 @@ object TextQueries {
          |    list(CASE WHEN merged THEN ma || mb ELSE sym END
          |         ORDER BY pos) AS syms
          |  FROM k$n WHERE NOT consumed GROUP BY word, cnt)"""
-    }
+  }
+
+  /** The q100 training CTE chain: word frequencies → 3 unrolled merge
+    * rounds, ending with 1-row CTEs b1/b2/b3 (the ordered merges). */
+  private val BpeTrainCtes: String =
+    s"""w AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split_regex(lower(trim(text)), '\\s+'),
+       |      t -> len(t) > 0)) AS word FROM documents)
+       |  GROUP BY word),
+       |s1 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms
+       |       FROM w),
+       |${bpeRound(1, "s1")},
+       |${bpeRound(2, "s2")},
+       |${bpeRound(3, "s3")}""".stripMargin
+
+  val q100 =
     QueryDef.sql("q100_bpe_merges",
-      s"""WITH w AS (
-         |  SELECT word, count(*) AS cnt FROM (
-         |    SELECT unnest(list_filter(
-         |      string_split_regex(lower(trim(text)), '\\s+'),
-         |      t -> len(t) > 0)) AS word FROM documents)
-         |  GROUP BY word),
-         |s1 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms
-         |       FROM w),
-         |${round(1, "s1")},
-         |${round(2, "s2")},
-         |${round(3, "s3")}
+      s"""WITH $BpeTrainCtes
          |SELECT 1 AS round, a AS sym_a, b AS sym_b, a || b AS merged,
          |       c AS pair_count FROM b1
          |UNION ALL SELECT 2, a, b, a || b, c FROM b2
          |UNION ALL SELECT 3, a, b, a || b, c FROM b3""")(
       (s, dir) => graft.operators.Bpe.train(
         s, Tables.documents(s, dir), "text", rounds = 3))
-  }
+
+  /** BPE ENCODING — the serving side of q100: apply the induced merge
+    * table to every vocabulary word, in rank order. The encoding
+    * representation is the word's characters joined by a '\n' sentinel
+    * (a character no \s+-split token can contain), so each merge is
+    * ONE plain `replace(s, a||sep||b, a||b)` — leftmost non-
+    * overlapping replacement reproduces the trainer's odd-position
+    * run-pairing exactly (both engines' replace() scan left to right
+    * and consume matches), and the sentinel makes mid-piece false
+    * matches impossible. Spark side: the 3 merges collect to the
+    * driver (the tokenizer ARTIFACT — bounded by rounds, the q221
+    * no-model-join stance) and fold into chained codegen'd replace
+    * calls; no join touches the vocabulary. Output: every distinct
+    * word with its piece count and encoding (sentinel shown as ' '). */
+  val q236 = QueryDef.sql("q236_bpe_encode",
+    s"""WITH $BpeTrainCtes,
+       |vw AS (SELECT DISTINCT word FROM w),
+       |e0 AS (SELECT word, array_to_string(
+       |    regexp_extract_all(word, '.'), chr(10)) AS s FROM vw),
+       |enc1 AS (SELECT word, replace(s, b1.a || chr(10) || b1.b,
+       |    b1.a || b1.b) AS s FROM e0, b1),
+       |enc2 AS (SELECT word, replace(s, b2.a || chr(10) || b2.b,
+       |    b2.a || b2.b) AS s FROM enc1, b2),
+       |enc3 AS (SELECT word, replace(s, b3.a || chr(10) || b3.b,
+       |    b3.a || b3.b) AS s FROM enc2, b3)
+       |SELECT word,
+       |  CAST(length(s) - length(replace(s, chr(10), '')) + 1 AS BIGINT)
+       |    AS n_pieces,
+       |  replace(s, chr(10), ' ') AS encoded
+       |FROM enc3""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Bpe.train(s, docs, "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      val sep = "\n"
+      val words = docs.select(explode(split(lower(trim(col("text"))),
+          "\\s+")).as("word"))
+        .where(length(col("word")) > 0).distinct()
+      val spaced = array_join(
+        regexp_extract_all(col("word"), lit("."), lit(0)), sep)
+      val encoded = merges.foldLeft(spaced) { case (e, (a, b, m)) =>
+        call_function("replace", e, lit(a + sep + b), lit(m))
+      }
+      words.select(col("word"),
+          encoded.as("s"))
+        .select(col("word"),
+          (length(col("s")) -
+            length(call_function("replace", col("s"), lit(sep), lit(""))) +
+            1).cast("long").as("n_pieces"),
+          call_function("replace", col("s"), lit(sep), lit(" "))
+            .as("encoded"))
+    })
 
   /** CMS counter MERGEABILITY certificate (the third of the trio:
     * q107 HLL max-merge, q109 bottom-k select-merge, here sum-merge):
@@ -1488,5 +1547,5 @@ object TextQueries {
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185)
+    q185, q236)
 }

@@ -255,6 +255,21 @@ class EvalSpatialSpec extends AnyFunSuite {
     assert(rows("recovered_60m") + rows("unrecovered") == nErr)
   }
 
+  test("q236: BPE encoding round-trips and merges reduce piece counts") {
+    val rows = run("q236_bpe_encode").collect()
+    assert(rows.nonEmpty)
+    var anyMerged = false
+    for (r <- rows) {
+      val (word, nPieces, enc) =
+        (r.getString(0), r.getLong(1), r.getString(2))
+      assert(enc.replace(" ", "") == word, s"lossy encoding of $word")
+      assert(enc.split(" ", -1).length == nPieces)
+      assert(nPieces <= word.length)
+      if (nPieces < word.length) anyMerged = true
+    }
+    assert(anyMerged, "no merge ever applied — encoding is a no-op")
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
