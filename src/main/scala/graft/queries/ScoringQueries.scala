@@ -405,5 +405,242 @@ object ScoringQueries {
             .cast("long").as("fill_ppm"))
     })
 
-  def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227, q230)
+  /** Quantile normalization across sources — map every document's
+    * length onto the POOLED length distribution at its within-source
+    * rank quantile (the batch-effect correction that makes "long doc"
+    * mean the same thing in every crawl before length-based filters
+    * run). ENTIRELY rank arithmetic: within-source rank r of n_s maps
+    * to pooled rank 1 + ⌊(r−1)(N−1)/(n_s−1)⌋ (exact integers), and the
+    * normalized value is the pooled order statistic at that rank — no
+    * floats anywhere. Pooled ranking is the two-pass
+    * [[graft.operators.Rank.globalRank]]; within-source ranks shard by
+    * source; the final lookup is an equi join on the pooled rank. */
+  val q237 = QueryDef.sql("q237_quantile_normalize",
+    """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents),
+      |p AS (SELECT v AS pv, row_number() OVER (ORDER BY v, doc_id)
+      |    AS pr FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |s AS (SELECT doc_id, source, v,
+      |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+      |      AS r,
+      |    count(*) OVER (PARTITION BY source) AS ns
+      |  FROM d),
+      |t AS (SELECT s.doc_id, s.source, s.v,
+      |    CASE WHEN s.ns = 1 THEN (n.n + 1) // 2
+      |      ELSE 1 + ((s.r - 1) * (n.n - 1)) // (s.ns - 1) END AS ti
+      |  FROM s, n)
+      |SELECT t.doc_id, t.source, t.v AS n_chars,
+      |  p.pv AS normalized
+      |FROM t JOIN p ON t.ti = p.pr""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("v"))
+      val p = Rank.globalRank(d.select(col("v"), col("doc_id")), "pr",
+          col("v"), col("doc_id"))
+        .select(col("v").as("pv"), col("pr"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val ws = Window.partitionBy("source").orderBy("v", "doc_id")
+      val sdf = d.select(col("doc_id"), col("source"), col("v"),
+        row_number().over(ws).as("r"),
+        count(lit(1)).over(Window.partitionBy("source")).as("ns"))
+      val t = sdf.crossJoin(broadcast(n))
+        .withColumn("ti", when(col("ns") === 1,
+            expr("(n + 1) DIV 2"))
+          .otherwise(lit(1) + expr("((r - 1) * (n - 1)) DIV (ns - 1)")))
+      t.join(p, col("ti") === col("pr"))
+        .select(col("doc_id"), col("source"), col("v").as("n_chars"),
+          col("pv").as("normalized"))
+    })
+
+  /** Distinct-n-gram diversity per source (distinct-1 / distinct-2 —
+    * the repetitiveness metric generation-quality reports lead with):
+    * unique unigram and adjacent-bigram ratios over each source's
+    * pooled token stream. One explode, one per-doc LEAD (co-
+    * partitioned with the explode), two aggregates; ratios floor-ppm.
+    * Low distinct-2 with normal distinct-1 is the template-corpus
+    * signature (q59's repetition flag at source granularity). */
+  val q238 = QueryDef.sql("q238_distinct_ngrams",
+    """WITH tk AS (SELECT source, doc_id, pos, tok FROM (
+      |    SELECT source, doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+      |      unnest(range(len(string_split_regex(lower(trim(text)),
+      |        '\s+')))) AS pos
+      |    FROM documents) s WHERE length(tok) > 0),
+      |bg AS (SELECT source, tok || ' ' || lead(tok)
+      |    OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      |  FROM tk),
+      |u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_uni,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS d_uni
+      |  FROM tk GROUP BY 1),
+      |b AS (SELECT source, CAST(count(bigram) AS BIGINT) AS n_bi,
+      |    CAST(count(DISTINCT bigram) AS BIGINT) AS d_bi
+      |  FROM bg GROUP BY 1)
+      |SELECT u.source, n_uni, d_uni,
+      |  CAST(floor(d_uni * 1000000.0 / n_uni) AS BIGINT)
+      |    AS distinct1_ppm,
+      |  n_bi, d_bi,
+      |  CAST(floor(d_bi * 1000000.0 / n_bi) AS BIGINT) AS distinct2_ppm
+      |FROM u JOIN b ON u.source = b.source""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+"))
+            .as(Seq("pos", "tok")))
+        .where(length(col("tok")) > 0)
+      val bg = tk.select(col("source"),
+        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos"))).as("bigram"))
+      val u = tk.groupBy("source").agg(count(lit(1)).as("n_uni"),
+        count_distinct(col("tok")).as("d_uni"))
+      val b = bg.groupBy("source").agg(count(col("bigram")).as("n_bi"),
+        count_distinct(col("bigram")).as("d_bi"))
+      u.join(b, "source")
+        .select(col("source"), col("n_uni"), col("d_uni"),
+          floor(col("d_uni") * lit(1000000.0) / col("n_uni")).cast("long")
+            .as("distinct1_ppm"),
+          col("n_bi"), col("d_bi"),
+          floor(col("d_bi") * lit(1000000.0) / col("n_bi")).cast("long")
+            .as("distinct2_ppm"))
+    })
+
+  private val BtIters = 12
+
+  /** Bradley–Terry preference aggregation over sources — the reward-
+    * model arithmetic of RLHF applied to corpus curation: per
+    * language, sources "play" pairwise matches decided by their
+    * lower-median q221 quality score; the directed win matrix then
+    * fits BT strengths with 12 Zermelo/MM iterations. The fixed-point
+    * is INTEGER micro-units after every iteration (the q213 stance:
+    * round state, then iterate — raw-double chains drift per engine),
+    * and each iteration's denominator folds its terms in ascending
+    * opponent order via an explicit left fold (DuckDB `list_reduce`,
+    * Spark driver fold over the collected bounded matrix — #sources²
+    * rows, a model artifact, not data). Ties contribute no win in
+    * either direction; sources with zero games drop out. Output:
+    * games/wins (integers) and the BT strength with its rank. */
+  val q239 = QueryDef.sql("q239_bradley_terry", {
+    val iters = (1 to BtIters).map { k =>
+      s"""it$k AS MATERIALIZED (SELECT nm.i,
+         |    CAST(floor(max(ww.w) * 1000000.0 / list_reduce(
+         |      list(nm.n * 1000000.0 / (a.x + b.x) ORDER BY nm.j),
+         |      (p, q) -> p + q)) AS BIGINT) AS x
+         |  FROM nm JOIN it${k - 1} a ON nm.i = a.i
+         |    JOIN it${k - 1} b ON nm.j = b.i
+         |    JOIN ww ON nm.i = ww.i
+         |  GROUP BY nm.i)"""
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) t WHERE length(tok) > 0),
+       |wm AS MATERIALIZED (SELECT doc_id,
+       |    CAST(sum(('0x' || substring(md5('w|' || CAST(
+       |      ('0x' || substring(md5(tok), 1, 3))::BIGINT AS VARCHAR)),
+       |      1, 6))::BIGINT % 2001 - 1000) AS BIGINT) AS s
+       |  FROM tk GROUP BY doc_id),
+       |sc AS (SELECT d.doc_id, d.source, d.lang, coalesce(wm.s, 0) AS s
+       |  FROM documents d LEFT JOIN wm ON d.doc_id = wm.doc_id),
+       |med AS MATERIALIZED (SELECT source, lang,
+       |    list(s ORDER BY s, doc_id)[CAST((count(*) + 1) // 2 AS INT)]
+       |      AS m
+       |  FROM sc GROUP BY 1, 2),
+       |pw AS MATERIALIZED (SELECT a.source AS i, b.source AS j,
+       |    CAST(sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS wins
+       |  FROM med a JOIN med b ON a.lang = b.lang
+       |    AND a.source <> b.source
+       |  GROUP BY 1, 2),
+       |nm AS MATERIALIZED (SELECT p.i, p.j, p.wins + q.wins AS n FROM pw p
+       |  JOIN pw q ON p.i = q.j AND p.j = q.i WHERE p.wins + q.wins > 0),
+       |ww AS MATERIALIZED (SELECT i, CAST(sum(wins) AS BIGINT) AS w FROM pw
+       |  WHERE i IN (SELECT i FROM nm) GROUP BY 1),
+       |it0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS x FROM ww),
+       |$iters,
+       |fin AS (SELECT ww.i AS source, ww.w AS wins,
+       |    (SELECT CAST(sum(n) AS BIGINT) FROM nm WHERE nm.i = ww.i)
+       |      AS games,
+       |    it$BtIters.x AS bt_micro
+       |  FROM ww JOIN it$BtIters ON ww.i = it$BtIters.i)
+       |SELECT source, games, wins, bt_micro,
+       |  CAST(row_number() OVER (ORDER BY bt_micro DESC, source)
+       |    AS BIGINT) AS rank
+       |FROM fin"""
+  })(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tk = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val bucket = conv(substring(md5(col("tok")), 1, 3), 16, 10)
+        .cast("long")
+      val wMilli = conv(substring(
+          md5(concat(lit("w|"), bucket.cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 2001 - 1000
+      val wm = tk.select(col("doc_id"), wMilli.as("w_milli"))
+        .groupBy("doc_id").agg(sum("w_milli").as("s"))
+      val sc = docs.select(col("doc_id"), col("source"), col("lang"))
+        .join(wm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("lang"),
+          coalesce(col("s"), lit(0L)).as("s"))
+      val med = sc.groupBy("source", "lang")
+        .agg(expr("element_at(sort_array(collect_list(struct(s, doc_id)))," +
+          " CAST((count(1) + 1) DIV 2 AS INT)).s").as("m"))
+      val pw = med.toDF("i", "lang", "mi")
+        .join(med.toDF("j", "lang", "mj"), "lang")
+        .where(col("i") =!= col("j"))
+        .groupBy("i", "j")
+        .agg(sum(when(col("mi") > col("mj"), 1L).otherwise(0L)).as("wins"))
+      // bounded model fit: the pairwise matrix is #sources² — collect,
+      // iterate in ascending-opponent order (the oracle's list_reduce
+      // fold, same IEEE left fold), round to micro ints per iteration
+      val dir0 = pw.collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val games = dir0.toSeq.flatMap { case ((i, j), w) =>
+        val n = w + dir0.getOrElse((j, i), 0L)
+        if (n > 0) Some((i, j, n)) else None
+      }
+      if (games.isEmpty) {
+        s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("games",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("wins",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("bt_micro",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("rank",
+                org.apache.spark.sql.types.LongType))))
+      } else {
+        val srcs = games.flatMap(g => Seq(g._1, g._2)).distinct.sorted
+        val winsOf = srcs.map(i => i ->
+          dir0.collect { case ((a, _), w) if a == i => w }.sum).toMap
+        val gamesOf = srcs.map(i => i ->
+          games.collect { case (a, _, n) if a == i => n }.sum).toMap
+        var x = srcs.map(_ -> 1000000L).toMap
+        for (_ <- 1 to BtIters) {
+          x = srcs.map { i =>
+            val terms = games.filter(_._1 == i).sortBy(_._2)
+              .map { case (_, j, n) => n * 1000000.0 / (x(i) + x(j)) }
+            val d = terms.foldLeft(0.0)(_ + _)
+            i -> math.floor(winsOf(i) * 1000000.0 / d).toLong
+          }.toMap
+        }
+        val ranked = srcs.map(i => (i, gamesOf(i), winsOf(i), x(i)))
+          .sortBy { case (i, _, _, b) => (-b, i) }
+          .zipWithIndex
+          .map { case ((i, g, w, b), r) => (i, g, w, b, (r + 1).toLong) }
+        s.createDataFrame(ranked)
+          .toDF("source", "games", "wins", "bt_micro", "rank")
+      }
+    })
+
+  def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227, q230, q237,
+    q238, q239)
 }

@@ -270,6 +270,53 @@ class EvalSpatialSpec extends AnyFunSuite {
     assert(anyMerged, "no merge ever applied — encoding is a no-op")
   }
 
+  test("q237: quantile normalization is order-preserving and in range") {
+    val rows = run("q237_quantile_normalize").collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows.length == docs.count())
+    val (lo, hi) = {
+      val r = docs.agg(org.apache.spark.sql.functions.min("n_chars"),
+        org.apache.spark.sql.functions.max("n_chars")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    for (r <- rows)
+      assert(r.getLong(3) >= lo && r.getLong(3) <= hi)
+    // within each source, orig order ⇒ normalized order
+    for ((_, rs) <- rows.groupBy(_.getString(1))) {
+      val sorted = rs.sortBy(r => (r.getLong(2), r.getLong(0)))
+      val norm = sorted.map(_.getLong(3))
+      assert(norm.sliding(2).forall(w => w(0) <= w(1)),
+        "normalization must preserve within-source order")
+    }
+  }
+
+  test("q238: bigram counts reconcile with token and doc counts") {
+    val rows = run("q238_distinct_ngrams").collect()
+    assert(rows.nonEmpty)
+    val docsWithToks = graft.Tables.documents(spark, sf)
+      .where(length(trim(col("text"))) > 0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val (src, nUni, dUni, nBi, dBi) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(dUni <= nUni && dBi <= nBi + 1)
+      assert(nBi == nUni - docsWithToks(src),
+        s"$src: bigrams $nBi != tokens $nUni - docs ${docsWithToks(src)}")
+      assert(r.getLong(3) <= 1000000 && r.getLong(6) <= 1000000)
+    }
+  }
+
+  test("q239: BT output is a ranked permutation with consistent counts") {
+    val rows = run("q239_bradley_terry").orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(4)).toSeq == (1L to rows.length).toSeq)
+    for (r <- rows) assert(r.getLong(2) <= r.getLong(1)) // wins <= games
+    val bts = rows.map(_.getLong(3))
+    assert(bts.sliding(2).forall(w => w(0) >= w(1)),
+      "rank must follow bt_micro descending")
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
