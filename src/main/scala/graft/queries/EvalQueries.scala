@@ -333,5 +333,49 @@ object EvalQueries {
             .cast("long").as("precision_ppm"))
     })
 
-  def all: Seq[QueryDef] = Seq(q215, q216, q217, q225)
+  /** Top movers between the two halves of the shipdate range — the
+    * per-ITEM drill-down of the aggregate drift metrics (q119's TV
+    * distance, q215's PSI say "the mix moved"; this names the 20
+    * parts that moved it). Selection is entirely integer: |Δ count|
+    * DESC with partkey tiebreak via one post-aggregate window over
+    * the per-part frame. The period split reuses q217's exact
+    * epoch-day midpoint. */
+  val q241 = QueryDef.sql("q241_top_movers",
+    """WITH h AS (SELECT (SELECT
+      |      (min(date_diff('day', DATE '1970-01-01',
+      |         CAST(l_shipdate AS DATE))) +
+      |       max(date_diff('day', DATE '1970-01-01',
+      |         CAST(l_shipdate AS DATE)))) // 2 FROM lineitem) AS mid),
+      |g AS (SELECT l_partkey,
+      |    CAST(sum(CASE WHEN date_diff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) < h.mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN date_diff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) < h.mid THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS c2
+      |  FROM lineitem, h GROUP BY 1),
+      |r AS (SELECT l_partkey, c1, c2, c2 - c1 AS delta,
+      |    row_number() OVER (ORDER BY abs(c2 - c1) DESC, l_partkey)
+      |      AS rk
+      |  FROM g)
+      |SELECT l_partkey, c1, c2, delta, rk FROM r WHERE rk <= 20""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val epochDay = unix_date(col("l_shipdate").cast("date"))
+      val mid = li.agg(((min(epochDay) + max(epochDay)) / 2).cast("long")
+        .as("mid"))
+      val g = li.crossJoin(broadcast(mid))
+        .groupBy("l_partkey")
+        .agg(sum(when(epochDay < col("mid"), 1L).otherwise(0L)).as("c1"),
+          sum(when(epochDay < col("mid"), 0L).otherwise(1L)).as("c2"))
+      // post-aggregate frame (|parts| rows) — bounded global window
+      g.select(col("l_partkey"), col("c1"), col("c2"),
+          (col("c2") - col("c1")).as("delta"),
+          row_number().over(Window.orderBy(
+            abs(col("c2") - col("c1")).desc, col("l_partkey"))).as("rk"))
+        .where(col("rk") <= 20)
+    })
+
+  def all: Seq[QueryDef] = Seq(q215, q216, q217, q225, q241)
 }

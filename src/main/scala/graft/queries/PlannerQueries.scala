@@ -1529,7 +1529,85 @@ object PlannerQueries {
             .as("drop_ppm"))
     })
 
+  /** Isotonic calibration (PAV fit) of the q209/q212 score-vs-outcome
+    * table, computed by the CLOSED minimax identity instead of the
+    * sequential pool-adjacent-violators loop: iso_i = max_{a≤i}
+    * min_{b≥i} mean(a..b), with every interval mean read off two
+    * integer prefix sums. The identity turns an inherently sequential
+    * fit into three joins over the BUCKET frame (50 rows — the q209
+    * pattern: rank at fact scale once, then all calibration math on
+    * the bounded frame; the 50³ combination space is ~10⁴ rows).
+    * Interval means are int/int IEEE divisions (identical both
+    * engines); the fitted rate ships floor-ppm. The monotone fit is
+    * what turns a raw model score into a usable probability. */
+  val q240 = QueryDef.sql("q240_isotonic_calibration",
+    """WITH b AS (SELECT
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS sc,
+      |    o_orderkey,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM b),
+      |r AS (SELECT y, row_number() OVER (ORDER BY sc, o_orderkey)
+      |    AS rn FROM b),
+      |g AS (SELECT ((rn - 1) * 50) // tot AS bucket,
+      |    CAST(count(*) AS BIGINT) AS nb, CAST(sum(y) AS BIGINT) AS pb
+      |  FROM r, n GROUP BY 1),
+      |c AS (SELECT bucket, nb, pb,
+      |    sum(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |      AS cn,
+      |    sum(pb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |      AS cp
+      |  FROM g),
+      |iv AS (SELECT a.bucket AS a, bb.bucket AS b,
+      |    CAST(bb.cp - a.cp + a.pb AS DOUBLE) /
+      |      (bb.cn - a.cn + a.nb) AS m
+      |  FROM c a JOIN c bb ON a.bucket <= bb.bucket),
+      |mn AS (SELECT iv.a, c.bucket AS i, min(iv.m) AS mn
+      |  FROM iv JOIN c ON iv.a <= c.bucket AND c.bucket <= iv.b
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT i, max(mn) AS iso FROM mn GROUP BY 1)
+      |SELECT g.bucket, g.nb AS n_rows, g.pb AS n_pos,
+      |  CAST(floor(g.pb * 1000000.0 / g.nb) AS BIGINT) AS raw_ppm,
+      |  CAST(floor(iso.iso * 1000000.0) AS BIGINT) AS iso_ppm
+      |FROM g JOIN iso ON g.bucket = iso.i""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.orders(s, dir).select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("sc"),
+        col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val tot = b.count()
+      val r = Rank.globalRank(b, "rn", col("sc"), col("o_orderkey"))
+      val g = r.groupBy(expr(s"((rn - 1) * 50) DIV $tot").as("bucket"))
+        .agg(count(lit(1)).as("nb"), sum("y").as("pb"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // bucket frame: 50 rows — bounded global window (q209 stance)
+      val c = g.select(col("bucket"), col("nb"), col("pb"),
+        sum("nb").over(w).as("cn"), sum("pb").over(w).as("cp")).cache()
+      val iv = c.toDF("a", "nba", "pba", "cna", "cpa")
+        .join(c.toDF("b", "nbb", "pbb", "cnb", "cpb"),
+          col("a") <= col("b"))
+        .select(col("a"), col("b"),
+          ((col("cpb") - col("cpa") + col("pba")).cast("double") /
+            (col("cnb") - col("cna") + col("nba"))).as("m"))
+      val mn = iv.join(c.select(col("bucket").as("i")),
+          col("a") <= col("i") && col("i") <= col("b"))
+        .groupBy("a", "i").agg(min("m").as("mn"))
+      val iso = mn.groupBy("i").agg(max("mn").as("iso"))
+      g.join(iso, col("bucket") === col("i"))
+        .select(col("bucket"), col("nb").as("n_rows"),
+          col("pb").as("n_pos"),
+          floor(col("pb") * lit(1000000.0) / col("nb")).cast("long")
+            .as("raw_ppm"),
+          floor(col("iso") * lit(1000000.0)).cast("long").as("iso_ppm"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214, q226, q234)
+    q209, q210, q211, q212, q213, q214, q226, q234, q240)
 }

@@ -317,6 +317,28 @@ class EvalSpatialSpec extends AnyFunSuite {
       "rank must follow bt_micro descending")
   }
 
+  test("q240: isotonic fit is monotone and mass-preserving") {
+    val rows = run("q240_isotonic_calibration").orderBy("bucket").collect()
+    assert(rows.length >= 10)
+    val iso = rows.map(_.getLong(4))
+    assert(iso.sliding(2).forall(w => w(0) <= w(1)),
+      s"isotonic fit must be non-decreasing: ${iso.mkString(",")}")
+    // PAV preserves total positives: Σ iso·n ≈ Σ pos (ppm rounding)
+    val fitted = rows.map(r => r.getLong(4).toDouble / 1e6 * r.getLong(1))
+      .sum
+    val actual = rows.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(fitted - actual) / actual < 0.01,
+      s"fitted mass $fitted vs actual $actual")
+  }
+
+  test("q241: movers are the true top-20 by absolute delta") {
+    val rows = run("q241_top_movers").orderBy("rk").collect()
+    assert(rows.length == 20)
+    val deltas = rows.map(r => math.abs(r.getLong(3)))
+    assert(deltas.sliding(2).forall(w => w(0) >= w(1)))
+    for (r <- rows) assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
