@@ -377,5 +377,109 @@ object EvalQueries {
         .where(col("rk") <= 20)
     })
 
-  def all: Seq[QueryDef] = Seq(q215, q216, q217, q225, q241)
+  /** Data scaling-law probe: train the q172 integer-bits unigram
+    * model on NESTED md5 fractions of the corpus (1/16 ⊂ 2/16 ⊂ 4/16
+    * ⊂ 8/16 — nesting is free because the thresholds share one hash),
+    * score a DISJOINT held-out sixteenth under each, and fit the
+    * doublings-of-data → held-out mean-bits line (x = the exact
+    * doubling exponent k, so the regressor is integer) — the
+    * more-data-less-surprisal curve that data-budget decisions
+    * extrapolate from. Per-fraction scoring is the q172 machinery
+    * (integer bits, unseen tokens smoothed to c = 0); the OLS runs on
+    * a FOUR-row frame with every sum an explicit ascending-k left
+    * fold (`list_reduce` / driver fold — a GROUP sum of doubles has
+    * engine-dependent order, the q239 lesson). Slope ships
+    * floor-micro; negative slope = data is still buying fluency. */
+  val q243 = QueryDef.sql("q243_scaling_law_probe",
+    """WITH hd AS (SELECT doc_id, text,
+      |    ('0x' || substring(md5('s|' || CAST(doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 16 AS h
+      |  FROM documents),
+      |tok AS (SELECT doc_id, h, tok FROM (
+      |    SELECT doc_id, h,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM hd) t WHERE length(tok) > 0),
+      |ks AS (SELECT CAST(k AS BIGINT) AS k
+      |  FROM (VALUES (0), (1), (2), (3)) v(k)),
+      |mc AS MATERIALIZED (SELECT ks.k, tok.tok, count(*) AS c
+      |  FROM tok, ks WHERE tok.h < (1::BIGINT << ks.k) GROUP BY 1, 2),
+      |mt AS MATERIALIZED (SELECT k, CAST(sum(c) AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS v FROM mc GROUP BY 1),
+      |td AS (SELECT ks.k, CAST(count(DISTINCT doc_id) AS BIGINT)
+      |    AS train_docs
+      |  FROM tok, ks WHERE tok.h < (1::BIGINT << ks.k) GROUP BY 1),
+      |ev AS MATERIALIZED (SELECT tok FROM tok WHERE h = 15),
+      |eb AS (SELECT mt.k,
+      |    CAST(sum(length(bin((mt.t + mt.v) // (coalesce(mc.c, 0) + 1))))
+      |      - count(*) AS BIGINT) AS bits
+      |  FROM ev CROSS JOIN mt LEFT JOIN mc
+      |    ON mc.k = mt.k AND mc.tok = ev.tok
+      |  GROUP BY 1),
+      |en AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+      |pts AS (SELECT eb.k, mt.t, eb.bits,
+      |    CAST(eb.k AS DOUBLE) AS x,
+      |    CAST(eb.bits AS DOUBLE) / en.n AS y
+      |  FROM eb JOIN mt USING (k), en),
+      |fold AS (SELECT
+      |    list_reduce(list(x ORDER BY k), (a, b) -> a + b) AS sx,
+      |    list_reduce(list(y ORDER BY k), (a, b) -> a + b) AS sy,
+      |    list_reduce(list(x * y ORDER BY k), (a, b) -> a + b) AS sxy,
+      |    list_reduce(list(x * x ORDER BY k), (a, b) -> a + b) AS sxx
+      |  FROM pts),
+      |sl AS (SELECT CAST(floor((4.0 * sxy - sx * sy) /
+      |    (4.0 * sxx - sx * sx) * 1000000.0) AS BIGINT) AS slope_micro
+      |  FROM fold)
+      |SELECT pts.k, td.train_docs, pts.t AS train_tokens, en.n
+      |    AS eval_tokens, pts.bits AS sum_bits,
+      |  CAST(floor(pts.bits * 1000000.0 / en.n) AS BIGINT)
+      |    AS mean_bits_micro,
+      |  sl.slope_micro
+      |FROM pts JOIN td USING (k), en, sl""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hd = docs.select(col("doc_id"), col("text"),
+        (conv(substring(md5(concat(lit("s|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 16).as("h"))
+      val tok = hd.select(col("doc_id"), col("h"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0).cache()
+      val ev = tok.where(col("h") === 15).select("tok").cache()
+      val evN = ev.count()
+      val ks = Seq(0, 1, 2, 3)
+      val perK = ks.map { k =>
+        val train = tok.where(col("h") < (1L << k))
+        val mc = train.groupBy("tok").agg(count(lit(1)).as("c"))
+        val mt = mc.agg(sum("c").as("t"), count(lit(1)).as("v"))
+          .collect()(0)
+        val (t, v) = (mt.getLong(0), mt.getLong(1))
+        val trainDocs = train.select("doc_id").distinct().count()
+        val bits = ev.join(mc, Seq("tok"), "left")
+          .select((length(bin(
+            expr(s"(${t}L + ${v}L) DIV (coalesce(c, 0) + 1)"))) - 1)
+            .cast("long").as("b"))
+          .agg(sum("b")).collect()(0).getLong(0)
+        (k.toLong, trainDocs, t, bits)
+      }
+      // 4-point OLS over x = k (exact doubling exponent — a log2 of
+      // token counts would drag 1-ulp libm differences into the fit);
+      // ascending-k left folds match the oracle's list_reduce
+      val xs = perK.map { case (k, _, _, _) => k.toDouble }
+      val ys = perK.map { case (_, _, _, b) => b.toDouble / evN }
+      val sx = xs.foldLeft(0.0)(_ + _)
+      val sy = ys.foldLeft(0.0)(_ + _)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+      val sxx = xs.map(a => a * a).foldLeft(0.0)(_ + _)
+      val slope = math.floor((4.0 * sxy - sx * sy) /
+        (4.0 * sxx - sx * sx) * 1000000.0).toLong
+      val rows = perK.map { case (k, td, t, b) =>
+        (k, td, t, evN, b, math.floor(b * 1000000.0 / evN).toLong, slope)
+      }
+      tok.unpersist(blocking = false)
+      ev.unpersist(blocking = false)
+      s.createDataFrame(rows).toDF("k", "train_docs", "train_tokens",
+        "eval_tokens", "sum_bits", "mean_bits_micro", "slope_micro")
+    })
+
+  def all: Seq[QueryDef] = Seq(q215, q216, q217, q225, q241, q243)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity
-import org.apache.spark.sql.functions.{broadcast, col, count, floor, lit, pmod, row_number, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, count, floor, lit, pmod, posexplode, round, row_number, sqrt, sum, when}
 
 /** Similarity search over the embeddings table. The brute-force queries
   * carry exact DuckDB oracles (`embedding::DOUBLE[]` upcast first, so
@@ -383,6 +383,69 @@ object SimilarityQueries {
             .cast("long").as("acc_ppm"))
     })
 
+  /** Label confusability matrix — pairwise cosine between label
+    * centroids, the "which classes need more training data" read-out
+    * (confusable label pairs are where q98's hard negatives live).
+    * Centroids stay EXACT integer sums of q128's µ-quantized
+    * components (cosine is scale-invariant, so the per-label count
+    * never needs to divide anything — the mean drops out); dot and
+    * norm² are integer aggregates, the single double appears in the
+    * final dot/√·√ and ships rounded. The whole matrix is
+    * |labels|²/2 rows computed from a |labels|×dim frame — fact-scale
+    * work is ONE quantize+sum pass. */
+  val q242 = QueryDef.sql("q242_label_confusability",
+    """WITH q AS (SELECT label, pos,
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      |  FROM (SELECT label, unnest(embedding) AS x,
+      |          unnest(range(len(embedding))) AS pos FROM embeddings)),
+      |cen AS (SELECT label, pos, CAST(sum(qx) AS BIGINT) AS s
+      |  FROM q GROUP BY 1, 2),
+      |nrm AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS n2
+      |  FROM cen GROUP BY 1),
+      |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(sum(a.s * b.s) AS BIGINT) AS dp
+      |  FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT d.label_a, d.label_b,
+      |    CAST(d.dp AS DOUBLE) /
+      |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      |      AS cosine
+      |  FROM dots d JOIN nrm na ON d.label_a = na.label
+      |              JOIN nrm nb ON d.label_b = nb.label)
+      |SELECT CAST(label_a AS INT) AS label_a,
+      |  CAST(label_b AS INT) AS label_b,
+      |  round(cosine, 6) AS confusability,
+      |  CAST(row_number() OVER (ORDER BY cosine DESC, label_a, label_b)
+      |    AS BIGINT) AS rk
+      |FROM sc""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("qx"))
+      val cen = q.groupBy("label", "pos").agg(sum("qx").as("s")).cache()
+      val nrm = cen.groupBy("label").agg(sum(col("s") * col("s")).as("n2"))
+      val dots = cen.toDF("la", "pos", "sa")
+        .join(cen.toDF("lb", "pos", "sb"), "pos")
+        .where(col("la") < col("lb"))
+        .groupBy("la", "lb").agg(sum(col("sa") * col("sb")).as("dp"))
+      val sc = dots
+        .join(broadcast(nrm.toDF("la", "n2a")), "la")
+        .join(broadcast(nrm.toDF("lb", "n2b")), "lb")
+        .select(col("la"), col("lb"),
+          (col("dp").cast("double") /
+            (sqrt(col("n2a").cast("double")) *
+              sqrt(col("n2b").cast("double")))).as("cosine"))
+      // |labels|²/2 frame — bounded global window (q209 stance)
+      sc.select(col("la").cast("int").as("label_a"),
+          col("lb").cast("int").as("label_b"),
+          round(col("cosine"), 6).as("confusability"),
+          row_number().over(Window.orderBy(col("cosine").desc,
+            col("la"), col("lb"))).cast("long").as("rk"))
+    })
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160, q176, q187, q231)
+    q160, q176, q187, q231, q242)
 }

@@ -339,6 +339,35 @@ class EvalSpatialSpec extends AnyFunSuite {
     for (r <- rows) assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
   }
 
+  test("q242: confusability is a ranked half-matrix in [-1, 1]") {
+    val rows = run("q242_label_confusability").collect()
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2)
+    for (r <- rows) {
+      assert(r.getInt(0) < r.getInt(1))
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    assert(rows.map(_.getLong(3)).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+  }
+
+  test("q243: more data never hurts the held-out surprisal curve much") {
+    val rows = run("q243_scaling_law_probe").orderBy("k").collect()
+    assert(rows.length == 4)
+    val evalN = rows.map(_.getLong(3)).distinct
+    assert(evalN.length == 1, "eval set must be fixed across fractions")
+    val trainToks = rows.map(_.getLong(2))
+    assert(trainToks.sliding(2).forall(w => w(0) <= w(1)),
+      "nested fractions must grow")
+    val slope = rows.map(_.getLong(6)).distinct
+    assert(slope.length == 1)
+    val bits = rows.map(_.getLong(5))
+    assert(bits.last <= bits.head,
+      s"8/16 model should beat 1/16 on held-out bits: ${bits.mkString(",")}")
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
