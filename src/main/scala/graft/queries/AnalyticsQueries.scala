@@ -1212,8 +1212,78 @@ object AnalyticsQueries {
           col("cn"), round(col("aa"), 6).as("aa_score"))
     })
 
+  private val CoreRounds = 8
+
+  /** 2-core of the support-≥2 co-purchase graph by iterative peeling:
+    * repeatedly drop degree-<2 nodes (8 unrolled rounds — the
+    * fixpoint for this corpus arrives by round 6 at both SFs, and the
+    * spec ASSERTS a further round is a no-op, so the unroll count is
+    * verified, not hoped). The k-core is the classic noise filter
+    * before community detection / q115's components: leaves and
+    * threads peel away, cohesive shopping clusters remain. Every
+    * round is one degree aggregate + two semi joins; the oracle
+    * unrolls the same rounds as MATERIALIZED CTEs (the q239 lesson —
+    * self-referencing chains must not re-inline). Output: surviving
+    * nodes with their in-core degree. */
+  val q245 = QueryDef.sql("q245_kcore", {
+    val rounds = (1 to CoreRounds).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS w FROM e${k - 1}
+         |        UNION ALL SELECT v FROM e${k - 1}) GROUP BY 1),
+         |k$k AS MATERIALIZED (SELECT w FROM d$k WHERE d >= 2),
+         |e$k AS MATERIALIZED (SELECT e.u, e.v FROM e${k - 1} e
+         |  JOIN k$k a ON e.u = a.w JOIN k$k b ON e.v = b.w)"""
+    }.mkString(",\n")
+    s"""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$rounds
+       |SELECT w AS part, d AS core_degree
+       |FROM (SELECT w, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT u AS w FROM e$CoreRounds
+       |        UNION ALL SELECT v FROM e$CoreRounds) GROUP BY 1)"""
+  })(
+    (s, dir) => {
+      val po = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      var e = po.toDF("ok", "u").join(po.toDF("ok2", "v"),
+          col("ok") === col("ok2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("u", "v")
+        .localCheckpoint(eager = true) // resident: 8 rounds re-read it
+      for (_ <- 1 to CoreRounds) {
+        val deg = e.select(col("u").as("w"))
+          .unionByName(e.select(col("v").as("w")))
+          .groupBy("w").agg(count(lit(1)).as("d"))
+        val keep = deg.where(col("d") >= 2).select("w")
+        e = e.join(keep.toDF("u"), Seq("u"), "left_semi")
+          .join(keep.toDF("v"), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint(eager = true)
+      }
+      e.select(col("u").as("w"))
+        .unionByName(e.select(col("v").as("w")))
+        .groupBy(col("w").as("part"))
+        .agg(count(lit(1)).as("core_degree"))
+    })
+
+  /** One more peel round on the q245 result must be a no-op — used by
+    * the spec to certify the unroll count reaches the fixpoint. */
+  private[queries] def kcorePeelOnce(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = e.select(col("u").as("w"))
+      .unionByName(e.select(col("v").as("w")))
+      .groupBy("w").agg(count(lit(1)).as("d"))
+    val keep = deg.where(col("d") >= 2).select("w")
+    e.join(keep.toDF("u"), Seq("u"), "left_semi")
+      .join(keep.toDF("v"), Seq("v"), "left_semi")
+      .select("u", "v")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189, q220)
+    q167, q189, q220, q245)
 }

@@ -641,6 +641,115 @@ object ScoringQueries {
       }
     })
 
+  /** Leave-one-source-out data valuation: how much does each source's
+    * removal hurt a fixed held-out set's fluency under the q172
+    * integer-bits unigram model? The Shapley-lite influence number
+    * behind "which crawl is actually pulling its weight". The trick
+    * that makes 20 counterfactual models ONE pass: removal is pure
+    * count subtraction — c₋ₛ = c − cₛ, T₋ₛ = T − Tₛ, V₋ₛ = #{tok :
+    * c₋ₛ > 0} — so global counts + per-(source, token) counts answer
+    * every counterfactual, and the eval join fans out |eval tokens| ×
+    * |sources| rows (bounded, never corpus × sources). Training half
+    * = md5 sixteenths 0–7, eval = sixteenth 15 (the q243 split).
+    * Everything integer; influence ships floor-micro per eval token.
+    * Positive delta = the source was helping. */
+  val q244 = QueryDef.sql("q244_loso_influence",
+    """WITH hd AS (SELECT doc_id, source, text,
+      |    ('0x' || substring(md5('s|' || CAST(doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 16 AS h
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, h, tok FROM (
+      |    SELECT doc_id, source, h,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM hd) t WHERE length(tok) > 0),
+      |tr AS MATERIALIZED (SELECT source, tok FROM tok WHERE h < 8),
+      |c AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM tr GROUP BY 1),
+      |cs AS MATERIALIZED (SELECT source, tok,
+      |    CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS v FROM c),
+      |ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s
+      |  FROM cs GROUP BY 1),
+      |vmin AS (SELECT cs.source,
+      |    CAST(sum(CASE WHEN c.c = cs.c THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_gone
+      |  FROM cs JOIN c USING (tok) GROUP BY 1),
+      |ev AS MATERIALIZED (SELECT tok FROM tok WHERE h = 15),
+      |en AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+      |full_bits AS (SELECT
+      |    CAST(sum(length(bin((t.t + t.v) // (coalesce(c.c, 0) + 1))))
+      |      - count(*) AS BIGINT) AS bits
+      |  FROM ev CROSS JOIN t LEFT JOIN c USING (tok)),
+      |srcs AS (SELECT DISTINCT source FROM tr),
+      |eb AS (SELECT s.source,
+      |    CAST(sum(length(bin(
+      |      ((t.t - ts.t_s) + (t.v - vm.v_gone)) //
+      |      (coalesce(c.c, 0) - coalesce(cs.c, 0) + 1))))
+      |      - count(*) AS BIGINT) AS bits_minus
+      |  FROM ev CROSS JOIN srcs s
+      |    CROSS JOIN t
+      |    JOIN ts ON ts.source = s.source
+      |    JOIN vmin vm ON vm.source = s.source
+      |    LEFT JOIN c USING (tok)
+      |    LEFT JOIN cs ON cs.source = s.source AND cs.tok = ev.tok
+      |  GROUP BY 1)
+      |SELECT eb.source, ts.t_s AS removed_tokens,
+      |  fb.bits AS bits_full, eb.bits_minus,
+      |  eb.bits_minus - fb.bits AS delta_bits,
+      |  CAST(floor((eb.bits_minus - fb.bits) * 1000000.0 / en.n)
+      |    AS BIGINT) AS influence_micro,
+      |  CAST(row_number() OVER (ORDER BY eb.bits_minus - fb.bits DESC,
+      |    eb.source) AS BIGINT) AS rk
+      |FROM eb JOIN ts ON eb.source = ts.source, full_bits fb, en""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hd = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"), col("text"),
+        (conv(substring(md5(concat(lit("s|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 16).as("h"))
+      val tok = hd.select(col("doc_id"), col("source"), col("h"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val tr = tok.where(col("h") < 8).select("source", "tok").cache()
+      val c = tr.groupBy("tok").agg(count(lit(1)).as("c")).cache()
+      val cs = tr.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val t = c.agg(sum("c").as("t"), count(lit(1)).as("v"))
+      val ts = cs.groupBy("source").agg(sum("cs").as("t_s"))
+      val vmin = cs.join(c, "tok")
+        .groupBy("source")
+        .agg(sum(when(col("c") === col("cs"), 1L).otherwise(0L))
+          .as("v_gone"))
+      val ev = tok.where(col("h") === 15).select("tok").cache()
+      val evN = ev.count()
+      val fullBits = ev.join(c, Seq("tok"), "left").crossJoin(broadcast(t))
+        .agg((sum(length(bin(expr("(t + v) DIV (coalesce(c, 0) + 1)"))))
+          - count(lit(1))).cast("long").as("bits"))
+      val srcs = tr.select("source").distinct()
+      val eb = ev.crossJoin(broadcast(srcs))
+        .join(c, Seq("tok"), "left")
+        .join(cs, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(t))
+        .join(broadcast(ts), "source")
+        .join(broadcast(vmin), "source")
+        .groupBy("source")
+        .agg((sum(length(bin(expr(
+          "((t - t_s) + (v - v_gone)) DIV " +
+            "(coalesce(c, 0) - coalesce(cs, 0) + 1)"))))
+          - count(lit(1))).cast("long").as("bits_minus"))
+      eb.join(broadcast(ts), "source")
+        .crossJoin(broadcast(fullBits.toDF("bits_full")))
+        .select(col("source"), col("t_s").as("removed_tokens"),
+          col("bits_full"), col("bits_minus"),
+          (col("bits_minus") - col("bits_full")).as("delta_bits"),
+          floor((col("bits_minus") - col("bits_full")) * lit(1000000.0) /
+            lit(evN.toDouble)).cast("long").as("influence_micro"),
+          row_number().over(Window.orderBy(
+            (col("bits_minus") - col("bits_full")).desc, col("source")))
+            .cast("long").as("rk"))
+    })
+
   def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227, q230, q237,
-    q238, q239)
+    q238, q239, q244)
 }

@@ -368,6 +368,45 @@ class EvalSpatialSpec extends AnyFunSuite {
       s"8/16 model should beat 1/16 on held-out bits: ${bits.mkString(",")}")
   }
 
+  test("q244: LOSO influence is internally consistent and ranked") {
+    val rows = run("q244_loso_influence").collect()
+    assert(rows.nonEmpty)
+    val full = rows.map(_.getLong(2)).distinct
+    assert(full.length == 1, "bits_full must be one number")
+    for (r <- rows) {
+      assert(r.getLong(1) > 0) // removed_tokens
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+    }
+    val byRank = rows.sortBy(_.getLong(6))
+    assert(byRank.map(_.getLong(6)).toSeq == (1L to rows.length).toSeq)
+    val deltas = byRank.map(_.getLong(4))
+    assert(deltas.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("q245: the peeled graph is a true 2-core fixpoint") {
+    val core = run("q245_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.nonEmpty)
+    assert(core.values.forall(_ >= 2), "every core node needs degree >= 2")
+    // rebuild the surviving edge set and certify one more peel is a no-op
+    val po = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e0 = po.toDF("ok", "u").join(po.toDF("ok2", "v"),
+        col("ok") === col("ok2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("u", "v")
+    val coreKeys = core.keySet
+    val coreEdges = e0.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (u, v) => coreKeys(u) && coreKeys(v) }
+    val spark2 = spark
+    import spark2.implicits._
+    val eDf = coreEdges.toSeq.toDF("u", "v")
+    val peeled = AnalyticsQueries.kcorePeelOnce(eDf).count()
+    assert(peeled == coreEdges.length,
+      "one more peel round changed the core — unroll count too small")
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
