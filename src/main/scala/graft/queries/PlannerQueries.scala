@@ -1607,7 +1607,135 @@ object PlannerQueries {
           floor(col("iso") * lit(1000000.0)).cast("long").as("iso_ppm"))
     })
 
+  /** Neyman-optimal sample allocation: split a 10,000-row sampling
+    * budget across order-priority strata ∝ N_h·σ_h — the
+    * minimum-variance survey design, and the statistically-correct
+    * upgrade of q58's proportional stratified sample. Variances are
+    * the q140 integer machinery (exact DECIMAL(38) sums of cents and
+    * cents²); the Neyman weight integerizes as ⌊N_h·√V_h⌋ and the
+    * final seats come from q90's largest-remainder apportionment —
+    * so the allocation is exact integers end to end, σ's single
+    * sqrt/multiply happening in one fixed op order. */
+  val q246 = QueryDef.sql("q246_neyman_allocation",
+    """WITH m AS (SELECT o_orderpriority AS stratum,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS DECIMAL(38,0)) AS sxx
+      |  FROM orders GROUP BY 1),
+      |v AS (SELECT stratum, n,
+      |    CAST(floor(CAST(n * sxx - sx * sx AS DOUBLE) /
+      |      CAST(n * (n - 1) AS DOUBLE)) AS BIGINT) AS var_c2
+      |  FROM m),
+      |w AS (SELECT stratum, n, var_c2,
+      |    CAST(floor(n * sqrt(CAST(var_c2 AS DOUBLE))) AS BIGINT) AS wt
+      |  FROM v),
+      |t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+      |q AS (SELECT stratum, n, var_c2, wt,
+      |    (wt * 10000) // t.tw AS base,
+      |    (wt * 10000) % t.tw AS rem
+      |  FROM w, t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
+      |    AS rr FROM q),
+      |s AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM q)
+      |SELECT stratum, n, var_c2, wt,
+      |  CAST(base + CASE WHEN rr <= 10000 - s.sb THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM r, s""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val m = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("stratum"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents.cast("decimal(38,0)")).as("sx"),
+          sum((cents * cents).cast("decimal(38,0)")).as("sxx"))
+      val v = m.select(col("stratum"), col("n"),
+        floor((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double") / (col("n") * (col("n") - 1)).cast("double"))
+          .cast("long").as("var_c2"))
+      val w = v.withColumn("wt",
+        floor(col("n") * sqrt(col("var_c2").cast("double"))).cast("long"))
+      val t = w.agg(sum("wt").as("tw"))
+      val q = w.crossJoin(broadcast(t))
+        .select(col("stratum"), col("n"), col("var_c2"), col("wt"),
+          expr("(wt * 10000) DIV tw").as("base"),
+          expr("(wt * 10000) % tw").as("rem"))
+      val sb = q.agg(sum("base").as("sb"))
+      // strata frame (5 rows) — bounded global window (q90 idiom)
+      q.withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("stratum"))))
+        .crossJoin(broadcast(sb))
+        .select(col("stratum"), col("n"), col("var_c2"), col("wt"),
+          (col("base") + when(col("rr") <= lit(10000) - col("sb"), 1L)
+            .otherwise(0L)).cast("long").as("alloc"))
+    })
+
+  /** Split-conformal upper bound per event type at α = 0.1: the
+    * ⌈(n+1)(1−α)⌉-th order statistic of the µ-scaled values — an
+    * EXACT integer rank selection, so the "90% prediction interval"
+    * ships with zero floating point (conformal's whole appeal is
+    * distribution-free finite-sample validity; the rank formula IS
+    * the guarantee). Per-type windows shard by type; the reported
+    * empirical coverage is the integer count at-or-under the bound.
+    * At fact scale the order statistic comes from the same per-group
+    * sort the window already does — one shuffle on the type key. */
+  val q247 = QueryDef.sql("q247_conformal_bound",
+    """WITH b AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sc,
+      |    event_id
+      |  FROM events),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1),
+      |r AS (SELECT event_type, sc, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY sc, event_id) AS rk
+      |  FROM b),
+      |k AS (SELECT event_type, n,
+      |    LEAST((n + 1) * 9 // 10 + CASE WHEN (n + 1) * 9 % 10 = 0
+      |      THEN 0 ELSE 1 END, n) AS k
+      |  FROM n),
+      |bound AS (SELECT r.event_type, k.n, k.k, r.sc AS bound_micro
+      |  FROM r JOIN k ON r.event_type = k.event_type AND r.rk = k.k)
+      |SELECT bound.event_type, bound.n, bound.k, bound.bound_micro,
+      |  CAST((SELECT count(*) FROM b WHERE b.event_type =
+      |    bound.event_type AND b.sc <= bound.bound_micro) AS BIGINT)
+      |    AS n_covered,
+      |  CAST(floor((SELECT count(*) FROM b WHERE b.event_type =
+      |    bound.event_type AND b.sc <= bound.bound_micro) * 1000000.0
+      |    / bound.n) AS BIGINT) AS coverage_ppm
+      |FROM bound""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.events(s, dir).select(col("event_type"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+          .as("sc"),
+        col("event_id")).cache()
+      val n = b.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val k = n.select(col("event_type"), col("n"),
+        least(expr("(n + 1) * 9 DIV 10 + " +
+          "CASE WHEN (n + 1) * 9 % 10 = 0 THEN 0 ELSE 1 END"), col("n"))
+          .as("k"))
+      val r = b.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("sc", "event_id")))
+      val bound = r.join(broadcast(k),
+          r("event_type") === k("event_type") && col("rk") === col("k"))
+        .select(r("event_type"), col("n"), col("k"),
+          col("sc").as("bound_micro"))
+      val cov = b.join(broadcast(bound.select(col("event_type"),
+          col("bound_micro"))), "event_type")
+        .where(col("sc") <= col("bound_micro"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_covered"))
+      bound.join(cov, "event_type")
+        .select(col("event_type"), col("n"), col("k"),
+          col("bound_micro"), col("n_covered"),
+          floor(col("n_covered") * lit(1000000.0) / col("n")).cast("long")
+            .as("coverage_ppm"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214, q226, q234, q240)
+    q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247)
 }

@@ -407,6 +407,24 @@ class EvalSpatialSpec extends AnyFunSuite {
       "one more peel round changed the core — unroll count too small")
   }
 
+  test("q246: Neyman allocation exhausts the budget exactly") {
+    val rows = run("q246_neyman_allocation").collect()
+    assert(rows.map(_.getLong(4)).sum == 10000L)
+    for (r <- rows) assert(r.getLong(4) >= 0 && r.getLong(2) >= 0)
+  }
+
+  test("q247: conformal bound covers at least the target rate") {
+    val rows = run("q247_conformal_bound").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, k, covered) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(k <= n && covered >= k,
+        s"${r.getString(0)}: order statistic must cover its own rank")
+      assert(r.getLong(5) >= 890000,
+        s"${r.getString(0)}: coverage below ~90%: ${r.getLong(5)} ppm")
+    }
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
