@@ -580,6 +580,68 @@ object ScaleStress {
     base.unpersist()
     }
 
+    if (sections("loso")) {
+    // --- LOSO data valuation: the q244 one-pass count-subtraction
+    // form vs the naive per-source retrain loop (drop source s,
+    // recount, rescore — 20 full corpus passes). Same numbers, same
+    // eval slice; the one-pass form reads the corpus once.
+    val docs0 = Tables.documents(spark, sf)
+    val docs = (0 until mult).map { i =>
+      docs0.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        col("source"), col("text"))
+    }.reduce(_ unionByName _)
+    val hd = docs.select(col("doc_id"), col("source"), col("text"),
+      (conv(substring(md5(concat(lit("s|"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 16).as("h"))
+    // corpus deliberately NOT cached: at warehouse scale nobody pins
+    // the token explode — the naive loop pays it per source
+    val tok = hd.select(col("source"), col("h"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    println(s"loso corpus tokens: ${tok.count()}")
+    val tr = tok.where(col("h") < 8).select("source", "tok")
+    val ev = tok.where(col("h") === 15).select("tok").cache()
+    println(s"loso eval tokens: ${ev.count()}")
+    val srcNames = tr.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    time("LOSO influence, one-pass count subtraction (all sources)") {
+      val c = tr.groupBy("tok").agg(count(lit(1)).as("c")).cache()
+      val cs = tr.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val t = c.agg(sum("c").as("t"), count(lit(1)).as("v"))
+      val ts = cs.groupBy("source").agg(sum("cs").as("t_s"))
+      val vmin = cs.join(c, "tok").groupBy("source")
+        .agg(sum(when(col("c") === col("cs"), 1L).otherwise(0L))
+          .as("v_gone"))
+      val srcs = tr.select("source").distinct()
+      val n = ev.crossJoin(broadcast(srcs))
+        .join(c, Seq("tok"), "left")
+        .join(cs, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(t))
+        .join(broadcast(ts), "source").join(broadcast(vmin), "source")
+        .groupBy("source")
+        .agg((sum(length(bin(expr(
+          "((t - t_s) + (v - v_gone)) DIV " +
+            "(coalesce(c, 0) - coalesce(cs, 0) + 1)"))))
+          - count(lit(1))).as("bits")).count()
+      c.unpersist(blocking = false)
+      n
+    }
+    time("LOSO influence, naive per-source retrain loop") {
+      var total = 0L
+      for (s0 <- srcNames) {
+        val trs = tr.where(col("source") =!= s0)
+        val c = trs.groupBy("tok").agg(count(lit(1)).as("c"))
+        val t = c.agg(sum("c").as("t"), count(lit(1)).as("v"))
+        total += ev.join(c, Seq("tok"), "left").crossJoin(broadcast(t))
+          .agg((sum(length(bin(
+            expr("(t + v) DIV (coalesce(c, 0) + 1)"))))
+            - count(lit(1))).as("bits")).count()
+      }
+      total
+    }
+    tok.unpersist(blocking = false); ev.unpersist(blocking = false)
+    }
+
     if (sections("spatial")) {
     // --- grid ε-join vs brute force. Base points from customer keys;
     // inflated set multiplies ids (fresh md5 coordinates per replica,
