@@ -481,5 +481,199 @@ object EvalQueries {
         "eval_tokens", "sum_bits", "mean_bits_micro", "slope_micro")
     })
 
-  def all: Seq[QueryDef] = Seq(q215, q216, q217, q225, q241, q243)
+  /** Near-dup threshold sweep: the q29 exact-Jaccard pair relation
+    * evaluated at SEVEN thresholds in one pass — the dial table a
+    * curation run reads before committing to "0.3" (how many pairs,
+    * how many documents touched, at each cut). Thresholds compare as
+    * EXACT integer cross-products (c·100 ≥ th·(s1+s2−c)) — the
+    * rounded jaccard column would misclassify boundary pairs. One
+    * inverted-index pass builds the pairs; the sweep is a 7-way
+    * broadcast fan-out over the pair frame. */
+  val q248 = QueryDef.sql("q248_dedup_threshold_sweep",
+    """WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+      |        FROM documents)),
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
+      |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |p AS (SELECT id1, id2, c, s1.sz + s2.sz - c AS un
+      |  FROM co JOIN sz s1 ON co.id1 = s1.doc_id
+      |          JOIN sz s2 ON co.id2 = s2.doc_id),
+      |th AS (SELECT CAST(t AS BIGINT) AS th_pct FROM
+      |  (VALUES (20), (30), (40), (50), (60), (70), (80)) v(t)),
+      |hits AS (SELECT th.th_pct, p.id1, p.id2 FROM p, th
+      |  WHERE p.c * 100 >= th.th_pct * p.un),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT th.th_pct,
+      |  CAST((SELECT count(*) FROM hits h WHERE h.th_pct = th.th_pct)
+      |    AS BIGINT) AS n_pairs,
+      |  CAST((SELECT count(DISTINCT d) FROM (
+      |    SELECT id1 AS d FROM hits h WHERE h.th_pct = th.th_pct
+      |    UNION ALL SELECT id2 FROM hits h WHERE h.th_pct = th.th_pct))
+      |    AS BIGINT) AS n_docs_affected,
+      |  CAST(floor((SELECT count(DISTINCT d) FROM (
+      |    SELECT id1 AS d FROM hits h WHERE h.th_pct = th.th_pct
+      |    UNION ALL SELECT id2 FROM hits h WHERE h.th_pct = th.th_pct))
+      |    * 1000000.0 / nd.n_docs) AS BIGINT) AS affected_ppm
+      |FROM th, nd""")(
+    (s, dir) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, dir)
+      val inv = Dedup.invertedIndexHashed(docs, "doc_id", "text", 8)
+      val kept = inv.where(size(col("docs")) <= 100)
+      val sizes = kept.select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairsOfBucket = kept.where(size(col("docs")) >= 2)
+      val co = pairsOfBucket
+        .select(explode(Dedup.expandPairs(pairsOfBucket, "docs")).as("p"))
+        .select(col("p.id1"), col("p.id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+      val p = co.join(sizes.toDF("id1", "sz1"), "id1")
+        .join(sizes.toDF("id2", "sz2"), "id2")
+        .select(col("id1"), col("id2"), col("c"),
+          (col("sz1") + col("sz2") - col("c")).as("un")).cache()
+      val th = s.createDataFrame(Seq(20L, 30L, 40L, 50L, 60L, 70L, 80L)
+        .map(Tuple1(_))).toDF("th_pct")
+      val hits = p.crossJoin(broadcast(th))
+        .where(col("c") * 100 >= col("th_pct") * col("un")).cache()
+      val nDocs = docs.count()
+      val byTh = hits.groupBy("th_pct").agg(count(lit(1)).as("n_pairs"))
+      val docsByTh = hits.select(col("th_pct"), col("id1").as("d"))
+        .unionByName(hits.select(col("th_pct"), col("id2").as("d")))
+        .groupBy("th_pct").agg(count_distinct(col("d")).as("n_aff"))
+      th.join(byTh, Seq("th_pct"), "left")
+        .join(docsByTh, Seq("th_pct"), "left")
+        .select(col("th_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_aff"), lit(0L)).as("n_docs_affected"),
+          floor(coalesce(col("n_aff"), lit(0L)) * lit(1000000.0) /
+            lit(nDocs.toDouble)).cast("long").as("affected_ppm"))
+    })
+
+  /** Youden-optimal decision threshold from q210's score-group table:
+    * the cut maximizing TPR − FPR, selected by the EXACT integer
+    * statistic J₂ = tp·N⁻ − fp·N⁺ (ties → smallest score) — the step
+    * that turns an AUC into a deployable classifier. Suffix counts
+    * come from totals minus the q210 prefix sums (two-pass, never a
+    * single-task window); the argmax is max-then-join (two
+    * aggregates), not a global ranking. */
+  val q249 = QueryDef.sql("q249_youden_threshold",
+    """WITH b AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS sc,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+      |  FROM b GROUP BY 1),
+      |c AS (SELECT sc, np, nn,
+      |    sum(np) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cnp,
+      |    sum(nn) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cnn
+      |  FROM g),
+      |t AS (SELECT CAST(sum(np) AS BIGINT) AS tp_all,
+      |    CAST(sum(nn) AS BIGINT) AS tn_all FROM g),
+      |j AS (SELECT sc, t.tp_all - cnp AS tp, t.tn_all - cnn AS fp,
+      |    (t.tp_all - cnp) * t.tn_all - (t.tn_all - cnn) * t.tp_all
+      |      AS j2
+      |  FROM c, t),
+      |m AS (SELECT max(j2) AS mj FROM j)
+      |SELECT (SELECT min(sc) FROM j, m WHERE j.j2 = m.mj) AS threshold,
+      |  CAST((SELECT tp FROM j, m WHERE j.j2 = m.mj ORDER BY sc LIMIT 1)
+      |    AS BIGINT) AS tp,
+      |  CAST((SELECT fp FROM j, m WHERE j.j2 = m.mj ORDER BY sc LIMIT 1)
+      |    AS BIGINT) AS fp,
+      |  CAST(floor((SELECT tp FROM j, m WHERE j.j2 = m.mj
+      |    ORDER BY sc LIMIT 1) * 1000000.0 / t.tp_all) AS BIGINT)
+      |    AS tpr_ppm,
+      |  CAST(floor((SELECT fp FROM j, m WHERE j.j2 = m.mj
+      |    ORDER BY sc LIMIT 1) * 1000000.0 / t.tn_all) AS BIGINT)
+      |    AS fpr_ppm,
+      |  CAST(m.mj AS BIGINT) AS j2
+      |FROM t, m""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val g = Tables.lineitem(s, dir).select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("sc"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("sc")
+        .agg(sum("y").as("np"), (count(lit(1)) - sum("y")).as("nn"))
+      val c = Rank.globalPrefixSum(
+          Rank.globalPrefixSum(g, "cnp", "np", col("sc")),
+          "cnn", "nn", col("sc"))
+      val t = g.agg(sum("np").as("tp_all"), sum("nn").as("tn_all"))
+      val j = c.crossJoin(broadcast(t))
+        .select(col("sc"),
+          (col("tp_all") - col("cnp")).as("tp"),
+          (col("tn_all") - col("cnn")).as("fp"),
+          ((col("tp_all") - col("cnp")) * col("tn_all") -
+            (col("tn_all") - col("cnn")) * col("tp_all")).as("j2"))
+        .cache()
+      val m = j.agg(max("j2").as("mj"))
+      val best = j.join(broadcast(m), col("j2") === col("mj"))
+        .agg(min("sc").as("threshold"))
+      val row = j.join(broadcast(best), col("sc") === col("threshold"))
+        .crossJoin(broadcast(t)).crossJoin(broadcast(m))
+      row.select(col("threshold"), col("tp"), col("fp"),
+        floor(col("tp") * lit(1000000.0) / col("tp_all")).cast("long")
+          .as("tpr_ppm"),
+        floor(col("fp") * lit(1000000.0) / col("tn_all")).cast("long")
+          .as("fpr_ppm"),
+        col("mj").as("j2"))
+    })
+
+  /** Pairwise source-distribution overlap — histogram intersection
+    * Σ min(p, q) between every two sources' token distributions, as
+    * exact integer cross-products min(c₁T₂, c₂T₁)/(T₁T₂): the
+    * REDUNDANCY matrix (q125's vocab Jaccard says sources share
+    * words; this says they use them in the same proportions — the
+    * difference between "same language" and "same corpus twice").
+    * The pair fan-out is per-TOKEN over sources sharing it, bounded
+    * by |vocab|·|sources|², never by corpus rows. */
+  val q250 = QueryDef.sql("q250_source_overlap",
+    """WITH tk AS (SELECT source, tok FROM (
+      |    SELECT source,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |cs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM tk GROUP BY 1, 2),
+      |ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+      |  FROM cs GROUP BY 1),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(sum(LEAST(a.c * tb.t, b.c * ta.t)) AS BIGINT) AS num,
+      |    min(ta.t) AS t_a, min(tb.t) AS t_b
+      |  FROM cs a JOIN cs b ON a.tok = b.tok AND a.source < b.source
+      |    JOIN ts ta ON ta.source = a.source
+      |    JOIN ts tb ON tb.source = b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b,
+      |  CAST(floor(num * 1000000.0 / (t_a * t_b)) AS BIGINT)
+      |    AS overlap_ppm
+      |FROM p""")(
+    (s, dir) => {
+      val tk = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val cs = tk.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val ts = cs.groupBy("source").agg(sum("c").as("t"))
+      cs.toDF("sa", "tok", "ca")
+        .join(cs.toDF("sb", "tok", "cb"), "tok")
+        .where(col("sa") < col("sb"))
+        .join(broadcast(ts.toDF("sa", "ta")), "sa")
+        .join(broadcast(ts.toDF("sb", "tb")), "sb")
+        .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+        .agg(sum(least(col("ca") * col("tb"), col("cb") * col("ta")))
+          .as("num"), min("ta").as("t_a"), min("tb").as("t_b"))
+        .select(col("source_a"), col("source_b"),
+          floor(col("num") * lit(1000000.0) / (col("t_a") * col("t_b")))
+            .cast("long").as("overlap_ppm"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q215, q216, q217, q225, q241, q243, q248,
+    q249, q250)
 }

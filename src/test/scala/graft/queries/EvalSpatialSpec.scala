@@ -425,6 +425,37 @@ class EvalSpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("q248: sweep counts are monotone non-increasing in the threshold") {
+    val rows = run("q248_dedup_threshold_sweep").orderBy("th_pct").collect()
+    assert(rows.length == 7)
+    val pairs = rows.map(_.getLong(1))
+    val docs = rows.map(_.getLong(2))
+    assert(pairs.sliding(2).forall(w => w(0) >= w(1)))
+    assert(docs.sliding(2).forall(w => w(0) >= w(1)))
+    // the 30% row must agree with q29's pair count
+    val q29n = run("q29_ngram_jaccard").count()
+    assert(rows(1).getLong(1) == q29n,
+      s"sweep@30 ${rows(1).getLong(1)} != q29 $q29n")
+  }
+
+  test("q249: the Youden threshold dominates neighboring cuts") {
+    val r = run("q249_youden_threshold").collect()(0)
+    val (tp, fp, j2) = (r.getLong(1), r.getLong(2), r.getLong(5))
+    assert(r.getLong(3) <= 1000000 && r.getLong(4) <= 1000000)
+    assert(r.getLong(3) >= r.getLong(4),
+      "at the optimum TPR must exceed FPR (J > 0 on any informative score)")
+    assert(tp >= 0 && fp >= 0 && j2 >= 0)
+  }
+
+  test("q250: overlap matrix is a symmetric-half with sane diagonal bound") {
+    val rows = run("q250_source_overlap").collect()
+    assert(rows.length == 20 * 19 / 2)
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000)
+    }
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
