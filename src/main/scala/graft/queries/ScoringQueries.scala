@@ -750,6 +750,63 @@ object ScoringQueries {
             .cast("long").as("rk"))
     })
 
+  /** Temperature-smoothed mixture weights (α = ½): sampling shares
+    * ∝ T_s^α — the multilingual-training upsampling rule that keeps
+    * big sources from drowning small ones without the hard equality
+    * of q230's waterfill (α = 1 is q90's proportional, α → 0 is
+    * uniform; ½ is the published sweet spot). The smoothed weight
+    * integerizes as ⌊√T_s · 10³⌋ (one sqrt in fixed op order) and
+    * seats come from the q90 largest-remainder apportionment — exact
+    * integers end to end, with both the raw and smoothed shares
+    * reported so the flattening is visible in the output itself. */
+  val q251 = QueryDef.sql("q251_temperature_mixture",
+    """WITH sup AS (SELECT source,
+      |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE length(string_split_regex(trim(text), '\s+')) END)
+      |      AS BIGINT) AS t_s
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, t_s,
+      |    CAST(floor(sqrt(CAST(t_s AS DOUBLE)) * 1000) AS BIGINT) AS wt
+      |  FROM sup),
+      |t AS (SELECT CAST(sum(t_s) AS BIGINT) AS tot,
+      |    CAST(sum(wt) AS BIGINT) AS tw FROM w),
+      |q AS (SELECT source, t_s, wt,
+      |    (wt * 10000) // t.tw AS base, (wt * 10000) % t.tw AS rem
+      |  FROM w, t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+      |    AS rr FROM q),
+      |s AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM q)
+      |SELECT source, t_s,
+      |  CAST(floor(t_s * 1000000.0 / t.tot) AS BIGINT) AS raw_ppm,
+      |  CAST(base + CASE WHEN rr <= 10000 - s.sb THEN 1 ELSE 0 END
+      |    AS BIGINT) AS seats
+      |FROM r, s, t""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))))
+          .cast("long").as("t_s"))
+      val w = sup.withColumn("wt",
+        floor(sqrt(col("t_s").cast("double")) * 1000).cast("long"))
+      val t = w.agg(sum("t_s").as("tot"), sum("wt").as("tw"))
+      val q = w.crossJoin(broadcast(t))
+        .select(col("source"), col("t_s"), col("wt"), col("tot"),
+          expr("(wt * 10000) DIV tw").as("base"),
+          expr("(wt * 10000) % tw").as("rem"))
+      val sb = q.agg(sum("base").as("sb"))
+      // sources frame — bounded global window (q90 idiom)
+      q.withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .crossJoin(broadcast(sb))
+        .select(col("source"), col("t_s"),
+          floor(col("t_s") * lit(1000000.0) / col("tot")).cast("long")
+            .as("raw_ppm"),
+          (col("base") + when(col("rr") <= lit(10000) - col("sb"), 1L)
+            .otherwise(0L)).cast("long").as("seats"))
+    })
+
   def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227, q230, q237,
-    q238, q239, q244)
+    q238, q239, q244, q251)
 }

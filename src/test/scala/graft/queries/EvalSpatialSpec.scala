@@ -456,6 +456,18 @@ class EvalSpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("q251: temperature smoothing flattens shares and fills the budget") {
+    val rows = run("q251_temperature_mixture").collect()
+    assert(rows.map(_.getLong(3)).sum == 10000L)
+    // α = ½ compresses the range: the seat spread (in share terms)
+    // must be strictly tighter than the raw token-share spread
+    val raw = rows.map(_.getLong(2))
+    val seats = rows.map(r => r.getLong(3) * 100) // seats/10000 → ppm
+    if (raw.max != raw.min)
+      assert(seats.max - seats.min < raw.max - raw.min,
+        "smoothed shares must be flatter than raw shares")
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
