@@ -1282,8 +1282,69 @@ object AnalyticsQueries {
       .select("u", "v")
   }
 
+  /** Degree assortativity of the support-≥2 co-purchase graph — the
+    * Pearson correlation of endpoint degrees over edges, the one
+    * number that says whether hubs attach to hubs (assortative, r>0)
+    * or to leaves (disassortative, r<0) — which decides whether
+    * hub-caps (q29/q220's guards) cut noise or structure. All five
+    * moments (Σdu, Σdv, Σdu·dv, Σdu², Σdv² over DIRECTED edge
+    * endpoints, the standard symmetric treatment) are exact integer
+    * aggregates on the degree-joined edge list; one double at the
+    * end, floor-milli. */
+  val q253 = QueryDef.sql("q253_assortativity",
+    """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM (
+      |  SELECT u AS w FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |de AS (SELECT du.d AS da, dv.d AS db FROM e
+      |  JOIN deg du ON e.u = du.w JOIN deg dv ON e.v = dv.w),
+      |sym AS (SELECT da, db FROM de UNION ALL SELECT db, da FROM de),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+      |    CAST(sum(da * db) AS BIGINT) AS sab,
+      |    CAST(sum(da * da) AS BIGINT) AS saa,
+      |    CAST(sum(db * db) AS BIGINT) AS sbb
+      |  FROM sym)
+      |SELECT m AS n_edge_ends,
+      |  CAST(floor(CAST(m * sab - sa * sb AS DOUBLE) /
+      |    (sqrt(CAST(m * saa - sa * sa AS DOUBLE)) *
+      |     sqrt(CAST(m * sbb - sb * sb AS DOUBLE))) * 1000) AS BIGINT)
+      |    AS assortativity_milli
+      |FROM s""")(
+    (s, dir) => {
+      val po = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = po.toDF("ok", "u").join(po.toDF("ok2", "v"),
+          col("ok") === col("ok2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("u", "v")
+      val deg = e.select(col("u").as("w"))
+        .unionByName(e.select(col("v").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("d"))
+      val de = e.join(broadcast(deg.toDF("u", "da")), "u")
+        .join(broadcast(deg.toDF("v", "db")), "v")
+        .select("da", "db")
+      val sym = de.unionByName(de.select(col("db").as("da"),
+        col("da").as("db")))
+      val st = sym.agg(count(lit(1)).as("m"), sum("da").as("sa"),
+        sum("db").as("sb"), sum(col("da") * col("db")).as("sab"),
+        sum(col("da") * col("da")).as("saa"),
+        sum(col("db") * col("db")).as("sbb"))
+      st.select(col("m").as("n_edge_ends"),
+        floor((col("m") * col("sab") - col("sa") * col("sb"))
+          .cast("double") /
+          (sqrt((col("m") * col("saa") - col("sa") * col("sa"))
+            .cast("double")) *
+           sqrt((col("m") * col("sbb") - col("sb") * col("sb"))
+            .cast("double"))) * 1000).cast("long")
+          .as("assortativity_milli"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189, q220, q245)
+    q167, q189, q220, q245, q253)
 }

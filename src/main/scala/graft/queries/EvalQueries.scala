@@ -674,6 +674,61 @@ object EvalQueries {
             .cast("long").as("overlap_ppm"))
     })
 
+  /** Reciprocal-rank fusion (k = 60) of two retrieval rankings per
+    * query group — the zero-training ensemble every multi-index
+    * search stack ships (BM25 ⊕ dense, here price-rank ⊕ size-rank
+    * per brand): fused = 1/(60+r₁) + 1/(60+r₂), top-3 per group.
+    * The two-term sum folds in a FIXED order, so the fused doubles
+    * are engine-identical and the (fused DESC, partkey) selection is
+    * deterministic; the score ships floor-micro (floor of identical
+    * doubles is pure — only round()'s tie-break semantics differ
+    * between engines). Windows shard by query group. */
+  val q254 = QueryDef.sql("q254_rrf_fusion",
+    """WITH b AS (SELECT p_brand, p_partkey,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_c,
+      |    CAST(p_size AS BIGINT) AS sz
+      |  FROM part),
+      |r AS (SELECT p_brand, p_partkey,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY price_c DESC, p_partkey) AS r1,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY sz DESC, p_partkey) AS r2
+      |  FROM b),
+      |f AS (SELECT p_brand, p_partkey, r1, r2,
+      |    1.0 / (60 + r1) + 1.0 / (60 + r2) AS fused
+      |  FROM r),
+      |t AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+      |    ORDER BY fused DESC, p_partkey) AS rk FROM f)
+      |SELECT p_brand AS query_group, p_partkey, CAST(r1 AS BIGINT)
+      |    AS rank_price, CAST(r2 AS BIGINT) AS rank_size,
+      |  CAST(floor(fused * 1000000.0) AS BIGINT) AS rrf_micro,
+      |  CAST(rk AS BIGINT) AS fused_rank
+      |FROM t WHERE rk <= 3""")(
+    (s, dir) => {
+      val b = Tables.part(s, dir).select(col("p_brand"), col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"),
+        col("p_size").cast("long").as("sz"))
+      val w1 = Window.partitionBy("p_brand")
+        .orderBy(col("price_c").desc, col("p_partkey"))
+      val w2 = Window.partitionBy("p_brand")
+        .orderBy(col("sz").desc, col("p_partkey"))
+      val r = b.select(col("p_brand"), col("p_partkey"),
+        row_number().over(w1).as("r1"), row_number().over(w2).as("r2"))
+      val f = r.withColumn("fused",
+        lit(1.0) / (lit(60) + col("r1")) + lit(1.0) / (lit(60) + col("r2")))
+      f.withColumn("rk", row_number().over(Window.partitionBy("p_brand")
+          .orderBy(col("fused").desc, col("p_partkey"))))
+        .where(col("rk") <= 3)
+        .select(col("p_brand").as("query_group"), col("p_partkey"),
+          col("r1").cast("long").as("rank_price"),
+          col("r2").cast("long").as("rank_size"),
+          floor(col("fused") * lit(1000000.0)).cast("long")
+            .as("rrf_micro"),
+          col("rk").cast("long").as("fused_rank"))
+    })
+
   def all: Seq[QueryDef] = Seq(q215, q216, q217, q225, q241, q243, q248,
-    q249, q250)
+    q249, q250, q254)
 }

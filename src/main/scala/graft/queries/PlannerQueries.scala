@@ -1735,7 +1735,90 @@ object PlannerQueries {
             .as("coverage_ppm"))
     })
 
+  /** Covariate-balance audit (standardized mean differences): before
+    * any causal read of "urgent orders ship differently", check
+    * whether urgent vs non-urgent orders even LOOK alike on
+    * pre-treatment covariates (price, customer balance) — |SMD| ≤ 0.1
+    * is the conventional balance bar. Means and variances come from
+    * the q140 exact integer machinery per group; the single double
+    * appears in the final (m₁−m₀)/√((v₁+v₀)/2) and ships floor-milli
+    * (SMD is conventionally read at 2 decimals — milli is 10×
+    * finer). One scan of the joined frame, one grouped aggregate per
+    * covariate. */
+  val q252 = QueryDef.sql("q252_covariate_balance",
+    """WITH j AS (SELECT
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS treated,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_c,
+      |    CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS bal_c
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |lng AS (SELECT treated, 'price' AS covariate, price_c AS v FROM j
+      |  UNION ALL SELECT treated, 'acctbal', bal_c FROM j),
+      |m AS (SELECT covariate, treated, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(v * v) AS DECIMAL(38,0)) AS sxx
+      |  FROM lng GROUP BY 1, 2),
+      |g AS (SELECT covariate,
+      |    max(CASE WHEN treated = 1 THEN n END) AS n1,
+      |    max(CASE WHEN treated = 0 THEN n END) AS n0,
+      |    max(CASE WHEN treated = 1 THEN CAST(sx AS DOUBLE) / n END)
+      |      AS m1,
+      |    max(CASE WHEN treated = 0 THEN CAST(sx AS DOUBLE) / n END)
+      |      AS m0,
+      |    max(CASE WHEN treated = 1 THEN
+      |      CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1)
+      |        AS DOUBLE) END) AS v1,
+      |    max(CASE WHEN treated = 0 THEN
+      |      CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1)
+      |        AS DOUBLE) END) AS v0
+      |  FROM m GROUP BY 1)
+      |SELECT covariate, n1, n0,
+      |  CAST(floor((m1 - m0) / sqrt((v1 + v0) / 2.0) * 1000) AS BIGINT)
+      |    AS smd_milli,
+      |  abs((m1 - m0) / sqrt((v1 + v0) / 2.0)) <= 0.1 AS balanced
+      |FROM g""")(
+    (s, dir) => {
+      val j = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+            .as("treated"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("price_c"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("bal_c"))
+      val lng = j.select(col("treated"), lit("price").as("covariate"),
+          col("price_c").as("v"))
+        .unionByName(j.select(col("treated"), lit("acctbal").as("covariate"),
+          col("bal_c").as("v")))
+      val m = lng.groupBy("covariate", "treated")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("sx"),
+          sum((col("v") * col("v")).cast("decimal(38,0)")).as("sxx"))
+      val g = m.groupBy("covariate").agg(
+        max(when(col("treated") === 1, col("n"))).as("n1"),
+        max(when(col("treated") === 0, col("n"))).as("n0"),
+        max(when(col("treated") === 1,
+          col("sx").cast("double") / col("n"))).as("m1"),
+        max(when(col("treated") === 0,
+          col("sx").cast("double") / col("n"))).as("m0"),
+        max(when(col("treated") === 1,
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))).as("v1"),
+        max(when(col("treated") === 0,
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))).as("v0"))
+      val smd = (col("m1") - col("m0")) /
+        sqrt((col("v1") + col("v0")) / lit(2.0))
+      g.select(col("covariate"), col("n1"), col("n0"),
+        floor(smd * 1000).cast("long").as("smd_milli"),
+        (abs(smd) <= 0.1).as("balanced"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247)
+    q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252)
 }

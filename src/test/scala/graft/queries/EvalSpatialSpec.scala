@@ -468,6 +468,37 @@ class EvalSpatialSpec extends AnyFunSuite {
         "smoothed shares must be flatter than raw shares")
   }
 
+  test("q252: SMD flag agrees with the reported milli value") {
+    val rows = run("q252_covariate_balance").collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      val (smd, balanced) = (r.getLong(3), r.getBoolean(4))
+      // floor-milli: |smd| <= 0.1 ⇔ milli in [-100, 100) up to the
+      // floor boundary; check consistency loosely at the edges
+      if (math.abs(smd) > 100) assert(!balanced || math.abs(smd) == 101)
+      if (math.abs(smd) < 100) assert(balanced)
+    }
+  }
+
+  test("q253: assortativity is a correlation in [-1, 1]") {
+    val r = run("q253_assortativity").collect()(0)
+    val a = r.getLong(1)
+    assert(a >= -1000 && a <= 1000, s"assortativity_milli out of range: $a")
+    assert(r.getLong(0) > 0)
+  }
+
+  test("q254: RRF fusion emits exactly top-3 per group, ranks consistent") {
+    val rows = run("q254_rrf_fusion").collect()
+    val byGroup = rows.groupBy(_.getString(0))
+    for ((_, rs) <- byGroup) {
+      assert(rs.map(_.getLong(5)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val sorted = rs.sortBy(_.getLong(5))
+      val micro = sorted.map(_.getLong(4))
+      assert(micro.sliding(2).forall(w => w(0) >= w(1)),
+        "fused rank must follow the fused score")
+    }
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
