@@ -729,6 +729,61 @@ object EvalQueries {
           col("rk").cast("long").as("fused_rank"))
     })
 
+  /** Quantile–quantile table between the purchase and click value
+    * distributions — the whole comparison CURVE behind q211's
+    * single-number KS distance (where q211 says HOW FAR apart, the QQ
+    * table says WHERE: head, body or tail). Nineteen 5%-spaced
+    * quantiles, each an EXACT order statistic (rank ⌈p·n⌉ per group,
+    * integer arithmetic — no interpolation, no percentile estimator),
+    * values in exact µ-units. Per-type windows shard by type; the
+    * quantile grid is a broadcast. */
+  val q255 = QueryDef.sql("q255_qq_table",
+    """WITH b AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sc,
+      |    event_id
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1),
+      |r AS (SELECT event_type, sc, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY sc, event_id) AS rk
+      |  FROM b),
+      |p AS (SELECT CAST(p AS BIGINT) AS p_pct FROM range(5, 100, 5)
+      |  t(p)),
+      |k AS (SELECT p.p_pct, n.event_type,
+      |    (p.p_pct * n.n + 99) // 100 AS k
+      |  FROM p, n),
+      |qv AS (SELECT k.p_pct, k.event_type, r.sc
+      |  FROM k JOIN r ON r.event_type = k.event_type AND r.rk = k.k)
+      |SELECT a.p_pct,
+      |  a.sc AS q_purchase_micro, c.sc AS q_click_micro,
+      |  a.sc - c.sc AS diff_micro
+      |FROM qv a JOIN qv c ON a.p_pct = c.p_pct
+      |WHERE a.event_type = 'purchase' AND c.event_type = 'click'""")(
+    (s, dir) => {
+      val b = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            .as("sc"),
+          col("event_id"))
+      val n = b.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val r = b.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("sc", "event_id")))
+      val p = s.range(1, 20).select((col("id") * 5).as("p_pct"))
+      val k = broadcast(p).crossJoin(broadcast(n))
+        .select(col("p_pct"), col("event_type"),
+          expr("(p_pct * n + 99) DIV 100").as("k"))
+      val qv = r.join(broadcast(k),
+          r("event_type") === k("event_type") && col("rk") === col("k"))
+        .select(col("p_pct"), r("event_type").as("et"), col("sc"))
+      qv.where(col("et") === "purchase").toDF("p_pct", "eta", "sca")
+        .join(qv.where(col("et") === "click").toDF("p_pct", "etc", "scc"),
+          "p_pct")
+        .select(col("p_pct"), col("sca").as("q_purchase_micro"),
+          col("scc").as("q_click_micro"),
+          (col("sca") - col("scc")).as("diff_micro"))
+    })
+
   def all: Seq[QueryDef] = Seq(q215, q216, q217, q225, q241, q243, q248,
-    q249, q250, q254)
+    q249, q250, q254, q255)
 }

@@ -499,6 +499,16 @@ class EvalSpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("q255: QQ quantiles are monotone along the probability grid") {
+    val rows = run("q255_qq_table").orderBy("p_pct").collect()
+    assert(rows.length == 19)
+    val qp = rows.map(_.getLong(1))
+    val qc = rows.map(_.getLong(2))
+    assert(qp.sliding(2).forall(w => w(0) <= w(1)))
+    assert(qc.sliding(2).forall(w => w(0) <= w(1)))
+    for (r <- rows) assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+  }
+
   test("q220: predictions are open pairs — never existing edges") {
     val preds = run("q220_adamic_adar").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
