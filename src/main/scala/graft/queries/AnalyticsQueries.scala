@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1343,8 +1344,60 @@ object AnalyticsQueries {
           .as("assortativity_milli"))
     })
 
+  /** 2-D Pareto frontier (skyline): parts not dominated on
+    * (minimize retail price, maximize size). A part is dominated iff
+    * some part is no more expensive AND no smaller, with at least one
+    * strict — exactly two window aggregates on the price-sorted order:
+    * the running max size over STRICTLY cheaper rows (an integer RANGE
+    * frame, so price ties stay out of their own frame) and the max
+    * size within the same price. Exact micro-integer prices.
+    *
+    * Scale shape: the Spark side first prunes each partition to its
+    * LOCAL skyline (domination is transitive, so a globally
+    * non-dominated row survives any local pass — the classic
+    * distributed-skyline reduction), then runs the global two-window
+    * pass on the survivors; the global sort only ever sees the small
+    * frontier-candidate set, not the table. */
+  val q257 = QueryDef.sql("q257_pareto_frontier",
+    """WITH p AS (SELECT p_partkey, p_size,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |      AS price_micro
+      |  FROM part),
+      |w AS (SELECT p_partkey, p_size, price_micro,
+      |    max(p_size) OVER (ORDER BY price_micro
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS cheaper_max,
+      |    max(p_size) OVER (PARTITION BY price_micro) AS same_price_max
+      |  FROM p)
+      |SELECT p_partkey, price_micro, p_size
+      |FROM w
+      |WHERE coalesce(cheaper_max, -1) < p_size
+      |  AND same_price_max = p_size""")(
+    (s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_size"),
+        (col("p_retailprice").cast("decimal(18,6)") * 1000000)
+          .cast("long").as("price_micro"))
+      def skyline(df: org.apache.spark.sql.DataFrame,
+          part: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val byPrice = if (part.isEmpty) Window.orderBy("price_micro")
+          else Window.partitionBy(part.map(col): _*).orderBy("price_micro")
+        val samePrice = if (part.isEmpty) Window.partitionBy("price_micro")
+          else Window.partitionBy((part :+ "price_micro").map(col): _*)
+        df.withColumn("cheaper_max", max(col("p_size")).over(
+            byPrice.rangeBetween(Window.unboundedPreceding, -1)))
+          .withColumn("same_price_max", max(col("p_size")).over(samePrice))
+          .where(coalesce(col("cheaper_max"), lit(-1)) < col("p_size")
+            && col("same_price_max") === col("p_size"))
+          .drop("cheaper_max", "same_price_max")
+      }
+      val local = skyline(p.withColumn("pid", spark_partition_id()),
+        Seq("pid")).drop("pid")
+      skyline(local, Seq.empty)
+        .select(col("p_partkey"), col("price_micro"), col("p_size"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189, q220, q245, q253)
+    q167, q189, q220, q245, q253, q257)
 }

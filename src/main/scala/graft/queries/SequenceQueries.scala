@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-stream (sequence) primitives: sequential hypothesis testing
+  * and run-structure statistics over per-key event streams. Everything
+  * here is exact integer arithmetic on a deterministic (ts, event_id)
+  * order, so the DuckDB oracles replay bit-for-bit. */
+object SequenceQueries {
+
+  /** Sequential probability ratio test (Wald SPRT), fully integer.
+    *
+    * Design: test p0 = 1/3 vs p1 = 2/3 on the Bernoulli stream
+    * success := value > 34.0 (the corpus median sits near 34.4, so the
+    * walk is a near-symmetric excursion). For this symmetric pair the
+    * log-likelihood ratio after n trials with k successes is exactly
+    * (2k - n) * log 2, so the Wald thresholds log B / log A reduce to
+    * INTEGER bounds on the walk w = 2k - n: accept H1 when w >= +17,
+    * accept H0 when w <= -17 (B = 2^17). No libm anywhere — the
+    * crossing decision is a comparison of exact integers, which is why
+    * this replays cross-engine (SCALING.md: libm is never a selector).
+    *
+    * Per event_type: trial count, first crossing index, walk value at
+    * the crossing, the decision, and the final walk. Scale shape: one
+    * partitioned window (cumulative sum) + one aggregate — the stream
+    * per key is processed in event-time order exactly as the streaming
+    * twin would consume it. */
+  val q256 = QueryDef.sql("q256_sprt_decision",
+    """WITH t AS (SELECT event_type, ts, event_id,
+      |    CASE WHEN value > 34.0 THEN 1 ELSE -1 END AS step
+      |  FROM events),
+      |w AS (SELECT event_type,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS rk,
+      |    CAST(sum(step) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS wlk
+      |  FROM t),
+      |c AS (SELECT event_type, min(rk) AS cross_rk
+      |  FROM w WHERE wlk >= 17 OR wlk <= -17 GROUP BY 1),
+      |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(step) AS BIGINT) AS final_w
+      |  FROM t GROUP BY 1)
+      |SELECT f.event_type, f.n,
+      |  coalesce(c.cross_rk, CAST(-1 AS BIGINT)) AS cross_rk,
+      |  coalesce(x.wlk, CAST(0 AS BIGINT)) AS w_at_cross,
+      |  CASE WHEN x.wlk >= 17 THEN 'accept_h1'
+      |       WHEN x.wlk <= -17 THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision,
+      |  f.final_w
+      |FROM f LEFT JOIN c ON f.event_type = c.event_type
+      |LEFT JOIN w x ON x.event_type = c.event_type
+      |  AND x.rk = c.cross_rk""")(
+    (s, dir) => {
+      val t = Tables.events(s, dir).select(col("event_type"), col("ts"),
+        col("event_id"),
+        when(col("value") > 34.0, 1L).otherwise(-1L).as("step"))
+      val ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val w = t.select(col("event_type"),
+        row_number().over(ord).cast("long").as("rk"),
+        sum(col("step")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("wlk"))
+      val c = w.where(col("wlk") >= 17 || col("wlk") <= -17)
+        .groupBy("event_type").agg(min(col("rk")).as("cross_rk"))
+        .withColumnRenamed("event_type", "cet")
+      val f = t.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("step")).as("final_w"))
+      val x = w.join(broadcast(c), w("event_type") === col("cet")
+          && w("rk") === col("cross_rk"))
+        .select(col("cet").as("xet"), col("wlk").as("xw"))
+      f.join(broadcast(c), f("event_type") === col("cet"), "left")
+        .join(broadcast(x), f("event_type") === col("xet"), "left")
+        .select(col("event_type"), col("n"),
+          coalesce(col("cross_rk"), lit(-1L)).as("cross_rk"),
+          coalesce(col("xw"), lit(0L)).as("w_at_cross"),
+          when(col("xw") >= 17, "accept_h1")
+            .when(col("xw") <= -17, "accept_h0")
+            .otherwise("continue").as("decision"),
+          col("final_w"))
+    })
+
+  /** Run structure per user stream: longest strictly-increasing run
+    * (counted in steps) of the event `value` sequence and the number of
+    * direction changes, on the deterministic (ts, event_id) order.
+    * Gaps-and-islands with exact micro-integer comparisons; one
+    * partitioned window chain, no global sort. */
+  val q258 = QueryDef.sql("q258_monotone_runs",
+    """WITH v AS (SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+      |  FROM events),
+      |d AS (SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rk,
+      |    CASE WHEN vm > lag(vm) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) THEN 1
+      |      WHEN vm < lag(vm) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) THEN -1
+      |      WHEN vm = lag(vm) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) THEN 0 END AS dir
+      |  FROM v),
+      |ch AS (SELECT user_id,
+      |    CAST(count(*) AS BIGINT) - 1 AS n_steps_plus,
+      |    CAST(count(*) FILTER (WHERE dir IS NOT NULL
+      |      AND pd IS NOT NULL AND dir <> pd) AS BIGINT) AS changes
+      |  FROM (SELECT user_id, dir, lag(dir) OVER (PARTITION BY user_id
+      |      ORDER BY rk) AS pd FROM d) GROUP BY user_id),
+      |inc AS (SELECT user_id, rk - row_number() OVER (
+      |      PARTITION BY user_id ORDER BY rk) AS island
+      |  FROM d WHERE dir = 1),
+      |runs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+      |  FROM inc GROUP BY user_id, island),
+      |mx AS (SELECT user_id, max(run_len) AS max_inc_run
+      |  FROM runs GROUP BY user_id)
+      |SELECT ch.user_id, ch.n_steps_plus + 1 AS n, ch.changes,
+      |  coalesce(mx.max_inc_run, CAST(0 AS BIGINT)) AS max_inc_run
+      |FROM ch LEFT JOIN mx ON ch.user_id = mx.user_id""")(
+    (s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val v = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+          .as("vm"))
+      val d = v.select(col("user_id"),
+          row_number().over(ord).cast("long").as("rk"),
+          lag(col("vm"), 1).over(ord).as("pv"), col("vm"))
+        .withColumn("dir",
+          when(col("vm") > col("pv"), 1)
+            .when(col("vm") < col("pv"), -1)
+            .when(col("vm") === col("pv"), 0))
+      val byRk = Window.partitionBy("user_id").orderBy("rk")
+      val ch = d.withColumn("pd", lag(col("dir"), 1).over(byRk))
+        .groupBy("user_id").agg(
+          (count(lit(1)) - 1).as("n_steps_plus"),
+          count(when(col("dir").isNotNull && col("pd").isNotNull
+            && col("dir") =!= col("pd"), 1)).as("changes"))
+      val mx = d.where(col("dir") === 1)
+        .withColumn("island",
+          col("rk") - row_number().over(byRk).cast("long"))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("run_len"))
+        .groupBy("user_id").agg(max(col("run_len")).as("max_inc_run"))
+      ch.join(mx, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (col("n_steps_plus") + 1).as("n"), col("changes"),
+          coalesce(col("max_inc_run"), lit(0L)).as("max_inc_run"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q256, q258)
+}
