@@ -1543,9 +1543,166 @@ object TextQueries {
           round(col("len_1").cast("double") / col("len_2"), 6).as("len_ratio"))
     })
 
+  /** Lexical readability profile per language: average word length,
+    * syllable proxy (vowel groups) per word, and long-word (≥6 chars)
+    * ratio — the Flesch-style inputs, shipped as exact DIV-ratios of
+    * corpus-level integer sums. Per-doc counters are in-row string
+    * arithmetic (length/replace — no explode for the counts); only the
+    * long-word counter uses a higher-order filter over the space
+    * split, identical on both engines. */
+  val q259 = QueryDef.sql("q259_readability",
+    """WITH d AS (SELECT lang, length(text) AS chars,
+      |    length(text) - length(replace(text, ' ', '')) + 1 AS words,
+      |    length(regexp_replace(text, '[aeiou]+', '#', 'g'))
+      |      - length(replace(regexp_replace(text, '[aeiou]+', '#', 'g'),
+      |        '#', '')) AS vg,
+      |    len(list_filter(string_split(text, ' '),
+      |      w -> length(w) >= 6)) AS longw
+      |  FROM documents),
+      |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(chars) AS BIGINT) AS sum_chars,
+      |    CAST(sum(words) AS BIGINT) AS sum_words,
+      |    CAST(sum(vg) AS BIGINT) AS sum_vg,
+      |    CAST(sum(longw) AS BIGINT) AS sum_long
+      |  FROM d GROUP BY 1)
+      |SELECT lang, n_docs,
+      |  ((sum_chars - sum_words + n_docs) * 1000) // sum_words
+      |    AS awl_milli,
+      |  (sum_vg * 1000) // sum_words AS spw_milli,
+      |  (sum_long * 1000000) // sum_words AS long_ppm
+      |FROM g""")(
+    (s, dir) => {
+      val r = regexp_replace(col("text"), "[aeiou]+", "#")
+      val d = Tables.documents(s, dir).select(col("lang"),
+        length(col("text")).as("chars"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), " ", "")) + 1).as("words"),
+        (length(r) - length(regexp_replace(r, "#", ""))).as("vg"),
+        size(filter(split(col("text"), " "),
+          w => length(w) >= 6)).as("longw"))
+      d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("chars").as("sum_chars"), sum("words").as("sum_words"),
+          sum("vg").as("sum_vg"), sum("longw").as("sum_long"))
+        .select(col("lang"), col("n_docs"),
+          expr("((sum_chars - sum_words + n_docs) * 1000) DIV sum_words")
+            .as("awl_milli"),
+          expr("(sum_vg * 1000) DIV sum_words").as("spw_milli"),
+          expr("(sum_long * 1000000) DIV sum_words").as("long_ppm"))
+    })
+
+  /** Per-document character-distribution entropy (bits) over the a–z
+    * alphabet — the classic gibberish/boilerplate quality signal: low
+    * entropy = repeated filler, high = diverse vocabulary. Letter
+    * counts are in-row length/replace arithmetic over a generated
+    * 26-slot array (no explode, no shuffle — the whole signal is one
+    * projection); H = log2(n) − Σ c·log2(c)/n with the Σ as an
+    * explicit ascending-letter left fold on BOTH engines (a GROUP sum
+    * of doubles folds in engine-dependent order — the q239 lesson),
+    * rounded once at 6 decimals. */
+  val q260 = QueryDef.sql("q260_char_entropy",
+    """WITH c AS (SELECT doc_id,
+      |    list_transform(range(0, 26), i -> length(text)
+      |      - length(replace(text, chr(CAST(97 + i AS INT)), '')))
+      |      AS cnts
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |    CAST(list_reduce(cnts, (a, b) -> a + b) AS BIGINT)
+      |      AS n_letters,
+      |    list_reduce(list_transform(cnts,
+      |      x -> CASE WHEN x > 0 THEN x * log2(x) ELSE 0.0 END),
+      |      (a, b) -> a + b) AS s
+      |  FROM c)
+      |SELECT doc_id, n_letters,
+      |  CASE WHEN n_letters > 0
+      |    THEN round(log2(n_letters) - s / n_letters, 6)
+      |    ELSE 0.0 END AS entropy_bits
+      |FROM f""")(
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 25), i -> length(text)" +
+          " - length(replace(text, chr(97 + i), '')))").as("cnts"))
+      .select(col("doc_id"),
+        expr("aggregate(cnts, 0L, (a, x) -> a + CAST(x AS BIGINT))")
+          .as("n_letters"),
+        expr("aggregate(transform(cnts, x -> CASE WHEN x > 0 THEN" +
+          " CAST(x AS DOUBLE) * log2(CAST(x AS DOUBLE)) ELSE 0D END)," +
+          " 0D, (a, x) -> a + x)").as("s"))
+      .select(col("doc_id"), col("n_letters"),
+        when(col("n_letters") > 0,
+          round(log2(col("n_letters")) - col("s") / col("n_letters"), 6))
+          .otherwise(0.0).as("entropy_bits")))
+
+  /** BM25-shaped lexical retrieval, fully integer so the ranking is a
+    * deterministic selector (SCALING.md: libm is never a selector —
+    * the standard ln-idf would put 1-ulp differences into the order).
+    * With k1 = 6/5 and b = 3/4 the per-term BM25 contribution
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) multiplies out to the exact
+    * rational 22·S·tf / (10·S·tf + 3·S + 9·dl·N) over corpus integers
+    * (S = Σdl, N = docs); idf is the rational rarity weight
+    * (N−df)·10⁶ DIV (df+1). Term frequency is non-overlapping
+    * whole-word counting on the space-padded text (in-row
+    * length/replace — scoring is join-free per doc; the only shuffles
+    * are the tiny term-stats aggregates and the final top-k). */
+  val q261 = QueryDef.sql("q261_bm25_topk",
+    """WITH d AS (SELECT doc_id, ' ' || text || ' ' AS p,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+      |      AS BIGINT) AS dl
+      |  FROM documents),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dl) AS BIGINT) AS s FROM d),
+      |t AS (SELECT term FROM (VALUES (' vector '), (' merge '),
+      |    (' window ')) v(term)),
+      |tf AS (SELECT doc_id, dl, term,
+      |    CAST((length(p) - length(replace(p, term, '')))
+      |      // length(term) AS BIGINT) AS tf
+      |  FROM d, t),
+      |df AS (SELECT term,
+      |    CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT) AS df
+      |  FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    CAST(sum((((g.n - df.df) * 1000000) // (df.df + 1))
+      |      * 22 * g.s * tf.tf
+      |      // (10 * g.s * tf.tf + 3 * g.s + 9 * tf.dl * g.n))
+      |      AS BIGINT) AS score_ppm
+      |  FROM tf JOIN df USING (term), g WHERE tf.tf > 0
+      |  GROUP BY 1)
+      |SELECT doc_id, score_ppm, rk FROM (
+      |  SELECT doc_id, score_ppm, CAST(row_number() OVER (
+      |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rk
+      |  FROM sc) WHERE rk <= 20""")(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit(" "), col("text"), lit(" ")).as("p"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("dl"))
+      val g = d.agg(count(lit(1)).as("n"), sum("dl").as("s"))
+      val terms = s.range(0, 3).select(
+        element_at(array(lit(" vector "), lit(" merge "),
+          lit(" window ")), (col("id") + 1).cast("int")).as("term"))
+      val tf = d.crossJoin(broadcast(terms))
+        .select(col("doc_id"), col("dl"), col("term"),
+          expr("CAST((length(p) - length(replace(p, term, '')))" +
+            " DIV length(term) AS BIGINT)").as("tf"))
+      val df = tf.where(col("tf") > 0).groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val sc = tf.where(col("tf") > 0)
+        .join(broadcast(df), "term").crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          expr("(((n - df) * 1000000) DIV (df + 1)) * 22 * s * tf" +
+            " DIV (10 * s * tf + 3 * s + 9 * dl * n)").as("contrib"))
+        .groupBy("doc_id").agg(sum("contrib").as("score_ppm"))
+      sc.withColumn("rk", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("doc_id")))
+          .cast("long"))
+        .where(col("rk") <= 20)
+        .select(col("doc_id"), col("score_ppm"), col("rk"))
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185, q236)
+    q185, q236, q259, q260, q261)
 }
