@@ -216,6 +216,47 @@ object Similarity {
         round(col("p.cosine"), 6).as("sim"))
   }
 
+  /** Greedy k-center selection (Gonzalez 2-approximation) — the
+    * classic diversity-maximizing coreset picker: start from the
+    * minimum id, then k−1 times pick the point FARTHEST from every
+    * chosen center (ties broken by id). Distances are exact integer
+    * squared-L2 over the [[quantizeInt8]] codes, so every pick — and
+    * therefore the whole selection — replays bit-for-bit in the
+    * DuckDB oracle (q262). Cost shape: k passes over the corpus, each
+    * one cached scan + a codegen'd fold against a BROADCAST-LITERAL
+    * center (no join, no shuffle); the only driver traffic is one
+    * (id, vector) row per round — the same count-then-dial stance as
+    * the other iterative operators. */
+  def kCenterGonzalez(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("id"),
+        when(col("nrm") === 0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("nrm") * 127.0 + 0.5).cast("long")))
+          .as("qv"))
+      .cache()
+    def d2(center: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("qv"), typedlit(center), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x)
+    val first = q.orderBy("id").limit(1).collect()(0)
+    var picks = Vector((1L, first.getLong(0), 0L))
+    var cur = q.withColumn("dm", d2(first.getSeq[Long](1)))
+    for (r <- 2 to k) {
+      val far = cur.orderBy(col("dm").desc, col("id").asc).limit(1)
+        .collect()(0)
+      picks :+= ((r.toLong, far.getLong(0), far.getLong(2)))
+      cur = cur.withColumn("dm",
+        least(col("dm"), d2(far.getSeq[Long](1))))
+    }
+    import spark.implicits._
+    picks.toDF("rk", "center_id", "d2_at_pick")
+  }
+
   /** Near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double): DataFrame =

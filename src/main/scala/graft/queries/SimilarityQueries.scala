@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity
-import org.apache.spark.sql.functions.{broadcast, col, count, floor, lit, pmod, posexplode, round, row_number, sqrt, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, lit, max, pmod, posexplode, round, row_number, sqrt, sum, when}
 
 /** Similarity search over the embeddings table. The brute-force queries
   * carry exact DuckDB oracles (`embedding::DOUBLE[]` upcast first, so
@@ -446,6 +446,114 @@ object SimilarityQueries {
             col("la"), col("lb"))).cast("long").as("rk"))
     })
 
+  /** q262's oracle: the Gonzalez rounds as chained MATERIALIZED CTEs
+    * (p_r picks the farthest point, d_r folds the new center into the
+    * running min-distance) — materialized because DuckDB re-inlines
+    * CTEs and a self-referencing chain explodes exponentially (the
+    * q239 lesson). Distances are integer squared-L2 over the q60
+    * int8 codes, dim pinned at 64 (range(1, 65)). */
+  private val kCenterOracle: String = {
+    def dist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, 65), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v" +
+      " FROM embeddings),\n"
+    sb ++= "n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm" +
+      " FROM v),\n"
+    sb ++= "q AS MATERIALIZED (SELECT id, list_transform(v," +
+      " x -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)" +
+      " ELSE CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT) END) AS qv" +
+      " FROM n),\n"
+    sb ++= "p1 AS (SELECT id AS cid, qv AS cqv FROM q" +
+      " WHERE id = (SELECT min(id) FROM q)),\n"
+    sb ++= s"d1 AS MATERIALIZED (SELECT q.id, q.qv," +
+      s" ${dist("q.qv", "p1.cqv")} AS dm FROM q, p1),\n"
+    for (r <- 2 to 8) {
+      sb ++= s"p$r AS (SELECT id AS cid, qv AS cqv, dm FROM d${r - 1}" +
+        s" ORDER BY dm DESC, id LIMIT 1),\n"
+      if (r < 8)
+        sb ++= s"d$r AS MATERIALIZED (SELECT d.id, d.qv, least(d.dm," +
+          s" ${dist("d.qv", s"p$r.cqv")}) AS dm" +
+          s" FROM d${r - 1} d, p$r),\n"
+    }
+    sb ++= "sel AS (SELECT CAST(1 AS BIGINT) AS rk, cid AS center_id," +
+      " CAST(0 AS BIGINT) AS d2_at_pick FROM p1"
+    for (r <- 2 to 8)
+      sb ++= s" UNION ALL SELECT CAST($r AS BIGINT), cid, dm FROM p$r"
+    sb ++= ")\nSELECT rk, center_id, d2_at_pick FROM sel"
+    sb.toString
+  }
+
+  /** Greedy k-center (Gonzalez) diversity coreset over the int8-
+    * quantized embeddings — 8 centers, each round picking the point
+    * farthest from the chosen set (exact integer distances, ties by
+    * id). See [[graft.operators.Similarity.kCenterGonzalez]]. */
+  val q262 = QueryDef.sql("q262_kcenter_diversity", kCenterOracle)(
+    (s, dir) => Similarity.kCenterGonzalez(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8))
+
+  /** Active-learning batch selection by vote margin: the q231 kNN
+    * machinery (10 exact-cosine neighbours vote a label for each
+    * held-out query point), then the 20 query points with the
+    * SMALLEST top-1 − top-2 vote margin — the least-confident items,
+    * the ones a labeling budget buys the most from. Votes are
+    * integers, so margins and the selection order are exact. */
+  val q263 = QueryDef.sql("q263_margin_sampling",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+      |  FROM embeddings),
+      |n AS (SELECT id, v, label, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM v),
+      |q AS (SELECT * FROM n WHERE id % 50 = 0),
+      |c AS (SELECT * FROM n WHERE id % 50 <> 0),
+      |p AS (SELECT q.id AS id_a, c.id AS id_b, c.label AS label_b,
+      |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      |  FROM q, c),
+      |r AS (SELECT id_a, label_b,
+      |    row_number() OVER (PARTITION BY id_a
+      |      ORDER BY cosine DESC, id_b) AS rnk
+      |  FROM p),
+      |votes AS (SELECT id_a, label_b, count(*) AS cnt
+      |  FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+      |m AS (SELECT id_a,
+      |    max(CASE WHEN vr = 1 THEN label_b END) AS top_label,
+      |    max(CASE WHEN vr = 1 THEN cnt END) AS c1,
+      |    coalesce(max(CASE WHEN vr = 2 THEN cnt END), 0) AS c2
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+      |      ORDER BY cnt DESC, label_b) AS vr FROM votes)
+      |  GROUP BY 1)
+      |SELECT id_a, top_label, margin, rk FROM (
+      |  SELECT id_a, CAST(top_label AS INT) AS top_label,
+      |    CAST(c1 - c2 AS BIGINT) AS margin,
+      |    CAST(row_number() OVER (ORDER BY c1 - c2 ASC, id_a)
+      |      AS BIGINT) AS rk
+      |  FROM m) WHERE rk <= 20""")(
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 50 === 0)
+      val corpus = emb.where(col("vec_id") % 50 =!= 0)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val votes = Similarity.retrieveTopK(corpus, queries,
+          "vec_id", "embedding", k = 10)
+        .select("id_a", "id_b")
+        .join(broadcast(labels.toDF("id_b", "label_b")), "id_b")
+        .groupBy("id_a", "label_b").agg(count(lit(1)).as("cnt"))
+      val m = votes.withColumn("vr", row_number().over(
+          W.partitionBy("id_a").orderBy(col("cnt").desc, col("label_b"))))
+        .groupBy("id_a").agg(
+          max(when(col("vr") === 1, col("label_b"))).as("top_label"),
+          max(when(col("vr") === 1, col("cnt"))).as("c1"),
+          coalesce(max(when(col("vr") === 2, col("cnt"))), lit(0L))
+            .as("c2"))
+      m.select(col("id_a"), col("top_label").cast("int").as("top_label"),
+          (col("c1") - col("c2")).as("margin"))
+        .withColumn("rk", row_number().over(
+          W.orderBy(col("margin").asc, col("id_a"))).cast("long"))
+        .where(col("rk") <= 20)
+        .select(col("id_a"), col("top_label"), col("margin"), col("rk"))
+    })
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160, q176, q187, q231, q242)
+    q160, q176, q187, q231, q242, q262, q263)
 }
