@@ -257,6 +257,62 @@ object Similarity {
     picks.toDF("rk", "center_id", "d2_at_pick")
   }
 
+  /** Top principal direction of the int8-quantized embedding matrix by
+    * FULLY-INTEGER power iteration — v ← XᵀXv, renormalized each round
+    * with integer-only arithmetic, so every iterate (and the final
+    * direction) replays bit-for-bit in SQL (q264). Two integer-
+    * determinism tricks:
+    *  - the rescale divisor and all floor-divisions run on SHIFTED
+    *    NON-NEGATIVE values (w + wmax), because floor-div of signed
+    *    ints is engine-dependent (Spark DIV truncates toward zero,
+    *    DuckDB // floors — the SCALING.md negative-DIV trap);
+    *  - the rescale is v' = (w+wmax) div m − (wmax div m) with
+    *    m = max(wmax div 10⁶, 1): affine up to ±1 rounding, which
+    *    power iteration is insensitive to, and exactly reproducible.
+    * A = XᵀX is PSD so iterates don't oscillate in sign. Bounds: with
+    * |v| ≤ ~2·10⁶, |u| ≤ 64·127·|v| ≤ 1.7·10¹⁰ and
+    * |w| ≤ n·127·|u| ≈ 10¹⁶ at n = 5000 — inside BIGINT with two
+    * orders of headroom.
+    *
+    * Scale shape: per round, one scan of the cached codes — u is a
+    * codegen'd fold against the BROADCAST-LITERAL v (64 longs on the
+    * driver, the only driver state), w a posexplode + integer
+    * aggregate (map-side combine, 64 groups). T rounds = T scans,
+    * the textbook distributed power iteration. */
+  def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("id"),
+        when(col("nrm") === 0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("nrm") * 127.0 + 0.5).cast("long")))
+          .as("qv"))
+      .cache()
+    val dim = 64
+    var v: Array[Long] = Array.fill(dim)(1000L)
+    var wmax = 0L
+    for (_ <- 1 to iters) {
+      val u = aggregate(
+        zip_with(col("qv"), typedlit(v.toSeq), (x, y) => x * y),
+        lit(0L), (a, x) => a + x)
+      val w = q.select(col("id"), u.as("u"),
+          posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy("d").agg(sum(col("x") * col("u")).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val warr = Array.tabulate(dim)(d => w.getOrElse(d, 0L))
+      wmax = warr.map(math.abs).max
+      val m = math.max(wmax / 1000000L, 1L)
+      // all operands non-negative: / is floor-div on both engines
+      v = warr.map(wd => (wd + wmax) / m - wmax / m)
+    }
+    import spark.implicits._
+    (v.zipWithIndex.map { case (c, d) => (d.toLong, c) }.toSeq
+      :+ ((-1L, wmax))).toDF("dim", "v_comp")
+  }
+
   /** Near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double): DataFrame =

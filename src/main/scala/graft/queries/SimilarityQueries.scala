@@ -554,6 +554,53 @@ object SimilarityQueries {
         .select(col("id_a"), col("top_label"), col("margin"), col("rk"))
     })
 
+  /** q264's oracle: the six power-iteration rounds as chained
+    * MATERIALIZED CTEs (u = Xv per row, w = Xᵀu per dim, then the
+    * shifted non-negative integer rescale — see
+    * [[graft.operators.Similarity.pcaTopComponent]] for why the shift
+    * makes floor-div engine-portable). v is carried as (d, val) rows;
+    * dims are 1-based internally and shipped 0-based. */
+  private val pcaOracle: String = {
+    val iters = 6
+    val sb = new StringBuilder
+    sb ++= "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v" +
+      " FROM embeddings),\n"
+    sb ++= "n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm" +
+      " FROM v),\n"
+    sb ++= "q AS MATERIALIZED (SELECT id, list_transform(v," +
+      " x -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)" +
+      " ELSE CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT) END) AS qv" +
+      " FROM n),\n"
+    sb ++= "dims AS (SELECT unnest(range(1, 65)) AS d),\n"
+    sb ++= "v0 AS (SELECT d, CAST(1000 AS BIGINT) AS vv FROM dims),\n"
+    for (t <- 1 to iters) {
+      sb ++= s"u$t AS MATERIALIZED (SELECT q.id," +
+        s" CAST(sum(q.qv[v.d] * v.vv) AS BIGINT) AS u" +
+        s" FROM q, v${t - 1} v GROUP BY 1),\n"
+      sb ++= s"w$t AS MATERIALIZED (SELECT dims.d," +
+        s" CAST(sum(q.qv[dims.d] * u.u) AS BIGINT) AS w" +
+        s" FROM q JOIN u$t u ON q.id = u.id, dims GROUP BY 1),\n"
+      sb ++= s"m$t AS (SELECT max(abs(w)) AS wmax," +
+        s" greatest(max(abs(w)) // 1000000, 1) AS m FROM w$t),\n"
+      sb ++= s"v$t AS MATERIALIZED (SELECT w.d," +
+        s" ((w.w + m.wmax) // m.m) - (m.wmax // m.m) AS vv" +
+        s" FROM w$t w, m$t m),\n"
+    }
+    sb ++= s"sel AS (SELECT CAST(d - 1 AS BIGINT) AS dim," +
+      s" CAST(vv AS BIGINT) AS v_comp FROM v$iters" +
+      s" UNION ALL SELECT CAST(-1 AS BIGINT), wmax FROM m$iters)\n"
+    sb ++= "SELECT dim, v_comp FROM sel"
+    sb.toString
+  }
+
+  /** Top principal component of the quantized embedding matrix by
+    * integer power iteration (6 rounds) — dims 0–63 carry the final
+    * direction iterate, dim −1 the last |XᵀXv|∞ scale (the unnormalized
+    * eigenvalue signal). */
+  val q264 = QueryDef.sql("q264_pca_power", pcaOracle)(
+    (s, dir) => Similarity.pcaTopComponent(
+      Tables.embeddings(s, dir), "vec_id", "embedding", iters = 6))
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160, q176, q187, q231, q242, q262, q263)
+    q160, q176, q187, q231, q242, q262, q263, q264)
 }
