@@ -269,7 +269,11 @@ object Similarity {
     *  - the rescale is v' = (w+wmax) div m − (wmax div m) with
     *    m = max(wmax div 10⁶, 1): affine up to ±1 rounding, which
     *    power iteration is insensitive to, and exactly reproducible.
-    * A = XᵀX is PSD so iterates don't oscillate in sign. Bounds: with
+    * A = XᵀX is PSD so iterates don't oscillate in sign. The iterate
+    * after T rounds tracks an exact double-precision power iteration
+    * to ~1e-12 (SelectionSequenceSpec); closeness to the CONVERGED
+    * eigenvector after T rounds is a property of the spectrum's
+    * eigengap, and `iters` is the user dial for it. Bounds: with
     * |v| ≤ ~2·10⁶, |u| ≤ 64·127·|v| ≤ 1.7·10¹⁰ and
     * |w| ≤ n·127·|u| ≈ 10¹⁶ at n = 5000 — inside BIGINT with two
     * orders of headroom.

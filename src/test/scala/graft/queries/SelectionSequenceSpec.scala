@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the sequence (q256/q258), skyline (q257), text-signal
+  * (q259–q261) and embedding-selection (q262–q264) families beyond the
+  * hash oracle: full Scala replays of the SPRT walk and run structure,
+  * brute-force skyline set-equality, Gonzalez pick verification, and
+  * alignment of the integer power iterate with a long double-precision
+  * power iteration. Runs at sf0.001. */
+class SelectionSequenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q256: SPRT crossings replay against a scalar walk") {
+    val rows = run("q256_sprt_decision").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5))).toMap
+    val raw = graft.Tables.events(spark, sf)
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getDouble(3)))
+    for ((et, evs) <- raw.groupBy(_._1)) {
+      val steps = evs.sortBy(e => (e._2, e._3))
+        .map(e => if (e._4 > 34.0) 1L else -1L)
+      val walk = steps.scanLeft(0L)(_ + _).drop(1)
+      val cross = walk.indexWhere(w => w >= 17 || w <= -17)
+      val (n, crossRk, wAt, decision, finalW) = rows(et)
+      assert(n == steps.length && finalW == walk.last)
+      if (cross < 0)
+        assert(crossRk == -1 && wAt == 0 && decision == "continue")
+      else {
+        assert(crossRk == cross + 1 && wAt == walk(cross))
+        assert(math.abs(wAt) == 17, s"$et crossed past the boundary")
+        assert(decision == (if (wAt >= 17) "accept_h1" else "accept_h0"))
+      }
+    }
+  }
+
+  test("q257: skyline equals the brute-force no-dominator set") {
+    val frontier = run("q257_pareto_frontier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val parts = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,6)") * 1000000)
+          .cast("long").as("pm"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val brute = parts.filter { case (_, pm, sz) =>
+      !parts.exists { case (_, pm2, sz2) =>
+        pm2 <= pm && sz2 >= sz && (pm2 < pm || sz2 > sz) }
+    }.toSet
+    assert(frontier == brute,
+      s"skyline mismatch: ${frontier.size} vs ${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
+  test("q258: run structure replays against a scalar pass") {
+    val rows = run("q258_monotone_runs").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3)))
+    for ((u, evs) <- raw.groupBy(_._1)) {
+      val vs = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      val dirs = vs.sliding(2).map { case Array(a, b) =>
+        java.lang.Long.signum(b - a) }.toArray
+      val changes = dirs.sliding(2).count {
+        case Array(a, b) => a != b; case _ => false }
+      var (best, cur) = (0L, 0L)
+      for (d <- dirs) {
+        cur = if (d == 1) cur + 1 else 0
+        best = math.max(best, cur)
+      }
+      val (n, ch, mx) = rows(u)
+      assert(n == vs.length && ch == changes && mx == best,
+        s"user $u: got ($n,$ch,$mx) want (${vs.length},$changes,$best)")
+    }
+  }
+
+  test("q259-q261: text signals are in range") {
+    val rd = run("q259_readability").collect()
+    assert(rd.nonEmpty)
+    rd.foreach { r =>
+      assert(r.getLong(2) > 1000, "avg word length under 1 char")
+      assert(r.getLong(3) > 0 && r.getLong(4) <= 1000000L)
+    }
+    val ent = run("q260_char_entropy").collect()
+    assert(ent.nonEmpty)
+    ent.foreach { r =>
+      val h = r.getDouble(2)
+      assert(h >= 0.0 && h <= math.log(26.0) / math.log(2.0) + 1e-9,
+        s"entropy out of range: $h")
+    }
+    val bm = run("q261_bm25_topk").collect()
+    val ranks = bm.map(_.getLong(2))
+    assert(ranks.toSet == (1L to ranks.length).toSet)
+    val scores = bm.sortBy(_.getLong(2)).map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "bm25 scores not non-increasing in rank")
+  }
+
+  test("q262: Gonzalez picks verify against brute-force distances") {
+    val picks = run("q262_kcenter_diversity").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(picks.map(_._2).distinct.length == 8, "duplicate centers")
+    val d2s = picks.drop(1).map(_._3)
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b },
+      "pick distances must be non-increasing")
+    // brute-force check of pick 2: farthest point from center 1
+    val qv = quantized()
+    val c1 = qv.minBy(_._1)
+    val far = qv.filter(_._1 != c1._1)
+      .map { case (id, v) => (id, dist2(v, c1._2)) }
+      .maxBy { case (id, d) => (d, -id) }
+    assert(picks(1)._2 == far._1 && picks(1)._3 == far._2,
+      s"pick 2 ${picks(1)} != brute ${far}")
+  }
+
+  test("q263: margins are sorted, in range, and majority-consistent") {
+    val rows = run("q263_margin_sampling").collect()
+      .sortBy(_.getLong(3))
+    assert(rows.nonEmpty)
+    val margins = rows.map(_.getLong(2))
+    assert(margins.forall(m => m >= 0 && m <= 10))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a <= b },
+      "margins not non-decreasing in rank")
+  }
+
+  test("q264: integer iterate tracks the double power iteration") {
+    // The invariant is that the integer rescale does NOT distort the
+    // iterate: after the same number of rounds, the integer vector and
+    // an exact double-precision power iteration must point the same
+    // way. (Distance to the CONVERGED eigenvector is a property of the
+    // spectrum, not of the arithmetic — this corpus's top eigengap is
+    // small, needing ~48 rounds; the rounds parameter is a user dial.)
+    val out = run("q264_pca_power").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(-1L) > 0, "degenerate scale")
+    val vInt = Array.tabulate(64)(d => out(d.toLong).toDouble)
+    val qv = quantized().map(_._2.map(_.toDouble))
+    var v = Array.fill(64)(1000.0)
+    for (_ <- 1 to 6) {
+      val us = qv.map(x => x.zip(v).map { case (a, b) => a * b }.sum)
+      val w = Array.tabulate(64)(d =>
+        qv.zip(us).map { case (x, u) => x(d) * u }.sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / n)
+    }
+    val dot = vInt.zip(v).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(vInt.map(x => x * x).sum) *
+        math.sqrt(v.map(x => x * x).sum))
+    assert(cos >= 0.999, s"integer iterate diverged from double: $cos")
+  }
+
+  private def quantized(): Array[(Long, Array[Long])] =
+    graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        val q = if (nrm == 0) v.map(_ => 0L)
+          else v.map(x => math.floor(x / nrm * 127.0 + 0.5).toLong)
+        (r.getLong(0), q)
+      }
+
+  private def dist2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+}
