@@ -1818,7 +1818,97 @@ object PlannerQueries {
         (abs(smd) <= 0.1).as("balanced"))
     })
 
+  /** Column-encoding audit: for each candidate lineitem column, the
+    * run/distinct structure that decides its parquet encoding — dict
+    * when the domain is tiny, RLE when values arrive in runs, plain
+    * otherwise. Runs are counted WITHIN each l_orderkey in
+    * l_linenumber order (the write-time clustering unit), so the scan
+    * is one partitioned window pass — no global sort, and the count is
+    * layout-meaningful: parquet pages don't span the clustering key
+    * either. One wide window pass computes all four columns' lags;
+    * thresholds are integer comparisons (dict: ≤1% distinct; rle:
+    * ≤10% runs). */
+  val q266 = QueryDef.sql("q266_encoding_audit",
+    """WITH w AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |    CAST(l_shipdate AS DATE) AS sd,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |      AS qt,
+      |    lag(l_returnflag) OVER o AS p_rf,
+      |    lag(l_linestatus) OVER o AS p_ls,
+      |    lag(CAST(l_shipdate AS DATE)) OVER o AS p_sd,
+      |    lag(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) OVER o AS p_qt
+      |  FROM lineitem
+      |  WINDOW o AS (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_partkey, l_suppkey)),
+      |m AS (
+      |  SELECT 'l_returnflag' AS col, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT rf) AS BIGINT) AS n_distinct,
+      |    CAST(count(*) FILTER (WHERE p_rf IS NULL OR rf <> p_rf)
+      |      AS BIGINT) AS n_runs FROM w
+      |  UNION ALL
+      |  SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+      |    CAST(count(DISTINCT ls) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE p_ls IS NULL OR ls <> p_ls)
+      |      AS BIGINT) FROM w
+      |  UNION ALL
+      |  SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+      |    CAST(count(DISTINCT sd) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE p_sd IS NULL OR sd <> p_sd)
+      |      AS BIGINT) FROM w
+      |  UNION ALL
+      |  SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+      |    CAST(count(DISTINCT qt) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE p_qt IS NULL OR qt <> p_qt)
+      |      AS BIGINT) FROM w)
+      |SELECT col, n, n_distinct, n_runs,
+      |  (n_runs * 1000000) // n AS runs_ppm,
+      |  CASE WHEN n_distinct * 100 <= n THEN 'dict'
+      |       WHEN n_runs * 10 <= n THEN 'rle'
+      |       ELSE 'plain' END AS encoding
+      |FROM m""")(
+    (s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus —
+      // extend the order to the (…, l_partkey, l_suppkey) candidate
+      // key or the lag (and the run count) is nondeterministic
+      val o = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      val base = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_shipdate").cast("date").as("sd"),
+        (col("l_quantity").cast("decimal(18,6)") * 1000000)
+          .cast("long").as("qt"))
+      val w = base.select(col("rf"), col("ls"), col("sd"), col("qt"),
+        lag("rf", 1).over(o).as("p_rf"), lag("ls", 1).over(o).as("p_ls"),
+        lag("sd", 1).over(o).as("p_sd"), lag("qt", 1).over(o).as("p_qt"))
+      // one aggregate pass for all four columns (the oracle spells it
+      // as four scans of the same CTE; same values)
+      def runs(v: String, p: String) =
+        count(when(col(p).isNull || col(v) =!= col(p), 1))
+      val agg1 = w.agg(count(lit(1)).as("n"),
+        countDistinct(col("rf")).as("nd_rf"),
+        countDistinct(col("ls")).as("nd_ls"),
+        countDistinct(col("sd")).as("nd_sd"),
+        countDistinct(col("qt")).as("nd_qt"),
+        runs("rf", "p_rf").as("nr_rf"), runs("ls", "p_ls").as("nr_ls"),
+        runs("sd", "p_sd").as("nr_sd"), runs("qt", "p_qt").as("nr_qt"))
+      agg1.select(expr("""stack(4,
+          'l_returnflag', n, nd_rf, nr_rf,
+          'l_linestatus', n, nd_ls, nr_ls,
+          'l_shipdate',   n, nd_sd, nr_sd,
+          'l_quantity',   n, nd_qt, nr_qt)
+          AS (col, n, n_distinct, n_runs)"""))
+        .select(col("col"), col("n"), col("n_distinct"), col("n_runs"),
+          expr("(n_runs * 1000000) DIV n").as("runs_ppm"),
+          when(col("n_distinct") * 100 <= col("n"), "dict")
+            .when(col("n_runs") * 10 <= col("n"), "rle")
+            .otherwise("plain").as("encoding"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252)
+    q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
+    q266)
 }

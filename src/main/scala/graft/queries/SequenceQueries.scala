@@ -149,5 +149,138 @@ object SequenceQueries {
           coalesce(col("max_inc_run"), lit(0L)).as("max_inc_run"))
     })
 
-  val all: Seq[QueryDef] = Seq(q256, q258)
+  /** Floor-division by 2 that is identical on both engines for SIGNED
+    * operands: Spark DIV truncates toward zero while DuckDB // floors
+    * (the SCALING.md negative-DIV trap), so the negative branch is
+    * spelled with non-negative operands only. `div` is the engine's
+    * integer-division keyword (`DIV` / `//`). */
+  private def fd2(a: String, div: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $div 2" +
+      s" ELSE -(((-($a)) + 1) $div 2) END)"
+
+  /** q265's oracle: per-type daily totals, then Holt's linear
+    * (double-exponential) smoothing with α = β = ½ as a recursive CTE
+    * walking the day rank — every update is integer (the ½ smoothing
+    * is the portable signed floor-div-by-2), so level/trend/forecast
+    * replay exactly. */
+  private val holtOracle: String = {
+    def L(y: String, l: String, b: String) = fd2(s"$y + $l + $b", "//")
+    val lExpr = L("s.y", "h.l", "h.b")
+    s"""WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
+       |    CAST(ts AS DATE) AS d,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+       |      AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |s AS MATERIALIZED (SELECT event_type,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+       |      AS BIGINT) AS rk, y
+       |  FROM daily),
+       |h AS (
+       |  SELECT event_type, rk, y AS l, CAST(0 AS BIGINT) AS b
+       |  FROM s WHERE rk = 1
+       |  UNION ALL
+       |  SELECT s.event_type, s.rk, $lExpr,
+       |    ${fd2(s"h.b + $lExpr - h.l", "//")}
+       |  FROM h JOIN s ON s.event_type = h.event_type
+       |    AND s.rk = h.rk + 1),
+       |lst AS (SELECT event_type, max(rk) AS n_days FROM s GROUP BY 1)
+       |SELECT h.event_type, lst.n_days, h.l AS level_micro,
+       |  h.b AS trend_micro, h.l + h.b AS forecast_micro
+       |FROM h JOIN lst ON h.event_type = lst.event_type
+       |  AND h.rk = lst.n_days""".stripMargin
+  }
+
+  /** Holt linear-trend smoothing (α = β = ½, integer fixed point) of
+    * each event type's daily value series: final level, trend, and
+    * one-step forecast. The Spark side folds each key's sorted daily
+    * array with a struct accumulator inside ONE row-level higher-order
+    * `aggregate` — per-key state never leaves the executor, the
+    * sequential dependency lives inside a codegen'd expression, and
+    * the shuffle is just the daily pre-aggregate. */
+  val q265 = QueryDef.sql("q265_holt_trend", holtOracle)(
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("y"))
+      val lS = fd2("x.y + acc.l + acc.b", "DIV")
+      val step = s"named_struct('l', $lS," +
+        s" 'b', ${fd2(s"acc.b + $lS - acc.l", "DIV")}, 'k', 1)"
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"), col("y"))))
+          .as("arr"))
+        .select(col("event_type"),
+          size(col("arr")).cast("long").as("n_days"),
+          expr("aggregate(arr, named_struct('l', CAST(0 AS BIGINT)," +
+            " 'b', CAST(0 AS BIGINT), 'k', 0)," +
+            " (acc, x) -> IF(acc.k = 0," +
+            " named_struct('l', x.y, 'b', CAST(0 AS BIGINT), 'k', 1)," +
+            s" $step))").as("h"))
+        .select(col("event_type"), col("n_days"),
+          col("h.l").as("level_micro"), col("h.b").as("trend_micro"),
+          (col("h.l") + col("h.b")).as("forecast_micro"))
+    })
+
+  /** q267's oracle: 12 integer power-iteration rounds of the user-
+    * stream Markov chain, each v_j ← Σ_i (v_i · c_ij) // rowsum_i —
+    * every operand non-negative, so // and DIV agree. */
+  private val markovOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH seq AS (SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |trans AS MATERIALIZED (SELECT prev AS src,
+             |    event_type AS dst, CAST(count(*) AS BIGINT) AS c
+             |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |rs AS (SELECT src, CAST(sum(c) AS BIGINT) AS rsum
+             |  FROM trans GROUP BY 1),
+             |types AS (SELECT DISTINCT event_type AS et FROM events),
+             |v0 AS (SELECT et, CAST(1000000 AS BIGINT)
+             |    // (SELECT count(*) FROM types) AS p FROM types),
+             |""".stripMargin
+    for (t <- 1 to 12)
+      sb ++= s"v$t AS (SELECT ty.et, CAST(coalesce(sum(" +
+        s"(v.p * tr.c) // rs.rsum), 0) AS BIGINT) AS p\n" +
+        s"  FROM types ty LEFT JOIN trans tr ON tr.dst = ty.et\n" +
+        s"  LEFT JOIN rs ON tr.src = rs.src\n" +
+        s"  LEFT JOIN v${t - 1} v ON v.et = tr.src GROUP BY 1),\n"
+    sb.setLength(sb.length - 2) // drop trailing ,\n
+    sb ++= "\nSELECT et AS event_type, p AS stationary_ppm FROM v12"
+    sb.toString
+  }
+
+  /** Stationary distribution of the per-user event-type Markov chain
+    * (q95's transition matrix taken to its fixpoint): 12 integer
+    * power-iteration rounds in ppm. The matrix is k×k for k event
+    * types, so the Spark side collects the aggregated counts once
+    * (k² ≤ 25 rows of driver state) and iterates in exact integer
+    * arithmetic — the heavy lifting (the transition-count aggregate
+    * over the full stream) stays distributed. */
+  val q267 = QueryDef.sql("q267_markov_stationary", markovOracle)(
+    (s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.events(s, dir)
+        .select(col("event_type"), lag("event_type", 1).over(ord)
+          .as("prev"))
+      val trans = seq0.where(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = Tables.events(s, dir).select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      val rsum = trans.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._3).sum }
+      var p: Map[String, Long] =
+        types.map(_ -> 1000000L / types.length).toMap
+      for (_ <- 1 to 12)
+        p = types.map { t =>
+          t -> trans.filter(_._2 == t).map { case (src, _, c) =>
+            p(src) * c / rsum(src) }.sum
+        }.toMap
+      import s.implicits._
+      types.map(t => (t, p(t))).toSeq.toDF("event_type", "stationary_ppm")
+    })
+
+  val all: Seq[QueryDef] = Seq(q256, q258, q265, q267)
 }

@@ -164,6 +164,76 @@ class SelectionSequenceSpec extends AnyFunSuite {
     assert(cos >= 0.999, s"integer iterate diverged from double: $cos")
   }
 
+  test("q265: Holt fold replays against a scalar recurrence") {
+    def fd2(a: Long): Long =
+      if (a >= 0) a / 2 else -((-a + 1) / 2)
+    val rows = run("q265_holt_trend").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")).as("y")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    for ((et, evs) <- daily.groupBy(_._1)) {
+      val ys = evs.sortBy(_._2).map(_._3)
+      var (l, b) = (ys.head, 0L)
+      for (y <- ys.tail) {
+        val l2 = fd2(y + l + b)
+        b = fd2(b + l2 - l); l = l2
+      }
+      val (n, lv, tr, fc) = rows(et)
+      assert(n == ys.length && lv == l && tr == b && fc == l + b,
+        s"$et: got ($n,$lv,$tr,$fc) want (${ys.length},$l,$b,${l + b})")
+    }
+  }
+
+  test("q266: run counts replay against a scalar pass") {
+    val audit = run("q266_encoding_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val runs = rows.groupBy(_._1).values.map { grp =>
+      val vs = grp.sortBy(t => (t._2, t._3, t._4)).map(_._5)
+      1L + vs.zip(vs.tail).count { case (a, b) => a != b }
+    }.sum
+    val (n, nd, nr) = audit("l_returnflag")
+    assert(n == rows.length && nr == runs,
+      s"l_returnflag: got runs $nr want $runs")
+    assert(nd == rows.map(_._5).distinct.length)
+  }
+
+  test("q267: stationary vector has conserved mass and is a fixpoint") {
+    val p = run("q267_markov_stationary").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = p.values.sum
+    // each of 12 rounds loses < nTypes ppm to DIV truncation per state
+    assert(total <= 1000000L && total >= 1000000L - 12 * 5 * 5,
+      s"mass not conserved: $total")
+    // one more integer step must move no component by more than the
+    // truncation noise — i.e. the 12-round iterate is at the fixpoint
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = graft.Tables.events(spark, sf)
+      .select(col("event_type"), lag("event_type", 1).over(W).as("prev"))
+      .where(col("prev").isNotNull)
+      .groupBy("prev", "event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rsum = trans.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._3).sum }
+    val next = p.keys.map { t =>
+      t -> trans.filter(_._2 == t).map { case (s0, _, c) =>
+        p(s0) * c / rsum(s0) }.sum
+    }.toMap
+    for (t <- p.keys)
+      assert(math.abs(next(t) - p(t)) <= 1500,
+        s"$t not at fixpoint: ${p(t)} -> ${next(t)}")
+  }
+
   private def quantized(): Array[(Long, Array[Long])] =
     graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
