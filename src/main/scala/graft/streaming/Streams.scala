@@ -598,4 +598,52 @@ object Streams {
           Iterator(ShotSummary(id, st.n, st.cuts, st.cuts + 1, st.dist))
       }
   }
+
+  final case class SprtObs(event_type: String, ts: Timestamp,
+                           event_id: Long, value: Double)
+  final case class SprtStatus(event_type: String, n: Long,
+                              cross_rk: Long, w_at_cross: Long,
+                              decision: String, final_w: Long)
+  // public: the state encoder's generated code instantiates it
+  final case class SprtState(n: Long, walk: Long, crossRk: Long,
+                             wAtCross: Long)
+
+  /** Streaming twin of q256's Wald SPRT: per-arm state is the trial
+    * count, the integer walk w = 2k − n, and the first-crossing record
+    * — O(32 bytes) per key, constant in stream length. Each arriving
+    * observation steps the walk (±1 on `value > successAbove`), latches
+    * the first |w| ≥ `bound` crossing, and the stream emits the updated
+    * per-arm status every micro-batch; a crossed arm keeps reporting
+    * its latched decision (the monitoring dashboard shape). After any
+    * in-order prefix the emitted status equals the q256 batch query
+    * over the observations seen so far, bit-for-bit and
+    * batch-boundary-independent (StreamsSpec replays in micro-batches).
+    * Observations are sorted by (ts, event_id) within a batch;
+    * cross-batch late data would step the walk out of order — pair
+    * with an upstream watermark (q234 sizes it), the [[ewmaStream]]
+    * caveat. */
+  def sprtStream(obs: Dataset[SprtObs], successAbove: Double = 34.0,
+                 bound: Long = 17L): Dataset[SprtStatus] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SprtState, SprtStatus](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (et: String, it: Iterator[SprtObs], state: GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(SprtState(0L, 0L, -1L, 0L))
+          for (o <- it.toSeq.sortBy(o => (o.ts.getTime, o.event_id))) {
+            val w = st.walk + (if (o.value > successAbove) 1L else -1L)
+            val crossed = st.crossRk < 0 && math.abs(w) >= bound
+            st = SprtState(st.n + 1, w,
+              if (crossed) st.n + 1 else st.crossRk,
+              if (crossed) w else st.wAtCross)
+          }
+          state.update(st)
+          val decision =
+            if (st.wAtCross >= bound) "accept_h1"
+            else if (st.wAtCross <= -bound && st.crossRk > 0) "accept_h0"
+            else "continue"
+          Iterator(SprtStatus(et, st.n, st.crossRk, st.wAtCross,
+            decision, st.walk))
+      }
+  }
 }

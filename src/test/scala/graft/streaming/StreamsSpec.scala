@@ -635,4 +635,39 @@ class StreamsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("sprtStream matches the q256 batch decision after in-order replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val want = graft.SparkEntry.queries("q256_sprt_decision")(spark, sf)
+      .as[(String, Long, Long, Long, String, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val obs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .as[Streams.SprtObs].collect()
+      .sortBy(o => (o.ts.getTime, o.event_id)) // in-order per arm
+    val mem = MemoryStream[Streams.SprtObs]
+    val q = Streams.sprtStream(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sprt_out").start()
+    val third = obs.length / 3
+    for (b <- Seq(obs.take(third), obs.slice(third, 2 * third),
+        obs.drop(2 * third))) {
+      mem.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // update mode: n is monotone per arm, so the max-n row per arm is
+    // its final status — no reliance on sink order
+    val got = spark.table("sprt_out")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          "n", "cross_rk", "w_at_cross", "decision", "final_w")).as("s"))
+      .select(col("event_type"), col("s.n"), col("s.cross_rk"),
+        col("s.w_at_cross"), col("s.decision"), col("s.final_w"))
+      .as[(String, Long, Long, Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
 }
