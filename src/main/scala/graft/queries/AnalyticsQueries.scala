@@ -1396,8 +1396,92 @@ object AnalyticsQueries {
         .select(col("p_partkey"), col("price_micro"), col("p_size"))
     })
 
+  /** q268's oracle: 4 HITS rounds as chained CTEs over the
+    * MATERIALIZED customer→part purchase edges. Every quantity is a
+    * non-negative integer (counts × scores), and each round rescales
+    * by `(x * 1000) // max(x)` — non-negative floor-div, so // and
+    * DIV agree and the scores replay exactly. */
+  private val hitsOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (SELECT o_custkey AS cust,
+             |    l_partkey AS part, CAST(count(*) AS BIGINT) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |h0 AS (SELECT DISTINCT cust, CAST(1000 AS BIGINT) AS hv
+             |  FROM e),
+             |""".stripMargin
+    for (t <- 1 to 4) {
+      sb ++= s"ar$t AS MATERIALIZED (SELECT e.part," +
+        s" CAST(sum(e.w * h.hv) AS BIGINT) AS raw\n" +
+        s"  FROM e JOIN h${t - 1} h ON e.cust = h.cust GROUP BY 1),\n"
+      sb ++= s"a$t AS (SELECT part, (raw * 1000) //" +
+        s" (SELECT max(raw) FROM ar$t) AS av FROM ar$t),\n"
+      sb ++= s"hr$t AS MATERIALIZED (SELECT e.cust," +
+        s" CAST(sum(e.w * a.av) AS BIGINT) AS raw\n" +
+        s"  FROM e JOIN a$t a ON e.part = a.part GROUP BY 1),\n"
+      sb ++= s"h$t AS (SELECT cust, (raw * 1000) //" +
+        s" (SELECT max(raw) FROM hr$t) AS hv FROM hr$t),\n"
+    }
+    sb ++= """top AS (
+             |  SELECT 'hub' AS kind, cust AS id, hv AS score,
+             |    CAST(row_number() OVER (ORDER BY hv DESC, cust)
+             |      AS BIGINT) AS rk
+             |  FROM h4
+             |  UNION ALL
+             |  SELECT 'auth', part, av,
+             |    CAST(row_number() OVER (ORDER BY av DESC, part)
+             |      AS BIGINT)
+             |  FROM a4)
+             |SELECT kind, id, score, rk FROM top WHERE rk <= 20"""
+      .stripMargin
+    sb.toString
+  }
+
+  /** HITS hubs & authorities on the bipartite customer→part purchase
+    * graph (weights = purchase counts): 4 mutual-reinforcement rounds
+    * in integer arithmetic, rescaled to ‖·‖∞ = 1000 each half-step.
+    * Top-20 of each side. Scale shape: the edge aggregate is built
+    * once and cached; each half-round is one hash-aggregate joined
+    * against the (≤ #custs / #parts)-row score vector — broadcast
+    * here at bench scale, degrading to a shuffle join on a cluster
+    * when the vector outgrows the broadcast budget (same
+    * count-then-dial stance as the Graph operators). */
+  val q268 = QueryDef.sql("q268_hits_scores", hitsOracle)(
+    (s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .agg(count(lit(1)).as("w")).cache()
+      var h = e.select("cust").distinct()
+        .withColumn("hv", lit(1000L))
+      var a: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 4) {
+        val ar = e.join(broadcast(h), "cust")
+          .groupBy("part").agg(sum(col("w") * col("hv")).as("raw"))
+        val amax = ar.agg(max("raw")).collect()(0).getLong(0)
+        a = ar.select(col("part"),
+          expr(s"(raw * 1000) DIV ${amax}L").as("av"))
+        val hr = e.join(broadcast(a), "part")
+          .groupBy("cust").agg(sum(col("w") * col("av")).as("raw"))
+        val hmax = hr.agg(max("raw")).collect()(0).getLong(0)
+        h = hr.select(col("cust"),
+          expr(s"(raw * 1000) DIV ${hmax}L").as("hv"))
+      }
+      val W = Window.orderBy(col("score").desc, col("id"))
+      val hubs = h.select(lit("hub").as("kind"), col("cust").as("id"),
+        col("hv").as("score"))
+      val auths = a.select(lit("auth").as("kind"), col("part").as("id"),
+        col("av").as("score"))
+      hubs.withColumn("rk", row_number().over(W).cast("long"))
+        .where(col("rk") <= 20)
+        .unionAll(auths.withColumn("rk",
+          row_number().over(W).cast("long")).where(col("rk") <= 20))
+        .select(col("kind"), col("id"), col("score"), col("rk"))
+    })
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189, q220, q245, q253, q257)
+    q167, q189, q220, q245, q253, q257, q268)
 }

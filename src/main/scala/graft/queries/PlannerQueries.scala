@@ -1907,8 +1907,48 @@ object PlannerQueries {
             .otherwise("plain").as("encoding"))
     })
 
+  /** Differentially-private daily-count release with INTEGER-ONLY
+    * discrete-Laplace noise: noise = G₁ − G₂ where each Gᵢ ~
+    * Geometric(½) is the trailing-ones count of an md5-derived
+    * 60-bit integer (trailing-ones of a uniform bitstream is exactly
+    * Geometric(½); bit_count(x XOR (x+1)) − 1 extracts it with no
+    * libm, no float, no inverse CDF — the classic two-geometric
+    * construction of two-sided geometric noise, ε = ln 2 per count).
+    * Deterministic given the key, so the release replays exactly in
+    * the oracle. The true count is kept alongside for verification;
+    * an actual release ships only (event_type, d, released). */
+  val q270 = QueryDef.sql("q270_dp_release",
+    """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h AS (SELECT event_type, d, n,
+      |    CAST(('0x' || substring(md5(event_type || '|' ||
+      |      CAST(d AS VARCHAR) || '|g1'), 1, 15)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substring(md5(event_type || '|' ||
+      |      CAST(d AS VARCHAR) || '|g2'), 1, 15)) AS BIGINT) AS h2
+      |  FROM g),
+      |z AS (SELECT event_type, d, n,
+      |    CAST(bit_count(xor(h1, h1 + 1)) - 1 AS BIGINT)
+      |      - CAST(bit_count(xor(h2, h2 + 1)) - 1 AS BIGINT) AS noise
+      |  FROM h)
+      |SELECT event_type, d, n, noise, n + noise AS released
+      |FROM z""")(
+    (s, dir) => {
+      def h(tag: String) = conv(substring(md5(concat(col("event_type"),
+        lit("|"), col("d").cast("string"), lit(tag))), 1, 15), 16, 10)
+        .cast("long")
+      def geo(c: org.apache.spark.sql.Column) =
+        (bit_count(c.bitwiseXOR(c + 1)) - 1).cast("long")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("noise", geo(h("|g1")) - geo(h("|g2")))
+        .select(col("event_type"), col("d"), col("n"), col("noise"),
+          (col("n") + col("noise")).as("released"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
-    q266)
+    q266, q270)
 }

@@ -282,5 +282,58 @@ object SequenceQueries {
       types.map(t => (t, p(t))).toSeq.toDF("event_type", "stationary_ppm")
     })
 
-  val all: Seq[QueryDef] = Seq(q256, q258, q265, q267)
+  /** SAX-style symbolization + motif mining of each type's daily
+    * series: days map to tercile symbols a/b/c by POSITIONAL ntile on
+    * the deterministic (value, day) order — rank-based breakpoints,
+    * not the Gaussian ones, so no libm constant ever decides a symbol
+    * — then 3-day words are counted and each type reports its modal
+    * motif. One partitioned-window chain per type; everything integer
+    * or string. */
+  val q269 = QueryDef.sql("q269_sax_motifs",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |sym AS (SELECT event_type, d,
+      |    chr(CAST(96 + ntile(3) OVER (PARTITION BY event_type
+      |      ORDER BY y, d) AS INT)) AS s
+      |  FROM daily),
+      |words AS (SELECT event_type,
+      |    lag(s, 2) OVER o || lag(s, 1) OVER o || s AS w
+      |  FROM sym WINDOW o AS (PARTITION BY event_type ORDER BY d)),
+      |wc AS (SELECT event_type, w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM words WHERE w IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_words
+      |  FROM wc GROUP BY 1)
+      |SELECT r.event_type, r.w AS motif, r.cnt, tot.n_words
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY cnt DESC, w) AS rn FROM wc) r
+      |JOIN tot ON r.event_type = tot.event_type
+      |WHERE r.rn = 1""")(
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("y"))
+      val byVal = Window.partitionBy("event_type").orderBy("y", "d")
+      val byDay = Window.partitionBy("event_type").orderBy("d")
+      val sym = daily.withColumn("s",
+        chr(lit(96) + ntile(3).over(byVal)))
+      val words = sym.select(col("event_type"),
+          concat(lag("s", 2).over(byDay), lag("s", 1).over(byDay),
+            col("s")).as("w"))
+        .where(col("w").isNotNull)
+      val wc = words.groupBy("event_type", "w")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = wc.groupBy("event_type").agg(sum("cnt").as("n_words"))
+      wc.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("cnt").desc, col("w"))))
+        .where(col("rn") === 1)
+        .join(tot, "event_type")
+        .select(col("event_type"), col("w").as("motif"), col("cnt"),
+          col("n_words"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269)
 }

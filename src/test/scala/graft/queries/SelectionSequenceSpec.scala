@@ -234,6 +234,71 @@ class SelectionSequenceSpec extends AnyFunSuite {
         s"$t not at fixpoint: ${p(t)} -> ${next(t)}")
   }
 
+  test("q268: HITS replays against a scalar power iteration") {
+    val got = run("q268_hits_scores").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.count(_._1 == "hub") == 20 &&
+      got.count(_._1 == "auth") == 20)
+    assert(got.filter(_._1 == "hub").map(_._3).max == 1000L)
+    assert(got.filter(_._1 == "auth").map(_._3).max == 1000L)
+    // scalar replay of the 4 rounds
+    val e = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var h = e.map(_._1).distinct.map(_ -> 1000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val ar = e.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(t => t._3 * h(t._1)).sum }
+      val amax = ar.values.max
+      a = ar.map { case (p, r) => p -> r * 1000L / amax }
+      val hr = e.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(t => t._3 * a(t._2)).sum }
+      val hmax = hr.values.max
+      h = hr.map { case (c, r) => c -> r * 1000L / hmax }
+    }
+    for ((kind, id, score, _) <- got)
+      assert(score == (if (kind == "hub") h(id) else a(id)),
+        s"$kind $id score $score != replay")
+  }
+
+  test("q269: motifs are 3-symbol words over {a,b,c} with sane counts") {
+    val rows = run("q269_sax_motifs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val motif = r.getString(1)
+      assert(motif.length == 3 && motif.forall("abc".contains(_)),
+        s"bad motif $motif")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3))
+    }
+  }
+
+  test("q270: DP noise replays from md5 trailing-ones and is centred") {
+    val rows = run("q270_dp_release").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def geo(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      java.lang.Long.bitCount(h ^ (h + 1)) - 1L
+    }
+    for ((et, d, n, noise, released) <- rows) {
+      val want = geo(s"$et|$d|g1") - geo(s"$et|$d|g2")
+      assert(noise == want, s"$et/$d noise $noise != $want")
+      assert(released == n + noise)
+    }
+    // two-sided geometric, p = 1/2: mean 0, E|noise| = 4/3; loose band
+    val meanAbs = rows.map(r => math.abs(r._4)).sum.toDouble / rows.length
+    assert(meanAbs < 4.0, s"noise implausibly large: $meanAbs")
+  }
+
   private def quantized(): Array[(Long, Array[Long])] =
     graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
