@@ -62,6 +62,26 @@ object Materialize {
     snap.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(valueCol.cast("long")).as("s"))
 
+  /** Maintain a key-projected JOIN view V = A ⋈ dim under a FACT-side
+    * signed delta: retract every view row whose key has any delta
+    * version (the old rows of updates, and deletes), then append the
+    * +1 delta rows re-joined to the dimension. Join views are
+    * self-maintainable under single-side deltas — ΔV = (Δ⁺A ⋈ dim)
+    * minus the touched keys' old rows — so maintenance costs
+    * O(|Δ| ⋈ dim) plus one anti-join against the stored view, never a
+    * rescan of A. (Dimension-side changes need the symmetric
+    * A ⋈ ΔB leg; pair with [[signedDelta]] on whichever side drifts.)
+    * Result columns follow `view`'s schema; the delta must carry the
+    * fact attributes the view projects. */
+  def maintainJoinView(view: DataFrame, delta: DataFrame, keyCol: String,
+                       dim: DataFrame, joinCol: String): DataFrame = {
+    val touched = delta.select(col(keyCol)).distinct()
+    val adds = delta.where(col("__sign") === 1).drop("__sign")
+      .join(dim, joinCol)
+    view.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(adds.select(view.columns.map(col): _*))
+  }
+
   /** Apply a signed delta (from [[signedDelta]] or a CDC feed with a
     * `__sign` column) to a grouped MV. The delta first collapses to
     * one row per touched group (tiny — bounded by |Δ|), then a

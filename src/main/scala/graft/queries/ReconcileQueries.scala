@@ -124,5 +124,47 @@ object ReconcileQueries {
         .select(col("st"), col("n"), col("s").as("cents"))
     })
 
-  val all: Seq[QueryDef] = Seq(q161, q162, q164)
+  /** Incremental JOIN-view maintenance
+    * ([[graft.operators.Materialize.maintainJoinView]]): the
+    * orders ⋈ customer projection (key, market segment, cents) is
+    * built on snapshot A, then MAINTAINED to the q161-drifted
+    * snapshot B by retracting the touched keys and re-joining only
+    * the delta rows to the dimension — the base fact table is never
+    * rescanned. The oracle is the full recompute over B, which the
+    * maintained view must equal row-for-row (the self-maintainability
+    * identity, here hash-checked by the driver). */
+  val q273 = QueryDef.sql("q273_mv_join_maintain",
+    """WITH a AS (SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |b AS (SELECT k, ck,
+      |    CASE WHEN k % 97 = 0 THEN cents + 100 ELSE cents END AS cents
+      |  FROM a WHERE k % 131 <> 0
+      |  UNION ALL
+      |  SELECT k + 100000000, ck, cents FROM a WHERE k % 211 = 0)
+      |SELECT b.k, c.c_mktsegment AS mkt, b.cents
+      |FROM b JOIN customer c ON b.ck = c.c_custkey""")(
+    (s, dir) => {
+      val a = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        (col("o_totalprice").cast(D182) * 100).cast("long").as("cents"))
+      val b = a.where(pmod(col("k"), lit(131)) =!= 0)
+        .select(col("k"), col("ck"),
+          when(pmod(col("k"), lit(97)) === 0, col("cents") + 100)
+            .otherwise(col("cents")).as("cents"))
+        .unionByName(a.where(pmod(col("k"), lit(211)) === 0)
+          .select((col("k") + lit(100000000L)).as("k"), col("ck"),
+            col("cents")))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("mkt"))
+      val view = a.join(dim, "ck").select(col("k"), col("mkt"),
+        col("cents"))
+      val delta = graft.operators.Materialize
+        .signedDelta(a, b, "k", Seq("ck", "cents"))
+      graft.operators.Materialize
+        .maintainJoinView(view, delta, "k", dim, "ck")
+    })
+
+  val all: Seq[QueryDef] = Seq(q161, q162, q164, q273)
 }

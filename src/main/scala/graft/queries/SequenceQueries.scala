@@ -335,5 +335,119 @@ object SequenceQueries {
           col("n_words"))
     })
 
-  val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269)
+  /** Behavioral similarity by edit distance: each user's first 12
+    * event-type initials (in stream order) form a signature string;
+    * pairs BLOCKED on the first symbol are scored with levenshtein
+    * (both engines ship the identical unit-cost DP) and the 20
+    * closest pairs ship. Blocking cuts the pair space 5× here and by
+    * the block-count generally — the sorted-neighborhood/LSH stance
+    * (q165/q30) applied to sequence similarity. */
+  val q271 = QueryDef.sql("q271_behavior_editdist",
+    """WITH r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |sig AS (SELECT user_id,
+      |    string_agg(substring(event_type, 1, 1), '' ORDER BY rn)
+      |      AS sig
+      |  FROM r WHERE rn <= 12 GROUP BY 1),
+      |p AS (SELECT a.user_id AS ua, b.user_id AS ub,
+      |    CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+      |  FROM sig a JOIN sig b
+      |    ON substring(a.sig, 1, 1) = substring(b.sig, 1, 1)
+      |    AND a.user_id < b.user_id)
+      |SELECT ua, ub, dist, rk FROM (
+      |  SELECT ua, ub, dist, CAST(row_number() OVER (
+      |    ORDER BY dist, ua, ub) AS BIGINT) AS rk
+      |  FROM p) WHERE rk <= 20""")(
+    (s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sig = Tables.events(s, dir)
+        .select(col("user_id"),
+          substring(col("event_type"), 1, 1).as("ini"),
+          row_number().over(ord).as("rn"))
+        .where(col("rn") <= 12)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("ini")))),
+          x => x.getField("ini")), "").as("sig"))
+        .withColumn("blk", substring(col("sig"), 1, 1))
+      val a = sig.toDF("ua", "siga", "blk")
+      val b = sig.toDF("ub", "sigb", "blk")
+      a.join(b, Seq("blk")).where(col("ua") < col("ub"))
+        .select(col("ua"), col("ub"),
+          levenshtein(col("siga"), col("sigb")).cast("long").as("dist"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("dist"), col("ua"), col("ub"))).cast("long"))
+        .where(col("rk") <= 20)
+    })
+
+  /** Portable floor-division for SIGNED dividend / positive divisor
+    * (see [[fd2]]). */
+  private def fdiv(a: String, b: String, div: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $div ($b)" +
+      s" ELSE -(((-($a)) + ($b) - 1) $div ($b)) END)"
+
+  /** STL-lite seasonal decomposition of each type's daily series:
+    * trend = centered 7-day mean (interior days only), detrended
+    * residual averaged by day-of-week = the seasonal profile, and the
+    * mean absolute remainder as the noise floor. Day-of-week is
+    * integer epoch-day arithmetic ((days + 4) mod 7, Monday = 0) —
+    * never the engines' disagreeing dayofweek() — and the signed
+    * seasonal means use the portable floor-div spelling. One
+    * partitioned window chain + two aggregates. */
+  val q272 = QueryDef.sql("q272_stl_seasonal",
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+       |      AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |w AS (SELECT event_type, d, y,
+       |    CAST(sum(y) OVER o AS BIGINT) AS s7,
+       |    CAST(count(*) OVER o AS BIGINT) AS c7,
+       |    date_diff('day', DATE '1970-01-01', d) AS ed
+       |  FROM daily
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY d
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |det AS (SELECT event_type, (ed + 4) % 7 AS dow,
+       |    y - (s7 // 7) AS r
+       |  FROM w WHERE c7 = 7),
+       |sea AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(r) AS BIGINT) AS sr FROM det GROUP BY 1, 2),
+       |out AS (SELECT s.event_type, s.dow, s.n,
+       |    ${fdiv("s.sr", "s.n", "//")} AS seasonal_micro,
+       |    CAST(sum(abs(d.r - ${fdiv("s.sr", "s.n", "//")}))
+       |      AS BIGINT) // s.n AS mean_abs_resid
+       |  FROM sea s JOIN det d
+       |    ON d.event_type = s.event_type AND d.dow = s.dow
+       |  GROUP BY 1, 2, 3, ${fdiv("s.sr", "s.n", "//")})
+       |SELECT event_type, CAST(dow AS BIGINT) AS dow, n,
+       |  seasonal_micro, mean_abs_resid
+       |FROM out""".stripMargin)(
+    (s, dir) => {
+      val o = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-3, 3)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("y"))
+      val det = daily.select(col("event_type"), col("d"), col("y"),
+          sum("y").over(o).as("s7"), count(lit(1)).over(o).as("c7"),
+          expr("unix_date(d)").as("ed"))
+        .where(col("c7") === 7)
+        .select(col("event_type"), pmod(col("ed") + 4, lit(7)).as("dow"),
+          (col("y") - expr("s7 DIV 7")).as("r"))
+      val sea = det.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum("r").as("sr"))
+        .withColumn("seasonal_micro",
+          expr(fdiv("sr", "n", "DIV")))
+      sea.join(det, Seq("event_type", "dow"))
+        .groupBy(col("event_type"), col("dow"), col("n"),
+          col("seasonal_micro"))
+        .agg(expr("CAST(sum(abs(r - seasonal_micro)) AS BIGINT) DIV " +
+          "first(n)").as("mean_abs_resid"))
+        .select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("n"), col("seasonal_micro"), col("mean_abs_resid"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272)
 }

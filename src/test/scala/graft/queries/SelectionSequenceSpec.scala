@@ -299,6 +299,87 @@ class SelectionSequenceSpec extends AnyFunSuite {
     assert(meanAbs < 4.0, s"noise implausibly large: $meanAbs")
   }
 
+  test("q271: reported edit distances recompute exactly") {
+    val rows = run("q271_behavior_editdist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val sigs = {
+      val evs = graft.Tables.events(spark, sf)
+        .select("user_id", "ts", "event_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getString(3)))
+      evs.groupBy(_._1).map { case (u, es) =>
+        u -> es.sortBy(e => (e._2, e._3)).take(12)
+          .map(_._4.head).mkString
+      }
+    }
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(a.length + 1)(i =>
+        Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length).toLong
+    }
+    for ((ua, ub, d, _) <- rows) {
+      assert(sigs(ua).head == sigs(ub).head, "pair not in one block")
+      assert(d == lev(sigs(ua), sigs(ub)), s"pair ($ua,$ub) dist $d")
+    }
+    val ds = rows.sortBy(_._4).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q272: seasonal profile replays against a scalar pass") {
+    def fdiv(a: Long, b: Long): Long =
+      if (a >= 0) a / b else -((-a + b - 1) / b)
+    val got = run("q272_stl_seasonal").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")).as("y")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (et, ds) =>
+      val ser = ds.sortBy(_._2.toEpochDay).toArray
+      val det = (3 until ser.length - 3).map { i =>
+        val s7 = (i - 3 to i + 3).map(j => ser(j)._3).sum
+        val dow = (ser(i)._2.toEpochDay + 4) % 7
+        (dow, ser(i)._3 - s7 / 7)
+      }
+      det.groupBy(_._1).map { case (dow, rs) =>
+        val n = rs.length.toLong
+        val seasonal = fdiv(rs.map(_._2).sum, n)
+        val mar = rs.map(r => math.abs(r._2 - seasonal)).sum / n
+        (et, dow) -> (n, seasonal, mar)
+      }
+    }
+    assert(got == want, s"${got.size} vs ${want.size} cells")
+  }
+
+  test("q273: maintained join view equals the full recompute") {
+    val got = run("q273_mv_join_maintain").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // independent full recompute of the drifted snapshot join
+    val a = graft.Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val b = a.where(pmod(col("k"), lit(131)) =!= 0)
+      .select(col("k"), col("ck"),
+        when(pmod(col("k"), lit(97)) === 0, col("cents") + 100)
+          .otherwise(col("cents")).as("cents"))
+      .unionByName(a.where(pmod(col("k"), lit(211)) === 0)
+        .select((col("k") + lit(100000000L)).as("k"), col("ck"),
+          col("cents")))
+    val want = b.join(graft.Tables.customer(spark, sf),
+        col("ck") === col("c_custkey"))
+      .select(col("k"), col("c_mktsegment"), col("cents")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"${got.size} vs ${want.size} rows")
+    assert(got.nonEmpty)
+  }
+
   private def quantized(): Array[(Long, Array[Long])] =
     graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
