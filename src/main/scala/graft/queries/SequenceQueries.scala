@@ -449,5 +449,48 @@ object SequenceQueries {
           col("n"), col("seasonal_micro"), col("mean_abs_resid"))
     })
 
-  val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272)
+  /** Backtest of the q267 Markov model as a next-event predictor:
+    * pred(prev) = the argmax next type by global transition count
+    * (integer argmax, ties by name), scored over every transition in
+    * the stream. Per previous-state accuracy in floor-ppm — the
+    * honest "is the chain actually predictive" number that should
+    * accompany any stationary-distribution claim. */
+  val q275 = QueryDef.sql("q275_markov_eval",
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT prev, event_type AS cur,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |pred AS (SELECT prev, cur AS p FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY prev
+      |    ORDER BY c DESC, cur) AS rn FROM t) WHERE rn = 1)
+      |SELECT t.prev, CAST(sum(t.c) AS BIGINT) AS n_trans,
+      |  CAST(sum(CASE WHEN t.cur = pred.p THEN t.c ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST((sum(CASE WHEN t.cur = pred.p THEN t.c ELSE 0 END)
+      |    * 1000000) // sum(t.c) AS BIGINT) AS acc_ppm
+      |FROM t JOIN pred ON t.prev = pred.prev
+      |GROUP BY 1""")(
+    (s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val t = Tables.events(s, dir)
+        .select(col("event_type").as("cur"),
+          lag("event_type", 1).over(ord).as("prev"))
+        .where(col("prev").isNotNull)
+        .groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+      val pred = t.withColumn("rn", row_number().over(
+          Window.partitionBy("prev").orderBy(col("c").desc, col("cur"))))
+        .where(col("rn") === 1).select(col("prev"), col("cur").as("p"))
+      t.join(broadcast(pred), "prev")
+        .groupBy("prev").agg(sum("c").as("n_trans"),
+          sum(when(col("cur") === col("p"), col("c")).otherwise(0L))
+            .as("n_correct"))
+        .select(col("prev"), col("n_trans"), col("n_correct"),
+          expr("(n_correct * 1000000) DIV n_trans").as("acc_ppm"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272,
+    q275)
 }

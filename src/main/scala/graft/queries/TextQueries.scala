@@ -1700,9 +1700,72 @@ object TextQueries {
         .select(col("doc_id"), col("score_ppm"), col("rk"))
     })
 
+  /** Kneser–Ney-smoothed bigram probabilities, fully integer. With
+    * discount D = ½, multiplying P_KN(w2|w1) = max(c₁₂−D,0)/c₁ +
+    * D·N₁₊(w1·)/c₁ · N₁₊(·w2)/B through by 2·c₁·B gives the exact
+    * integer numerator max(2c₁₂−1,0)·B + N₁₊(w1·)·N₁₊(·w2) over
+    * denominator 2·c₁·B — so the smoothed probability ships as an
+    * exact floor-ppm and the ranking is an integer selector. The
+    * continuation counts N₁₊ (distinct contexts) are what make KN the
+    * standard over add-k: frequent-but-context-bound words ('francisco')
+    * stop leaking mass. Top-30 smoothed bigrams with support ≥ 5. */
+  val q274 = QueryDef.sql("q274_kneser_ney",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS b
+      |  FROM toks WHERE len(ts) >= 2),
+      |sp AS (SELECT string_split(b, ' ')[1] AS w1,
+      |    string_split(b, ' ')[2] AS w2 FROM bg),
+      |c12 AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      |  FROM sp GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n1r FROM c12 GROUP BY 1),
+      |n1l AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l
+      |  FROM c12 GROUP BY 1),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM c12),
+      |p AS (SELECT c12.w1, c12.w2, c12.c,
+      |    ((greatest(2 * c12.c - 1, 0) * b.nb + c1.n1r * n1l.n1l)
+      |      * 1000000) // (2 * c1.c1 * b.nb) AS p_ppm
+      |  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+      |  JOIN n1l ON c12.w2 = n1l.w2, b
+      |  WHERE c12.c >= 5)
+      |SELECT w1, w2, c, p_ppm, rk FROM (
+      |  SELECT *, CAST(row_number() OVER (
+      |    ORDER BY p_ppm DESC, w1, w2) AS BIGINT) AS rk FROM p)
+      |WHERE rk <= 30""")(
+    (s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0).as("ts"))
+      val sp = toks.where(size(col("ts")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(ts) - 1)," +
+          " i -> named_struct('w1', element_at(ts, i)," +
+          " 'w2', element_at(ts, i + 1)))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val c12 = sp.groupBy("w1", "w2").agg(count(lit(1)).as("c")).cache()
+      val c1 = c12.groupBy("w1").agg(sum("c").as("c1"),
+        count(lit(1)).as("n1r"))
+      val n1l = c12.groupBy("w2").agg(count(lit(1)).as("n1l"))
+      val nb = c12.agg(count(lit(1)).as("nb"))
+      c12.where(col("c") >= 5)
+        .join(c1, "w1").join(n1l, "w2").crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c"),
+          expr("((greatest(2 * c - 1, 0) * nb + n1r * n1l) * 1000000)" +
+            " DIV (2 * c1 * nb)").as("p_ppm"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("p_ppm").desc, col("w1"), col("w2")))
+          .cast("long"))
+        .where(col("rk") <= 30)
+        .select(col("w1"), col("w2"), col("c"), col("p_ppm"), col("rk"))
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185, q236, q259, q260, q261)
+    q185, q236, q259, q260, q261, q274)
 }

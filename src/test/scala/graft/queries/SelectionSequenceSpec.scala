@@ -380,6 +380,47 @@ class SelectionSequenceSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q274: KN probabilities replay against scalar counts") {
+    val rows = run("q274_kneser_ney").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val toks = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty))
+    val bigrams = toks.flatMap(ts => ts.zip(ts.drop(1)))
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1r = c12.keys.toSeq.groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val n1l = c12.keys.toSeq.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val nb = c12.size.toLong
+    for ((w1, w2, c, ppm) <- rows) {
+      assert(c == c12((w1, w2)) && c >= 5)
+      val want = (math.max(2 * c - 1, 0) * nb + n1r(w1) * n1l(w2)) *
+        1000000L / (2 * c1(w1) * nb)
+      assert(ppm == want, s"($w1,$w2): $ppm != $want")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+  }
+
+  test("q275: predictor accuracy is consistent and majority-optimal") {
+    val rows = run("q275_markov_eval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((_, n, correct, ppm) <- rows) {
+      assert(correct >= 0 && correct <= n)
+      assert(ppm == correct * 1000000L / n)
+      // a majority-class predictor cannot be below 1/k for k classes
+      assert(ppm >= 1000000L / rows.length,
+        "below the uniform floor: argmax must pick the modal class")
+    }
+  }
+
   private def quantized(): Array[(Long, Array[Long])] =
     graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
