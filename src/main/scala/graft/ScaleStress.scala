@@ -678,6 +678,59 @@ object ScaleStress {
       Spatial.epsPairs(hot, 18).count())
     base.unpersist(); big.unpersist(); hot.unpersist()
     }
+
+    if (sections("selection")) {
+    // --- iterative selection ops on an inflated embedding corpus:
+    // the claim under test is "cost = rounds × one cached scan" (plus
+    // O(d) driver state), i.e. per-round time flat as rounds grow and
+    // total time linear in corpus size, never quadratic.
+    val emb0 = Tables.embeddings(spark, sf)
+    val embBig = (0 until mult).map { i =>
+      emb0.select((col("vec_id") + lit(i.toLong * 100000000L))
+        .as("vec_id"), col("embedding"), col("label"))
+    }.reduce(_ unionByName _).cache()
+    println(s"embeddings inflated: ${embBig.count()} rows")
+    time("k-center k=8 (base)")(
+      Similarity.kCenterGonzalez(emb0, "vec_id", "embedding", 8).count())
+    time("k-center k=8 (inflated)")(
+      Similarity.kCenterGonzalez(embBig, "vec_id", "embedding", 8).count())
+    time("k-center k=16 (inflated)")(
+      Similarity.kCenterGonzalez(embBig, "vec_id", "embedding", 16).count())
+    time("pca power 6 rounds (inflated)")(
+      Similarity.pcaTopComponent(embBig, "vec_id", "embedding", 6).count())
+    time("pca power 12 rounds (inflated)")(
+      Similarity.pcaTopComponent(embBig, "vec_id", "embedding", 12).count())
+    embBig.unpersist()
+    // join-view maintenance: recompute vs maintain under sparse drift
+    val oj = Tables.orders(spark, sf).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("ck"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val aJ = (0 until mult).map { i =>
+      oj.select((col("k") + lit(i.toLong * 1000000000L)).as("k"),
+        col("ck"), col("cents"))
+    }.reduce(_ unionByName _).cache()
+    println(s"join-view base rows: ${aJ.count()}")
+    val bJ = aJ.where(pmod(col("k"), lit(20011)) =!= 0)
+      .select(col("k"), col("ck"),
+        when(pmod(col("k"), lit(9973)) === 0, col("cents") + 100L)
+          .otherwise(col("cents")).as("cents")).cache()
+    bJ.count()
+    val dimJ = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("mkt"))
+    val Mat = graft.operators.Materialize
+    val viewJ = aJ.join(dimJ, "ck")
+      .select(col("k"), col("mkt"), col("cents")).localCheckpoint(true)
+    val deltaJ = Mat.signedDelta(aJ, bJ, "k", Seq("ck", "cents"))
+      .localCheckpoint(true)
+    println(s"join-view delta rows: ${deltaJ.count()}")
+    time("recompute join view over full B")(
+      bJ.join(dimJ, "ck").select(col("k"), col("mkt"), col("cents"))
+        .count())
+    time("maintain join view from materialized delta")(
+      Mat.maintainJoinView(viewJ, deltaJ, "k", dimJ, "ck").count())
+    aJ.unpersist(); bJ.unpersist()
+    }
     spark.stop()
   }
 }

@@ -491,6 +491,128 @@ object SequenceQueries {
           expr("(n_correct * 1000000) DIV n_trans").as("acc_ppm"))
     })
 
+  /** q276's oracle: the q265 recurrence extended with running
+    * one-step-ahead error sums — forecast f_t = l_{t-1} + b_{t-1} is
+    * scored BEFORE folding y_t in (rolling-origin evaluation, no
+    * leakage), and the naive baseline |y_t − y_{t-1}| rides along. */
+  private val holtBacktestOracle: String = {
+    def L = fd2("s.y + h.l + h.b", "//")
+    s"""WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
+       |    CAST(ts AS DATE) AS d,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+       |      AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |s AS MATERIALIZED (SELECT event_type,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+       |      AS BIGINT) AS rk, y
+       |  FROM daily),
+       |h AS (
+       |  SELECT event_type, rk, y AS l, CAST(0 AS BIGINT) AS b,
+       |    CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS saen,
+       |    y AS py
+       |  FROM s WHERE rk = 1
+       |  UNION ALL
+       |  SELECT s.event_type, s.rk, $L,
+       |    ${fd2(s"h.b + $L - h.l", "//")},
+       |    h.sae + abs(s.y - (h.l + h.b)),
+       |    h.saen + abs(s.y - h.py), s.y
+       |  FROM h JOIN s ON s.event_type = h.event_type
+       |    AND s.rk = h.rk + 1),
+       |lst AS (SELECT event_type, max(rk) AS n_days FROM s GROUP BY 1)
+       |SELECT h.event_type, lst.n_days,
+       |  h.sae // (lst.n_days - 1) AS mae_micro,
+       |  h.saen // (lst.n_days - 1) AS mae_naive_micro,
+       |  CASE WHEN h.saen = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE 1000 - (1000 * h.sae) // h.saen END AS skill_milli
+       |FROM h JOIN lst ON h.event_type = lst.event_type
+       |  AND h.rk = lst.n_days
+       |WHERE lst.n_days >= 2""".stripMargin
+  }
+
+  /** Rolling-origin backtest of the q265 Holt smoother: every day's
+    * forecast is made from the state BEFORE that day folds in, so the
+    * MAE is honest out-of-sample error; the skill column is
+    * 1000·(1 − MAE/MAE_naive) against the last-value baseline —
+    * positive = the smoother earns its keep. Same single-fold scale
+    * shape as q265 (error sums ride in the accumulator struct). */
+  val q276 = QueryDef.sql("q276_holt_backtest", holtBacktestOracle)(
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("y"))
+      val lS = fd2("x.y + acc.l + acc.b", "DIV")
+      val step = s"named_struct('l', $lS," +
+        s" 'b', ${fd2(s"acc.b + $lS - acc.l", "DIV")}," +
+        " 'sae', acc.sae + abs(x.y - (acc.l + acc.b))," +
+        " 'saen', acc.saen + abs(x.y - acc.py)," +
+        " 'py', x.y, 'k', 1)"
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"), col("y"))))
+          .as("arr"))
+        .where(size(col("arr")) >= 2)
+        .select(col("event_type"),
+          size(col("arr")).cast("long").as("n_days"),
+          expr("aggregate(arr, named_struct('l', CAST(0 AS BIGINT)," +
+            " 'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT)," +
+            " 'saen', CAST(0 AS BIGINT), 'py', CAST(0 AS BIGINT)," +
+            " 'k', 0)," +
+            " (acc, x) -> IF(acc.k = 0," +
+            " named_struct('l', x.y, 'b', CAST(0 AS BIGINT)," +
+            " 'sae', CAST(0 AS BIGINT), 'saen', CAST(0 AS BIGINT)," +
+            " 'py', x.y, 'k', 1)," +
+            s" $step))").as("h"))
+        .select(col("event_type"), col("n_days"),
+          expr("h.sae DIV (n_days - 1)").as("mae_micro"),
+          expr("h.saen DIV (n_days - 1)").as("mae_naive_micro"),
+          expr("CASE WHEN h.saen = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE 1000 - (1000 * h.sae) DIV h.saen END")
+            .as("skill_milli"))
+    })
+
+  /** Trailing-28-day p95 of each type's daily totals — the tail-
+    * latency/SLA monitor shape, with the percentile as an EXACT order
+    * statistic (the ⌈0.95·28⌉-th smallest in the window, q247's rank
+    * stance — never a quantile estimate). Spelled as a bounded rank
+    * self-join (28 rows per output day) rather than a window sort,
+    * identical on both engines. */
+  val q277 = QueryDef.sql("q277_trailing_p95",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+      |      AS BIGINT) AS rk, d, y
+      |  FROM daily),
+      |p AS (SELECT a.event_type, a.rk, a.d, b.y AS by,
+      |    row_number() OVER (PARTITION BY a.event_type, a.rk
+      |      ORDER BY b.y, b.rk) AS rn
+      |  FROM s a JOIN s b ON a.event_type = b.event_type
+      |    AND b.rk BETWEEN a.rk - 27 AND a.rk
+      |  WHERE a.rk >= 28)
+      |SELECT event_type, d, by AS p95_micro
+      |FROM p WHERE rn = 27""")(
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("y"))
+      val srk = daily.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("d")).cast("long"))
+      val a = srk.select(col("event_type"), col("rk"), col("d"))
+        .where(col("rk") >= 28)
+      val b = srk.select(col("event_type").as("et2"),
+        col("rk").as("brk"), col("y").as("by"))
+      a.join(b, col("event_type") === col("et2")
+          && col("brk").between(col("rk") - 27, col("rk")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "rk")
+            .orderBy(col("by"), col("brk"))))
+        .where(col("rn") === 27)
+        .select(col("event_type"), col("d"), col("by").as("p95_micro"))
+    })
+
   val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272,
-    q275)
+    q275, q276, q277)
 }

@@ -421,6 +421,54 @@ class SelectionSequenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q276: backtest errors replay against a scalar recurrence") {
+    def fd2(a: Long): Long = if (a >= 0) a / 2 else -((-a + 1) / 2)
+    val rows = run("q276_holt_backtest").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")).as("y")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    for ((et, evs) <- daily.groupBy(_._1) if evs.length >= 2) {
+      val ys = evs.sortBy(_._2).map(_._3)
+      var (l, b, sae, saen, py) = (ys.head, 0L, 0L, 0L, ys.head)
+      for (y <- ys.tail) {
+        sae += math.abs(y - (l + b)); saen += math.abs(y - py)
+        val l2 = fd2(y + l + b); b = fd2(b + l2 - l); l = l2; py = y
+      }
+      val n = ys.length.toLong
+      val (gn, mae, maen, skill) = rows(et)
+      assert(gn == n && mae == sae / (n - 1) && maen == saen / (n - 1))
+      assert(skill ==
+        (if (saen == 0) 0L else 1000L - 1000L * sae / saen))
+    }
+  }
+
+  test("q277: trailing p95 is the exact 27th-of-28 order statistic") {
+    val rows = run("q277_trailing_p95").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")).as("y")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val series = daily.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toArray).toMap
+    if (rows.isEmpty) {
+      // under 28 days of history at this SF — assert that's why
+      assert(series.values.forall(_.length < 28))
+    }
+    for ((et, d, p95) <- rows) {
+      val ser = series(et)
+      val i = ser.indexWhere(_._1 == d)
+      assert(i >= 27)
+      val window = (i - 27 to i).map(j => ser(j)._2).sorted
+      assert(p95 == window(26), s"$et/$d: $p95 != ${window(26)}")
+    }
+  }
+
   private def quantized(): Array[(Long, Array[Long])] =
     graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
