@@ -78,4 +78,52 @@ object Rank {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__pid", "__off")
   }
+
+  /** EXACT median (the ⌈n/2⌉-th order statistic) of a long column in
+    * TWO scans and zero global sorts — the shape that survives 100 TB
+    * where `ORDER BY` + rank drains the table through a range exchange
+    * and `percentile` sorts per group:
+    *
+    *  1. histogram of `value >> shift` (one hash aggregate, map-side
+    *     combined; bucket count = value-range / 2^shift, asserted
+    *     ≤ 2^20 so the driver walk is trivial) locates the bucket
+    *     holding the target rank;
+    *  2. a per-VALUE count aggregate restricted to that one bucket
+    *     (filter pushed to the scan) resolves the exact value at the
+    *     residual rank.
+    *
+    * Arithmetic-shift bucketing keeps negatives ordered (shiftright
+    * floors), and ranks over ties are well-defined because the walk is
+    * over (value, count) — no tiebreaker needed. `shift` is the one
+    * dial: pick it from the column's known scale so buckets fit the
+    * driver; an auto variant would spend one extra min/max scan.
+    * Exactly reproducible under any partitioning — the oracle replays
+    * it as a plain order statistic (q278). */
+  def histogramMedian(df: DataFrame, valueCol: Column,
+                      shift: Int = 28): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(valueCol.cast("long").as("v"))
+    val hist = v.groupBy(shiftright(col("v"), shift).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(hist.length <= (1 << 20),
+      s"shift=$shift yields ${hist.length} buckets; raise shift")
+    val n = hist.map(_._2).sum
+    val k = (n + 1) / 2
+    def walk(arr: Array[(Long, Long)], target: Long): (Long, Long) = {
+      var cum = 0L
+      for ((value, c) <- arr) {
+        if (cum + c >= target) return (value, target - cum)
+        cum += c
+      }
+      throw new IllegalStateException("rank beyond histogram")
+    }
+    val (bucket, rIn) = walk(hist, k)
+    val inBucket = v.where(shiftright(col("v"), shift) === bucket)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (median, _) = walk(inBucket, rIn)
+    import spark.implicits._
+    Seq((n, median)).toDF("n", "median")
+  }
 }

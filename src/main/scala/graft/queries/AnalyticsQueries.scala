@@ -1480,8 +1480,28 @@ object AnalyticsQueries {
         .select(col("kind"), col("id"), col("score"), col("rk"))
     })
 
+  /** Exact corpus median WITHOUT a global sort: q278 runs
+    * [[graft.operators.Rank.histogramMedian]] — two hash-aggregate
+    * scans (coarse histogram locates the target-rank bucket, a
+    * bucket-filtered value count resolves the exact order statistic).
+    * The oracle is the plain rank definition; matching it proves the
+    * two-scan path computes the same ⌈n/2⌉-th value `ORDER BY` would,
+    * at a plan that never range-exchanges the table. */
+  val q278 = QueryDef.sql("q278_histogram_median",
+    """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+      |    * 1000000 AS BIGINT) AS v FROM lineitem),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v)
+      |SELECT n.n, r.v AS median_micro
+      |FROM r, n WHERE r.rk = (n.n + 1) // 2""")(
+    (s, dir) => graft.operators.Rank.histogramMedian(
+        Tables.lineitem(s, dir),
+        (col("l_extendedprice").cast("decimal(18,6)") * 1000000)
+          .cast("long"), shift = 28)
+      .select(col("n"), col("median").as("median_micro")))
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189, q220, q245, q253, q257, q268)
+    q167, q189, q220, q245, q253, q257, q268, q278)
 }

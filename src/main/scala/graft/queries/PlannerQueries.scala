@@ -1947,8 +1947,66 @@ object PlannerQueries {
           (col("n") + col("noise")).as("released"))
     })
 
+  /** LPT (longest-processing-time-first) schedule of per-(source,
+    * lang) token workloads onto 4 workers: items sorted by
+    * (size DESC, key), each assigned to the currently least-loaded
+    * worker, ties to the lowest index — the classic 4/3-approximate
+    * makespan greedy every shard-assignment planner uses. The oracle
+    * replays the sequential greedy as a recursive CTE carrying the
+    * four load counters; the Spark side collects the ITEM list (one
+    * row per (source, lang) — the aggregate, not the corpus) and
+    * folds on the driver, the q267 small-state stance. */
+  val q279 = QueryDef.sql("q279_lpt_schedule",
+    """WITH RECURSIVE items AS (SELECT source || '|' || lang AS item,
+      |    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+      |      AS BIGINT) AS sz
+      |  FROM documents GROUP BY 1),
+      |s AS (SELECT item, sz, CAST(row_number() OVER (
+      |    ORDER BY sz DESC, item) AS BIGINT) AS rk FROM items),
+      |a AS (
+      |  SELECT rk, item, sz, CAST(0 AS BIGINT) AS w,
+      |    sz AS l0, CAST(0 AS BIGINT) AS l1, CAST(0 AS BIGINT) AS l2,
+      |    CAST(0 AS BIGINT) AS l3
+      |  FROM s WHERE rk = 1
+      |  UNION ALL
+      |  SELECT s.rk, s.item, s.sz,
+      |    CASE WHEN a.l0 <= a.l1 AND a.l0 <= a.l2 AND a.l0 <= a.l3
+      |      THEN CAST(0 AS BIGINT)
+      |      WHEN a.l1 <= a.l2 AND a.l1 <= a.l3 THEN CAST(1 AS BIGINT)
+      |      WHEN a.l2 <= a.l3 THEN CAST(2 AS BIGINT)
+      |      ELSE CAST(3 AS BIGINT) END,
+      |    a.l0 + CASE WHEN a.l0 <= a.l1 AND a.l0 <= a.l2
+      |      AND a.l0 <= a.l3 THEN s.sz ELSE 0 END,
+      |    a.l1 + CASE WHEN NOT (a.l0 <= a.l1 AND a.l0 <= a.l2
+      |      AND a.l0 <= a.l3) AND a.l1 <= a.l2 AND a.l1 <= a.l3
+      |      THEN s.sz ELSE 0 END,
+      |    a.l2 + CASE WHEN NOT (a.l0 <= a.l1 AND a.l0 <= a.l2
+      |      AND a.l0 <= a.l3) AND NOT (a.l1 <= a.l2 AND a.l1 <= a.l3)
+      |      AND a.l2 <= a.l3 THEN s.sz ELSE 0 END,
+      |    a.l3 + CASE WHEN NOT (a.l0 <= a.l1 AND a.l0 <= a.l2
+      |      AND a.l0 <= a.l3) AND NOT (a.l1 <= a.l2 AND a.l1 <= a.l3)
+      |      AND NOT (a.l2 <= a.l3) THEN s.sz ELSE 0 END
+      |  FROM a JOIN s ON s.rk = a.rk + 1)
+      |SELECT item, sz, w AS worker FROM a""")(
+    (s, dir) => {
+      val items = Tables.documents(s, dir)
+        .groupBy(concat(col("source"), lit("|"), col("lang")).as("item"))
+        .agg(sum(length(col("text"))
+          - length(regexp_replace(col("text"), " ", "")) + 1).as("sz"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (item, sz) => (-sz, item) }
+      val loads = Array.fill(4)(0L)
+      val out = items.map { case (item, sz) =>
+        val w = loads.indexOf(loads.min)
+        loads(w) += sz
+        (item, sz, w.toLong)
+      }
+      import s.implicits._
+      out.toSeq.toDF("item", "sz", "worker")
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
-    q266, q270)
+    q266, q270, q279)
 }

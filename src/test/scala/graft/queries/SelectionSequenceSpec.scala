@@ -469,6 +469,42 @@ class SelectionSequenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q278: histogram median equals the sorted order statistic") {
+    val row = run("q278_histogram_median").collect()(0)
+    val (n, median) = (row.getLong(0), row.getLong(1))
+    val vs = graft.Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice").cast("decimal(18,6)") * 1000000)
+        .cast("long")).collect().map(_.getLong(0)).sorted
+    assert(n == vs.length)
+    assert(median == vs(((n + 1) / 2 - 1).toInt),
+      s"median $median != sorted rank")
+    // shift-insensitivity: the result is the statistic, not the dial
+    val alt = graft.operators.Rank.histogramMedian(
+      graft.Tables.lineitem(spark, sf),
+      (col("l_extendedprice").cast("decimal(18,6)") * 1000000)
+        .cast("long"), shift = 16).collect()(0)
+    assert(alt.getLong(1) == median)
+  }
+
+  test("q279: LPT assignment is greedy-consistent and balanced") {
+    val rows = run("q279_lpt_schedule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // replay the greedy in descending-size order
+    val loads = Array.fill(4)(0L)
+    for ((item, sz, w) <- rows.sortBy(t => (-t._2, t._1))) {
+      val expect = loads.indexOf(loads.min).toLong
+      assert(w == expect, s"$item assigned $w, greedy says $expect")
+      loads(w.toInt) += sz
+    }
+    // LPT guarantee: makespan <= 4/3 OPT + eps; vs the perfect-split
+    // lower bound total/4 it stays within 3/2 with >= 8 items
+    val total = rows.map(_._2).sum
+    if (rows.length >= 8)
+      assert(loads.max <= total / 4 * 3 / 2 + rows.map(_._2).max,
+        s"makespan ${loads.max} implausibly unbalanced")
+  }
+
   private def quantized(): Array[(Long, Array[Long])] =
     graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
