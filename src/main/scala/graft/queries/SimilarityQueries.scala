@@ -601,6 +601,79 @@ object SimilarityQueries {
     (s, dir) => Similarity.pcaTopComponent(
       Tables.embeddings(s, dir), "vec_id", "embedding", iters = 6))
 
+  /** Johnson–Lindenstrauss distortion audit of the q34 hyperplane
+    * family: project the int8 codes through 16 md5-derived ±1 planes
+    * and histogram the pairwise distortion ‖Pa−Pb‖²/(16·‖a−b‖²)
+    * (expectation exactly 1 for ±1 planes) over a deterministic
+    * sample. Everything integer — projections are ±1 dot products of
+    * int8 codes, ratios floor-ppm — so the distortion histogram
+    * replays exactly. The audit that justifies ANN bit budgets: how
+    * much of the metric survives 64 → 16 dimensions. */
+  val q280 = QueryDef.sql("q280_jl_distortion",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |q AS MATERIALIZED (SELECT id, list_transform(v,
+      |    x -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT) END) AS qv
+      |  FROM n),
+      |signs AS (SELECT p, list(CASE WHEN strpos('89abcdef',
+      |      substr(md5(p || ':' || d), 1, 1)) > 0
+      |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END
+      |    ORDER BY d) AS sv
+      |  FROM range(0, 16) t1(p), range(0, 64) t2(d) GROUP BY p),
+      |pr AS MATERIALIZED (SELECT q.id, list(CAST(list_sum(
+      |    list_transform(range(1, 65), i -> q.qv[i] * s.sv[i]))
+      |    AS BIGINT) ORDER BY s.p) AS pv
+      |  FROM q CROSS JOIN signs s GROUP BY q.id),
+      |pairs AS (SELECT a.id AS ia, b.id AS ib,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> (qa.qv[i] - qb.qv[i]) * (qa.qv[i] - qb.qv[i])))
+      |      AS BIGINT) AS d64,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])))
+      |      AS BIGINT) AS dp
+      |  FROM pr a JOIN pr b ON a.id < b.id
+      |  JOIN q qa ON qa.id = a.id JOIN q qb ON qb.id = b.id),
+      |r AS (SELECT (dp * 1000000) // (16 * d64) AS ratio_ppm
+      |  FROM pairs WHERE d64 > 0)
+      |SELECT CAST(ratio_ppm // 200000 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(min(ratio_ppm) AS BIGINT) AS lo_ppm,
+      |  CAST(max(ratio_ppm) AS BIGINT) AS hi_ppm
+      |FROM r GROUP BY 1""")(
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{aggregate => fold, _}
+      val signs: Seq[Seq[Long]] = (0 until 16).map(p =>
+        (0 until 64).map(d => Similarity.planeSign(p, d).toLong))
+      val q = Tables.embeddings(s, dir)
+        .where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(graft.functions.VectorExpressions
+          .dotNative(col("v"), col("v"))))
+        .select(col("id"),
+          when(col("nrm") === 0, transform(col("v"), _ => lit(0L)))
+            .otherwise(transform(col("v"),
+              x => floor(x / col("nrm") * 127.0 + 0.5).cast("long")))
+            .as("qv"))
+        .withColumn("pv", transform(typedlit(signs), pl =>
+          fold(zip_with(col("qv"), pl, (x, y) => x * y), lit(0L),
+            (a, x) => a + x)))
+      def d2(a: String, b: String) =
+        fold(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      val pa = q.toDF("ia", "qva", "pva")
+      val pb = q.toDF("ib", "qvb", "pvb")
+      pa.join(broadcast(pb), col("ia") < col("ib"))
+        .select(d2("qva", "qvb").as("d64"), d2("pva", "pvb").as("dp"))
+        .where(col("d64") > 0)
+        .select(expr("(dp * 1000000) DIV (16 * d64)").as("ratio_ppm"))
+        .groupBy(expr("ratio_ppm DIV 200000").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min("ratio_ppm").as("lo_ppm"), max("ratio_ppm").as("hi_ppm"))
+    })
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160, q176, q187, q231, q242, q262, q263, q264)
+    q160, q176, q187, q231, q242, q262, q263, q264, q280)
 }

@@ -646,4 +646,41 @@ object Streams {
             decision, st.walk))
       }
   }
+
+  final case class DailyPoint(event_type: String, ed: Long, y: Long)
+  final case class P95Point(event_type: String, ed: Long, p95_micro: Long)
+  // public: the state encoder's generated code instantiates it
+  final case class TrailState(eds: List[Long], ys: List[Long])
+
+  /** Streaming twin of q277's trailing-28-day p95: per-key state is
+    * the last 28 (epoch-day, value) points — O(28·16 B), constant in
+    * stream length — and each arriving daily point emits the EXACT
+    * 27th-of-28 order statistic once the window is full (append
+    * mode: one row per day, same rows as the batch query over the
+    * prefix; StreamsSpec replays in micro-batches). Same in-order
+    * delivery contract as [[sprtStream]]. The bounded-state exact
+    * order statistic is the streaming counterpart of q278's
+    * histogram stance: never an estimate, never unbounded state. */
+  def trailingP95Stream(days: Dataset[DailyPoint],
+                        window: Int = 28): Dataset[P95Point] = {
+    import days.sparkSession.implicits._
+    val rank = (window * 95 + 99) / 100 - 1 // 0-based 27th of 28
+    days.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrailState, P95Point](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, it: Iterator[DailyPoint],
+         state: GroupState[TrailState]) =>
+          var st = state.getOption.getOrElse(TrailState(Nil, Nil))
+          val out = Seq.newBuilder[P95Point]
+          for (p <- it.toSeq.sortBy(_.ed)) {
+            val eds = (st.eds :+ p.ed).takeRight(window)
+            val ys = (st.ys :+ p.y).takeRight(window)
+            st = TrailState(eds, ys)
+            if (ys.length == window)
+              out += P95Point(et, p.ed, ys.sorted.apply(rank))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

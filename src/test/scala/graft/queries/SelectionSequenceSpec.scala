@@ -505,6 +505,22 @@ class SelectionSequenceSpec extends AnyFunSuite {
         s"makespan ${loads.max} implausibly unbalanced")
   }
 
+  test("q280: JL distortion concentrates around 1") {
+    val rows = run("q280_jl_distortion").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    // with 16 planes the ratio is unbiased; the mass within
+    // [0.4, 1.6) (buckets 2..7) should dominate
+    val central = rows.filter(r => r._1 >= 2 && r._1 <= 7).map(_._2).sum
+    assert(central * 10 >= total * 6,
+      s"only $central/$total pairs within 0.4..1.6x")
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo >= b * 200000 && hi < (b + 1) * 200000,
+        "bucket bounds inconsistent with min/max")
+    }
+  }
+
   private def quantized(): Array[(Long, Array[Long])] =
     graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{coalesce, col, lag, lit, round, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lag, lit, round, sum, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -668,6 +668,37 @@ class StreamsSpec extends AnyFunSuite {
       .select(col("event_type"), col("s.n"), col("s.cross_rk"),
         col("s.w_at_cross"), col("s.decision"), col("s.final_w"))
       .as[(String, Long, Long, Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("trailingP95Stream matches the q277 batch rows after in-order replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.001 has under 28 distinct days; replay sf0.01's daily series
+    val sf = "/root/testdata/sf0.01"
+    val want = graft.SparkEntry.queries("q277_trailing_p95")(spark, sf)
+      .select(col("event_type"), expr("unix_date(d)"), col("p95_micro"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture has no full 28-day window")
+    val days = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")).as("y"))
+      .select(col("event_type"), expr("unix_date(d)").as("ed"), col("y"))
+      .as[Streams.DailyPoint].collect().sortBy(_.ed)
+    val mem = MemoryStream[Streams.DailyPoint]
+    val q = Streams.trailingP95Stream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("p95_out").start()
+    val third = days.length / 3
+    for (b <- Seq(days.take(third), days.slice(third, 2 * third),
+        days.drop(2 * third))) {
+      mem.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("p95_out")
+      .as[(String, Long, Long)].collect().toSet
     assert(got == want)
   }
 }
