@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the rank-metric family (q281–q284) beyond the hash
+  * oracle: brute-force O(n^2) pair replays of AUC and Kendall, a
+  * direct precision@k replay of AP, and the Spearman closed form
+  * recomputed from scratch rankings. Runs at sf0.001. */
+class RankMetricsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  private lazy val lineitems = graft.Tables.lineitem(spark, sf)
+    .select(col("l_linestatus"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+      col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    .collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "R",
+      r.getLong(3), r.getInt(4)))
+
+  test("q281: eventually-follows equals the brute-force pair scan") {
+    val rows = run("q281_eventually_follows").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute force: for each user stream and ordered type pair, does
+    // ANY a-event strictly precede (in (ts, event_id) order) a b-event
+    val byUser = events.groupBy(_._2)
+    val types = events.map(_._1).distinct.sorted
+    for (a <- types; b <- types if a != b) {
+      var nBoth = 0L; var support = 0L
+      for ((_, es) <- byUser) {
+        val seq = es.sortBy(e => (e._4, e._5)).map(_._1)
+        if (seq.contains(a) && seq.contains(b)) {
+          nBoth += 1
+          if (seq.indexOf(a) < seq.lastIndexOf(b)) support += 1
+        }
+      }
+      if (nBoth == 0) assert(!rows.contains((a, b)))
+      else {
+        val (qb, qs, ppm) = rows((a, b))
+        assert(qb == nBoth && qs == support)
+        assert(ppm == support * 1000000L / nBoth)
+      }
+    }
+  }
+
+  test("q282: AP equals the scalar precision@k walk") {
+    val rows = run("q282_avg_precision").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((grp, ls) <- lineitems.groupBy(_._1)) {
+      val ranked = ls.sortBy { case (_, sc, _, ok, ln) => (-sc, ok, ln) }
+      var cp = 0L; var tsum = 0L; var hits100 = 0L
+      for ((x, i) <- ranked.zipWithIndex) {
+        val k = i + 1L
+        if (x._3) {
+          cp += 1
+          tsum += cp * 1000000L / k
+          if (k <= 100) hits100 += 1
+        }
+      }
+      val (nPos, apPpm, h100) = rows(grp)
+      assert(nPos == cp && h100 == hits100)
+      assert(apPpm == (if (cp == 0) 0L else tsum / cp))
+    }
+  }
+
+  private lazy val events = graft.Tables.events(spark, sf)
+    .select(col("event_type"), col("user_id"),
+      (col("value").cast("decimal(18,6)") * 1000000).cast("long"),
+      col("ts"), col("event_id"))
+    .collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getTimestamp(3).getTime, r.getLong(4)))
+
+  test("q283: Spearman rho matches scratch rankings (and is in range)") {
+    val rows = run("q283_spearman_drift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    for ((et, es) <- events.groupBy(_._1)) {
+      val byVal = es.sortBy(e => (e._3, e._5)).map(_._5)
+        .zipWithIndex.toMap
+      val byTime = es.sortBy(e => (e._4, e._5)).map(_._5)
+        .zipWithIndex.toMap
+      val s = es.map { e =>
+        val d = byVal(e._5).toLong - byTime(e._5).toLong; d * d
+      }.sum
+      val n = es.length.toLong
+      val (qn, qs, rho) = rows(et)
+      assert(qn == n && qs == s)
+      val dd = n * (n * n - 1)
+      assert(rho == Math.floorDiv((dd - 6 * s) * 1000000L, dd))
+      assert(rho >= -1000000L && rho <= 1000000L)
+    }
+  }
+
+  test("q284: Kendall counts equal the brute-force pair scan") {
+    val rows = run("q284_kendall_time").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for ((u, es) <- events.groupBy(_._2)) {
+      val vs = es.sortBy(e => (e._4, e._5)).map(_._3)
+      if (vs.length < 2) assert(!rows.contains(u))
+      else {
+        var (nc, nd, tv) = (0L, 0L, 0L)
+        for (i <- vs.indices; j <- i + 1 until vs.length) {
+          val c = java.lang.Long.compare(vs(j), vs(i))
+          if (c > 0) nc += 1 else if (c < 0) nd += 1 else tv += 1
+        }
+        val (n, qc, qd, qt, tau) = rows(u)
+        assert(n == vs.length && qc == nc && qd == nd && qt == tv)
+        assert(tau ==
+          Math.floorDiv((nc - nd) * 2000000L, n * (n - 1)))
+      }
+    }
+  }
+}
