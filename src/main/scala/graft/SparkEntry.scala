@@ -11,7 +11,8 @@ object SparkEntry {
       SimilarityQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
       ExtendedQueries.all ++ ReconcileQueries.all ++ QualityQueries.all ++
       PlannerQueries.all ++ EvalQueries.all ++ SpatialQueries.all ++
-      ScoringQueries.all ++ SequenceQueries.all ++ RankMetricsQueries.all
+      ScoringQueries.all ++ SequenceQueries.all ++
+      RankMetricsQueries.all ++ SignalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Signal-processing features of the per-type daily series — the
+  * spectral/temporal battery that complements the smoothing (q126
+  * EWMA, q265 Holt), decomposition (q272 STL-lite) and changepoint
+  * (q204 CUSUM) families: autocorrelation structure, lead-lag
+  * cross-correlation between two streams, and Haar wavelet band
+  * energies. All three run on the ~(types x days) aggregated frame —
+  * the fact-scale work is ONE groupBy producing daily sums, and every
+  * correlation/wavelet step is exact BIGINT arithmetic on that
+  * bounded frame, so the DuckDB oracles replay bit-for-bit.
+  *
+  * Integer stance: daily totals in WHOLE units (floor of the exact
+  * micro-scaled sum) keep every product comfortably inside BIGINT at
+  * sf0.1 (|dev| <= ~4e5, dev^2 sums ~1e13, ppm numerators ~1e19 ceil
+  * — two orders from the edge); at ~100x larger daily totals the
+  * same queries upgrade the quotient columns to DECIMAL(38,0).
+  * Deviations are taken about the FLOOR-mean — a deterministic,
+  * documented statistic (exact rational means would push products
+  * past BIGINT for zero analytical gain at ppm resolution). */
+object SignalQueries {
+
+  /** Portable floor-division for SIGNED dividend / positive divisor
+    * (`//`/DIV truncate toward zero — see SequenceQueries.fdiv). */
+  private def fdiv(a: String, b: String, div: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $div ($b)" +
+      s" ELSE -(((-($a)) + ($b) - 1) $div ($b)) END)"
+
+  private val dailySql =
+    """d AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) // 1000000 AS v
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Daily whole-unit totals per event type: ed = epoch day, v =
+    * floor(sum(value)) computed through the exact micro-integer sum
+    * (never a float accumulation). */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ed"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000" +
+        " AS BIGINT)) AS BIGINT) DIV 1000000").as("v"))
+
+  /** Autocorrelation function of each type's daily series at row
+    * lags 1..7: acf_k = sum(dev_t * dev_{t-k}) / sum(dev^2) about
+    * the floor-mean, as signed floor-ppm. Row-lagged on the observed
+    * day sequence (a missing calendar day collapses — with this
+    * 30-day dense stream the two notions coincide). Shape: fact scan
+    * -> (type, day) aggregate -> seven lag() columns on the bounded
+    * frame -> one unpivoted aggregate; nothing quadratic anywhere. */
+  val q285 = QueryDef.sql("q285_acf_daily",
+    s"""WITH $dailySql,
+       |m AS (SELECT event_type,
+       |    CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+       |  FROM d GROUP BY 1),
+       |c AS (SELECT d.event_type, d.ed, d.v - m.mu AS dv
+       |  FROM d JOIN m ON d.event_type = m.event_type),
+       |w AS (SELECT event_type, dv,
+       |    lag(dv, 1) OVER o AS l1, lag(dv, 2) OVER o AS l2,
+       |    lag(dv, 3) OVER o AS l3, lag(dv, 4) OVER o AS l4,
+       |    lag(dv, 5) OVER o AS l5, lag(dv, 6) OVER o AS l6,
+       |    lag(dv, 7) OVER o AS l7
+       |  FROM c WINDOW o AS (PARTITION BY event_type ORDER BY ed)),
+       |den AS (SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS den
+       |  FROM c GROUP BY 1),
+       |u AS (
+       |  SELECT event_type, CAST(k AS BIGINT) AS lag_k,
+       |    CAST(count(lv) AS BIGINT) AS n_pairs,
+       |    CAST(coalesce(sum(dv * lv), 0) AS BIGINT) AS num
+       |  FROM (SELECT event_type, dv, k, CASE k
+       |      WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+       |      WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
+       |      ELSE l7 END AS lv
+       |    FROM w CROSS JOIN generate_series(1, 7) g(k))
+       |  WHERE lv IS NOT NULL GROUP BY 1, 2)
+       |SELECT u.event_type, u.lag_k, u.n_pairs, u.num, den.den,
+       |  ${fdiv("u.num * 1000000", "den.den", "//")} AS acf_ppm
+       |FROM u JOIN den ON u.event_type = den.event_type""")(
+    (s, dir) => {
+      val d = daily(s, dir)
+      val m = d.groupBy("event_type")
+        .agg(expr("CAST(sum(v) AS BIGINT) DIV CAST(count(*) AS BIGINT)")
+          .as("mu"))
+      val c = d.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("ed"),
+          (col("v") - col("mu")).as("dv"))
+      val o = Window.partitionBy("event_type").orderBy("ed")
+      val w = c.select(col("event_type") +: col("dv") +:
+        (1 to 7).map(k => lag("dv", k).over(o).as(s"l$k")): _*)
+      val u = w
+        .select(col("event_type"), col("dv"), expr(
+          "stack(7, 1L, l1, 2L, l2, 3L, l3, 4L, l4, 5L, l5, 6L, l6," +
+            " 7L, l7) AS (lag_k, lv)"))
+        .where(col("lv").isNotNull)
+        .groupBy("event_type", "lag_k")
+        .agg(count(col("lv")).as("n_pairs"),
+          coalesce(sum(col("dv") * col("lv")), lit(0L)).as("num"))
+      val den = c.groupBy("event_type")
+        .agg(sum(col("dv") * col("dv")).as("den"))
+      u.join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag_k"), col("n_pairs"),
+          col("num"), col("den"),
+          expr(fdiv("num * 1000000", "den", "DIV")).as("acf_ppm"))
+    })
+
+  /** Lead-lag cross-correlation between the click and purchase daily
+    * streams at calendar lags -5..+5: num_l = sum over overlapping
+    * days of dev_click(t) * dev_purchase(t + l). Does purchasing
+    * follow clicking, and by how many days? The normalizing
+    * denominators are lag-invariant, so the argmax over lags — the
+    * shipped is_best flag — needs no sqrt and stays in exact BIGINT;
+    * the raw numerator plus both energy denominators let any
+    * downstream consumer finish the float normalization. Shape: two
+    * ~30-row deviation series, an 11-row lag dimension, one
+    * broadcast-scale join. */
+  val q286 = QueryDef.sql("q286_lead_lag",
+    """WITH d AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) // 1000000 AS v
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1, 2),
+      |m AS (SELECT event_type,
+      |    CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+      |  FROM d GROUP BY 1),
+      |c AS (SELECT d.event_type, d.ed, d.v - m.mu AS dv
+      |  FROM d JOIN m ON d.event_type = m.event_type),
+      |a AS (SELECT ed, dv FROM c WHERE event_type = 'click'),
+      |b AS (SELECT ed, dv FROM c WHERE event_type = 'purchase'),
+      |den AS (SELECT
+      |    (SELECT CAST(sum(dv * dv) AS BIGINT) FROM a) AS den_click,
+      |    (SELECT CAST(sum(dv * dv) AS BIGINT) FROM b) AS den_purch),
+      |j AS (SELECT CAST(g.lag_d AS BIGINT) AS lag_d,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(a.dv * b.dv) AS BIGINT) AS num
+      |  FROM generate_series(-5, 5) g(lag_d)
+      |  JOIN a ON true JOIN b ON b.ed = a.ed + g.lag_d
+      |  GROUP BY 1)
+      |SELECT j.lag_d, j.n_pairs, j.num, den.den_click, den.den_purch,
+      |  CASE WHEN j.num = (SELECT max(num) FROM j) THEN 1 ELSE 0 END
+      |    AS is_best
+      |FROM j, den""")(
+    (s, dir) => {
+      val d = daily(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+      val m = d.groupBy("event_type")
+        .agg(expr("CAST(sum(v) AS BIGINT) DIV CAST(count(*) AS BIGINT)")
+          .as("mu"))
+      val c = d.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("ed"),
+          (col("v") - col("mu")).as("dv"))
+      val a = c.where(col("event_type") === "click")
+        .select(col("ed").as("ed_a"), col("dv").as("dv_a"))
+      val b = c.where(col("event_type") === "purchase")
+        .select(col("ed").as("ed_b"), col("dv").as("dv_b"))
+      val lags = s.range(-5, 6).select(col("id").as("lag_d"))
+      val j = a.crossJoin(broadcast(lags))
+        .join(b, col("ed_b") === col("ed_a") + col("lag_d"))
+        .groupBy("lag_d").agg(count(lit(1)).as("n_pairs"),
+          sum(col("dv_a") * col("dv_b")).as("num"))
+      val den = a.agg(sum(col("dv_a") * col("dv_a")).as("den_click"))
+        .crossJoin(b.agg(sum(col("dv_b") * col("dv_b"))
+          .as("den_purch")))
+      val best = j.agg(max("num").as("best_num"))
+      j.crossJoin(broadcast(den)).crossJoin(broadcast(best))
+        .select(col("lag_d"), col("n_pairs"), col("num"),
+          col("den_click"), col("den_purch"),
+          when(col("num") === col("best_num"), 1L).otherwise(0L)
+            .as("is_best"))
+    })
+
+  /** Unnormalized Haar wavelet band energies of each type's daily
+    * series: the first 32 observed days (zero-padded past the
+    * stream's end) run 5 levels of the lifting scheme — pair sums
+    * carry up, pair differences drop out — and each level ships
+    * energy = sum(diff^2). Level 1 = day-to-day churn, level 5 =
+    * fortnight-vs-fortnight imbalance: a multi-resolution variance
+    * decomposition with NO trigonometry, every coefficient an exact
+    * BIGINT (the lifting scheme omits the 1/sqrt(2) normalizers, so
+    * level-L energies are 2^L x the orthonormal convention —
+    * documented, deterministic). Shape: one fact-scale groupBy, then
+    * 5 rounds of aggregates on <= 32 rows per type; on a 100 TB
+    * corpus the same query runs per series key with the identical
+    * bounded tail. */
+  val q287 = QueryDef.sql("q287_haar_energy",
+    """WITH d AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) // 1000000 AS v
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, v, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY ed) - 1 AS i
+      |  FROM d),
+      |idx AS (SELECT t.event_type, g.i
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN generate_series(0, 31) g(i)),
+      |l0 AS (SELECT idx.event_type, idx.i,
+      |    CAST(coalesce(r.v, 0) AS BIGINT) AS s
+      |  FROM idx LEFT JOIN r
+      |    ON idx.event_type = r.event_type AND idx.i = r.i),
+      |l1 AS (SELECT event_type, i // 2 AS i,
+      |    CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS BIGINT)
+      |      AS dd,
+      |    CAST(sum(s) AS BIGINT) AS s
+      |  FROM l0 GROUP BY 1, 2),
+      |l2 AS (SELECT event_type, i // 2 AS i,
+      |    CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS BIGINT)
+      |      AS dd,
+      |    CAST(sum(s) AS BIGINT) AS s
+      |  FROM l1 GROUP BY 1, 2),
+      |l3 AS (SELECT event_type, i // 2 AS i,
+      |    CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS BIGINT)
+      |      AS dd,
+      |    CAST(sum(s) AS BIGINT) AS s
+      |  FROM l2 GROUP BY 1, 2),
+      |l4 AS (SELECT event_type, i // 2 AS i,
+      |    CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS BIGINT)
+      |      AS dd,
+      |    CAST(sum(s) AS BIGINT) AS s
+      |  FROM l3 GROUP BY 1, 2),
+      |l5 AS (SELECT event_type, i // 2 AS i,
+      |    CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS BIGINT)
+      |      AS dd,
+      |    CAST(sum(s) AS BIGINT) AS s
+      |  FROM l4 GROUP BY 1, 2)
+      |SELECT event_type, CAST(1 AS BIGINT) AS level,
+      |    CAST(sum(dd * dd) AS BIGINT) AS energy FROM l1 GROUP BY 1
+      |UNION ALL SELECT event_type, 2, CAST(sum(dd * dd) AS BIGINT)
+      |  FROM l2 GROUP BY 1
+      |UNION ALL SELECT event_type, 3, CAST(sum(dd * dd) AS BIGINT)
+      |  FROM l3 GROUP BY 1
+      |UNION ALL SELECT event_type, 4, CAST(sum(dd * dd) AS BIGINT)
+      |  FROM l4 GROUP BY 1
+      |UNION ALL SELECT event_type, 5, CAST(sum(dd * dd) AS BIGINT)
+      |  FROM l5 GROUP BY 1""")(
+    (s, dir) => {
+      val d = daily(s, dir)
+      val r = d.select(col("event_type"), col("v"),
+        (row_number().over(Window.partitionBy("event_type")
+          .orderBy("ed")) - 1).cast("long").as("i"))
+      val idx = d.select("event_type").distinct()
+        .crossJoin(s.range(0, 32).select(col("id").as("i")))
+      var cur = idx.join(r, Seq("event_type", "i"), "left")
+        .select(col("event_type"), col("i"),
+          coalesce(col("v"), lit(0L)).as("s"))
+      val energies = (1 to 5).map { level =>
+        cur = cur.groupBy(col("event_type"),
+            expr("i DIV 2").as("i"))
+          .agg(sum(when(col("i") % 2 === 0, col("s"))
+            .otherwise(-col("s"))).as("dd"),
+            sum(col("s")).as("s"))
+        cur.groupBy("event_type")
+          .agg(sum(col("dd") * col("dd")).as("energy"))
+          .select(col("event_type"), lit(level.toLong).as("level"),
+            col("energy"))
+      }
+      energies.reduce(_.unionByName(_))
+    })
+
+  def all: Seq[QueryDef] = Seq(q285, q286, q287)
+}

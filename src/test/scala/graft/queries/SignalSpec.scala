@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the signal family (q285–q287) beyond the hash
+  * oracle: scalar replays of the ACF and cross-correlation integer
+  * arithmetic from raw events, and the exact integer Parseval
+  * identity for the unnormalized Haar lifting scheme:
+  * 32 * sum(x^2) = s_final^2 + sum_L energy_L * 2^(5-L).
+  * Runs at sf0.001. */
+class SignalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  /** (type -> epoch-day-ordered whole-unit daily totals). */
+  private lazy val dailySeries: Map[String, Array[Long]] = {
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).map { case (et, es) =>
+      et -> es.groupBy(_._2).toArray.sortBy(_._1)
+        .map { case (_, xs) => Math.floorDiv(xs.map(_._3).sum, 1000000L) }
+    }
+  }
+
+  private def devs(xs: Array[Long]): Array[Long] = {
+    val mu = Math.floorDiv(xs.sum, xs.length.toLong)
+    xs.map(_ - mu)
+  }
+
+  test("q285: ACF replays the scalar lag products") {
+    val rows = run("q285_acf_daily").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for ((et, xs) <- dailySeries) {
+      val dv = devs(xs)
+      val den = dv.map(d => d * d).sum
+      for (k <- 1 to 7) {
+        val pairs = dv.drop(k).zip(dv.dropRight(k))
+        val num = pairs.map { case (a, b) => a * b }.sum
+        val (nP, qNum, qDen, acf) = rows((et, k.toLong))
+        assert(nP == pairs.length && qNum == num && qDen == den,
+          s"$et lag $k")
+        assert(acf == Math.floorDiv(num * 1000000L, den))
+        assert(acf >= -1000000L && acf <= 1000000L)
+      }
+    }
+  }
+
+  test("q286: lead-lag numerators replay and is_best marks the argmax") {
+    val rows = run("q286_lead_lag").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val click = dailySeries("click"); val purch = dailySeries("purchase")
+    // re-key deviations by epoch day (the query joins on calendar day)
+    def byDay(et: String): Map[Long, Long] = {
+      val recs = graft.Tables.events(spark, sf)
+        .where(col("event_type") === et)
+        .select(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sums = recs.groupBy(_._1).view
+        .mapValues(xs => Math.floorDiv(xs.map(_._2).sum, 1000000L)).toMap
+      val mu = Math.floorDiv(sums.values.sum, sums.size.toLong)
+      sums.view.mapValues(_ - mu).toMap
+    }
+    val ca = byDay("click"); val pb = byDay("purchase")
+    val expect = (-5L to 5L).map { l =>
+      val pairs = ca.keys.toSeq.filter(d => pb.contains(d + l))
+      l -> (pairs.size.toLong, pairs.map(d => ca(d) * pb(d + l)).sum)
+    }.toMap
+    val bestNum = expect.values.map(_._2).max
+    val denC = ca.values.map(d => d * d).sum
+    val denP = pb.values.map(d => d * d).sum
+    assert(rows.length == 11)
+    for ((l, (nP, num, dc, dp, isBest)) <- rows) {
+      assert((nP, num) == expect(l), s"lag $l")
+      assert(dc == denC && dp == denP)
+      assert(isBest == (if (num == bestNum) 1L else 0L))
+    }
+    assert(click.nonEmpty && purch.nonEmpty)
+  }
+
+  test("q287: Haar energies replay and satisfy integer Parseval") {
+    val rows = run("q287_haar_energy").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((et, xs) <- dailySeries) {
+      val padded = xs.take(32).padTo(32, 0L)
+      var cur = padded
+      var energies = Map.empty[Int, Long]
+      var level = 0
+      while (cur.length > 1) {
+        level += 1
+        val pairs = cur.grouped(2).toArray
+        val dd = pairs.map { case Array(a, b) => a - b }
+        energies += level -> dd.map(d => d * d).sum
+        cur = pairs.map { case Array(a, b) => a + b }
+      }
+      for (l <- 1 to 5)
+        assert(rows((et, l.toLong)) == energies(l), s"$et level $l")
+      // Parseval for the unnormalized lifting scheme
+      val lhs = 32L * padded.map(x => x * x).sum
+      val rhs = cur(0) * cur(0) +
+        (1 to 5).map(l => energies(l) * (1L << (5 - l))).sum
+      assert(lhs == rhs, s"$et Parseval")
+    }
+  }
+}
