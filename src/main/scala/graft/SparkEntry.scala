@@ -12,7 +12,7 @@ object SparkEntry {
       ExtendedQueries.all ++ ReconcileQueries.all ++ QualityQueries.all ++
       PlannerQueries.all ++ EvalQueries.all ++ SpatialQueries.all ++
       ScoringQueries.all ++ SequenceQueries.all ++
-      RankMetricsQueries.all ++ SignalQueries.all
+      RankMetricsQueries.all ++ SignalQueries.all ++ CausalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Causal-inference evaluation over the event stream — the
+  * quasi-experimental battery next to the A/B machinery (q202
+  * bootstrap CI, q249 Youden threshold): difference-in-differences
+  * for observational pre/post comparisons and the Qini/uplift decile
+  * table for targeting-model evaluation. Both are exact-integer:
+  * cell means ship as floor-micro quotients of exact (sum, count)
+  * pairs, treatment assignment replays cross-engine via the md5
+  * recipe (q51/q202), and ranking uses the two-pass global rank —
+  * so the DuckDB oracles are bit-exact. */
+object CausalQueries {
+
+  /** Difference-in-differences: did a heavy-error experience change a
+    * user's engagement value? Treated = users with >= 7 error events
+    * before the stream midpoint (every user in this dense synthetic
+    * stream touches every type, so mere presence would put 100% in
+    * the treatment arm — a count threshold makes the cohort split
+    * ~50/50 at every SF); periods split at the exact integer µs
+    * midpoint of the stream (the q215 stance — no calendar
+    * arithmetic); outcome = value of non-error events in exact micro
+    * units. The 2x2 (treated, post) cell table ships counts, exact
+    * sums and floor-micro means, and did_micro =
+    * (T_post - T_pre) - (C_post - C_pre) on those means — the
+    * parallel-trends estimate. Scale shape: one broadcast left-join
+    * for the treated flag (one row per treated user), one 4-cell
+    * aggregate with map-side combine; nothing else. */
+  val q288 = QueryDef.sql("q288_did_estimate",
+    """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+      |    AS mid FROM events),
+      |s AS (SELECT user_id FROM events e, m
+      |  WHERE e.event_type = 'error' AND epoch_us(e.ts) < m.mid
+      |  GROUP BY user_id HAVING count(*) >= 7),
+      |b AS (SELECT CASE WHEN s.user_id IS NULL THEN 0 ELSE 1 END
+      |      AS treated,
+      |    CASE WHEN epoch_us(e.ts) < m.mid THEN 0 ELSE 1 END AS post,
+      |    CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |      AS vm
+      |  FROM events e LEFT JOIN s ON e.user_id = s.user_id, m
+      |  WHERE e.event_type <> 'error'),
+      |g AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(vm) AS BIGINT) AS sv
+      |  FROM b GROUP BY 1, 2),
+      |c AS (SELECT treated, post, n, sv, sv // n AS mm FROM g)
+      |SELECT
+      |  coalesce(max(CASE WHEN treated = 1 AND post = 0 THEN n END), 0)
+      |    AS n_t_pre,
+      |  coalesce(max(CASE WHEN treated = 1 AND post = 1 THEN n END), 0)
+      |    AS n_t_post,
+      |  coalesce(max(CASE WHEN treated = 0 AND post = 0 THEN n END), 0)
+      |    AS n_c_pre,
+      |  coalesce(max(CASE WHEN treated = 0 AND post = 1 THEN n END), 0)
+      |    AS n_c_post,
+      |  coalesce(max(CASE WHEN treated = 1 AND post = 0 THEN mm END), 0)
+      |    AS m_t_pre,
+      |  coalesce(max(CASE WHEN treated = 1 AND post = 1 THEN mm END), 0)
+      |    AS m_t_post,
+      |  coalesce(max(CASE WHEN treated = 0 AND post = 0 THEN mm END), 0)
+      |    AS m_c_pre,
+      |  coalesce(max(CASE WHEN treated = 0 AND post = 1 THEN mm END), 0)
+      |    AS m_c_post,
+      |  (coalesce(max(CASE WHEN treated = 1 AND post = 1 THEN mm END), 0)
+      |   - coalesce(max(CASE WHEN treated = 1 AND post = 0 THEN mm END), 0))
+      |  - (coalesce(max(CASE WHEN treated = 0 AND post = 1 THEN mm END), 0)
+      |   - coalesce(max(CASE WHEN treated = 0 AND post = 0 THEN mm END), 0))
+      |    AS did_micro
+      |FROM c""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+          .as("mid"))
+      val treated = ev.where(col("event_type") === "error")
+        .crossJoin(broadcast(mid))
+        .where(unix_micros(col("ts")) < col("mid"))
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 7)
+        .select(col("user_id"), lit(1L).as("tflag"))
+      val b = ev.where(col("event_type") =!= "error")
+        .join(broadcast(treated), Seq("user_id"), "left")
+        .crossJoin(broadcast(mid))
+        .select(coalesce(col("tflag"), lit(0L)).as("treated"),
+          when(unix_micros(col("ts")) < col("mid"), 0L).otherwise(1L)
+            .as("post"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            .as("vm"))
+      val c = b.groupBy("treated", "post")
+        .agg(count(lit(1)).as("n"), sum("vm").as("sv"))
+        .withColumn("mm", expr("sv DIV n"))
+      def cell(t: Int, p: Int, v: String) = coalesce(
+        max(when(col("treated") === t && col("post") === p, col(v))),
+        lit(0L))
+      c.agg(
+        cell(1, 0, "n").as("n_t_pre"), cell(1, 1, "n").as("n_t_post"),
+        cell(0, 0, "n").as("n_c_pre"), cell(0, 1, "n").as("n_c_post"),
+        cell(1, 0, "mm").as("m_t_pre"), cell(1, 1, "mm").as("m_t_post"),
+        cell(0, 0, "mm").as("m_c_pre"), cell(0, 1, "mm").as("m_c_post"),
+        ((cell(1, 1, "mm") - cell(1, 0, "mm")) -
+          (cell(0, 1, "mm") - cell(0, 0, "mm"))).as("did_micro"))
+    })
+
+  /** Qini / uplift decile table for a targeting score: users ranked
+    * by click count (the "model"), treatment = md5 parity of the
+    * user id (the q202 deterministic-assignment recipe), outcome =
+    * any purchase. Per cumulative decile: treated/control counts,
+    * converters in each arm, the uplift-rate difference in floor-ppm,
+    * and qini_milli = cum_pos_t*1000 - cum_pos_c*cum_t*1000/cum_c
+    * (the absolute-converters Qini form, floor-scaled). Ranking is
+    * the two-pass [[graft.operators.Rank.globalRank]] over the
+    * per-user frame (the q209 stance — no single-task window);
+    * everything after the rank is a 10-row frame. */
+  val q289 = QueryDef.sql("q289_qini_deciles",
+    s"""WITH u AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS score,
+       |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END) AS BIGINT) AS conv,
+       |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT % 2 AS treat
+       |  FROM events GROUP BY user_id),
+       |r AS (SELECT u.*, row_number() OVER (
+       |    ORDER BY score DESC, user_id) AS rn FROM u),
+       |n AS (SELECT count(*) AS tot FROM u),
+       |d AS (SELECT ((rn - 1) * 10) // tot + 1 AS decile,
+       |    CAST(sum(treat) AS BIGINT) AS n_t,
+       |    CAST(count(*) - sum(treat) AS BIGINT) AS n_c,
+       |    CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END)
+       |      AS BIGINT) AS pos_t,
+       |    CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END)
+       |      AS BIGINT) AS pos_c
+       |  FROM r, n GROUP BY 1),
+       |c AS (SELECT CAST(decile AS BIGINT) AS decile,
+       |    CAST(sum(n_t) OVER o AS BIGINT) AS cum_t,
+       |    CAST(sum(n_c) OVER o AS BIGINT) AS cum_c,
+       |    CAST(sum(pos_t) OVER o AS BIGINT) AS cum_pos_t,
+       |    CAST(sum(pos_c) OVER o AS BIGINT) AS cum_pos_c
+       |  FROM d WINDOW o AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+       |SELECT decile, cum_t, cum_c, cum_pos_t, cum_pos_c,
+       |  CASE WHEN cum_t = 0 OR cum_c = 0 THEN 0 ELSE
+       |    (cum_pos_t * 1000000) // cum_t
+       |      - (cum_pos_c * 1000000) // cum_c END AS uplift_gap_ppm,
+       |  CASE WHEN cum_c = 0 THEN cum_pos_t * 1000 ELSE
+       |    cum_pos_t * 1000 - (cum_pos_c * cum_t * 1000) // cum_c END
+       |    AS qini_milli
+       |FROM c""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val u = Tables.events(s, dir).groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("treat",
+          conv(substring(md5(col("user_id").cast("string")), 1, 15),
+            16, 10).cast("long") % 2)
+      val tot = u.count()
+      val r = Rank.globalRank(u, "rn", col("score").unary_-,
+        col("user_id"))
+      val d = r.groupBy(expr(s"((rn - 1) * 10) DIV $tot + 1")
+          .as("decile"))
+        .agg(sum("treat").as("n_t"),
+          (count(lit(1)) - sum("treat")).as("n_c"),
+          sum(when(col("treat") === 1, col("conv")).otherwise(0L))
+            .as("pos_t"),
+          sum(when(col("treat") === 0, col("conv")).otherwise(0L))
+            .as("pos_c"))
+      val o = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("decile").cast("long").as("decile"),
+          sum("n_t").over(o).as("cum_t"),
+          sum("n_c").over(o).as("cum_c"),
+          sum("pos_t").over(o).as("cum_pos_t"),
+          sum("pos_c").over(o).as("cum_pos_c"))
+        .select(col("decile"), col("cum_t"), col("cum_c"),
+          col("cum_pos_t"), col("cum_pos_c"),
+          when(col("cum_t") === 0 || col("cum_c") === 0, 0L)
+            .otherwise(expr("(cum_pos_t * 1000000) DIV cum_t" +
+              " - (cum_pos_c * 1000000) DIV cum_c"))
+            .as("uplift_gap_ppm"),
+          when(col("cum_c") === 0, col("cum_pos_t") * 1000)
+            .otherwise(expr("cum_pos_t * 1000" +
+              " - (cum_pos_c * cum_t * 1000) DIV cum_c"))
+            .as("qini_milli"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q288, q289)
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the causal-evaluation family (q288/q289) beyond
+  * the hash oracle: full scalar replays of the DiD cell table and the
+  * Qini decile accumulation from raw events, plus structural checks
+  * (monotone cumulative arms, decile partition sizes). sf0.001. */
+class CausalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  private lazy val events = graft.Tables.events(spark, sf)
+    .select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")),
+      (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+  test("q288: DiD cells replay from a scalar pass") {
+    val row = run("q288_did_estimate").collect().head
+    val mid = Math.floorDiv(
+      events.map(_._3).min + events.map(_._3).max, 2L)
+    val treated = events
+      .filter(e => e._2 == "error" && e._3 < mid)
+      .groupBy(_._1).collect { case (u, es) if es.length >= 7 => u }
+      .toSet
+    val cells = events.filterNot(_._2 == "error")
+      .groupBy(e => (treated.contains(e._1), e._3 >= mid))
+    def nm(t: Boolean, p: Boolean): (Long, Long) =
+      cells.get((t, p)).map { es =>
+        (es.length.toLong, Math.floorDiv(es.map(_._4).sum,
+          es.length.toLong))
+      }.getOrElse((0L, 0L))
+    val (ntPre, mtPre) = nm(t = true, p = false)
+    val (ntPost, mtPost) = nm(t = true, p = true)
+    val (ncPre, mcPre) = nm(t = false, p = false)
+    val (ncPost, mcPost) = nm(t = false, p = true)
+    assert(row.getLong(0) == ntPre && row.getLong(1) == ntPost)
+    assert(row.getLong(2) == ncPre && row.getLong(3) == ncPost)
+    assert(row.getLong(4) == mtPre && row.getLong(5) == mtPost)
+    assert(row.getLong(6) == mcPre && row.getLong(7) == mcPost)
+    assert(row.getLong(8) == (mtPost - mtPre) - (mcPost - mcPre))
+    assert(ntPre > 0 && ncPre > 0, "both arms must have pre data")
+  }
+
+  test("q289: Qini deciles replay the ranked accumulation") {
+    val rows = run("q289_qini_deciles").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.size == 10)
+    // scalar replay: per-user aggregates, md5 parity, ranked deciles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def treatOf(u: Long): Long = {
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val users = events.groupBy(_._1).toArray.map { case (u, es) =>
+      val score = es.count(_._2 == "click").toLong
+      val conv = if (es.exists(_._2 == "purchase")) 1L else 0L
+      (u, score, conv, treatOf(u))
+    }
+    val ranked = users.sortBy { case (u, sc, _, _) => (-sc, u) }
+    val tot = ranked.length.toLong
+    var (cumT, cumC, cumPT, cumPC) = (0L, 0L, 0L, 0L)
+    var idx = 0L
+    var checked = 0
+    val byDecile = ranked.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / tot + 1 }
+    for (dec <- 1L to 10L) {
+      for ((rec, _) <- byDecile(dec)) {
+        if (rec._4 == 1) { cumT += 1; cumPT += rec._3 }
+        else { cumC += 1; cumPC += rec._3 }
+        idx += 1
+      }
+      val (t, c, pt, pc, gap, qini) = rows(dec)
+      assert((t, c, pt, pc) == ((cumT, cumC, cumPT, cumPC)), s"dec $dec")
+      val expGap = if (cumT == 0 || cumC == 0) 0L
+        else cumPT * 1000000L / cumT - cumPC * 1000000L / cumC
+      val expQini = if (cumC == 0) cumPT * 1000L
+        else cumPT * 1000L - cumPC * cumT * 1000L / cumC
+      assert(gap == expGap && qini == expQini, s"dec $dec")
+      checked += 1
+    }
+    assert(checked == 10 && idx == tot)
+  }
+}
