@@ -415,6 +415,60 @@ object Graph {
     rank.select(col("id"), col("r").as("rank_scaled"))
   }
 
+  /** Personalized PageRank with restart to a SEED set — "importance
+    * relative to these nodes", the similarity/expansion primitive
+    * behind related-item panels and seed-expansion labeling (a seed
+    * document set expands to its neighborhood by PPR mass). Same
+    * integer-quantized iteration as [[pageRankScaled]] (ranks in
+    * `scale` units, contributions by integer division — every step
+    * exact BIGINT, so it replays as unrolled CTEs in DuckDB), except
+    * the teleport term lands ONLY on seeds: r0 = scale·[v in seeds],
+    * r' = 0.15·scale·[v in seeds] + 0.85·sum(contribs). Ranks are
+    * per-seed-mass units (total injected mass = |seeds|·scale — the
+    * relative ordering PPR is used for is normalization-free).
+    *
+    * Scale shape: identical to pageRankScaled — eagerly-materialized
+    * symmetrized edge set iterated against a count-then-dialed rank
+    * frame (broadcast when the node table is small, shuffle join at
+    * billion-node scale); the seed flag rides INSIDE the rank frame,
+    * so personalization adds zero extra joins per iteration. */
+  def personalizedPageRankScaled(edges: DataFrame, srcCol: String,
+                                 dstCol: String, seeds: DataFrame,
+                                 seedCol: String, iterations: Int,
+                                 scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val e = canon(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))).localCheckpoint(eager = true)
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      .join(seeds.select(col(seedCol).cast("long").as("id"),
+        lit(1L).as("seed")), Seq("id"), "left")
+      .select(col("id"), col("deg"), coalesce(col("seed"), lit(0L))
+        .as("seed"))
+      .localCheckpoint(eager = true)
+    val nNodes = deg.count()
+    require(nNodes == 0 || scale <= Long.MaxValue / 85 / nNodes,
+      s"scale=$scale overflows the 85·N·scale bound at N=$nNodes nodes")
+    val small = nNodes * 32 < (64L << 20)
+    def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var rank = deg.select(col("id"), col("deg"), col("seed"),
+      (col("seed") * scale).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = sym
+        .join(dial(rank.select(col("id").as("u"),
+          expr("r DIV deg").as("c"))), "u")
+        .groupBy(col("v").as("id")).agg(sum(col("c")).as("s"))
+      rank = deg
+        .join(dial(contrib), Seq("id"), "left")
+        .select(col("id"), col("deg"), col("seed"),
+          (col("seed") * lit(15L * scale / 100L) +
+            expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
+        .localCheckpoint(eager = true)
+    }
+    rank.select(col("id"), col("seed"), col("r").as("ppr_scaled"))
+  }
+
   /** Cluster assignment for a whole corpus from near-dup pairs: every
     * doc gets its component minimum as `cluster` (its own id when it
     * has no near-duplicates) and `keep` = is it the canonical doc of

@@ -741,6 +741,70 @@ object AnalyticsQueries {
       })
   }
 
+  /** Personalized PageRank
+    * ([[graft.operators.Graph.personalizedPageRankScaled]]) from the
+    * two highest-degree parts of the co-purchase graph — seed
+    * expansion: which parts sit closest (by random-walk-with-restart
+    * mass) to the category anchors? Same exact-integer iteration as
+    * q104, with the teleport term landing only on seeds, so the
+    * oracle unrolls three iterations as CTEs bit-for-bit. Output is
+    * restricted to nodes with nonzero mass after 3 hops (the PPR
+    * frontier), keeping the result the interesting neighborhood
+    * rather than |nodes| zeros. */
+  val q290 = {
+    val scale = 1000000000000L
+    val base = 15L * scale / 100L
+    def iter(n: Int, prev: String): String =
+      s"""c$n AS (SELECT s.v AS id, CAST(sum((r.r // d.deg)) AS BIGINT)
+         |    AS s
+         |  FROM $prev r JOIN deg d ON r.id = d.id
+         |  JOIN sym s ON s.u = r.id
+         |  WHERE r.r > 0
+         |  GROUP BY s.v),
+         |r$n AS (SELECT d.id, d.seed,
+         |    CAST(d.seed * $base + (85 * coalesce(c.s, 0)) // 100
+         |      AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN c$n c ON d.id = c.id)"""
+    QueryDef.sql("q290_ppr_seeded",
+      s"""WITH e AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |dg AS (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u),
+         |sd AS (SELECT id FROM dg ORDER BY deg DESC, id LIMIT 2),
+         |deg AS (SELECT dg.id, dg.deg,
+         |    CASE WHEN sd.id IS NULL THEN 0 ELSE 1 END AS seed
+         |  FROM dg LEFT JOIN sd ON dg.id = sd.id),
+         |r0 AS (SELECT id, seed, CAST(seed * $scale AS BIGINT) AS r
+         |  FROM deg),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT id, CAST(seed AS BIGINT) AS seed, r AS ppr_scaled
+         |FROM r3 WHERE r > 0""")(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        val edges = li.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+          .where(size(col("parts")) >= 2)
+          .select(explode(graft.functions.PairExpressions
+            .pairArray(col("parts"))).as("p"))
+          .select(col("p.id1").as("u"), col("p.id2").as("v"))
+        val canonE = edges.where(col("u") =!= col("v"))
+          .select(least(col("u"), col("v")).as("u"),
+            greatest(col("u"), col("v")).as("v")).distinct()
+        val deg = canonE
+          .unionByName(canonE.select(col("v").as("u"), col("u").as("v")))
+          .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+        val seeds = deg.orderBy(col("deg").desc, col("id")).limit(2)
+          .select(col("id"))
+        graft.operators.Graph.personalizedPageRankScaled(
+            edges, "u", "v", seeds, "id", iterations = 3, scale = scale)
+          .where(col("ppr_scaled") > 0)
+      })
+  }
+
   /** Pearson correlation from EXACT moments: the five sums accumulate
     * as decimals (order-exact across any shuffle), cast to double once
     * (correctly rounded on both engines), and the closed form runs the
@@ -1503,5 +1567,5 @@ object AnalyticsQueries {
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189, q220, q245, q253, q257, q268, q278)
+    q167, q189, q220, q245, q253, q257, q268, q278, q290)
 }

@@ -168,6 +168,40 @@ class GraphSpec extends AnyFunSuite {
     assert(got == (0L to 5L).map(i => i -> math.max(0L, i - 2)).toMap)
   }
 
+  test("personalizedPageRank: all-nodes seed set reduces to pageRankScaled") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 6L)).toDF("u", "v")
+    val allNodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val ppr = Graph.personalizedPageRankScaled(edges, "u", "v",
+        allNodes, "id", iterations = 3, scale = 1000000L)
+      .select("id", "ppr_scaled").as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRankScaled(edges, "u", "v", iterations = 3,
+        scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == pr, "uniform seeding must be bit-equal to PageRank")
+  }
+
+  test("personalizedPageRank: mass stays in the seed component, decays with distance") {
+    // path 1-2-3-4-5 plus a disconnected pair (10, 11); seed = node 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.personalizedPageRankScaled(edges, "u", "v", seeds,
+        "id", iterations = 3, scale = 1000000000L)
+      .select("id", "ppr_scaled").as[(Long, Long)].collect().toMap
+    assert(r(10L) == 0L && r(11L) == 0L,
+      "no teleport mass may leak into the off-seed component")
+    assert(r(5L) == 0L, "node 4 hops out is unreachable in 3 iterations")
+    // the 3-iteration frontier: exactly the nodes within 3 hops carry
+    // mass (ordering along the path is NOT monotone — the un-lazy
+    // power iteration oscillates with distance parity, by design)
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_) > 0L),
+      s"every node within 3 hops must carry mass: $r")
+    val total = r.values.sum
+    assert(total > 0L && total <= 1000000000L,
+      s"total mass $total outside the injected-mass bound (1 seed)")
+  }
+
   test("dedupClusters: every doc labelled, canonical keeps, duplicates dropped") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id1", "id2")
