@@ -265,5 +265,96 @@ object SignalQueries {
       energies.reduce(_.unionByName(_))
     })
 
-  def all: Seq[QueryDef] = Seq(q285, q286, q287)
+  /** Dynamic-time-warping distance between every pair of event-type
+    * daily profiles (whole-unit day totals, day-ordered), next to the
+    * lockstep L1 distance on the same alignment. DTW is the classic
+    * "same shape, shifted phase" series distance; the lockstep L1 is
+    * both the naive baseline and a provable upper bound (the diagonal
+    * is one valid warping path), so dtw <= lockstep_l1 is a built-in
+    * self-check. The full O(m*n) DP runs as a nested fold INSIDE one
+    * row — Spark's `aggregate` higher-order function over the two
+    * day arrays (~900 integer cells, all exact BIGINT, no UDF, no
+    * extra shuffle) — and DuckDB replays the identical recurrence
+    * with nested list_reduce. Scale shape: the fact table reduces to
+    * |types| day-arrays in one aggregate; the pair frame is
+    * |types|^2/2 rows of bounded arrays — at 100 TB you band the
+    * pairing (q271's blocking stance) and the per-pair cost is
+    * unchanged. */
+  val q291 = QueryDef.sql("q291_dtw_profiles",
+    """WITH d AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) // 1000000 AS v
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type,
+      |    list(v ORDER BY ed) AS vs FROM d GROUP BY 1),
+      |p AS (SELECT a.event_type AS a_type, b.event_type AS b_type,
+      |    a.vs AS la, b.vs AS lb
+      |  FROM s a JOIN s b ON a.event_type < b.event_type)
+      |SELECT a_type, b_type,
+      |  CAST(len(la) AS BIGINT) AS n_a, CAST(len(lb) AS BIGINT) AS n_b,
+      |  CAST(list_reduce(
+      |    list_prepend(
+      |      list_reduce(
+      |        list_prepend([abs(la[1] - lb[1])],
+      |          list_transform(range(2, len(lb) + 1),
+      |            j -> CAST([0] AS BIGINT[]))),
+      |        (acc, x) -> list_append(acc,
+      |          abs(la[1] - lb[len(acc) + 1]) + acc[len(acc)])),
+      |      list_transform(la[2:], v -> CAST([v] AS BIGINT[]))),
+      |    (prev, x) -> list_reduce(
+      |      list_prepend([abs(x[1] - lb[1]) + prev[1]],
+      |        list_transform(range(2, len(lb) + 1),
+      |          j -> CAST([0] AS BIGINT[]))),
+      |      (acc, y) -> list_append(acc,
+      |        abs(x[1] - lb[len(acc) + 1]) +
+      |        least(prev[len(acc) + 1], prev[len(acc)],
+      |          acc[len(acc)]))))[len(lb)] AS BIGINT) AS dtw,
+      |  CAST(list_sum(list_transform(
+      |    range(1, least(len(la), len(lb)) + 1),
+      |    i -> abs(la[i] - lb[i]))) AS BIGINT) AS lockstep_l1
+      |FROM p""")(
+    (s, dir) => {
+      val d = daily(s, dir)
+      val ser = d.groupBy("event_type")
+        .agg(transform(sort_array(collect_list(struct(col("ed"),
+          col("v")))), x => x.getField("v")).as("vs"))
+      val a = ser.toDF("a_type", "la")
+      val b = ser.toDF("b_type", "lb")
+      val p = a.join(b, col("a_type") < col("b_type"))
+      // nested-fold DTW: outer over rows of A (prev = previous DP
+      // row), inner over columns of B (acc = the row built so far)
+      val innerRow =
+        """aggregate(sequence(2, size(lb)),
+          |  array(abs(V0 - element_at(lb, 1)) + element_at(prev, 1)),
+          |  (acc, j) -> concat(acc, array(
+          |    abs(V0 - element_at(lb, CAST(size(acc) + 1 AS INT))) +
+          |    least(element_at(prev, size(acc) + 1),
+          |          element_at(prev, size(acc)),
+          |          element_at(acc, size(acc))))))"""
+          .stripMargin
+      val row1 =
+        """aggregate(sequence(2, size(lb)),
+          |  array(abs(element_at(la, 1) - element_at(lb, 1))),
+          |  (acc, j) -> concat(acc, array(
+          |    abs(element_at(la, 1) -
+          |        element_at(lb, CAST(size(acc) + 1 AS INT))) +
+          |    element_at(acc, size(acc)))))""".stripMargin
+      val dtwExpr =
+        s"""element_at(aggregate(
+           |  slice(la, 2, size(la) - 1),
+           |  $row1,
+           |  (prev, v) -> ${innerRow.replace("V0", "v")}), size(lb))"""
+          .stripMargin
+      p.select(col("a_type"), col("b_type"),
+        size(col("la")).cast("long").as("n_a"),
+        size(col("lb")).cast("long").as("n_b"),
+        expr(dtwExpr).cast("long").as("dtw"),
+        expr("""aggregate(sequence(1, least(size(la), size(lb))),
+          |  0L, (s, i) -> s + abs(element_at(la, i) -
+          |    element_at(lb, i)))""".stripMargin).cast("long")
+          .as("lockstep_l1"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q285, q286, q287, q291)
 }

@@ -91,6 +91,36 @@ class SignalSpec extends AnyFunSuite {
     assert(click.nonEmpty && purch.nonEmpty)
   }
 
+  test("q291: DTW replays the scalar DP and respects the lockstep bound") {
+    val rows = run("q291_dtw_profiles").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    def dtwScalar(a: Array[Long], b: Array[Long]): Long = {
+      val inf = Long.MaxValue / 4
+      val dp = Array.fill(a.length + 1, b.length + 1)(inf)
+      dp(0)(0) = 0L
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+      dp(a.length)(b.length)
+    }
+    val types = dailySeries.keys.toSeq.sorted
+    var checked = 0
+    for (i <- types.indices; j <- i + 1 until types.length) {
+      val (ta, tb) = (types(i), types(j))
+      val (la, lb) = (dailySeries(ta), dailySeries(tb))
+      val (nA, nB, dtw, lock) = rows((ta, tb))
+      assert(nA == la.length && nB == lb.length)
+      assert(dtw == dtwScalar(la, lb), s"$ta/$tb")
+      val expLock = la.zip(lb).map { case (x, y) => math.abs(x - y) }.sum
+      assert(lock == expLock)
+      if (la.length == lb.length)
+        assert(dtw <= lock, "the diagonal is a valid warping path")
+      checked += 1
+    }
+    assert(checked == rows.size && checked == 10)
+  }
+
   test("q287: Haar energies replay and satisfy integer Parseval") {
     val rows = run("q287_haar_energy").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
