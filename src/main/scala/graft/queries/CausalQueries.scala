@@ -187,5 +187,173 @@ object CausalQueries {
             .as("qini_milli"))
     })
 
-  def all: Seq[QueryDef] = Seq(q288, q289)
+  /** Kaplan–Meier survival estimator on the q213 time-to-repeat
+    * framing (days from a customer's first to second distinct order
+    * day, right-censored at the corpus horizon) — the PRODUCT
+    * estimator q213 deliberately left uncomputed ("exp(-H)
+    * downstream — libm"): the product needs no libm at all when run
+    * as an exact integer fold, S_k = floor(S_{k-1} * (n_k - d_k) /
+    * n_k) in ppm units, sequentially over event times. The fold runs
+    * in-row over the collected event-time table (one bounded array —
+    * |distinct durations|, a few hundred rows — the q278 bounded-tail
+    * stance) via Spark's `aggregate` HOF, and DuckDB replays the
+    * identical recurrence with list_reduce, so the oracle is
+    * bit-exact. Fact-scale work: the per-customer first/second-order
+    * aggregates; everything after is bounded. */
+  val q292 = QueryDef.sql("q292_kaplan_meier",
+    """WITH od AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE)
+      |    AS d FROM orders),
+      |h AS (SELECT max(d) AS horizon FROM od),
+      |f AS (SELECT o_custkey, min(d) AS f1 FROM od GROUP BY 1),
+      |s2 AS (SELECT od.o_custkey, min(od.d) AS sd
+      |  FROM od JOIN f ON od.o_custkey = f.o_custkey AND od.d > f.f1
+      |  GROUP BY 1),
+      |t AS (SELECT
+      |    CASE WHEN s2.sd IS NULL
+      |         THEN date_diff('day', f.f1, h.horizon)
+      |         ELSE date_diff('day', f.f1, s2.sd) END AS tm,
+      |    CASE WHEN s2.sd IS NULL THEN 0 ELSE 1 END AS ev
+      |  FROM f LEFT JOIN s2 ON f.o_custkey = s2.o_custkey, h),
+      |g AS (SELECT tm, CAST(sum(ev) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM g),
+      |r AS (SELECT tm, d, c,
+      |    n.tot - (sum(c) OVER (ORDER BY tm ROWS UNBOUNDED PRECEDING)
+      |      - c) AS n_risk
+      |  FROM g, n),
+      |e AS (SELECT CAST(tm AS BIGINT) AS tm, d,
+      |    CAST(n_risk AS BIGINT) AS n_risk FROM r WHERE d > 0),
+      |packed AS (SELECT list(tm ORDER BY tm) AS tms,
+      |    list(d ORDER BY tm) AS ds,
+      |    list(n_risk ORDER BY tm) AS ns,
+      |    list([d, n_risk] ORDER BY tm) AS steps
+      |  FROM e),
+      |folded AS (SELECT tms, ds, ns,
+      |    list_reduce(
+      |      list_prepend(CAST([1000000] AS BIGINT[]), steps),
+      |      (acc, x) -> list_append(acc,
+      |        (acc[len(acc)] * (x[2] - x[1])) // x[2])) AS sv
+      |  FROM packed)
+      |SELECT unnest(tms) AS t_days, unnest(ds) AS n_events,
+      |  unnest(ns) AS n_risk, unnest(sv[2:]) AS s_ppm
+      |FROM folded""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val od = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+        .distinct()
+        .localCheckpoint(true)
+      val horizon = od.agg(max("d").as("horizon"))
+      val f = od.groupBy("o_custkey").agg(min("d").as("f1"))
+      val s2 = od.join(f, Seq("o_custkey"))
+        .where(col("d") > col("f1"))
+        .groupBy("o_custkey").agg(min("d").as("sd"))
+      val t = f.join(s2, Seq("o_custkey"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("sd").isNull, datediff(col("horizon"), col("f1")))
+            .otherwise(datediff(col("sd"), col("f1"))).as("tm"),
+          when(col("sd").isNull, 0L).otherwise(1L).as("ev"))
+      val g = t.groupBy("tm")
+        .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+      val tot = g.agg(sum("c")).head().getLong(0)
+      val e = Rank.globalPrefixSum(g, "cinc", "c", col("tm"))
+        .withColumn("n_risk", lit(tot) - (col("cinc") - col("c")))
+        .where(col("d") > 0)
+        .select(col("tm").cast("long").as("tm"), col("d"),
+          col("n_risk").cast("long").as("n"))
+      e.agg(sort_array(collect_list(struct(col("tm"), col("d"),
+          col("n")))).as("steps"))
+        .select(col("steps"),
+          expr("aggregate(steps, array(1000000L)," +
+            " (acc, x) -> concat(acc, array(" +
+            "(element_at(acc, -1) * (x.n - x.d)) DIV x.n)))").as("sv"))
+        .withColumn("kms", expr("slice(sv, 2, size(steps))"))
+        .select(explode(arrays_zip(col("steps"), col("kms"))).as("z"))
+        .select(col("z.steps.tm").as("t_days"),
+          col("z.steps.d").as("n_events"),
+          col("z.steps.n").as("n_risk"),
+          col("z.kms").as("s_ppm"))
+    })
+
+  /** Off-policy evaluation of a deterministic targeting policy from
+    * logged interaction data — the replay method (Li et al., WSDM'11)
+    * next to an inverse-propensity-scored estimate: the policy picks
+    * one event type per user (md5 % |arms| — the q202 deterministic
+    * assignment), and its value is estimated from exactly the logged
+    * events that MATCH the policy's choice. Replay = floor-micro mean
+    * reward over matches; IPS reweights each matched reward by the
+    * user's empirical logging propensity for that arm (cnt_user /
+    * cnt_user_arm, exact integers — floor-micro per term, then a
+    * floor mean), debiasing the logging skew. One per-(user, arm)
+    * aggregate, one broadcast-joined arm index, two scalar
+    * aggregates; everything integer, so the oracle replays exactly. */
+  val q293 = QueryDef.sql("q293_ope_replay",
+    """WITH arms AS (SELECT event_type,
+      |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+      |      AS aidx,
+      |    CAST(count(*) OVER () AS BIGINT) AS n_arms
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |ua AS (SELECT user_id, event_type,
+      |    CAST(count(*) AS BIGINT) AS cnt_ua,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) AS sv_ua
+      |  FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, CAST(sum(cnt_ua) AS BIGINT) AS cnt_u
+      |  FROM ua GROUP BY 1),
+      |pol AS (SELECT u.user_id, u.cnt_u, a.event_type AS chosen
+      |  FROM u JOIN arms a
+      |    ON ('0x' || substring(md5(CAST(u.user_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % a.n_arms = a.aidx),
+      |m AS (SELECT p.user_id, p.cnt_u, ua.cnt_ua, ua.sv_ua
+      |  FROM pol p JOIN ua
+      |    ON p.user_id = ua.user_id AND ua.event_type = p.chosen),
+      |tot AS (SELECT CAST(sum(cnt_ua) AS BIGINT) AS n_matched,
+      |    CAST(sum(sv_ua) AS BIGINT) AS sv_matched,
+      |    CAST(sum((sv_ua * cnt_u) // cnt_ua) AS BIGINT) AS sv_ips
+      |  FROM m),
+      |base AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) AS sv_all
+      |  FROM events)
+      |SELECT base.n_events, tot.n_matched,
+      |  base.sv_all // base.n_events AS logging_mean_micro,
+      |  tot.sv_matched // tot.n_matched AS replay_mean_micro,
+      |  tot.sv_ips // base.n_events AS ips_mean_micro
+      |FROM base, tot""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val arms = ev.select("event_type").distinct()
+        .select(col("event_type"),
+          (row_number().over(Window.orderBy("event_type")) - 1)
+            .cast("long").as("aidx"))
+      val nArms = arms.count()
+      val ua = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt_ua"),
+          sum((col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")).as("sv_ua"))
+      val u = ua.groupBy("user_id").agg(sum("cnt_ua").as("cnt_u"))
+        .withColumn("aidx",
+          conv(substring(md5(col("user_id").cast("string")), 1, 15),
+            16, 10).cast("long") % nArms)
+      val pol = u.join(broadcast(arms), "aidx")
+        .select(col("user_id"), col("cnt_u"),
+          col("event_type").as("chosen"))
+      val m = pol.join(ua,
+        pol("user_id") === ua("user_id") &&
+          ua("event_type") === pol("chosen"))
+      val tot = m.agg(sum("cnt_ua").as("n_matched"),
+        sum("sv_ua").as("sv_matched"),
+        sum(expr("(sv_ua * cnt_u) DIV cnt_ua")).as("sv_ips"))
+      val base = ev.agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("sv_all"))
+      base.crossJoin(broadcast(tot))
+        .select(col("n_events"), col("n_matched"),
+          expr("sv_all DIV n_events").as("logging_mean_micro"),
+          expr("sv_matched DIV n_matched").as("replay_mean_micro"),
+          expr("sv_ips DIV n_events").as("ips_mean_micro"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293)
 }

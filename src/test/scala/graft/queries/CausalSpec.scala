@@ -49,6 +49,71 @@ class CausalSpec extends AnyFunSuite {
     assert(ntPre > 0 && ncPre > 0, "both arms must have pre data")
   }
 
+  test("q292: Kaplan-Meier replays the scalar fold and is non-increasing") {
+    val rows = run("q292_kaplan_meier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // scalar replay from raw orders
+    val od = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val horizon = od.map(_._2).maxBy(_.toEpochDay)
+    val durations = od.groupBy(_._1).values.map { os =>
+      val days = os.map(_._2).sortBy(_.toEpochDay)
+      val f1 = days.head
+      days.find(_.isAfter(f1)) match {
+        case Some(sd) => (sd.toEpochDay - f1.toEpochDay, true)
+        case None => (horizon.toEpochDay - f1.toEpochDay, false)
+      }
+    }.toSeq
+    val byT = durations.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = durations.size.toLong
+    var sPpm = 1000000L
+    val expected = byT.flatMap { case (t, xs) =>
+      val d = xs.count(_._2).toLong
+      val row = if (d > 0) {
+        sPpm = sPpm * (atRisk - d) / atRisk
+        Some((t, d, atRisk, sPpm))
+      } else None
+      atRisk -= xs.size
+      row
+    }
+    assert(rows.toSeq == expected)
+    assert(rows.map(_._4).sliding(2).forall {
+      case Array(a, b) => b <= a; case _ => true
+    }, "survival must be non-increasing")
+  }
+
+  test("q293: replay/IPS estimates match the scalar computation") {
+    val row = run("q293_ope_replay").collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(u: Long): Long = java.lang.Long.parseLong(
+      md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val arms = events.map(_._2).distinct.sorted
+    val byUser = events.groupBy(_._1)
+    var (nEvents, svAll, nMatched, svMatched, svIps) = (0L, 0L, 0L, 0L, 0L)
+    for ((u, es) <- byUser) {
+      val chosen = arms((h(u) % arms.length).toInt)
+      val cntU = es.length.toLong
+      nEvents += cntU
+      svAll += es.map(_._4).sum
+      val matched = es.filter(_._2 == chosen)
+      if (matched.nonEmpty) {
+        val cntUa = matched.length.toLong
+        val svUa = matched.map(_._4).sum
+        nMatched += cntUa
+        svMatched += svUa
+        svIps += svUa * cntU / cntUa
+      }
+    }
+    assert(row.getLong(0) == nEvents && row.getLong(1) == nMatched)
+    assert(row.getLong(2) == svAll / nEvents)
+    assert(row.getLong(3) == svMatched / nMatched)
+    assert(row.getLong(4) == svIps / nEvents)
+  }
+
   test("q289: Qini deciles replay the ranked accumulation") {
     val rows = run("q289_qini_deciles").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
