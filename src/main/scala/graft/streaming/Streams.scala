@@ -683,4 +683,39 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** Streaming twin of q281's eventually-follows MARGINALS: per
+    * (user, event_type), the first and last stream position — encoded
+    * as the lexicographic struct (ts, event_id), the same total order
+    * the batch query's row_number ranks by, so marginal comparisons
+    * are rank comparisons. min/max of a struct are commutative,
+    * associative, single-valued aggregates, so an update-mode
+    * streaming aggregation maintains the table exactly: after any
+    * prefix of the stream the state equals the batch marginals of the
+    * rows seen so far, bit-for-bit and batch-boundary-independent
+    * (StreamsSpec replays in micro-batches and asserts parity after
+    * every one — the [[fingerprintStream]] argument). State is
+    * |users| x |types| rows regardless of stream length; the
+    * quadratic pair step ([[eventuallyFollowsFromMarginals]]) runs
+    * over the maintained state, never over history. */
+  def followsMarginalsStream(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"),
+        struct(col("ts"), col("event_id")).as("k"))
+      .groupBy("user_id", "event_type")
+      .agg(min("k").as("first_k"), max("k").as("last_k"))
+
+  /** Pair finisher over [[followsMarginalsStream]] state (batch or
+    * snapshot): support of "some a precedes some b" per ordered type
+    * pair — exactly q281's output columns, derived from marginals
+    * alone. */
+  def eventuallyFollowsFromMarginals(marginals: DataFrame): DataFrame = {
+    val a = marginals.toDF("user_id", "a_type", "a_first", "a_last")
+    val b = marginals.toDF("user_id", "b_type", "b_first", "b_last")
+    a.join(b, Seq("user_id")).where(col("a_type") =!= col("b_type"))
+      .groupBy("a_type", "b_type").agg(
+        count(lit(1)).as("n_both"),
+        sum(when(col("a_first") < col("b_last"), 1L).otherwise(0L))
+          .as("support"))
+      .withColumn("support_ppm", expr("(support * 1000000) DIV n_both"))
+  }
 }

@@ -701,4 +701,48 @@ class StreamsSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("followsMarginalsStream equals batch marginals per micro-batch; finisher equals q281") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect()
+    def marg(df: org.apache.spark.sql.DataFrame) =
+      Streams.followsMarginalsStream(df)
+    val mem = MemoryStream[Streams.Event]
+    val q = marg(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("follows_out")
+      .start()
+    val chunks = raw.grouped(math.max(1, raw.length / 3)).toSeq
+    var seen = Vector.empty[Streams.Event]
+    for (chunk <- chunks) {
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+      seen = seen ++ chunk
+      val want = marg(seen.toDF()).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getStruct(2).toString, r.getStruct(3).toString)).toSet
+      val got = spark.table("follows_out").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getStruct(2).toString, r.getStruct(3).toString)).toSet
+      assert(got == want, s"after ${seen.size} rows")
+    }
+    q.stop()
+    // the pair finisher over the final state equals the batch q281
+    val fromState = Streams
+      .eventuallyFollowsFromMarginals(spark.table("follows_out"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.SparkEntry.queries("q281_eventually_follows")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(fromState == batch)
+    assert(fromState.nonEmpty)
+  }
 }
