@@ -2005,8 +2005,72 @@ object PlannerQueries {
       out.toSeq.toDF("item", "sz", "worker")
     })
 
+  /** t-closeness audit on q226's anonymization framing — the third
+    * leg of the privacy battery (k-anonymity q226 caps group
+    * rarity, l-diversity caps sensitive homogeneity, t-closeness
+    * caps how much a GROUP's sensitive distribution deviates from
+    * the corpus): per quasi-identifier group (mktsegment, nation,
+    * balance band), the total-variation distance between the group's
+    * urgent-buyer distribution and the global one. Binary sensitive
+    * attribute ⇒ TV = |p_group - p_global|, computed on the common
+    * integer denominator n_g * N (no division until the final
+    * floor-ppm). Ships every group with its t and the release rule
+    * as a flag — suppress = t_ppm > 200000 (t > 0.2), the
+    * conventional threshold. One scan + one group aggregate + one
+    * broadcast scalar. */
+  val q297 = QueryDef.sql("q297_t_closeness",
+    """WITH s AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+      |    CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) / 100000.0) AS BIGINT) AS band
+      |  FROM customer),
+      |u AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |q AS (SELECT s.c_mktsegment, s.c_nationkey, s.band,
+      |    CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS urg
+      |  FROM s LEFT JOIN u ON s.c_custkey = u.o_custkey),
+      |g AS (SELECT c_mktsegment, c_nationkey, band,
+      |    CAST(count(*) AS BIGINT) AS n_g,
+      |    CAST(sum(urg) AS BIGINT) AS n_urg
+      |  FROM q GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(sum(n_urg) AS BIGINT) AS n1 FROM g),
+      |t AS (SELECT g.c_mktsegment, g.c_nationkey, g.band, g.n_g,
+      |    g.n_urg,
+      |    (abs(g.n_urg * tot.n - tot.n1 * g.n_g) * 1000000)
+      |      // (g.n_g * tot.n) AS t_ppm
+      |  FROM g, tot)
+      |SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nation,
+      |  band, n_g, n_urg, t_ppm,
+      |  CASE WHEN t_ppm > 200000 THEN 1 ELSE 0 END AS suppress
+      |FROM t""")(
+    (s, dir) => {
+      val sTab = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"),
+        floor((col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("long") / lit(100000.0)).cast("long").as("band"))
+      val u = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+        .withColumn("uflag", lit(1L))
+      val q = sTab.join(broadcast(u),
+          sTab("c_custkey") === u("o_custkey"), "left")
+        .select(col("c_mktsegment"), col("c_nationkey"), col("band"),
+          coalesce(col("uflag"), lit(0L)).as("urg"))
+      val g = q.groupBy("c_mktsegment", "c_nationkey", "band")
+        .agg(count(lit(1)).as("n_g"), sum("urg").as("n_urg"))
+      val tot = g.agg(sum("n_g").as("n"), sum("n_urg").as("n1"))
+      g.crossJoin(broadcast(tot))
+        .select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("nation"), col("band"),
+          col("n_g"), col("n_urg"),
+          expr("(abs(n_urg * n - n1 * n_g) * 1000000) DIV (n_g * n)")
+            .as("t_ppm"))
+        .withColumn("suppress",
+          when(col("t_ppm") > 200000, 1L).otherwise(0L))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
-    q266, q270, q279)
+    q266, q270, q279, q297)
 }

@@ -257,5 +257,67 @@ object QualityQueries {
             .cast("long").as("dup_ppm"))
     })
 
-  val all: Seq[QueryDef] = Seq(q165, q166, q228, q229)
+  /** Character-class (script) mix audit per language slice — the
+    * quality gate that catches mislabeled languages, digit dumps and
+    * markup-heavy docs before tokenization: per doc, exact counts of
+    * Latin letters, digits, whitespace and everything else via
+    * length-difference of class-stripped text (pure regexp on
+    * codegen'd strings — no per-char explode), then corpus-level
+    * ratios per language in floor-ppm of the exact summed counts.
+    * Also ships how many docs per slice are digit-heavy (> 20% digits)
+    * — the per-doc flag a curation funnel (q74) would gate on. One
+    * scan, one aggregate; the regexp work rides the scan. */
+  val q294 = QueryDef.sql("q294_script_mix",
+    """WITH c AS (SELECT lang,
+      |    CAST(length(text) AS BIGINT) AS n,
+      |    CAST(length(text) -
+      |      length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |      AS BIGINT) AS latin,
+      |    CAST(length(text) -
+      |      length(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS BIGINT) AS digits,
+      |    CAST(length(text) -
+      |      length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+      |      AS BIGINT) AS ws
+      |  FROM documents),
+      |d AS (SELECT lang, n, latin, digits, ws,
+      |    n - latin - digits - ws AS other,
+      |    CASE WHEN digits * 5 > n THEN 1 ELSE 0 END AS digit_heavy
+      |  FROM c WHERE n > 0)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS n_chars,
+      |  (CAST(sum(latin) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT)
+      |    AS latin_ppm,
+      |  (CAST(sum(digits) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT)
+      |    AS digit_ppm,
+      |  (CAST(sum(ws) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT)
+      |    AS ws_ppm,
+      |  (CAST(sum(other) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT)
+      |    AS other_ppm,
+      |  CAST(sum(digit_heavy) AS BIGINT) AS digit_heavy_docs
+      |FROM d GROUP BY 1""")(
+    (s, dir) => {
+      val t = col("text")
+      def stripped(re: String) =
+        (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+      val c = Tables.documents(s, dir).select(col("lang"),
+          length(t).cast("long").as("n"),
+          stripped("[A-Za-z]").as("latin"),
+          stripped("[0-9]").as("digits"),
+          stripped("[ \t\n\r]").as("ws"))
+        .where(col("n") > 0)
+        .withColumn("other",
+          col("n") - col("latin") - col("digits") - col("ws"))
+        .withColumn("digit_heavy",
+          when(col("digits") * 5 > col("n"), 1L).otherwise(0L))
+      c.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"), sum("n").as("n_chars"),
+        expr("(sum(latin) * 1000000) DIV sum(n)").as("latin_ppm"),
+        expr("(sum(digits) * 1000000) DIV sum(n)").as("digit_ppm"),
+        expr("(sum(ws) * 1000000) DIV sum(n)").as("ws_ppm"),
+        expr("(sum(other) * 1000000) DIV sum(n)").as("other_ppm"),
+        sum("digit_heavy").as("digit_heavy_docs"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q165, q166, q228, q229, q294)
 }

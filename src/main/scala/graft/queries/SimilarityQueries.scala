@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, lit, max, pmod, posexplode, round, row_number, sqrt, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, expr, floor, lit, max, pmod, posexplode, round, row_number, sqrt, sum, when}
 
 /** Similarity search over the embeddings table. The brute-force queries
   * carry exact DuckDB oracles (`embedding::DOUBLE[]` upcast first, so
@@ -674,6 +674,92 @@ object SimilarityQueries {
           min("ratio_ppm").as("lo_ppm"), max("ratio_ppm").as("hi_ppm"))
     })
 
+  /** Cluster-separation audit over the labeled embedding corpus — a
+    * Davies–Bouldin-shaped compactness/separation report with NO
+    * sqrt: per label, the mean SQUARED distance of members to their
+    * centroid (intra) and the squared distance to the nearest other
+    * centroid (inter), with scatter_ppm = 1e6 * intra / inter (< 1e6
+    * means the cluster is tighter than its nearest neighbor is
+    * close). Everything exact: elements floor-quantized to micro
+    * units (the q157 contract), centroids as signed floor-means
+    * (portable floor-div — embeddings are signed), squared distances
+    * in BIGINT. Scale shape: one (label, dim) centroid aggregate →
+    * one member-vs-own-centroid join keyed (label, dim) → one
+    * |labels|^2 centroid cross on a 10-row frame. The E[x^2]-style
+    * one-pass alternative would square micro sums past BIGINT; the
+    * two-pass shape is also the one that streams (centroids are the
+    * maintained state). */
+  val q295 = QueryDef.sql("q295_cluster_scatter",
+    """WITH q0 AS (SELECT vec_id, label,
+      |    unnest(list_transform(range(1, len(embedding) + 1),
+      |      i -> struct_pack(dim := i,
+      |        qx := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+      |          AS BIGINT)))) AS u
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, label, u.dim AS dim, u.qx AS qx FROM q0),
+      |c AS (SELECT label, dim,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(qx) AS BIGINT) AS sx
+      |  FROM q GROUP BY 1, 2),
+      |cen AS (SELECT label, dim,
+      |    (CASE WHEN sx >= 0 THEN sx // n
+      |      ELSE -((-sx + n - 1) // n) END) AS cm
+      |  FROM c),
+      |intra AS (SELECT q.label, CAST(count(DISTINCT q.vec_id) AS BIGINT)
+      |      AS n_vecs,
+      |    CAST(sum((q.qx - cen.cm) * (q.qx - cen.cm)) AS BIGINT) AS ss
+      |  FROM q JOIN cen ON q.label = cen.label AND q.dim = cen.dim
+      |  GROUP BY 1),
+      |pairs AS (SELECT a.label AS la, b.label AS lb,
+      |    CAST(sum((a.cm - b.cm) * (a.cm - b.cm)) AS BIGINT) AS d2
+      |  FROM cen a JOIN cen b
+      |    ON a.dim = b.dim AND a.label <> b.label
+      |  GROUP BY 1, 2),
+      |nn AS (SELECT la AS label, lb AS nearest_label, d2,
+      |    row_number() OVER (PARTITION BY la ORDER BY d2, lb) AS rk
+      |  FROM pairs)
+      |SELECT i.label, i.n_vecs, i.ss // i.n_vecs AS intra_msd,
+      |  CAST(nn.nearest_label AS BIGINT) AS nearest_label,
+      |  nn.d2 AS inter_d2,
+      |  ((i.ss // i.n_vecs) * 1000000) // nn.d2 AS scatter_ppm
+      |FROM intra i JOIN nn ON i.label = nn.label AND nn.rk = 1""")(
+    (s, dir) => {
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long")
+            .as("qx"))
+      val cen = q.groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("qx").as("sx"))
+        .select(col("label"), col("dim"),
+          expr("CASE WHEN sx >= 0 THEN sx DIV n" +
+            " ELSE -((-sx + n - 1) DIV n) END").as("cm"))
+      val intra = q.join(broadcast(cen), Seq("label", "dim"))
+        .groupBy("label")
+        .agg(countDistinct(col("vec_id")).as("n_vecs"),
+          sum((col("qx") - col("cm")) * (col("qx") - col("cm")))
+            .as("ss"))
+      val a = cen.toDF("la", "dim", "ca")
+      val b = cen.toDF("lb", "dim", "cb")
+      val pairs = a.join(b, Seq("dim")).where(col("la") =!= col("lb"))
+        .groupBy("la", "lb")
+        .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+          .as("d2"))
+      val nn = pairs.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("la")
+            .orderBy(col("d2"), col("lb"))))
+        .where(col("rk") === 1)
+        .select(col("la").as("label"),
+          col("lb").cast("long").as("nearest_label"),
+          col("d2").as("inter_d2"))
+      intra.join(broadcast(nn), "label")
+        .select(col("label"), col("n_vecs"),
+          expr("ss DIV n_vecs").as("intra_msd"),
+          col("nearest_label"), col("inter_d2"),
+          expr("((ss DIV n_vecs) * 1000000) DIV inter_d2")
+            .as("scatter_ppm"))
+    })
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160, q176, q187, q231, q242, q262, q263, q264, q280)
+    q160, q176, q187, q231, q242, q262, q263, q264, q280, q295)
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the script-mix (q294), cluster-scatter (q295) and
+  * t-closeness (q297) queries beyond the hash oracle: partition-of-
+  * unity checks on the ppm ratios, a scalar centroid/scatter replay,
+  * and the TV-distance bounds with a per-group replay. sf0.001. */
+class QualityPrivacySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q294: class ppms partition unity; counts replay on raw text") {
+    val rows = run("q294_script_mix").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ppms = Seq(r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))
+      assert(ppms.forall(p => p >= 0 && p <= 1000000))
+      val s = ppms.sum
+      assert(s <= 1000000 && s >= 1000000 - 3,
+        s"floor-ppm partition of unity violated: $s")
+    }
+    // scalar replay of the class counts for one language slice
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val byLang = docs.groupBy(_._1)
+    val got = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    for ((lang, ds) <- byLang) {
+      val nChars = ds.map(_._2.length.toLong).sum
+      assert(got(lang) == ((ds.length.toLong, nChars)), lang)
+    }
+  }
+
+  test("q295: scatter replays scalar centroids; nearest is the argmin") {
+    val rows = run("q295_cluster_scatter").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray
+          .map(x => math.floor(x.toDouble * 1000000).toLong)))
+    val byLabel = vecs.groupBy(_._2)
+    val cent = byLabel.map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim) { d =>
+        Math.floorDiv(vs.map(_._3(d)).sum, vs.length.toLong)
+      }
+    }
+    for ((l, vs) <- byLabel) {
+      val c = cent(l)
+      val ss = vs.map(v => v._3.zip(c)
+        .map { case (x, m) => (x - m) * (x - m) }.sum).sum
+      val intraMsd = ss / vs.length
+      val others = cent.filter(_._1 != l).map { case (o, oc) =>
+        (o, c.zip(oc).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.toSeq.sortBy { case (o, d2) => (d2, o) }
+      val (nl, d2) = others.head
+      val (nVecs, qIntra, qNearest, qInter, qScatter) = rows(l)
+      assert(nVecs == vs.length && qIntra == intraMsd)
+      assert(qNearest == nl.toLong && qInter == d2)
+      assert(qScatter == intraMsd * 1000000L / d2)
+    }
+    assert(rows.size == byLabel.size)
+  }
+
+  test("q297: TV in range, urgent totals consistent, flag matches") {
+    val rows = run("q297_t_closeness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._4).sum
+    val n1 = rows.map(_._5).sum
+    for ((_, _, _, nG, nUrg, tPpm, flag) <- rows) {
+      assert(tPpm >= 0 && tPpm <= 1000000)
+      assert(nUrg <= nG)
+      assert(tPpm ==
+        math.abs(nUrg * n - n1 * nG) * 1000000L / (nG * n))
+      assert(flag == (if (tPpm > 200000) 1L else 0L))
+    }
+    // a singleton group's TV is |1 - p| or p — never negative, and a
+    // group matching the global rate exactly has t = 0
+    assert(n1 > 0 && n1 < n, "both urgent and non-urgent customers exist")
+  }
+}
