@@ -355,5 +355,178 @@ object CausalQueries {
           expr("sv_ips DIV n_events").as("ips_mean_micro"))
     })
 
-  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293)
+  /** Markov-chain (removal-effect) multi-touch attribution — the
+    * data-driven upgrade of q199's last-touch rule: user journeys
+    * (touch sequence up to the FIRST purchase, else ending in the
+    * null absorber) define a first-order chain; a channel's credit is
+    * its REMOVAL EFFECT, how much the START->conversion probability
+    * drops when every path through that channel is killed. The
+    * absorption probabilities come from a 24-step truncated power
+    * iteration in exact integer ppm — p'(s) = (sum_t cnt(s,t)*p(t) +
+    * cnt(s,conv)*1e6) // tot(s) — run as an in-row fold over the
+    * PACKED transition matrix (|channels|+1 square, a handful of
+    * BIGINTs), one fold per removal scenario with the removed
+    * channel's probability clamped to zero each step. Deterministic
+    * and engine-exact (the q267/q292 fold stance), so the DuckDB
+    * oracle replays bit-for-bit. Scale shape: the fact-scale work is
+    * ONE per-user window chain producing transition pairs and one
+    * tiny count aggregate; every chain solve runs on a <40-element
+    * matrix, |channels|+1 scenarios of it. */
+  val q296 = QueryDef.sql("q296_markov_attribution",
+    """WITH j AS (SELECT user_id, event_type, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |fp AS (SELECT user_id, min(rn) AS conv_rn FROM j
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |e AS (SELECT j.user_id,
+      |    CASE WHEN j.event_type = 'purchase' THEN 'conv'
+      |         ELSE j.event_type END AS st, j.rn
+      |  FROM j LEFT JOIN fp ON j.user_id = fp.user_id
+      |  WHERE fp.conv_rn IS NULL OR j.rn <= fp.conv_rn),
+      |p AS (SELECT user_id, st,
+      |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS orn
+      |  FROM e),
+      |tr AS (
+      |  SELECT st AS src, coalesce(nxt, 'null') AS dst FROM p
+      |  WHERE st <> 'conv'
+      |  UNION ALL
+      |  SELECT 'START' AS src, st AS dst FROM p WHERE orn = 1),
+      |cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+      |  FROM tr GROUP BY 1, 2),
+      |ch AS (SELECT st, CAST(row_number() OVER (ORDER BY st)
+      |    AS BIGINT) AS idx
+      |  FROM (SELECT DISTINCT src AS st FROM cnt WHERE src <> 'START')),
+      |mm AS (SELECT CAST(count(*) + 1 AS BIGINT) AS m FROM ch),
+      |sidx AS (SELECT st, idx FROM ch
+      |  UNION ALL SELECT 'START', m FROM mm),
+      |grid AS (SELECT a.idx AS i, b.idx AS j, coalesce(cnt.c, 0) AS c
+      |  FROM sidx a CROSS JOIN sidx b
+      |  LEFT JOIN cnt ON cnt.src = a.st AND cnt.dst = b.st),
+      |rows_ AS (SELECT i, list(c ORDER BY j) AS trrow
+      |  FROM grid GROUP BY 1),
+      |convs AS (SELECT a.idx AS i, coalesce(cnt.c, 0) AS cv
+      |  FROM sidx a LEFT JOIN cnt
+      |    ON cnt.src = a.st AND cnt.dst = 'conv'),
+      |tots AS (SELECT a.idx AS i, CAST(sum(cnt.c) AS BIGINT) AS tot
+      |  FROM sidx a JOIN cnt ON cnt.src = a.st GROUP BY 1),
+      |packed AS (SELECT
+      |    (SELECT list(trrow ORDER BY i) FROM rows_) AS trmat,
+      |    (SELECT list(cv ORDER BY i) FROM convs) AS convs,
+      |    (SELECT list(tot ORDER BY i) FROM tots) AS tots,
+      |    (SELECT m FROM mm) AS m),
+      |scen AS (SELECT idx AS cidx, st AS channel FROM ch
+      |  UNION ALL SELECT 0, '__full__'),
+      |folded AS (SELECT s.cidx, s.channel,
+      |    list_reduce(
+      |      list_prepend(list_transform(range(1, pk.m + 1),
+      |          i -> CAST(0 AS BIGINT)),
+      |        list_transform(range(24), x -> CAST([0] AS BIGINT[]))),
+      |      (p, x) -> list_transform(range(1, pk.m + 1), i ->
+      |        CASE WHEN i = s.cidx THEN CAST(0 AS BIGINT) ELSE
+      |          (CAST(list_sum(list_transform(range(1, pk.m + 1),
+      |             j -> pk.trmat[i][j] * p[j])) AS BIGINT)
+      |           + pk.convs[i] * 1000000) // pk.tots[i]
+      |        END))[pk.m] AS p_start
+      |  FROM scen s CROSS JOIN packed pk),
+      |fl AS (SELECT p_start AS p_full FROM folded WHERE cidx = 0),
+      |rem AS (SELECT f.channel, fl.p_full, f.p_start AS p_removed,
+      |    fl.p_full - f.p_start AS removal
+      |  FROM folded f, fl WHERE f.cidx <> 0),
+      |tot_r AS (SELECT CAST(sum(removal) AS BIGINT) AS tr FROM rem)
+      |SELECT rem.channel, rem.p_full AS p_full_ppm,
+      |  rem.p_removed AS p_removed_ppm, rem.removal AS removal_ppm,
+      |  CASE WHEN tot_r.tr <= 0 THEN 0
+      |    ELSE (rem.removal * 1000000) // tot_r.tr END AS share_ppm
+      |FROM rem, tot_r""")(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val j = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), row_number().over(w).as("rn"))
+      val fp = j.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("rn").as("conv_rn"))
+      val e = j.join(fp, Seq("user_id"), "left")
+        .where(col("conv_rn").isNull || col("rn") <= col("conv_rn"))
+        .select(col("user_id"),
+          when(col("event_type") === "purchase", "conv")
+            .otherwise(col("event_type")).as("st"), col("rn"))
+      val ow = Window.partitionBy("user_id").orderBy("rn")
+      val p = e.select(col("user_id"), col("st"),
+        lead("st", 1).over(ow).as("nxt"),
+        row_number().over(ow).as("orn"))
+      val tr = p.where(col("st") =!= "conv")
+        .select(col("st").as("src"),
+          coalesce(col("nxt"), lit("null")).as("dst"))
+        .unionByName(p.where(col("orn") === 1)
+          .select(lit("START").as("src"), col("st").as("dst")))
+      val cnt = tr.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds five tiny frames below
+      val ch = cnt.where(col("src") =!= "START")
+        .select(col("src").as("st")).distinct()
+        .withColumn("idx",
+          row_number().over(Window.orderBy("st")).cast("long"))
+      val mRow = ch.agg((count(lit(1)) + 1).cast("long").as("m"))
+      val sidx = ch.unionByName(
+        mRow.select(lit("START").as("st"), col("m").as("idx")))
+      val grid = sidx.toDF("sa", "i").crossJoin(sidx.toDF("sb", "j"))
+        .join(cnt, col("src") === col("sa") && col("dst") === col("sb"),
+          "left")
+        .select(col("i"), col("j"), coalesce(col("c"), lit(0L)).as("c"))
+      val rows_ = grid.groupBy("i")
+        .agg(transform(sort_array(collect_list(struct(col("j"),
+          col("c")))), x => x.getField("c")).as("trrow"))
+      val trmat = rows_.agg(transform(sort_array(collect_list(
+        struct(col("i"), col("trrow")))), x => x.getField("trrow"))
+        .as("trmat"))
+      val convs = sidx.toDF("sa", "i")
+        .join(cnt.where(col("dst") === "conv"),
+          col("src") === col("sa"), "left")
+        .select(col("i"), coalesce(col("c"), lit(0L)).as("cv"))
+        .agg(transform(sort_array(collect_list(struct(col("i"),
+          col("cv")))), x => x.getField("cv")).as("convs"))
+      val tots = sidx.toDF("sa", "i")
+        .join(cnt, col("src") === col("sa"))
+        .groupBy("i").agg(sum("c").as("tot"))
+        .agg(transform(sort_array(collect_list(struct(col("i"),
+          col("tot")))), x => x.getField("tot")).as("tots"))
+      val packed = trmat.crossJoin(convs).crossJoin(tots)
+        .crossJoin(mRow)
+      val scen = ch.select(col("idx").as("cidx"),
+          col("st").as("channel"))
+        .unionByName(s.range(1).select(lit(0L).as("cidx"),
+          lit("__full__").as("channel")))
+      val fold =
+        """element_at(aggregate(sequence(1, 24),
+          |  transform(sequence(1, CAST(m AS INT)), i -> 0L),
+          |  (p, x) -> transform(sequence(1, CAST(m AS INT)), i ->
+          |    CASE WHEN i = CAST(cidx AS INT) THEN 0L ELSE
+          |      (aggregate(sequence(1, CAST(m AS INT)), 0L,
+          |        (acc, j) -> acc +
+          |          element_at(element_at(trmat, i), j) *
+          |          element_at(p, j))
+          |       + element_at(convs, i) * 1000000L)
+          |      DIV element_at(tots, i)
+          |    END)), CAST(m AS INT))""".stripMargin
+      val folded = scen.crossJoin(broadcast(packed))
+        .withColumn("p_start", expr(fold))
+        .select("cidx", "channel", "p_start")
+      val full = folded.where(col("cidx") === 0)
+        .select(col("p_start").as("p_full"))
+      val rem = folded.where(col("cidx") =!= 0)
+        .crossJoin(broadcast(full))
+        .select(col("channel"), col("p_full"),
+          col("p_start").as("p_removed"),
+          (col("p_full") - col("p_start")).as("removal"))
+      val totR = rem.agg(sum("removal").as("tr"))
+      rem.crossJoin(broadcast(totR))
+        .select(col("channel"), col("p_full").as("p_full_ppm"),
+          col("p_removed").as("p_removed_ppm"),
+          col("removal").as("removal_ppm"),
+          when(col("tr") <= 0, 0L)
+            .otherwise(expr("(removal * 1000000) DIV tr"))
+            .as("share_ppm"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296)
 }

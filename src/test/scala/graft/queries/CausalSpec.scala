@@ -18,9 +18,11 @@ class CausalSpec extends AnyFunSuite {
   private lazy val events = graft.Tables.events(spark, sf)
     .select(col("user_id"), col("event_type"),
       unix_micros(col("ts")),
-      (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+      (col("value").cast("decimal(18,6)") * 1000000).cast("long"),
+      col("event_id"))
     .collect()
-    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)))
 
   test("q288: DiD cells replay from a scalar pass") {
     val row = run("q288_did_estimate").collect().head
@@ -112,6 +114,65 @@ class CausalSpec extends AnyFunSuite {
     assert(row.getLong(2) == svAll / nEvents)
     assert(row.getLong(3) == svMatched / nMatched)
     assert(row.getLong(4) == svIps / nEvents)
+  }
+
+  test("q296: Markov attribution replays the scalar chain solve") {
+    val rows = run("q296_markov_attribution").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // journeys: per user, (ts, event_id)-ordered states up to first
+    // purchase ('conv'), else ending implicitly in 'null'
+    val journeys = events.groupBy(_._1).values.map { es =>
+      val seq = es.sortBy(e => (e._3, e._5)) // (ts, event_id)
+        .map(e => if (e._2 == "purchase") "conv" else e._2)
+      val cut = seq.indexOf("conv")
+      if (cut >= 0) seq.take(cut + 1) else seq
+    }.toSeq
+    // transition counts including START and null
+    val trans = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    for (jn <- journeys) {
+      trans(("START", jn.head)) += 1
+      for (Array(a, b) <- jn.sliding(2).map(_.toArray)
+             if a != "conv")
+        trans((a, b)) += 1
+      if (jn.last != "conv") trans((jn.last, "null")) += 1
+    }
+    val channels = trans.keys.map(_._1)
+      .filter(s => s != "START").toSeq.distinct.sorted
+    val states = channels :+ "START"
+    val m = states.length
+    def tot(s: String) = trans.collect {
+      case ((a, _), c) if a == s => c }.sum
+    def solve(clamp: Int): Long = {
+      var p = Array.fill(m)(0L)
+      for (_ <- 1 to 24) {
+        p = Array.tabulate(m) { i =>
+          if (i + 1 == clamp) 0L
+          else {
+            val s = states(i)
+            val dot = states.zipWithIndex.map { case (t, k) =>
+              trans((s, t)) * p(k) }.sum
+            (dot + trans((s, "conv")) * 1000000L) / tot(s)
+          }
+        }
+      }
+      p(m - 1)
+    }
+    val pFull = solve(0)
+    val removals = channels.zipWithIndex.map { case (c, i) =>
+      c -> (pFull - solve(i + 1)) }.toMap
+    val totR = removals.values.sum
+    for (c <- channels) {
+      val (qFull, qRem, qRemoval, qShare) = rows(c)
+      assert(qFull == pFull, s"$c full")
+      assert(qRemoval == removals(c), s"$c removal")
+      assert(qRem == pFull - removals(c))
+      assert(qShare ==
+        (if (totR <= 0) 0L else removals(c) * 1000000L / totR))
+    }
+    assert(rows.size == channels.size)
+    assert(pFull > 0 && pFull <= 1000000L)
   }
 
   test("q289: Qini deciles replay the ranked accumulation") {
