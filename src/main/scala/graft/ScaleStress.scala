@@ -731,6 +731,65 @@ object ScaleStress {
       Mat.maintainJoinView(viewJ, deltaJ, "k", dimJ, "ck").count())
     aJ.unpersist(); bJ.unpersist()
     }
+
+    if (sections("seqstats")) {
+    // --- sequence statistics (q281 eventually-follows / q284 Kendall):
+    // the claim under test is the marginal-compression boundary.
+    // Eventually-follows collapses each stream to |types| (min, max)
+    // marginals BEFORE any pair logic, so it must stay ~linear whether
+    // the corpus grows WIDE (more users) or LONG (longer streams).
+    // Kendall's pair join is quadratic IN THE STREAM LENGTH by design
+    // (bounded blocks); wide growth is linear, long growth is not —
+    // that boundary is documented on the query, and measured here.
+    import org.apache.spark.sql.expressions.Window
+    val ev0 = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id")
+    def wide(mlt: Int) = (0 until mlt).map { i =>
+      ev0.select((col("user_id") + lit(i.toLong * 1000000L))
+        .as("user_id"), col("event_type"),
+        col("ts"), (col("event_id") + lit(i.toLong * 1000000000L))
+          .as("event_id"))
+    }.reduce(_ unionByName _)
+    def long_(mlt: Int) = (0 until mlt).map { i =>
+      ev0.select(col("user_id"), col("event_type"),
+        timestamp_micros(unix_micros(col("ts")) +
+          lit(i.toLong * 40L * 86400L * 1000000L)).as("ts"),
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"))
+    }.reduce(_ unionByName _)
+    def efollows(df: DataFrame): Long = {
+      val m = df.select(col("user_id"), col("event_type"),
+          struct(col("ts"), col("event_id")).as("k"))
+        .groupBy("user_id", "event_type")
+        .agg(min("k").as("first_k"), max("k").as("last_k"))
+      val a = m.toDF("user_id", "a_type", "af", "al")
+      val b = m.toDF("user_id", "b_type", "bf", "bl")
+      a.join(b, Seq("user_id")).where(col("a_type") =!= col("b_type"))
+        .groupBy("a_type", "b_type")
+        .agg(sum(when(col("af") < col("bl"), 1L).otherwise(0L))
+          .as("support")).count()
+    }
+    def kendall(df: DataFrame): Long = {
+      val r = df.select(col("user_id"), col("event_id").as("vm"),
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")).as("rn"))
+      val a = r.toDF("user_id", "va", "ra")
+      val b = r.toDF("user_id", "vb", "rb")
+      a.join(b, Seq("user_id")).where(col("ra") < col("rb"))
+        .groupBy("user_id")
+        .agg(sum(when(col("vb") > col("va"), 1L).otherwise(0L))
+          .as("nc")).count()
+    }
+    val wBig = wide(mult).cache(); println(s"wide: ${wBig.count()} rows")
+    val lBig = long_(mult).cache(); println(s"long: ${lBig.count()} rows")
+    val base = ev0.cache(); base.count()
+    time("eventually-follows (base)")(efollows(base))
+    time("eventually-follows (wide xm)")(efollows(wBig))
+    time("eventually-follows (long xm)")(efollows(lBig))
+    time("kendall pairs (base)")(kendall(base))
+    time("kendall pairs (wide xm)")(kendall(wBig))
+    time("kendall pairs (long xm)")(kendall(lBig))
+    base.unpersist(); wBig.unpersist(); lBig.unpersist()
+    }
     spark.stop()
   }
 }
