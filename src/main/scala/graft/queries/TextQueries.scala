@@ -1763,9 +1763,95 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("c"), col("p_ppm"), col("rk"))
     })
 
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase pass a corpus card runs next to TF-IDF top terms
+    * (q57) and salient terms (q151): candidate phrases are maximal
+    * stopword-free token runs (gaps-and-islands on the token
+    * positions), each WORD scores degree/frequency (degree = summed
+    * length of phrases it appears in — co-occurrence credit), and a
+    * phrase scores the sum of its word scores. All integer: word
+    * scores ship as floor-ppm, phrase scores as their exact sum, so
+    * the top-20 ranking replays bit-for-bit. Scale shape: tokenize ->
+    * per-doc island window (bounded by doc length) -> two corpus-wide
+    * aggregates (word stats, phrase dedup) -> a 20-row final sort.
+    * The stopword list is the deliberately tiny fixed set of the
+    * q26 lang-id stance. */
+  val q298 = QueryDef.sql("q298_rake_keywords",
+    """WITH tk0 AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks) + 1),
+      |      i -> struct_pack(pos := i, w := toks[i]))) AS u
+      |  FROM (SELECT doc_id,
+      |      string_split_regex(lower(trim(text)), '\s+') AS toks
+      |    FROM documents)),
+      |tk AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM tk0
+      |  WHERE u.w <> ''),
+      |ns AS (SELECT doc_id, pos, w,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+      |      AS isl
+      |  FROM tk WHERE w NOT IN ('the', 'a', 'and', 'of', 'to', 'in',
+      |    'is', 'for', 'on', 'with')),
+      |ph AS (SELECT doc_id, isl,
+      |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+      |    CAST(count(*) AS BIGINT) AS plen
+      |  FROM ns GROUP BY 1, 2),
+      |wstat AS (SELECT ns.w, CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(ph.plen) AS BIGINT) AS deg
+      |  FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.isl = ph.isl
+      |  GROUP BY 1),
+      |wscore AS (SELECT w, (deg * 1000000) // freq AS wsc FROM wstat),
+      |pscore AS (SELECT ph.doc_id, ph.isl, ph.phrase, ph.plen,
+      |    CAST(sum(ws.wsc) AS BIGINT) AS score
+      |  FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.isl = ph.isl
+      |  JOIN wscore ws ON ns.w = ws.w
+      |  GROUP BY 1, 2, 3, 4),
+      |agg AS (SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+      |    CAST(count(*) AS BIGINT) AS n_occurrences,
+      |    CAST(max(score) AS BIGINT) AS score_ppm
+      |  FROM pscore GROUP BY 1)
+      |SELECT phrase, n_words, n_occurrences, score_ppm,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM (SELECT *, row_number() OVER (
+      |    ORDER BY score_ppm DESC, phrase) AS rk FROM agg)
+      |WHERE rk <= 20""")(
+    (s, dir) => {
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "for",
+        "on", "with")
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+"))
+            .as(Seq("p", "w")))
+        .where(col("w") =!= "")
+        .select(col("doc_id"), (col("p") + 1).as("pos"), col("w"))
+      val ns = tk.where(!col("w").isin(stop: _*))
+        .withColumn("isl", col("pos") -
+          row_number().over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy("pos")))
+      val ph = ns.groupBy("doc_id", "isl")
+        .agg(array_join(transform(sort_array(collect_list(
+            struct(col("pos"), col("w")))), x => x.getField("w")), " ")
+          .as("phrase"),
+          count(lit(1)).as("plen"))
+      val nsph = ns.join(ph, Seq("doc_id", "isl"))
+      val wscore = nsph.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("w"), expr("(deg * 1000000) DIV freq").as("wsc"))
+      val pscore = nsph.join(wscore, "w")
+        .groupBy("doc_id", "isl", "phrase", "plen")
+        .agg(sum("wsc").as("score"))
+      val agg = pscore.groupBy("phrase")
+        .agg(max("plen").as("n_words"),
+          count(lit(1)).as("n_occurrences"),
+          max("score").as("score_ppm"))
+      agg.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("score_ppm").desc, col("phrase")))
+          .cast("long"))
+        .where(col("rk") <= 20)
+        .select("phrase", "n_words", "n_occurrences", "score_ppm", "rk")
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185, q236, q259, q260, q261, q274)
+    q185, q236, q259, q260, q261, q274, q298)
 }

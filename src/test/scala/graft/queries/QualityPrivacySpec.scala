@@ -73,6 +73,44 @@ class QualityPrivacySpec extends AnyFunSuite {
     assert(rows.size == byLabel.size)
   }
 
+  test("q298: RAKE top-20 replays a scalar implementation") {
+    val got = run("q298_rake_keywords").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val stop = Set("the", "a", "and", "of", "to", "in", "is", "for",
+      "on", "with")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // phrases: maximal stopword-free runs per doc
+    val phrases = docs.flatMap { case (_, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (t <- toks) {
+        if (stop(t)) { if (cur.nonEmpty) { out += cur.toSeq; cur.clear() } }
+        else cur += t
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (p <- phrases; w <- p) { freq(w) += 1; deg(w) += p.length }
+    def wsc(w: String) = deg(w) * 1000000L / freq(w)
+    val scored = phrases.map(p => (p.mkString(" "), p.length.toLong,
+      p.map(wsc).sum))
+    val agg = scored.groupBy(_._1).map { case (ph, xs) =>
+      (ph, xs.head._2, xs.length.toLong, xs.head._3) }.toSeq
+    val want = agg.sortBy { case (ph, _, _, sc) => (-sc, ph) }
+      .take(20).zipWithIndex
+      .map { case ((ph, nw, no, sc), i) => (ph, nw, no, sc, i + 1L) }
+    assert(got.sortBy(_._5).toSeq == want)
+    assert(got.length == 20)
+  }
+
   test("q297: TV in range, urgent totals consistent, flag matches") {
     val rows = run("q297_t_closeness").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
