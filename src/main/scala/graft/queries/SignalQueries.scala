@@ -356,5 +356,104 @@ object SignalQueries {
           .as("lockstep_l1"))
     })
 
-  def all: Seq[QueryDef] = Seq(q285, q286, q287, q291)
+  /** Exact optimal L1 k-segmentation of each type's daily series —
+    * the EXACT changepoint counterpart to q204's CUSUM heuristic:
+    * for k = 1..4 segments, the minimum total within-segment L1
+    * deviation (about the exact lower median — all integer, so
+    * optimality is bit-certified against brute force in the spec),
+    * plus the optimal k=2 split day. The classic O(k*n^2) DP runs
+    * IN-ROW over the collected ~30-point series (cost matrix via
+    * nested transforms, each dp level one transform — the q291/q296
+    * fold stance): the fact-scale work is the daily aggregate,
+    * the DP is a bounded per-key tail that shards by series key at
+    * any corpus size. Reading the row: the cost curve's elbow is the
+    * natural segment count; c1 - c2 >> c2 - c3 flags one dominant
+    * regime change at split2_ed. */
+  val q299 = QueryDef.sql("q299_l1_segmentation",
+    """WITH d AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) // 1000000 AS v
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, list(v ORDER BY ed) AS la,
+      |    list(ed ORDER BY ed) AS eds,
+      |    CAST(len(list(v ORDER BY ed)) AS BIGINT) AS n
+      |  FROM d GROUP BY 1),
+      |c AS (SELECT event_type, eds, n,
+      |  list_transform(range(1, n + 1), i ->
+      |    list_transform(range(1, n + 1), j ->
+      |      CASE WHEN j >= i THEN
+      |        list_sum(list_transform(la[i:j], x ->
+      |          abs(x - list_sort(la[i:j])
+      |            [CAST((j - i + 2) // 2 AS BIGINT)])))
+      |      ELSE 0 END)) AS cost
+      |  FROM s),
+      |d1 AS (SELECT event_type, eds, n, cost,
+      |    list_transform(range(1, n + 1), j ->
+      |      CAST(cost[1][j] AS BIGINT)) AS dp1
+      |  FROM c),
+      |d2 AS (SELECT *, list_transform(range(1, n + 1), j ->
+      |    CASE WHEN j < 2 THEN CAST(1152921504606846976 AS BIGINT)
+      |    ELSE CAST(list_min(list_transform(range(2, j + 1), i ->
+      |      dp1[i - 1] + cost[i][j])) AS BIGINT) END) AS dp2 FROM d1),
+      |d3 AS (SELECT *, list_transform(range(1, n + 1), j ->
+      |    CASE WHEN j < 3 THEN CAST(1152921504606846976 AS BIGINT)
+      |    ELSE CAST(list_min(list_transform(range(2, j + 1), i ->
+      |      dp2[i - 1] + cost[i][j])) AS BIGINT) END) AS dp3 FROM d2),
+      |d4 AS (SELECT *, list_transform(range(1, n + 1), j ->
+      |    CASE WHEN j < 4 THEN CAST(1152921504606846976 AS BIGINT)
+      |    ELSE CAST(list_min(list_transform(range(2, j + 1), i ->
+      |      dp3[i - 1] + cost[i][j])) AS BIGINT) END) AS dp4 FROM d3),
+      |sp AS (SELECT *, list_transform(range(2, n + 1), i ->
+      |    CAST(dp1[i - 1] + cost[i][n] AS BIGINT)) AS spl FROM d4)
+      |SELECT event_type, n AS n_days,
+      |  dp1[n] AS c1, dp2[n] AS c2, dp3[n] AS c3, dp4[n] AS c4,
+      |  CAST(eds[CAST(list_position(spl, list_min(spl)) + 1
+      |    AS BIGINT)] AS BIGINT) AS split2_ed
+      |FROM sp""")(
+    (s, dir) => {
+      val d = daily(s, dir)
+      val ser = d.groupBy("event_type")
+        .agg(transform(sort_array(collect_list(struct(col("ed"),
+            col("v")))), x => x.getField("v")).as("la"),
+          sort_array(collect_list(col("ed"))).as("eds"),
+          count(lit(1)).as("n"))
+      val BIG = "1152921504606846976L"
+      // segment cost: L1 deviation about the exact lower median
+      val costExpr =
+        """transform(sequence(1, CAST(n AS INT)), i ->
+          |  transform(sequence(1, CAST(n AS INT)), j ->
+          |    CASE WHEN j >= i THEN
+          |      aggregate(slice(la, i, j - i + 1), 0L, (a, x) -> a +
+          |        abs(x - element_at(sort_array(slice(la, i, j - i + 1)),
+          |          CAST((j - i + 2) DIV 2 AS INT))))
+          |    ELSE 0L END))""".stripMargin
+      def lvl(prev: String, k: Int): String =
+        s"""transform(sequence(1, CAST(n AS INT)), j ->
+           |  CASE WHEN j < $k THEN $BIG
+           |  ELSE array_min(transform(sequence(2, j), i ->
+           |    element_at($prev, i - 1) +
+           |    element_at(element_at(cost, i), j))) END)""".stripMargin
+      val withDp = ser.withColumn("cost", expr(costExpr))
+        .withColumn("dp1", expr(
+          "transform(sequence(1, CAST(n AS INT)), j ->" +
+            " element_at(element_at(cost, 1), j))"))
+        .withColumn("dp2", expr(lvl("dp1", 2)))
+        .withColumn("dp3", expr(lvl("dp2", 3)))
+        .withColumn("dp4", expr(lvl("dp3", 4)))
+        .withColumn("spl", expr(
+          """transform(sequence(2, CAST(n AS INT)), i ->
+            |  element_at(dp1, i - 1) +
+            |  element_at(element_at(cost, i), CAST(n AS INT)))"""
+            .stripMargin))
+      withDp.select(col("event_type"), col("n").as("n_days"),
+        expr("element_at(dp1, CAST(n AS INT))").as("c1"),
+        expr("element_at(dp2, CAST(n AS INT))").as("c2"),
+        expr("element_at(dp3, CAST(n AS INT))").as("c3"),
+        expr("element_at(dp4, CAST(n AS INT))").as("c4"),
+        expr("element_at(eds, CAST(array_position(spl," +
+          " array_min(spl)) + 1 AS INT))").as("split2_ed"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q285, q286, q287, q291, q299)
 }

@@ -121,6 +121,40 @@ class SignalSpec extends AnyFunSuite {
     assert(checked == rows.size && checked == 10)
   }
 
+  test("q299: DP segmentation costs are brute-force optimal") {
+    val rows = run("q299_l1_segmentation").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def segCost(xs: Array[Long]): Long = {
+      val med = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      xs.map(x => math.abs(x - med)).sum
+    }
+    for ((et, xs) <- dailySeries) {
+      val n = xs.length
+      val (qn, c1, c2, c3, c4, split2) = rows(et)
+      assert(qn == n)
+      // brute force over all cut sets for k = 1..4
+      def best(k: Int): (Long, Seq[Int]) = {
+        var bc = Long.MaxValue; var bCuts = Seq.empty[Int]
+        for (cuts <- (1 until n).combinations(k - 1)) {
+          val idx = 0 +: cuts :+ n
+          val c = idx.sliding(2).map { case Seq(a, b) =>
+            segCost(xs.slice(a, b)) }.sum
+          if (c < bc) { bc = c; bCuts = cuts }
+        }
+        (bc, bCuts)
+      }
+      assert(c1 == segCost(xs))
+      assert(c2 == best(2)._1, s"$et k=2")
+      assert(c3 == best(3)._1, s"$et k=3")
+      assert(c4 == best(4)._1, s"$et k=4")
+      assert(c1 >= c2 && c2 >= c3 && c3 >= c4,
+        "cost curve must be non-increasing in k")
+      // split2_ed is a real observed day
+      assert(split2 >= 0)
+    }
+  }
+
   test("q287: Haar energies replay and satisfy integer Parseval") {
     val rows = run("q287_haar_energy").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
