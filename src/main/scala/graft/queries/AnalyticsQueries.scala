@@ -791,16 +791,20 @@ object AnalyticsQueries {
           .select(explode(graft.functions.PairExpressions
             .pairArray(col("parts"))).as("p"))
           .select(col("p.id1").as("u"), col("p.id2").as("v"))
+        // one eager edge derivation feeds BOTH the seed pick and the
+        // operator (which re-canonicalizes resident blocks cheaply) —
+        // without it the groupBy+pairArray explode runs twice
         val canonE = edges.where(col("u") =!= col("v"))
           .select(least(col("u"), col("v")).as("u"),
             greatest(col("u"), col("v")).as("v")).distinct()
+          .localCheckpoint(true)
         val deg = canonE
           .unionByName(canonE.select(col("v").as("u"), col("u").as("v")))
           .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
         val seeds = deg.orderBy(col("deg").desc, col("id")).limit(2)
           .select(col("id"))
         graft.operators.Graph.personalizedPageRankScaled(
-            edges, "u", "v", seeds, "id", iterations = 3, scale = scale)
+            canonE, "u", "v", seeds, "id", iterations = 3, scale = scale)
           .where(col("ppr_scaled") > 0)
       })
   }
@@ -1512,22 +1516,29 @@ object AnalyticsQueries {
     * count-then-dial stance as the Graph operators). */
   val q268 = QueryDef.sql("q268_hits_scores", hitsOracle)(
     (s, dir) => {
+      // EAGER materialization per half-round (the round-5 iterative-op
+      // lesson, q104/q115): without it every max() collect and every
+      // broadcast build re-executes the whole prior lineage — 8
+      // half-rounds re-deriving each other quadratically (measured
+      // 25 s -> ~2 s at sf0.1 for identical results)
       val e = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-        .agg(count(lit(1)).as("w")).cache()
+        .agg(count(lit(1)).as("w")).localCheckpoint(true)
       var h = e.select("cust").distinct()
-        .withColumn("hv", lit(1000L))
+        .withColumn("hv", lit(1000L)).localCheckpoint(true)
       var a: org.apache.spark.sql.DataFrame = null
       for (_ <- 1 to 4) {
         val ar = e.join(broadcast(h), "cust")
           .groupBy("part").agg(sum(col("w") * col("hv")).as("raw"))
+          .localCheckpoint(true)
         val amax = ar.agg(max("raw")).collect()(0).getLong(0)
         a = ar.select(col("part"),
           expr(s"(raw * 1000) DIV ${amax}L").as("av"))
         val hr = e.join(broadcast(a), "part")
           .groupBy("cust").agg(sum(col("w") * col("av")).as("raw"))
+          .localCheckpoint(true)
         val hmax = hr.agg(max("raw")).collect()(0).getLong(0)
         h = hr.select(col("cust"),
           expr(s"(raw * 1000) DIV ${hmax}L").as("hv"))
