@@ -809,6 +809,96 @@ object AnalyticsQueries {
       })
   }
 
+  /** Attribute modularity of the co-purchase graph partitioned by
+    * part BRAND — "do co-purchases concentrate within brands?", the
+    * community-quality score (Newman's Q) evaluated on a label
+    * partition instead of a detected one (the complement of q253's
+    * degree assortativity and q115's propagation labels). Exact
+    * integer form on the common denominator 4m^2: each community
+    * contributes floor-ppm of (4m*e_c - d_c^2) / 4m^2, where e_c =
+    * in-community edges and d_c = summed member degrees; the shipped
+    * Q is the sum of the floored contributions (deterministic,
+    * documented — the floor error is < |communities| ppm). Positive
+    * contribution = denser than the degree-preserving random
+    * expectation. Scale shape: one edge derivation, two broadcast
+    * brand joins, |brands|-row tails; BIGINT holds to ~2M edges, the
+    * documented upgrade past that is DECIMAL(38,0) numerators. */
+  val q300 = QueryDef.sql("q300_brand_modularity",
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS dg
+      |  FROM sym GROUP BY 1),
+      |bu AS (SELECT p_partkey, p_brand FROM part),
+      |nodes AS (SELECT deg.id, deg.dg, bu.p_brand AS brand
+      |  FROM deg JOIN bu ON deg.id = bu.p_partkey),
+      |dcs AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(dg) AS BIGINT) AS d_c
+      |  FROM nodes GROUP BY 1),
+      |ein AS (SELECT a.p_brand AS brand, CAST(count(*) AS BIGINT)
+      |      AS e_in
+      |  FROM e JOIN bu a ON e.u = a.p_partkey
+      |  JOIN bu b ON e.v = b.p_partkey
+      |  WHERE a.p_brand = b.p_brand GROUP BY 1),
+      |contrib AS (SELECT dcs.brand, dcs.n_nodes, dcs.d_c,
+      |    coalesce(ein.e_in, 0) AS e_in,
+      |    (CASE WHEN (4 * m.m * coalesce(ein.e_in, 0) - dcs.d_c * dcs.d_c)
+      |        >= 0
+      |      THEN (4 * m.m * coalesce(ein.e_in, 0) - dcs.d_c * dcs.d_c)
+      |        * 1000000 // (4 * m.m * m.m)
+      |      ELSE -((-(4 * m.m * coalesce(ein.e_in, 0)
+      |          - dcs.d_c * dcs.d_c) * 1000000
+      |        + 4 * m.m * m.m - 1) // (4 * m.m * m.m)) END)
+      |      AS contrib_ppm
+      |  FROM dcs LEFT JOIN ein ON dcs.brand = ein.brand, m)
+      |SELECT brand, n_nodes, e_in, d_c, contrib_ppm,
+      |  (SELECT CAST(sum(contrib_ppm) AS BIGINT) FROM contrib)
+      |    AS q_total_ppm
+      |FROM contrib""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val e = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .where(size(col("parts")) >= 2)
+        .select(explode(graft.functions.PairExpressions
+          .pairArray(col("parts"))).as("p"))
+        .select(col("p.id1").as("u"), col("p.id2").as("v"))
+        .distinct()
+        .localCheckpoint(true) // m, deg and e_in all read it
+      val mVal = e.count()
+      val sym = e.unionByName(e.select(col("v").as("u"),
+        col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("id"))
+        .agg(count(lit(1)).as("dg"))
+      val bu = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))
+      val nodes = deg.join(broadcast(bu),
+        deg("id") === bu("p_partkey"))
+      val dcs = nodes.groupBy("p_brand")
+        .agg(count(lit(1)).as("n_nodes"), sum("dg").as("d_c"))
+        .withColumnRenamed("p_brand", "brand")
+      val ein = e
+        .join(broadcast(bu.toDF("pa", "ba")), col("u") === col("pa"))
+        .join(broadcast(bu.toDF("pb", "bb")), col("v") === col("pb"))
+        .where(col("ba") === col("bb"))
+        .groupBy(col("ba").as("brand"))
+        .agg(count(lit(1)).as("e_in"))
+      val num = s"(4 * ${mVal}L * e_in - d_c * d_c) * 1000000"
+      val den = s"(4 * ${mVal}L * ${mVal}L)"
+      val contrib = dcs.join(ein, Seq("brand"), "left")
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .withColumn("contrib_ppm", expr(
+          s"CASE WHEN $num >= 0 THEN $num DIV $den" +
+            s" ELSE -((-($num) + $den - 1) DIV $den) END"))
+      val tot = contrib.agg(sum("contrib_ppm").as("q_total_ppm"))
+      contrib.crossJoin(broadcast(tot))
+        .select("brand", "n_nodes", "e_in", "d_c", "contrib_ppm",
+          "q_total_ppm")
+    })
+
   /** Pearson correlation from EXACT moments: the five sums accumulate
     * as decimals (order-exact across any shuffle), cast to double once
     * (correctly rounded on both engines), and the closed form runs the
@@ -1578,5 +1668,5 @@ object AnalyticsQueries {
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189, q220, q245, q253, q257, q268, q278, q290)
+    q167, q189, q220, q245, q253, q257, q268, q278, q290, q300)
 }

@@ -111,6 +111,48 @@ class QualityPrivacySpec extends AnyFunSuite {
     assert(got.length == 20)
   }
 
+  test("q300: modularity replays from a scalar edge scan") {
+    val rows = run("q300_brand_modularity").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brand = graft.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = li.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val m = edges.size.toLong
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((u, v) <- edges) { deg(u) += 1; deg(v) += 1 }
+    val dC = deg.groupBy { case (id, _) => brand(id) }.view
+      .mapValues(_.values.sum).toMap
+    val eIn = edges.toSeq.groupBy { case (u, v) =>
+      (brand(u), brand(v)) }.collect {
+      case ((a, b), es) if a == b => a -> es.size.toLong }.toMap
+    var qTot = 0L
+    val expect = dC.map { case (b, d) =>
+      val e = eIn.getOrElse(b, 0L)
+      val c = Math.floorDiv((4 * m * e - d * d) * 1000000L, 4 * m * m)
+      qTot += c
+      b -> (e, d, c)
+    }
+    assert(rows.map(_._1).toSet == expect.keySet)
+    for ((b, (nN, e, d, c, qt)) <- rows) {
+      val (we, wd, wc) = expect(b)
+      assert((e, d, c) == ((we, wd, wc)), b)
+      assert(qt == qTot)
+      assert(nN > 0)
+    }
+    assert(dC.values.sum == 2 * m, "sum of community degrees = 2m")
+    assert(eIn.values.sum <= m)
+  }
+
   test("q297: TV in range, urgent totals consistent, flag matches") {
     val rows = run("q297_t_closeness").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
