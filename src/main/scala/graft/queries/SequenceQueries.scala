@@ -613,6 +613,112 @@ object SequenceQueries {
         .select(col("event_type"), col("d"), col("by").as("p95_micro"))
     })
 
+  /** Process-mining VARIANT analysis: each user's journey signature
+    * (event-type initials in (ts, event_id) order, capped at the
+    * first 30 events — the q271 bounded-signature stance) grouped
+    * into variants, top-10 by user count with cumulative coverage in
+    * floor-ppm. The table a process-mining tool opens with: how many
+    * distinct behaviors exist and how much traffic the head covers
+    * (next to q281's eventually-follows relation and q97's session
+    * paths, which summarize EDGES — variants keep whole paths).
+    * Shape: one per-user window chain -> one signature aggregate ->
+    * a 10-row tail. */
+  val q301 = QueryDef.sql("q301_journey_variants",
+    """WITH r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |sig AS (SELECT user_id,
+      |    string_agg(substring(event_type, 1, 1), '' ORDER BY rn)
+      |      AS sig
+      |  FROM r WHERE rn <= 30 GROUP BY 1),
+      |v AS (SELECT sig, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM sig GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot,
+      |    CAST(count(*) AS BIGINT) AS n_variants FROM v),
+      |rk AS (SELECT sig, n_users,
+      |    CAST(row_number() OVER (ORDER BY n_users DESC, sig)
+      |      AS BIGINT) AS rk,
+      |    CAST(sum(n_users) OVER (ORDER BY n_users DESC, sig
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM v)
+      |SELECT rk.rk, rk.sig AS variant, rk.n_users, t.n_variants,
+      |  (rk.cum * 1000000) // t.tot AS coverage_ppm
+      |FROM rk, t WHERE rk.rk <= 10""")(
+    (s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sig = Tables.events(s, dir)
+        .select(col("user_id"),
+          substring(col("event_type"), 1, 1).as("ini"),
+          row_number().over(ord).as("rn"))
+        .where(col("rn") <= 30)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("ini")))),
+          x => x.getField("ini")), "").as("sig"))
+      val v = sig.groupBy("sig").agg(count(lit(1)).as("n_users"))
+      val t = v.agg(sum("n_users").as("tot"),
+        count(lit(1)).as("n_variants"))
+      val w = Window.orderBy(col("n_users").desc, col("sig"))
+      v.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("n_users").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("rk") <= 10)
+        .crossJoin(broadcast(t))
+        .select(col("rk"), col("sig").as("variant"), col("n_users"),
+          col("n_variants"),
+          expr("(cum * 1000000) DIV tot").as("coverage_ppm"))
+    })
+
+  /** Latency-annotated directly-follows graph — the performance view
+    * of q95's transition counts: for each adjacent event-type pair in
+    * the per-user stream, the exact lower-median and exact discrete
+    * p90 of the transition gap in integer microseconds (rank
+    * selection on the per-pair window — no interpolation, no floats,
+    * the q156 percentile_disc stance). Reading it: hot edges with
+    * high median gaps are the pipeline's wait states. Shape: one
+    * per-user lead() chain -> per-pair windows bounded by the pair's
+    * transition count -> |pairs| rows. */
+  val q302 = QueryDef.sql("q302_dfg_latency",
+    """WITH p AS (SELECT user_id, event_type AS src, ts, event_id,
+      |    lead(event_type) OVER w AS dst,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (SELECT src, dst, gap_us,
+      |    row_number() OVER (PARTITION BY src, dst
+      |      ORDER BY gap_us, user_id, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY src, dst) AS n
+      |  FROM p WHERE dst IS NOT NULL)
+      |SELECT src, dst, CAST(max(n) AS BIGINT) AS n_transitions,
+      |  CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap_us END)
+      |    AS BIGINT) AS median_gap_us,
+      |  CAST(max(CASE WHEN rk = (n * 9 + 9) // 10 THEN gap_us END)
+      |    AS BIGINT) AS p90_gap_us
+      |FROM g GROUP BY 1, 2""")(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val p = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"),
+          col("event_id"),
+          unix_micros(col("ts")).as("tu"),
+          lead(col("event_type"), 1).over(w).as("dst"),
+          (unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts"))).as("gap_us"))
+        .where(col("dst").isNotNull)
+      val pw = Window.partitionBy("src", "dst")
+      val g = p.select(col("src"), col("dst"), col("gap_us"),
+        row_number().over(pw.orderBy("gap_us", "user_id", "event_id"))
+          .as("rk"),
+        count(lit(1)).over(pw).as("n"))
+      g.groupBy("src", "dst").agg(
+        max("n").as("n_transitions"),
+        max(when(col("rk") === expr("(n + 1) DIV 2"), col("gap_us")))
+          .as("median_gap_us"),
+        max(when(col("rk") === expr("(n * 9 + 9) DIV 10"),
+          col("gap_us"))).as("p90_gap_us"))
+    })
+
   val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272,
-    q275, q276, q277)
+    q275, q276, q277, q301, q302)
 }

@@ -73,10 +73,10 @@ class RankMetricsSpec extends AnyFunSuite {
   private lazy val events = graft.Tables.events(spark, sf)
     .select(col("event_type"), col("user_id"),
       (col("value").cast("decimal(18,6)") * 1000000).cast("long"),
-      col("ts"), col("event_id"))
+      unix_micros(col("ts")), col("event_id"))
     .collect()
     .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-      r.getTimestamp(3).getTime, r.getLong(4)))
+      r.getLong(3), r.getLong(4)))
 
   test("q283: Spearman rho matches scratch rankings (and is in range)") {
     val rows = run("q283_spearman_drift").collect()
@@ -97,6 +97,45 @@ class RankMetricsSpec extends AnyFunSuite {
       assert(rho == Math.floorDiv((dd - 6 * s) * 1000000L, dd))
       assert(rho >= -1000000L && rho <= 1000000L)
     }
+  }
+
+  test("q301/q302: variants and DFG latency replay from scalar streams") {
+    val variants = run("q301_journey_variants").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byUser = events.groupBy(_._2)
+    val sigs = byUser.values.map { es =>
+      es.sortBy(e => (e._4, e._5)).take(30).map(_._1.take(1)).mkString
+    }.toSeq
+    val vc = sigs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (s, n) => (-n, s) }
+    val tot = sigs.size.toLong
+    var cum = 0L
+    val want = vc.take(10).zipWithIndex.map { case ((sg, n), i) =>
+      cum += n
+      (i + 1L, sg, n, vc.size.toLong, cum * 1000000L / tot)
+    }
+    assert(variants.sortBy(_._1).toSeq == want)
+
+    val dfg = run("q302_dfg_latency").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val gaps = scala.collection.mutable
+      .Map.empty[(String, String), Vector[Long]].withDefaultValue(Vector())
+    for (es <- byUser.values) {
+      val seq = es.sortBy(e => (e._4, e._5))
+      for (Seq(a, b) <- seq.sliding(2).map(_.toSeq) if seq.length > 1)
+        gaps((a._1, b._1)) :+= (b._4 - a._4)
+    }
+    for ((k, gs) <- gaps) {
+      val sorted = gs.sorted
+      val n = sorted.length
+      val (qn, med, p90) = dfg(k)
+      assert(qn == n, k)
+      assert(med == sorted((n + 1) / 2 - 1), k)
+      assert(p90 == sorted(((n * 9 + 9) / 10 - 1).toInt), k)
+    }
+    assert(dfg.keySet == gaps.keySet)
   }
 
   test("q284: Kendall counts equal the brute-force pair scan") {
