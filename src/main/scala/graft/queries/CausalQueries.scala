@@ -528,5 +528,117 @@ object CausalQueries {
             .as("share_ppm"))
     })
 
-  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296)
+  /** Randomization test for q288's DiD estimate — is the observed
+    * difference-in-differences distinguishable from cohort-label
+    * noise? 64 deterministic re-randomizations of the treated flag
+    * (md5(user|b) parity, the q196/q202 replicate recipe) each
+    * produce a placebo DiD from the same 2x2 floor-mean machinery;
+    * the p-value is the fraction of placebo |DiD| >= |observed DiD|,
+    * shipped in floor-ppm along with the placebo extremes. All
+    * integer, so the whole test replays in DuckDB. Shape: ONE
+    * 64-way explode of the fact table (6.4M rows at sf0.1) into a
+    * 64 x 4-cell aggregate — the permutation loop is data
+    * parallelism, not a driver loop. Note: re-randomization, not an
+    * exact size-preserving permutation — the standard approximation,
+    * documented. */
+  val q304 = QueryDef.sql("q304_did_permutation",
+    """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+      |    AS mid FROM events),
+      |s AS (SELECT user_id FROM events e, m
+      |  WHERE e.event_type = 'error' AND epoch_us(e.ts) < m.mid
+      |  GROUP BY user_id HAVING count(*) >= 7),
+      |b AS (SELECT e.user_id,
+      |    CASE WHEN s.user_id IS NULL THEN 0 ELSE 1 END AS treated,
+      |    CASE WHEN epoch_us(e.ts) < m.mid THEN 0 ELSE 1 END AS post,
+      |    CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |      AS vm
+      |  FROM events e LEFT JOIN s ON e.user_id = s.user_id, m
+      |  WHERE e.event_type <> 'error'),
+      |obs AS (SELECT
+      |    (coalesce(max(CASE WHEN treated = 1 AND post = 1 THEN mm END), 0)
+      |     - coalesce(max(CASE WHEN treated = 1 AND post = 0 THEN mm END), 0))
+      |    - (coalesce(max(CASE WHEN treated = 0 AND post = 1 THEN mm END), 0)
+      |     - coalesce(max(CASE WHEN treated = 0 AND post = 0 THEN mm END), 0))
+      |      AS did
+      |  FROM (SELECT treated, post,
+      |      CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mm
+      |    FROM b GROUP BY 1, 2)),
+      |r AS (SELECT g.pb,
+      |    CASE WHEN ('0x' || substring(md5(CAST(b.user_id AS VARCHAR)
+      |        || '|' || CAST(g.pb AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 1 ELSE 0 END AS rt,
+      |    b.post, b.vm
+      |  FROM b CROSS JOIN generate_series(1, 64) g(pb)),
+      |dids AS (SELECT pb,
+      |    (coalesce(max(CASE WHEN rt = 1 AND post = 1 THEN mm END), 0)
+      |     - coalesce(max(CASE WHEN rt = 1 AND post = 0 THEN mm END), 0))
+      |    - (coalesce(max(CASE WHEN rt = 0 AND post = 1 THEN mm END), 0)
+      |     - coalesce(max(CASE WHEN rt = 0 AND post = 0 THEN mm END), 0))
+      |      AS did_b
+      |  FROM (SELECT pb, rt, post,
+      |      CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mm
+      |    FROM r GROUP BY 1, 2, 3) GROUP BY pb)
+      |SELECT obs.did AS did_obs_micro,
+      |  CAST(count(*) AS BIGINT) AS n_perms,
+      |  CAST(sum(CASE WHEN abs(did_b) >= abs(obs.did) THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_extreme,
+      |  (CAST(sum(CASE WHEN abs(did_b) >= abs(obs.did) THEN 1 ELSE 0
+      |    END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+      |    AS p_ppm,
+      |  CAST(max(abs(did_b)) AS BIGINT) AS max_placebo_micro
+      |FROM dids, obs GROUP BY obs.did""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+          .as("mid"))
+      val treated = ev.where(col("event_type") === "error")
+        .crossJoin(broadcast(mid))
+        .where(unix_micros(col("ts")) < col("mid"))
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 7)
+        .select(col("user_id"), lit(1L).as("tflag"))
+      val b = ev.where(col("event_type") =!= "error")
+        .join(broadcast(treated), Seq("user_id"), "left")
+        .crossJoin(broadcast(mid))
+        .select(col("user_id"),
+          coalesce(col("tflag"), lit(0L)).as("treated"),
+          when(unix_micros(col("ts")) < col("mid"), 0L).otherwise(1L)
+            .as("post"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            .as("vm"))
+        .localCheckpoint(true) // observed cells AND the 64-way explode
+      def didOf(df: org.apache.spark.sql.DataFrame, flag: String,
+                extra: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val cells = df.groupBy((extra :+ flag :+ "post").map(col): _*)
+          .agg(expr("CAST(sum(vm) AS BIGINT) DIV count(*)").as("mm"))
+        def cell(t: Int, p: Int) = coalesce(
+          max(when(col(flag) === t && col("post") === p, col("mm"))),
+          lit(0L))
+        val g = if (extra.isEmpty) cells.groupBy(lit(1).as("__g"))
+          else cells.groupBy(extra.map(col): _*)
+        g.agg(((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)))
+          .as("did"))
+      }
+      val obs = didOf(b, "treated", Nil).select(col("did"))
+      val perms = b.crossJoin(broadcast(
+          s.range(1, 65).select(col("id").as("pb"))))
+        .withColumn("rt",
+          when(conv(substring(md5(concat(col("user_id").cast("string"),
+            lit("|"), col("pb").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 2 === 0, 1L).otherwise(0L))
+      val dids = didOf(perms, "rt", Seq("pb"))
+        .select(col("did").as("did_b"))
+      dids.crossJoin(broadcast(obs))
+        .agg(max(col("did")).as("did_obs_micro"),
+          count(lit(1)).as("n_perms"),
+          sum(when(abs(col("did_b")) >= abs(col("did")), 1L)
+            .otherwise(0L)).as("n_extreme"),
+          max(abs(col("did_b"))).as("max_placebo_micro"))
+        .select(col("did_obs_micro"), col("n_perms"), col("n_extreme"),
+          expr("(n_extreme * 1000000) DIV n_perms").as("p_ppm"),
+          col("max_placebo_micro"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296, q304)
 }

@@ -319,5 +319,62 @@ object QualityQueries {
         sum("digit_heavy").as("digit_heavy_docs"))
     })
 
-  val all: Seq[QueryDef] = Seq(q165, q166, q228, q229, q294)
+  /** Metadata-conflict audit over exact-duplicate clusters — the
+    * survivorship (q93) pre-flight: byte-identical texts SHOULD agree
+    * on their metadata; clusters that disagree on source or language
+    * are where "keep the canonical doc" silently picks a winner. Per
+    * multi-doc md5 cluster: sizes and distinct source/lang counts;
+    * plus a single summary row (cluster = 'TOTAL') with corpus-level
+    * conflict rates in floor-ppm. One scan, one md5 groupBy, one
+    * bounded summary — the cheap audit a curation funnel runs before
+    * committing a dedup pass. */
+  val q303 = QueryDef.sql("q303_cluster_conflicts",
+    """WITH c AS (SELECT md5(text) AS h,
+      |    CAST(count(*) AS BIGINT) AS sz,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+      |    min(doc_id) AS canon
+      |  FROM documents GROUP BY 1),
+      |multi AS (SELECT * FROM c WHERE sz >= 2),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_multi,
+      |    CAST(coalesce(sum(CASE WHEN n_src > 1 THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS src_conf,
+      |    CAST(coalesce(sum(CASE WHEN n_lang > 1 THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS lang_conf
+      |  FROM multi)
+      |SELECT CAST(canon AS VARCHAR) AS cluster, sz, n_src, n_lang
+      |FROM multi
+      |UNION ALL
+      |SELECT 'TOTAL', s.n_multi,
+      |  CASE WHEN s.n_multi = 0 THEN 0
+      |    ELSE (s.src_conf * 1000000) // s.n_multi END,
+      |  CASE WHEN s.n_multi = 0 THEN 0
+      |    ELSE (s.lang_conf * 1000000) // s.n_multi END
+      |FROM s""")(
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("source")).as("n_src"),
+          countDistinct(col("lang")).as("n_lang"),
+          min("doc_id").as("canon"))
+      val multi = c.where(col("sz") >= 2)
+      val sm = multi.agg(count(lit(1)).as("n_multi"),
+        coalesce(sum(when(col("n_src") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("src_conf"),
+        coalesce(sum(when(col("n_lang") > 1, 1L).otherwise(0L)),
+          lit(0L)).as("lang_conf"))
+      multi.select(col("canon").cast("string").as("cluster"),
+          col("sz"), col("n_src"), col("n_lang"))
+        .unionByName(sm.select(lit("TOTAL").as("cluster"),
+          col("n_multi").as("sz"),
+          when(col("n_multi") === 0, 0L)
+            .otherwise(expr("(src_conf * 1000000) DIV n_multi"))
+            .as("n_src"),
+          when(col("n_multi") === 0, 0L)
+            .otherwise(expr("(lang_conf * 1000000) DIV n_multi"))
+            .as("n_lang")))
+    })
+
+  val all: Seq[QueryDef] = Seq(q165, q166, q228, q229, q294, q303)
 }

@@ -175,6 +175,40 @@ class CausalSpec extends AnyFunSuite {
     assert(pFull > 0 && pFull <= 1000000L)
   }
 
+  test("q304: randomization test replays scalar placebo DiDs") {
+    val row = run("q304_did_permutation").collect().head
+    val mid = Math.floorDiv(
+      events.map(_._3).min + events.map(_._3).max, 2L)
+    val treated = events
+      .filter(e => e._2 == "error" && e._3 < mid)
+      .groupBy(_._1).collect { case (u, es) if es.length >= 7 => u }
+      .toSet
+    val base = events.filterNot(_._2 == "error")
+      .map(e => (e._1, e._3 >= mid, e._4))
+    def did(flagOf: Long => Boolean): Long = {
+      val cells = base.groupBy(e => (flagOf(e._1), e._2))
+      def mm(t: Boolean, p: Boolean) = cells.get((t, p))
+        .map(es => Math.floorDiv(es.map(_._3).sum, es.length.toLong))
+        .getOrElse(0L)
+      (mm(t = true, p = true) - mm(t = true, p = false)) -
+        (mm(t = false, p = true) - mm(t = false, p = false))
+    }
+    val obs = did(treated.contains)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def parity(u: Long, b: Long): Boolean = {
+      val hex = md.digest(s"$u|$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val placebos = (1L to 64L).map(b => did(u => parity(u, b)))
+    val nExtreme = placebos.count(p => math.abs(p) >= math.abs(obs))
+    assert(row.getLong(0) == obs)
+    assert(row.getLong(1) == 64L)
+    assert(row.getLong(2) == nExtreme)
+    assert(row.getLong(3) == nExtreme * 1000000L / 64L)
+    assert(row.getLong(4) == placebos.map(math.abs).max)
+  }
+
   test("q289: Qini deciles replay the ranked accumulation") {
     val rows = run("q289_qini_deciles").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),

@@ -111,6 +111,38 @@ class QualityPrivacySpec extends AnyFunSuite {
     assert(got.length == 20)
   }
 
+  test("q303: conflict audit agrees with a scalar duplicate scan") {
+    val rows = run("q303_cluster_conflicts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val clusters = docs.groupBy(_._2).values.filter(_.length >= 2).toSeq
+    val total = rows.filter(_._1 == "TOTAL")
+    assert(total.length == 1)
+    val (_, nMulti, srcPpm, langPpm) = total.head
+    assert(nMulti == clusters.size)
+    if (clusters.isEmpty) {
+      assert(srcPpm == 0 && langPpm == 0 && rows.length == 1)
+    } else {
+      val srcConf = clusters.count(_.map(_._3).distinct.length > 1)
+      val langConf = clusters.count(_.map(_._4).distinct.length > 1)
+      assert(srcPpm == srcConf * 1000000L / clusters.size)
+      assert(langPpm == langConf * 1000000L / clusters.size)
+      val perCluster = rows.filterNot(_._1 == "TOTAL")
+      assert(perCluster.length == clusters.size)
+      for (c <- clusters) {
+        val canon = c.map(_._1).min.toString
+        val r = perCluster.find(_._1 == canon).get
+        assert(r._2 == c.length)
+        assert(r._3 == c.map(_._3).distinct.length)
+        assert(r._4 == c.map(_._4).distinct.length)
+      }
+    }
+  }
+
   test("q300: modularity replays from a scalar edge scan") {
     val rows = run("q300_brand_modularity").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
