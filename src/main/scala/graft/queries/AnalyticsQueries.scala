@@ -899,6 +899,63 @@ object AnalyticsQueries {
           "q_total_ppm")
     })
 
+  /** Capture-recapture population estimate (Chapman's bias-corrected
+    * Lincoln–Petersen): how many distinct users does the platform
+    * REALLY have, estimated from two independent observation windows
+    * — the first and last 7 days of the stream — as
+    * (n1+1)(n2+1)/(m+1) - 1 where m = users seen in both. The
+    * estimator every dedup/reach methodology is built on, here in
+    * exact integer floor arithmetic, shipped NEXT TO the true
+    * distinct count (knowable in this corpus) so the estimator's
+    * bias is itself part of the audit. Shape: two filtered distinct
+    * aggregates + one semi-join-sized intersection; a single row
+    * out. */
+  val q306 = QueryDef.sql("q306_capture_recapture",
+    """WITH b AS (SELECT min(date_diff('day', DATE '1970-01-01',
+      |      CAST(ts AS DATE))) AS d0,
+      |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+      |      AS d1
+      |  FROM events),
+      |w1 AS (SELECT DISTINCT user_id FROM events, b
+      |  WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |    <= b.d0 + 6),
+      |w2 AS (SELECT DISTINCT user_id FROM events, b
+      |  WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |    >= b.d1 - 6),
+      |s AS (SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM w1) AS n1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM w2) AS n2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM w1
+      |      JOIN w2 ON w1.user_id = w2.user_id) AS m,
+      |    (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+      |      FROM events) AS true_n)
+      |SELECT n1, n2, m,
+      |  ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_est,
+      |  true_n
+      |FROM s""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val days = ev.select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ed"))
+      val b = days.agg(min("ed").as("d0"), max("ed").as("d1"))
+      val tagged = days.crossJoin(broadcast(b))
+      val w1 = tagged.where(col("ed") <= col("d0") + 6)
+        .select("user_id").distinct()
+      val w2 = tagged.where(col("ed") >= col("d1") - 6)
+        .select("user_id").distinct()
+      val a1 = w1.agg(count(lit(1)).as("n1"))
+      val a2 = w2.agg(count(lit(1)).as("n2"))
+      val am = w1.join(w2, "user_id").agg(count(lit(1)).as("m"))
+      val tn = ev.select("user_id").distinct()
+        .agg(count(lit(1)).as("true_n"))
+      a1.crossJoin(a2).crossJoin(am).crossJoin(tn)
+        .select(col("n1"), col("n2"), col("m"),
+          expr("((n1 + 1) * (n2 + 1)) DIV (m + 1) - 1")
+            .as("chapman_est"),
+          col("true_n"))
+    })
+
   /** Pearson correlation from EXACT moments: the five sums accumulate
     * as decimals (order-exact across any shuffle), cast to double once
     * (correctly rounded on both engines), and the closed form runs the
@@ -1668,5 +1725,5 @@ object AnalyticsQueries {
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
-    q167, q189, q220, q245, q253, q257, q268, q278, q290, q300)
+    q167, q189, q220, q245, q253, q257, q268, q278, q290, q300, q306)
 }

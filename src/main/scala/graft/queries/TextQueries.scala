@@ -1763,6 +1763,53 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("c"), col("p_ppm"), col("rk"))
     })
 
+  /** Vocabulary richness and coverage estimation per source — the
+    * capture-recapture statistics a corpus-growth plan runs before
+    * buying more data: observed vocabulary, Good–Turing coverage
+    * (1 - singletons/tokens: how much probability mass belongs to
+    * words never seen) and the Chao1 richness estimator
+    * (V + n1^2/2n2, with the standard n1(n1-1)/2 bias correction
+    * when no doubletons exist) — "how many distinct words does this
+    * source REALLY have". All exact integers from count-of-counts,
+    * floor-ppm coverage. Shape: tokenize -> (source, word) count ->
+    * count-of-counts — two hash aggregates with map-side combine,
+    * the canonical two-level shape that scales to any corpus. */
+  val q305 = QueryDef.sql("q305_vocab_richness",
+    """WITH tok AS (SELECT source, t AS w FROM (
+      |    SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS t
+      |    FROM documents) WHERE t <> ''),
+      |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(count(*) AS BIGINT) AS v_obs,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM wc GROUP BY 1)
+      |SELECT source, v_obs, n_tokens, n1, n2,
+      |  v_obs + CASE WHEN n2 = 0 THEN (n1 * (n1 - 1)) // 2
+      |    ELSE (n1 * n1) // (2 * n2) END AS chao1,
+      |  1000000 - (n1 * 1000000) // n_tokens AS coverage_ppm
+      |FROM st""")(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      val wc = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("source").agg(
+          count(lit(1)).as("v_obs"), sum("c").as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("v_obs"), col("n_tokens"),
+          col("n1"), col("n2"),
+          (col("v_obs") + when(col("n2") === 0,
+            expr("(n1 * (n1 - 1)) DIV 2"))
+            .otherwise(expr("(n1 * n1) DIV (2 * n2)"))).as("chao1"),
+          (lit(1000000L) - expr("(n1 * 1000000) DIV n_tokens"))
+            .as("coverage_ppm"))
+    })
+
   /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
     * keyphrase pass a corpus card runs next to TF-IDF top terms
     * (q57) and salient terms (q151): candidate phrases are maximal
@@ -1853,5 +1900,5 @@ object TextQueries {
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185, q236, q259, q260, q261, q274, q298)
+    q185, q236, q259, q260, q261, q274, q298, q305)
 }

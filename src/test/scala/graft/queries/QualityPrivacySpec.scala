@@ -143,6 +143,46 @@ class QualityPrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("q305/q306: richness and capture-recapture replay scalar counts") {
+    val rich = run("q305_vocab_richness").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for ((src, ds) <- docs.groupBy(_._1)) {
+      val words = ds.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .filter(_.nonEmpty)
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong)
+      val v = wc.size.toLong
+      val n = words.length.toLong
+      val n1 = wc.count(_._2 == 1L).toLong
+      val n2 = wc.count(_._2 == 2L).toLong
+      val chao = v + (if (n2 == 0) n1 * (n1 - 1) / 2
+        else n1 * n1 / (2 * n2))
+      val (qv, qn, q1, q2, qc, cov) = rich(src)
+      assert((qv, qn, q1, q2, qc) == ((v, n, n1, n2, chao)), src)
+      assert(cov == 1000000L - n1 * 1000000L / n)
+      assert(qc >= qv, "Chao1 never below the observed vocabulary")
+      assert(cov >= 0 && cov <= 1000000L)
+    }
+    val cap = run("q306_capture_recapture").collect().head
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val w1 = ev.filter(_._2 <= d0 + 6).map(_._1).toSet
+    val w2 = ev.filter(_._2 >= d1 - 6).map(_._1).toSet
+    val m = (w1 & w2).size.toLong
+    assert(cap.getLong(0) == w1.size && cap.getLong(1) == w2.size)
+    assert(cap.getLong(2) == m)
+    assert(cap.getLong(3) ==
+      (w1.size + 1L) * (w2.size + 1L) / (m + 1L) - 1L)
+    assert(cap.getLong(4) == ev.map(_._1).distinct.length)
+  }
+
   test("q300: modularity replays from a scalar edge scan") {
     val rows = run("q300_brand_modularity").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
