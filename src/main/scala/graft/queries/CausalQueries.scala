@@ -640,5 +640,66 @@ object CausalQueries {
           col("max_placebo_micro"))
     })
 
-  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296, q304)
+  /** Wilson-score lower-bound conversion ranking — "which engagement
+    * type most reliably precedes purchase", ranked by the 95% Wilson
+    * lower bound instead of the raw rate, so small-n types can't
+    * outrank well-measured ones (the Reddit-sort / bandit-UCB dual).
+    * Exact integer (trials, successes) per type — users who did the
+    * type, of whom those who ALSO purchased — then the closed-form
+    * bound in doubles: one division chain + ONE sqrt, and IEEE
+    * requires sqrt and the arithmetic ops to be correctly rounded,
+    * so the identical expression tree produces identical bits in
+    * both engines (the q105/q157 stance); rounded to 6 anyway.
+    * Shape: one per-(user, type) distinct aggregate + a broadcast
+    * purchase-user flag; the bound math runs on |types| rows. */
+  val q307 = QueryDef.sql("q307_wilson_ranking",
+    """WITH p AS (SELECT DISTINCT user_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |ut AS (SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE event_type <> 'purchase'),
+      |g AS (SELECT ut.event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS x
+      |  FROM ut LEFT JOIN p ON ut.user_id = p.user_id
+      |  GROUP BY 1),
+      |w AS (SELECT event_type, n, x,
+      |    round(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+      |      - 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |          / CAST(n AS DOUBLE)
+      |        + 1.96 * 1.96
+      |          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |      / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6)
+      |      AS wilson_lb
+      |  FROM g)
+      |SELECT event_type, n, x, wilson_lb,
+      |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, event_type)
+      |    AS BIGINT) AS rk
+      |FROM w""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select("user_id").distinct().withColumn("pf", lit(1L))
+      val ut = ev.where(col("event_type") =!= "purchase")
+        .select("user_id", "event_type").distinct()
+      val g = ut.join(broadcast(p), Seq("user_id"), "left")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pf").isNull, 0L).otherwise(1L)).as("x"))
+      val nd = col("n").cast("double"); val xd = col("x").cast("double")
+      val phat = xd / nd
+      val z2 = lit(1.96) * lit(1.96)
+      val w = g.select(col("event_type"), col("n"), col("x"),
+        round((phat + z2 / (lit(2.0) * nd) -
+          lit(1.96) * sqrt(phat * (lit(1.0) - phat) / nd +
+            z2 / (lit(4.0) * nd * nd))) /
+          (lit(1.0) + z2 / nd), 6).as("wilson_lb"))
+      w.withColumn("rk", row_number().over(
+        Window.orderBy(col("wilson_lb").desc, col("event_type")))
+        .cast("long"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296, q304, q307)
 }

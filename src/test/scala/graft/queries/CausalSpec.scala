@@ -209,6 +209,29 @@ class CausalSpec extends AnyFunSuite {
     assert(row.getLong(4) == placebos.map(math.abs).max)
   }
 
+  test("q307: Wilson bound replays and orders below the raw rate") {
+    val rows = run("q307_wilson_ranking").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val byUser = events.groupBy(_._1)
+    val purch = byUser.collect {
+      case (u, es) if es.exists(_._2 == "purchase") => u }.toSet
+    for ((et, n, x, lb, _) <- rows) {
+      val users = byUser.collect {
+        case (u, es) if es.exists(_._2 == et) => u }.toSet
+      assert(n == users.size && x == (users & purch).size, et)
+      val nn = n.toDouble; val p = x.toDouble / nn; val z = 1.96
+      val want = BigDecimal((p + z * z / (2 * nn) -
+        z * math.sqrt(p * (1 - p) / nn + z * z / (4 * nn * nn))) /
+        (1 + z * z / nn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(lb - want) < 1e-9, et)
+      assert(lb <= p + 1e-12, "lower bound cannot exceed the raw rate")
+      assert(lb >= 0.0)
+    }
+    assert(rows.map(_._5).sorted.toSeq == (1L to rows.length))
+  }
+
   test("q289: Qini deciles replay the ranked accumulation") {
     val rows = run("q289_qini_deciles").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
