@@ -684,6 +684,44 @@ object Streams {
       }
   }
 
+  final case class Transition(user_id: Long, prev_type: String,
+                              next_type: String, gap_us: Long)
+  // public: the state encoder's generated code instantiates it
+  final case class LastEvent(us: Long, ty: String)
+
+  /** Streaming twin of q95's directly-follows transitions: per-user
+    * state is ONE (time, type) pair — each arriving event emits its
+    * transition edge (prev -> cur, exact µs gap) the moment it
+    * arrives, in-order delivery per user (the [[attributionStream]]
+    * contract, including the µs-precision Timestamp arithmetic that
+    * keeps tiebreaks identical to the batch window). Downstream, a
+    * plain update-mode count/sum aggregation over the emitted edges
+    * maintains q95's (n, total_gap, max_gap) table and q302's
+    * transition feed continuously — commutative aggregates, so state
+    * equals the batch table after any prefix (StreamsSpec replays in
+    * micro-batches). State is O(16 bytes) per user. */
+  def transitionStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    def usOf(e: Event): Long =
+      math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = it.toSeq.sortBy(e => (usOf(e), e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val us = usOf(e)
+            if (st != null)
+              out += Transition(user, st.ty, e.event_type, us - st.us)
+            st = LastEvent(us, e.event_type)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of q281's eventually-follows MARGINALS: per
     * (user, event_type), the first and last stream position — encoded
     * as the lexicographic struct (ts, event_id), the same total order

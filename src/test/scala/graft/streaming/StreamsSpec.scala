@@ -702,6 +702,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("transitionStream edges aggregate to q95's batch transition table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect()
+      // replay grouped by user so each user's events arrive in order
+      // across micro-batches (the in-order delivery contract)
+      .sortBy(e => (e.user_id, e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.transitionStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out")
+      .start()
+    for (chunk <- raw.grouped(math.max(1, raw.length / 3))) {
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("trans_out")
+      .groupBy("prev_type", "next_type")
+      .agg(expr("count(*)").as("n"), sum("gap_us").as("total_gap_us"),
+        expr("max(gap_us)").as("max_gap_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = graft.SparkEntry.queries("q95_event_transitions")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("followsMarginalsStream equals batch marginals per micro-batch; finisher equals q281") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
