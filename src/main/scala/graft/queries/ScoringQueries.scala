@@ -807,6 +807,88 @@ object ScoringQueries {
             .otherwise(0L)).cast("long").as("seats"))
     })
 
+  /** Exact CART decision stump: the single best Gini split of
+    * extended price (integer cents) predicting a returned line —
+    * the first node every tree ensemble grows, computed exactly at
+    * fact scale. Candidate thresholds are DISTINCT SCORES (the
+    * q210/q281 marginal compression: cumulative class counts per
+    * distinct value via one window — |distinct prices| rows, never
+    * |rows| splits), and each split's weighted Gini impurity ships
+    * as the sum of two per-side floor-ppm terms (normalized by the
+    * total n, so splits compare on identical denominators;
+    * deterministic threshold tiebreak). Output: the winning
+    * threshold, its child distribution, parent and child impurity —
+    * the information a tree builder needs to decide whether the
+    * split is worth it. */
+  val q308 = QueryDef.sql("q308_gini_stump",
+    """WITH b AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS sc,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS p,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS q
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+      |    CAST(sum(q) AS BIGINT) AS tq FROM g),
+      |c AS (SELECT sc,
+      |    CAST(sum(p) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cp,
+      |    CAST(sum(q) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cq
+      |  FROM g),
+      |s AS (SELECT c.sc, c.cp, c.cq, t.tp, t.tq,
+      |    c.cp + c.cq AS nl, (t.tp - c.cp) + (t.tq - c.cq) AS nr
+      |  FROM c, t WHERE c.cp + c.cq > 0
+      |    AND (t.tp - c.cp) + (t.tq - c.cq) > 0),
+      |i AS (SELECT sc, cp, cq, nl, nr, tp, tq,
+      |    ((nl * nl - cp * cp - cq * cq) * 1000000)
+      |      // (nl * (tp + tq))
+      |    + ((nr * nr - (tp - cp) * (tp - cp) - (tq - cq) * (tq - cq))
+      |      * 1000000) // (nr * (tp + tq)) AS gini_ppm
+      |  FROM s)
+      |SELECT sc AS threshold_cents, nl AS n_left, cp AS pos_left,
+      |  nr AS n_right, tp - cp AS pos_right, gini_ppm AS child_gini_ppm,
+      |  ((tp + tq) * (tp + tq) - tp * tp - tq * tq) * 1000000
+      |    // ((tp + tq) * (tp + tq)) AS parent_gini_ppm
+      |FROM i ORDER BY gini_ppm, sc LIMIT 1""")(
+    (s, dir) => {
+      val b = Tables.lineitem(s, dir).select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("sc"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val g = b.groupBy("sc").agg(sum("y").as("p"),
+        (count(lit(1)) - sum("y")).as("q"))
+      val t = g.agg(sum("p").as("tp"), sum("q").as("tq"))
+      // two-pass distributed prefix sums (the q210 stance — no
+      // single-task window over the distinct-score frame)
+      val c = Rank.globalPrefixSum(
+          Rank.globalPrefixSum(g, "cp", "p", col("sc")),
+          "cq", "q", col("sc"))
+        .select("sc", "cp", "cq")
+      val sdf = c.crossJoin(broadcast(t))
+        .where(col("cp") + col("cq") > 0 &&
+          (col("tp") - col("cp")) + (col("tq") - col("cq")) > 0)
+        .withColumn("nl", col("cp") + col("cq"))
+        .withColumn("nr",
+          (col("tp") - col("cp")) + (col("tq") - col("cq")))
+      val i = sdf.withColumn("gini_ppm", expr(
+        "((nl * nl - cp * cp - cq * cq) * 1000000) DIV (nl * (tp + tq))" +
+          " + ((nr * nr - (tp - cp) * (tp - cp)" +
+          " - (tq - cq) * (tq - cq)) * 1000000) DIV (nr * (tp + tq))"))
+      // argmin as a single struct-min aggregate (field order = the
+      // (gini, sc) tiebreak), not a global row_number window
+      i.agg(min(struct(col("gini_ppm"), col("sc"), col("nl"),
+          col("cp"), col("nr"), (col("tp") - col("cp")).as("pr"),
+          expr("((tp + tq) * (tp + tq) - tp * tp - tq * tq) * 1000000" +
+            " DIV ((tp + tq) * (tp + tq))").as("pg"))).as("b"))
+        .select(col("b.sc").as("threshold_cents"),
+          col("b.nl").as("n_left"), col("b.cp").as("pos_left"),
+          col("b.nr").as("n_right"), col("b.pr").as("pos_right"),
+          col("b.gini_ppm").as("child_gini_ppm"),
+          col("b.pg").as("parent_gini_ppm"))
+    })
+
   def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227, q230, q237,
-    q238, q239, q244, q251)
+    q238, q239, q244, q251, q308)
 }

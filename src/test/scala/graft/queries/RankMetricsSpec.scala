@@ -138,6 +138,39 @@ class RankMetricsSpec extends AnyFunSuite {
     assert(dfg.keySet == gaps.keySet)
   }
 
+  test("q308: Gini stump equals the brute-force best split") {
+    val row = run("q308_gini_stump").collect().head
+    val data = lineitems.map(l => (l._2, if (l._3) 1L else 0L))
+    val byScore = data.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (sc, xs) =>
+        (sc, xs.map(_._2).sum, xs.length.toLong - xs.map(_._2).sum) }
+    val tp = byScore.map(_._2).sum; val tq = byScore.map(_._3).sum
+    val n = tp + tq
+    var (cp, cq) = (0L, 0L)
+    var best: (Long, Long) = (Long.MaxValue, Long.MaxValue)
+    var bestRow: (Long, Long, Long, Long, Long) = null
+    for ((sc, p, q) <- byScore) {
+      cp += p; cq += q
+      val nl = cp + cq; val nr = n - nl
+      if (nl > 0 && nr > 0) {
+        val g = (nl * nl - cp * cp - cq * cq) * 1000000L / (nl * n) +
+          (nr * nr - (tp - cp) * (tp - cp) - (tq - cq) * (tq - cq)) *
+            1000000L / (nr * n)
+        if (g < best._1 || (g == best._1 && sc < best._2)) {
+          best = (g, sc)
+          bestRow = (sc, nl, cp, nr, tp - cp)
+        }
+      }
+    }
+    val parent = (n * n - tp * tp - tq * tq) * 1000000L / (n * n)
+    assert(row.getLong(0) == bestRow._1 && row.getLong(1) == bestRow._2)
+    assert(row.getLong(2) == bestRow._3 && row.getLong(3) == bestRow._4)
+    assert(row.getLong(4) == bestRow._5)
+    assert(row.getLong(5) == best._1 && row.getLong(6) == parent)
+    assert(best._1 <= parent + 2,
+      "the optimal split cannot exceed parent impurity (mod floor)")
+  }
+
   test("q284: Kendall counts equal the brute-force pair scan") {
     val rows = run("q284_kendall_time").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
