@@ -701,5 +701,125 @@ object CausalQueries {
         .cast("long"))
     })
 
-  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296, q304, q307)
+  /** Stratified ATE — the confounder-adjusted counterpart to q288's
+    * DiD: users are stratified into quintiles of a pre-period
+    * activity score (click count before the midpoint — the proxy for
+    * "heavy users error more AND spend more"), and the treated-vs-
+    * control post-period outcome difference is taken WITHIN each
+    * stratum, then pooled with stratum-size weights (the classic
+    * quintile-stratification estimator; Cochran: five strata remove
+    * ~90% of confounder bias). All exact integers: stratum bounds by
+    * the two-pass global rank, per-cell floor-micro means, pooled
+    * ATE = floor(sum(n_s * diff_s) / n). Ships per-stratum rows plus
+    * the pooled row (stratum = -1). Shape: per-user aggregate ->
+    * global rank -> 5x2 cells; nothing fact-scale after the first
+    * aggregate. */
+  val q309 = QueryDef.sql("q309_stratified_ate",
+    """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+      |    AS mid FROM events),
+      |t AS (SELECT user_id FROM events e, m
+      |  WHERE e.event_type = 'error' AND epoch_us(e.ts) < m.mid
+      |  GROUP BY user_id HAVING count(*) >= 7),
+      |u AS (SELECT e.user_id,
+      |    CAST(sum(CASE WHEN e.event_type = 'click'
+      |      AND epoch_us(e.ts) < m.mid THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pre_clicks,
+      |    CAST(sum(CASE WHEN e.event_type NOT IN ('error')
+      |      AND epoch_us(e.ts) >= m.mid
+      |      THEN CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000
+      |        AS BIGINT) ELSE 0 END) AS BIGINT) AS post_sv,
+      |    CAST(sum(CASE WHEN e.event_type NOT IN ('error')
+      |      AND epoch_us(e.ts) >= m.mid THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS post_n
+      |  FROM events e, m GROUP BY 1),
+      |f AS (SELECT u.user_id, u.pre_clicks, u.post_sv, u.post_n,
+      |    CASE WHEN t.user_id IS NULL THEN 0 ELSE 1 END AS treated,
+      |    row_number() OVER (ORDER BY u.pre_clicks, u.user_id) AS rn
+      |  FROM u LEFT JOIN t ON u.user_id = t.user_id
+      |  WHERE u.post_n > 0),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM f),
+      |s AS (SELECT f.*, ((rn - 1) * 5) // n.tot + 1 AS stratum
+      |  FROM f, n),
+      |c AS (SELECT stratum, treated,
+      |    CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(post_sv) AS BIGINT) // CAST(sum(post_n) AS BIGINT)
+      |      AS mean_micro
+      |  FROM s GROUP BY 1, 2),
+      |d AS (SELECT stratum,
+      |    CAST(sum(n_users) AS BIGINT) AS n_s,
+      |    coalesce(max(CASE WHEN treated = 1 THEN n_users END), 0)
+      |      AS n_t,
+      |    coalesce(max(CASE WHEN treated = 1 THEN mean_micro END), 0)
+      |    - coalesce(max(CASE WHEN treated = 0 THEN mean_micro END), 0)
+      |      AS diff_micro
+      |  FROM c GROUP BY 1)
+      |SELECT CAST(stratum AS BIGINT) AS stratum, n_s, n_t, diff_micro
+      |FROM d
+      |UNION ALL
+      |SELECT -1, CAST(sum(n_s) AS BIGINT), CAST(sum(n_t) AS BIGINT),
+      |  (CASE WHEN CAST(sum(n_s * diff_micro) AS BIGINT) >= 0
+      |    THEN CAST(sum(n_s * diff_micro) AS BIGINT)
+      |      // CAST(sum(n_s) AS BIGINT)
+      |    ELSE -((-CAST(sum(n_s * diff_micro) AS BIGINT)
+      |      + CAST(sum(n_s) AS BIGINT) - 1)
+      |      // CAST(sum(n_s) AS BIGINT)) END)
+      |FROM d""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val ev = Tables.events(s, dir)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+          .as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      val treated = tagged.where(col("event_type") === "error" &&
+          unix_micros(col("ts")) < col("mid"))
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 7)
+        .select(col("user_id"), lit(1L).as("tflag"))
+      val u = tagged.groupBy("user_id").agg(
+        sum(when(col("event_type") === "click" &&
+          unix_micros(col("ts")) < col("mid"), 1L).otherwise(0L))
+          .as("pre_clicks"),
+        sum(when(col("event_type") =!= "error" &&
+          unix_micros(col("ts")) >= col("mid"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+          .otherwise(0L)).as("post_sv"),
+        sum(when(col("event_type") =!= "error" &&
+          unix_micros(col("ts")) >= col("mid"), 1L).otherwise(0L))
+          .as("post_n"))
+      val f = u.join(broadcast(treated), Seq("user_id"), "left")
+        .where(col("post_n") > 0)
+        .select(col("user_id"), col("pre_clicks"), col("post_sv"),
+          col("post_n"),
+          coalesce(col("tflag"), lit(0L)).as("treated"))
+      val ranked = Rank.globalRank(f, "rn", col("pre_clicks"),
+        col("user_id"))
+      val tot = ranked.count()
+      val strat = ranked
+        .withColumn("stratum", expr(s"((rn - 1) * 5) DIV ${tot}L + 1"))
+      val c = strat.groupBy("stratum", "treated")
+        .agg(count(lit(1)).as("n_users"),
+          expr("CAST(sum(post_sv) AS BIGINT)" +
+            " DIV CAST(sum(post_n) AS BIGINT)").as("mean_micro"))
+      val d = c.groupBy("stratum").agg(
+        sum("n_users").as("n_s"),
+        coalesce(max(when(col("treated") === 1, col("n_users"))),
+          lit(0L)).as("n_t"),
+        (coalesce(max(when(col("treated") === 1, col("mean_micro"))),
+          lit(0L)) -
+          coalesce(max(when(col("treated") === 0, col("mean_micro"))),
+            lit(0L))).as("diff_micro"))
+      val pooled = d.agg(sum("n_s").as("sn"), sum("n_t").as("st"),
+          sum(col("n_s") * col("diff_micro")).as("num"))
+        .select(lit(-1L).as("stratum"), col("sn").as("n_s"),
+          col("st").as("n_t"),
+          expr("CASE WHEN num >= 0 THEN num DIV sn" +
+            " ELSE -((-num + sn - 1) DIV sn) END").as("diff_micro"))
+      d.select(col("stratum").cast("long"), col("n_s"), col("n_t"),
+          col("diff_micro"))
+        .unionByName(pooled)
+    })
+
+  def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296, q304, q307,
+    q309)
 }

@@ -232,6 +232,46 @@ class CausalSpec extends AnyFunSuite {
     assert(rows.map(_._5).sorted.toSeq == (1L to rows.length))
   }
 
+  test("q309: stratified ATE replays the scalar stratification") {
+    val rows = run("q309_stratified_ate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val mid = Math.floorDiv(
+      events.map(_._3).min + events.map(_._3).max, 2L)
+    val treated = events
+      .filter(e => e._2 == "error" && e._3 < mid)
+      .groupBy(_._1).collect { case (u, es) if es.length >= 7 => u }
+      .toSet
+    val users = events.groupBy(_._1).map { case (u, es) =>
+      val pre = es.count(e => e._2 == "click" && e._3 < mid).toLong
+      val post = es.filter(e => e._2 != "error" && e._3 >= mid)
+      (u, pre, post.map(_._4).sum, post.length.toLong)
+    }.filter(_._4 > 0).toArray
+    val ranked = users.sortBy { case (u, pre, _, _) => (pre, u) }
+    val tot = ranked.length.toLong
+    val byStratum = ranked.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 5 / tot + 1 }
+    var pooledNum = 0L; var pooledN = 0L; var pooledT = 0L
+    for ((st, members) <- byStratum) {
+      def cell(t: Boolean) = {
+        val ms = members.map(_._1)
+          .filter(m => treated.contains(m._1) == t)
+        if (ms.isEmpty) (0L, 0L)
+        else (ms.length.toLong,
+          Math.floorDiv(ms.map(_._3).sum, ms.map(_._4).sum))
+      }
+      val (nT, mT) = cell(t = true)
+      val (nC, mC) = cell(t = false)
+      val diff = mT - mC
+      val (qn, qt, qd) = rows(st)
+      assert(qn == nT + nC && qt == nT && qd == diff, s"stratum $st")
+      pooledNum += (nT + nC) * diff; pooledN += nT + nC; pooledT += nT
+    }
+    val (pn, pt, pd) = rows(-1L)
+    assert(pn == pooledN && pt == pooledT)
+    assert(pd == Math.floorDiv(pooledNum, pooledN))
+  }
+
   test("q289: Qini deciles replay the ranked accumulation") {
     val rows = run("q289_qini_deciles").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
