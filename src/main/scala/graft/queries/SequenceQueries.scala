@@ -719,6 +719,67 @@ object SequenceQueries {
           col("gap_us"))).as("p90_gap_us"))
     })
 
+  /** Log2-bucketed transition-gap histograms — the BOUNDED-STATE form
+    * of q302's exact DFG latencies: per directly-follows pair, gaps
+    * bucketed by floor(log2(gap_us)) (integer bit-length, no libm),
+    * with per-bucket counts and the histogram-resolved p90 BOUND (the
+    * smallest bucket whose cumulative count reaches ceil(0.9 n); the
+    * true p90 lies within that bucket's [2^b, 2^(b+1)) range — a
+    * factor-2 resolution certificate, not an estimate). This is the
+    * representation that streams: bucket counts are commutative, so
+    * `Streams.gapHistogramStream` maintains the identical histogram
+    * as update-mode state with O(|pairs| x 64) rows (StreamsSpec
+    * asserts bit-parity per micro-batch), while exact q302 needs the
+    * full gap multiset. Shape: one per-user lead() chain -> one
+    * (pair, bucket) aggregate -> per-pair bounded tails. */
+  val q310 = QueryDef.sql("q310_dfg_gap_hist",
+    """WITH p AS (SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER w AS dst,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (SELECT src, dst,
+      |    CASE WHEN gap_us <= 0 THEN 0
+      |      ELSE length(bin(gap_us)) - 1 END AS bucket
+      |  FROM p WHERE dst IS NOT NULL),
+      |h AS (SELECT src, dst, CAST(bucket AS BIGINT) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM g GROUP BY 1, 2, 3),
+      |t AS (SELECT src, dst, CAST(sum(n) AS BIGINT) AS tot
+      |  FROM h GROUP BY 1, 2),
+      |c AS (SELECT h.src, h.dst, h.bucket, h.n, t.tot,
+      |    CAST(sum(h.n) OVER (PARTITION BY h.src, h.dst
+      |      ORDER BY h.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS cum
+      |  FROM h JOIN t ON h.src = t.src AND h.dst = t.dst)
+      |SELECT src, dst, bucket, n,
+      |  CASE WHEN cum - n < (tot * 9 + 9) // 10
+      |    AND cum >= (tot * 9 + 9) // 10 THEN 1 ELSE 0 END
+      |    AS is_p90_bucket
+      |FROM c""")(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val p = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"),
+          (unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts"))).as("gap_us"))
+        .where(col("dst").isNotNull)
+      val h = p.select(col("src"), col("dst"),
+          graft.streaming.Streams.log2Bucket(col("gap_us"))
+            .as("bucket"))
+        .groupBy("src", "dst", "bucket").agg(count(lit(1)).as("n"))
+      val t = h.groupBy("src", "dst").agg(sum("n").as("tot"))
+      val cw = Window.partitionBy("src", "dst").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.join(t, Seq("src", "dst"))
+        .withColumn("cum", sum("n").over(cw))
+        .select(col("src"), col("dst"), col("bucket"), col("n"),
+          when(col("cum") - col("n") < expr("(tot * 9 + 9) DIV 10") &&
+            col("cum") >= expr("(tot * 9 + 9) DIV 10"), 1L)
+            .otherwise(0L).as("is_p90_bucket"))
+    })
+
   val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272,
-    q275, q276, q277, q301, q302)
+    q275, q276, q277, q301, q302, q310)
 }

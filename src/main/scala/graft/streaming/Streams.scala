@@ -722,6 +722,30 @@ object Streams {
       }
   }
 
+  /** floor(log2(x)) for positive longs via the binary-string length —
+    * identical in Spark and DuckDB (`length(bin(x)) - 1`), no libm;
+    * non-positive inputs land in bucket 0. Shared by q310 and
+    * [[gapHistogramStream]]. */
+  def log2Bucket(c: Column): Column =
+    when(c <= 0, 0L)
+      .otherwise((length(bin(c)) - 1).cast("long"))
+
+  /** Streaming twin of q310's log2-bucketed gap histograms: the
+    * [[transitionStream]] edge feed aggregated to (pair, bucket)
+    * counts in update mode. Bucket counts are commutative sums, so
+    * after any prefix of the stream the state equals the batch
+    * histogram of the transitions seen so far, bit-for-bit
+    * (StreamsSpec replays in micro-batches). This is the exact-
+    * parity representation q302's exact percentiles CANNOT have in
+    * bounded state — the histogram trades factor-2 resolution for
+    * O(|pairs| x 64) state, and q310 documents the resulting p90
+    * bound semantics. */
+  def gapHistogramStream(transitions: Dataset[Transition]): DataFrame =
+    transitions.toDF()
+      .groupBy(col("prev_type").as("src"), col("next_type").as("dst"),
+        log2Bucket(col("gap_us")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming twin of q281's eventually-follows MARGINALS: per
     * (user, event_type), the first and last stream position — encoded
     * as the lexicographic struct (ts, event_id), the same total order

@@ -738,6 +738,55 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("gapHistogramStream equals the batch q310 histogram per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect()
+      .sortBy(e => (e.user_id, e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.gapHistogramStream(
+        Streams.transitionStream(mem.toDS()))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("gaphist_out")
+      .start()
+    var seen = Vector.empty[Streams.Event]
+    for (chunk <- raw.grouped(math.max(1, raw.length / 3))) {
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+      seen = seen ++ chunk
+      // batch truth over the prefix: per-user adjacent transitions
+      val want = seen.groupBy(_.user_id).values.flatMap { es =>
+        val s = es.sortBy(e => (e.ts.getTime * 1000 +
+          e.ts.getNanos / 1000 % 1000, e.event_id))
+        s.sliding(2).collect { case Seq(a, b) =>
+          val gap = (b.ts.getTime - a.ts.getTime) * 1000 +
+            (b.ts.getNanos - a.ts.getNanos) / 1000
+          val bucket = if (gap <= 0) 0L
+            else 63L - java.lang.Long.numberOfLeadingZeros(gap)
+          (a.event_type, b.event_type, bucket)
+        }
+      }.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+        .map { case ((s, d, b), n) => (s, d, b, n) }.toSet
+      val got = spark.table("gaphist_out")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == want, s"after ${seen.size} events")
+    }
+    q.stop()
+    // the final state equals the batch q310 per-bucket counts
+    val batch = graft.SparkEntry.queries("q310_dfg_gap_hist")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val fin = spark.table("gaphist_out")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(fin == batch)
+    assert(fin.nonEmpty)
+  }
+
   test("followsMarginalsStream equals batch marginals per micro-batch; finisher equals q281") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
