@@ -780,6 +780,58 @@ object SequenceQueries {
             .otherwise(0L).as("is_p90_bucket"))
     })
 
+  /** Cohort half-life: for each first-active-day cohort, the first
+    * day offset at which daily active members drop to half the
+    * cohort size or below — the fit-free decay summary of the q190
+    * retention matrix (one number per cohort instead of a curve; no
+    * exponential fitting, no libm). Also ships day-7 retention in
+    * floor-ppm. Exact integers throughout: activity is a distinct
+    * (user, day) aggregate, the crossing is a min over qualifying
+    * offsets. Cohorts that never halve inside the observed window
+    * ship half_life_days = -1 (right-censored, the q213 stance). */
+  val q311 = QueryDef.sql("q311_cohort_halflife",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+      |  FROM events),
+      |fc AS (SELECT user_id, min(ed) AS c0 FROM ud GROUP BY 1),
+      |act AS (SELECT fc.c0, ud.ed - fc.c0 AS d,
+      |    CAST(count(*) AS BIGINT) AS a
+      |  FROM ud JOIN fc ON ud.user_id = fc.user_id
+      |  GROUP BY 1, 2),
+      |n0 AS (SELECT c0, a AS n0 FROM act WHERE d = 0),
+      |hl AS (SELECT act.c0,
+      |    min(CASE WHEN act.d > 0 AND act.a * 2 <= n0.n0
+      |      THEN act.d END) AS half_life,
+      |    max(CASE WHEN act.d = 7 THEN act.a END) AS a7
+      |  FROM act JOIN n0 ON act.c0 = n0.c0 GROUP BY 1)
+      |SELECT hl.c0 AS cohort_ed, n0.n0,
+      |  coalesce(hl.half_life, -1) AS half_life_days,
+      |  (coalesce(hl.a7, 0) * 1000000) // n0.n0 AS day7_retention_ppm
+      |FROM hl JOIN n0 ON hl.c0 = n0.c0""")(
+    (s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("ed"))
+        .distinct()
+      val fc = ud.groupBy("user_id").agg(min("ed").as("c0"))
+      val act = ud.join(fc, "user_id")
+        .groupBy(col("c0"), (col("ed") - col("c0")).as("d"))
+        .agg(count(lit(1)).as("a"))
+      val n0 = act.where(col("d") === 0)
+        .select(col("c0"), col("a").as("n0"))
+      val hl = act.join(n0, "c0")
+        .groupBy("c0").agg(
+          min(when(col("d") > 0 && col("a") * 2 <= col("n0"),
+            col("d"))).as("half_life"),
+          max(when(col("d") === 7, col("a"))).as("a7"))
+      hl.join(n0, "c0")
+        .select(col("c0").as("cohort_ed"), col("n0"),
+          coalesce(col("half_life"), lit(-1L)).as("half_life_days"),
+          expr("(coalesce(a7, 0) * 1000000) DIV n0")
+            .as("day7_retention_ppm"))
+    })
+
   val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272,
-    q275, q276, q277, q301, q302, q310)
+    q275, q276, q277, q301, q302, q310, q311)
 }

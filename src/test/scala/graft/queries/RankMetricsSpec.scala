@@ -171,6 +171,30 @@ class RankMetricsSpec extends AnyFunSuite {
       "the optimal split cannot exceed parent impurity (mod floor)")
   }
 
+  test("q311: cohort half-life replays scalar cohort activity") {
+    val rows = run("q311_cohort_halflife").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val ud = events.map(e => (e._2, e._4 / 86400000000L)).distinct
+    // floor of epoch-micros to days must match CAST(ts AS DATE): both
+    // are nonneg epoch values, so integer division is exact floor
+    val fc = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val act = ud.groupBy { case (u, d) => (fc(u), d - fc(u)) }.view
+      .mapValues(_.size.toLong).toMap
+    for ((c0, users) <- fc.groupBy(_._2).view.mapValues(_.size).toMap) {
+      val n0 = act((c0, 0L))
+      assert(n0 == users)
+      val hl = act.collect { case ((c, d), a)
+        if c == c0 && d > 0 && a * 2 <= n0 => d }
+      val a7 = act.getOrElse((c0, 7L), 0L)
+      val (qn, qhl, q7) = rows(c0)
+      assert(qn == n0)
+      assert(qhl == (if (hl.isEmpty) -1L else hl.min))
+      assert(q7 == a7 * 1000000L / n0)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("q284: Kendall counts equal the brute-force pair scan") {
     val rows = run("q284_kendall_time").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
