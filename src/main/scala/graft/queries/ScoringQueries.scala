@@ -889,6 +889,110 @@ object ScoringQueries {
           col("b.pg").as("parent_gini_ppm"))
     })
 
+  /** One-pass 1R feature ranking — q308's exact Gini stump swept
+    * over FOUR numeric features simultaneously (price, quantity,
+    * discount, tax, all exact integer-scaled): the fact table is
+    * unpivoted once to (feature, score, label), the distinct-score
+    * marginals and cumulative class counts run PER FEATURE
+    * (feature-partitioned windows — this is the shape that scales to
+    * hundreds of features in one pass, where q308's global two-pass
+    * handles one giant feature), and each feature reports its best
+    * split and impurity decrease. The ranking — which feature would
+    * a depth-1 tree pick — is Holte's 1R baseline, exact. */
+  val q312 = QueryDef.sql("q312_feature_ranking",
+    """WITH b AS (SELECT f.feature, f.sc,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem, LATERAL (VALUES
+      |    ('price', CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)),
+      |    ('quantity', CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)),
+      |    ('discount', CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+      |      AS BIGINT)),
+      |    ('tax', CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000
+      |      AS BIGINT))) f(feature, sc)),
+      |g AS (SELECT feature, sc, CAST(sum(y) AS BIGINT) AS p,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS q
+      |  FROM b GROUP BY 1, 2),
+      |t AS (SELECT feature, CAST(sum(p) AS BIGINT) AS tp,
+      |    CAST(sum(q) AS BIGINT) AS tq FROM g GROUP BY 1),
+      |c AS (SELECT feature, sc,
+      |    CAST(sum(p) OVER o AS BIGINT) AS cp,
+      |    CAST(sum(q) OVER o AS BIGINT) AS cq
+      |  FROM g WINDOW o AS (PARTITION BY feature ORDER BY sc
+      |    ROWS UNBOUNDED PRECEDING)),
+      |s AS (SELECT c.feature, c.sc, c.cp, c.cq, t.tp, t.tq,
+      |    c.cp + c.cq AS nl, (t.tp - c.cp) + (t.tq - c.cq) AS nr
+      |  FROM c JOIN t ON c.feature = t.feature
+      |  WHERE c.cp + c.cq > 0
+      |    AND (t.tp - c.cp) + (t.tq - c.cq) > 0),
+      |i AS (SELECT feature, sc, nl, nr, tp, tq,
+      |    ((nl * nl - cp * cp - cq * cq) * 1000000)
+      |      // (nl * (tp + tq))
+      |    + ((nr * nr - (tp - cp) * (tp - cp) - (tq - cq) * (tq - cq))
+      |      * 1000000) // (nr * (tp + tq)) AS gini_ppm
+      |  FROM s),
+      |best AS (SELECT feature, min(gini_ppm) AS child_gini_ppm,
+      |    min(CASE WHEN gini_ppm = mg THEN sc END) AS threshold
+      |  FROM (SELECT i.*, min(gini_ppm) OVER (PARTITION BY feature)
+      |      AS mg FROM i)
+      |  GROUP BY 1),
+      |pg AS (SELECT feature,
+      |    ((tp + tq) * (tp + tq) - tp * tp - tq * tq) * 1000000
+      |      // ((tp + tq) * (tp + tq)) AS parent_gini_ppm
+      |  FROM t)
+      |SELECT best.feature, best.threshold, best.child_gini_ppm,
+      |  pg.parent_gini_ppm,
+      |  pg.parent_gini_ppm - best.child_gini_ppm AS decrease_ppm,
+      |  CAST(row_number() OVER (ORDER BY
+      |    pg.parent_gini_ppm - best.child_gini_ppm DESC, best.feature)
+      |    AS BIGINT) AS rk
+      |FROM best JOIN pg ON best.feature = pg.feature""")(
+    (s, dir) => {
+      val b = Tables.lineitem(s, dir).select(
+        expr("stack(4," +
+          " 'price', CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)," +
+          " 'quantity', CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)," +
+          " 'discount', CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)," +
+          " 'tax', CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)" +
+          ") AS (feature, sc)"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val g = b.groupBy("feature", "sc").agg(sum("y").as("p"),
+        (count(lit(1)) - sum("y")).as("q"))
+      val t = g.groupBy("feature")
+        .agg(sum("p").as("tp"), sum("q").as("tq"))
+      val o = org.apache.spark.sql.expressions.Window
+        .partitionBy("feature").orderBy("sc")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val c = g.select(col("feature"), col("sc"),
+        sum("p").over(o).as("cp"), sum("q").over(o).as("cq"))
+      val sdf = c.join(broadcast(t), "feature")
+        .where(col("cp") + col("cq") > 0 &&
+          (col("tp") - col("cp")) + (col("tq") - col("cq")) > 0)
+        .withColumn("nl", col("cp") + col("cq"))
+        .withColumn("nr",
+          (col("tp") - col("cp")) + (col("tq") - col("cq")))
+      val i = sdf.withColumn("gini_ppm", expr(
+        "((nl * nl - cp * cp - cq * cq) * 1000000) DIV (nl * (tp + tq))" +
+          " + ((nr * nr - (tp - cp) * (tp - cp)" +
+          " - (tq - cq) * (tq - cq)) * 1000000) DIV (nr * (tp + tq))"))
+      val best = i.groupBy("feature")
+        .agg(min(struct(col("gini_ppm"), col("sc"))).as("bm"))
+        .select(col("feature"), col("bm.sc").as("threshold"),
+          col("bm.gini_ppm").as("child_gini_ppm"))
+      val pg = t.select(col("feature"),
+        expr("((tp + tq) * (tp + tq) - tp * tp - tq * tq) * 1000000" +
+          " DIV ((tp + tq) * (tp + tq))").as("parent_gini_ppm"))
+      best.join(pg, "feature")
+        .withColumn("decrease_ppm",
+          col("parent_gini_ppm") - col("child_gini_ppm"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("decrease_ppm").desc, col("feature")))
+          .cast("long"))
+    })
+
   def all: Seq[QueryDef] = Seq(q221, q222, q223, q224, q227, q230, q237,
-    q238, q239, q244, q251, q308)
+    q238, q239, q244, q251, q308, q312)
 }

@@ -195,6 +195,30 @@ class RankMetricsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("q312: feature ranking is consistent with q308 on the price feature") {
+    val rows = run("q312_feature_ranking").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet ==
+      Set("price", "quantity", "discount", "tax"))
+    // the price stump must equal q308's standalone result
+    val stump = run("q308_gini_stump").collect().head
+    val (thr, child, parent, dec, _) = rows("price")
+    assert(thr == stump.getLong(0))
+    assert(child == stump.getLong(5) && parent == stump.getLong(6))
+    assert(dec == parent - child)
+    for ((f, (_, c, p, d, _)) <- rows) {
+      assert(d == p - c, f)
+      assert(c <= p + 2, s"$f: split cannot worsen impurity (mod floor)")
+      assert(p >= 0 && c >= 0)
+    }
+    // ranks are a permutation ordered by decrease
+    val byRk = rows.values.toSeq.sortBy(_._5)
+    assert(byRk.map(_._5) == Seq(1L, 2L, 3L, 4L))
+    assert(byRk.map(_._4).reverse == byRk.map(_._4).sorted,
+      "rank order must follow impurity decrease")
+  }
+
   test("q284: Kendall counts equal the brute-force pair scan") {
     val rows = run("q284_kendall_time").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
