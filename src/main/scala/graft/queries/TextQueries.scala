@@ -1810,6 +1810,100 @@ object TextQueries {
             .as("coverage_ppm"))
     })
 
+  /** Over-merge audit for near-dup clusters — transitive closure's
+    * known failure mode, measured: q56's connected components accept
+    * a doc pair into one cluster whenever a CHAIN of >= 0.3-Jaccard
+    * links connects them, so the WEAKEST internal pair can sit far
+    * below the threshold. Per multi-doc cluster: the minimum
+    * pairwise rare-shingle Jaccard over ALL member pairs (floor
+    * micro; pairs sharing no shingle score 0), the count of member
+    * pairs below the link threshold, and the over_merged flag. The
+    * all-pairs step runs INSIDE clusters (bounded — near-dup
+    * clusters are small; q179 histograms them), never across the
+    * corpus. The audit that tells a curation pipeline whether its
+    * clustering threshold chains unrelated docs together. */
+  val q313 = QueryDef.sql("q313_cluster_diameter",
+    """WITH RECURSIVE
+      |sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+      |        FROM documents)),
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
+      |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT id1, id2
+      |  FROM co JOIN sz s1 ON co.id1 = s1.doc_id JOIN sz s2 ON co.id2 = s2.doc_id
+      |  WHERE round(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 6) >= 0.3),
+      |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+      |          UNION SELECT id2 AS u, id1 AS v FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.id),
+      |memb AS (SELECT id AS doc_id, min(lab) AS cluster
+      |  FROM reach GROUP BY id),
+      |multi AS (SELECT cluster FROM memb GROUP BY cluster
+      |  HAVING count(*) >= 2),
+      |mp AS (SELECT a.cluster, a.doc_id AS id1, b.doc_id AS id2
+      |  FROM memb a JOIN memb b
+      |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+      |  WHERE a.cluster IN (SELECT cluster FROM multi)),
+      |pj AS (SELECT mp.cluster, mp.id1, mp.id2,
+      |    CASE WHEN co.c IS NULL THEN 0
+      |      ELSE (co.c * 1000000)
+      |        // (s1.sz + s2.sz - co.c) END AS j_micro
+      |  FROM mp
+      |  LEFT JOIN co ON co.id1 = mp.id1 AND co.id2 = mp.id2
+      |  LEFT JOIN sz s1 ON mp.id1 = s1.doc_id
+      |  LEFT JOIN sz s2 ON mp.id2 = s2.doc_id)
+      |SELECT cluster, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(min(j_micro) AS BIGINT) AS min_jaccard_micro,
+      |  CAST(sum(CASE WHEN j_micro < 300000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS weak_pairs,
+      |  CASE WHEN min(j_micro) < 300000 THEN 1 ELSE 0 END
+      |    AS over_merged
+      |FROM pj GROUP BY 1""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = graft.operators.Graph.dedupClusters(docs, "doc_id",
+        Dedup.ngramJaccard(docs, "doc_id", "text",
+          k = 8, maxDf = 100, threshold = 0.3), "id1", "id2")
+      val memb = clusters.select(col("doc_id"), col("cluster"))
+      val multi = memb.groupBy("cluster").agg(count(lit(1)).as("csz"))
+        .where(col("csz") >= 2).select("cluster")
+      val sh = Dedup.shingles(docs, "doc_id", "text", 8).distinct()
+      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      val rare = sh.join(dfreq.where(col("df") <= 100), "s")
+        .select("doc_id", "s")
+      val sets = rare.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("s"))).as("ss"))
+      val m = memb.join(broadcast(multi), "cluster")
+        .join(sets, Seq("doc_id"), "left")
+        .select(col("cluster"), col("doc_id"),
+          coalesce(col("ss"), expr("CAST(array() AS ARRAY<STRING>)"))
+            .as("ss"))
+      val a = m.toDF("cluster", "id1", "sa")
+      val b = m.toDF("cluster", "id2", "sb")
+      val pj = a.join(b, Seq("cluster"))
+        .where(col("id1") < col("id2"))
+        .withColumn("c", size(array_intersect(col("sa"), col("sb")))
+          .cast("long"))
+        .withColumn("j_micro", when(col("c") === 0, 0L)
+          .otherwise(expr(
+            "(c * 1000000) DIV (size(sa) + size(sb) - c)")))
+      pj.groupBy("cluster").agg(
+        count(lit(1)).as("n_pairs"),
+        min("j_micro").as("min_jaccard_micro"),
+        sum(when(col("j_micro") < 300000, 1L).otherwise(0L))
+          .as("weak_pairs"),
+        max(when(col("j_micro") < 300000, 1L).otherwise(0L))
+          .as("over_merged"))
+    })
+
   /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
     * keyphrase pass a corpus card runs next to TF-IDF top terms
     * (q57) and salient terms (q151): candidate phrases are maximal
@@ -1900,5 +1994,5 @@ object TextQueries {
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185, q236, q259, q260, q261, q274, q298, q305)
+    q185, q236, q259, q260, q261, q274, q298, q305, q313)
 }

@@ -183,6 +183,58 @@ class QualityPrivacySpec extends AnyFunSuite {
     assert(cap.getLong(4) == ev.map(_._1).distinct.length)
   }
 
+  test("q313: cluster diameter replays a scalar shingle pipeline") {
+    val rows = run("q313_cluster_diameter").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.map { case (id, t) =>
+      id -> (0 to math.max(t.length - 8, 0) - 0)
+        .filter(_ + 8 <= t.length).map(i => t.substring(i, i + 8)).toSet
+    }.toMap
+    val dfreq = sh.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val rare = sh.view.mapValues(_.filter(s => dfreq(s) <= 100)).toMap
+    def jac(a: Long, b: Long): (Long, Long) = {
+      val (sa, sb) = (rare(a), rare(b))
+      val c = (sa & sb).size.toLong
+      val un = sa.size + sb.size - c
+      (c, if (c == 0) 0L else c * 1000000L / un)
+    }
+    // link pairs use the query's round-6 double rule
+    val ids = docs.map(_._1).sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val (c, _) = jac(a, b)
+      if (c > 0) {
+        val un = rare(a).size + rare(b).size - c
+        val jr = BigDecimal(c.toDouble / un)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (jr >= 0.3) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+    }
+    val clusters = ids.groupBy(find).filter(_._2.length >= 2)
+    assert(rows.keySet == clusters.keySet.map(_.toLong))
+    for ((lab, members) <- clusters) {
+      val pairs = for {
+        i <- members.indices; j <- i + 1 until members.length
+      } yield jac(members(i), members(j))._2
+      val (nP, minJ, weak, flag) = rows(lab)
+      assert(nP == pairs.length, s"cluster $lab")
+      assert(minJ == pairs.min)
+      assert(weak == pairs.count(_ < 300000L))
+      assert(flag == (if (pairs.min < 300000L) 1L else 0L))
+    }
+  }
+
   test("q300: modularity replays from a scalar edge scan") {
     val rows = run("q300_brand_modularity").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
