@@ -455,5 +455,71 @@ object SignalQueries {
           " array_min(spl)) + 1 AS INT))").as("split2_ed"))
     })
 
-  def all: Seq[QueryDef] = Seq(q285, q286, q287, q291, q299)
+  /** Exact 1-D earth mover's distance (Wasserstein-1) between the
+    * click and purchase value distributions — the drift metric that
+    * reports HOW FAR mass moved, where KS (q211) reports the single
+    * worst CDF gap and PSI (q215) needs binning. In 1-D the EMD is
+    * the area between CDFs: sum over consecutive distinct values of
+    * gap * |F_a - F_b|, which on the common denominator nA*nB is the
+    * exact integer sum(gap_micro * |cumA*nB - cumB*nA|) // (nA*nB) —
+    * micro units end-to-end, no binning, no libm. The CDFs run over
+    * the DISTINCT-value marginal table (the q210/q308 compression)
+    * with the two-pass global prefix sum — no single-task window.
+    * BIGINT holds to ~60k x 60k samples x the observed value range;
+    * past that the numerator column upgrades to DECIMAL(38,0). */
+  val q314 = QueryDef.sql("q314_emd_1d",
+    """WITH v AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |g AS (SELECT vm,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS cb
+      |  FROM v GROUP BY 1),
+      |n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb FROM g),
+      |c AS (SELECT vm,
+      |    CAST(sum(ca) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cumb,
+      |    lead(vm) OVER (ORDER BY vm) AS nxt
+      |  FROM g),
+      |t AS (SELECT CAST(sum((nxt - vm) *
+      |      abs(cuma * n.nb - cumb * n.na)) AS BIGINT) AS num
+      |  FROM c, n WHERE nxt IS NOT NULL)
+      |SELECT n.na AS n_click, n.nb AS n_purchase,
+      |  t.num // (n.na * n.nb) AS emd_micro
+      |FROM t, n""")(
+    (s, dir) => {
+      import graft.operators.Rank
+      val v = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            .as("vm"))
+      val g = v.groupBy("vm").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("ca"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("cb"))
+      val n = g.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      // two-pass prefix sums + a distributed lead via a rank self-join
+      val c0 = Rank.globalPrefixSum(
+        Rank.globalPrefixSum(g, "cuma", "ca", col("vm")),
+        "cumb", "cb", col("vm"))
+      val r = Rank.globalRank(c0, "rk", col("vm"))
+      val nxt = r.select((col("rk") - 1).as("rk"), col("vm").as("nxt"))
+      val t = r.join(nxt, "rk")
+        .crossJoin(broadcast(n))
+        .agg(sum((col("nxt") - col("vm")) *
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("num"))
+      t.crossJoin(broadcast(n))
+        .select(col("na").as("n_click"), col("nb").as("n_purchase"),
+          expr("num DIV (na * nb)").as("emd_micro"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q285, q286, q287, q291, q299, q314)
 }

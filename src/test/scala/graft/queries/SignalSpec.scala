@@ -155,6 +155,41 @@ class SignalSpec extends AnyFunSuite {
     }
   }
 
+  test("q314: EMD replays the scalar CDF-area and the coupling form") {
+    val row = run("q314_emd_1d").collect().head
+    val vals = graft.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "purchase").map(_._2).sorted
+    // CDF-area form on the merged distinct grid
+    val grid = (a ++ b).distinct.sorted
+    var (ia, ib) = (0, 0)
+    var num = BigInt(0)
+    for (k <- 0 until grid.length - 1) {
+      while (ia < a.length && a(ia) <= grid(k)) ia += 1
+      while (ib < b.length && b(ib) <= grid(k)) ib += 1
+      num += BigInt(grid(k + 1) - grid(k)) *
+        (BigInt(ia) * b.length - BigInt(ib) * a.length).abs
+    }
+    val emd = num / (BigInt(a.length) * BigInt(b.length))
+    assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
+    assert(BigInt(row.getLong(2)) == emd)
+    // equal-n sanity impossible here (sizes differ); instead check the
+    // dual quantile-coupling bound: EMD equals the integral of the
+    // inverse-CDF gap — approximate both distributions at the common
+    // 1/m grid of m = lcm-free min(n) quantile steps and confirm the
+    // CDF-area exact value sits within the coarse bound's bracket
+    val mQ = math.min(a.length, b.length)
+    val coarse = (0 until mQ).map { i =>
+      math.abs(a(i * a.length / mQ) - b(i * b.length / mQ))
+    }.map(BigInt(_)).sum / mQ
+    assert((emd - coarse).abs <= emd.max(coarse),
+      "coupling approximation must be the same order of magnitude")
+  }
+
   test("q287: Haar energies replay and satisfy integer Parseval") {
     val rows = run("q287_haar_energy").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
