@@ -521,5 +521,80 @@ object SignalQueries {
           expr("num DIV (na * nb)").as("emd_micro"))
     })
 
-  def all: Seq[QueryDef] = Seq(q285, q286, q287, q291, q299, q314)
+  /** Pairwise 1-D Wasserstein distance MATRIX over all event-type
+    * pairs — q314's exact CDF-area machinery generalized to the
+    * 10-pair sweep that feeds distribution clustering ("which event
+    * types have interchangeable value profiles?"). The windows here
+    * are PARTITIONED BY PAIR (each pair's distinct-value grid is its
+    * own partition) — the shape that sweeps many pairs in one pass,
+    * where q314's single giant comparison uses the two-pass global
+    * prefix sum. Same exact integer arithmetic, same micro units; a
+    * symmetric distance table out. */
+  val q315 = QueryDef.sql("q315_emd_matrix",
+    """WITH ty AS (SELECT DISTINCT event_type FROM events),
+      |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+      |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+      |v AS (SELECT pr.ta, pr.tb, e.event_type,
+      |    CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |      AS vm
+      |  FROM events e JOIN pr
+      |    ON e.event_type = pr.ta OR e.event_type = pr.tb),
+      |g AS (SELECT ta, tb, vm,
+      |    CAST(sum(CASE WHEN event_type = ta THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = tb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM v GROUP BY 1, 2, 3),
+      |n AS (SELECT ta, tb, CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb FROM g GROUP BY 1, 2),
+      |c AS (SELECT ta, tb, vm,
+      |    CAST(sum(ca) OVER o AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER o AS BIGINT) AS cumb,
+      |    lead(vm) OVER (PARTITION BY ta, tb ORDER BY vm) AS nxt
+      |  FROM g WINDOW o AS (PARTITION BY ta, tb ORDER BY vm
+      |    ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT c.ta, c.tb, CAST(sum((c.nxt - c.vm) *
+      |      abs(c.cuma * n.nb - c.cumb * n.na)) AS BIGINT) AS num
+      |  FROM c JOIN n ON c.ta = n.ta AND c.tb = n.tb
+      |  WHERE c.nxt IS NOT NULL GROUP BY 1, 2)
+      |SELECT t.ta, t.tb, n.na, n.nb,
+      |  t.num // (n.na * n.nb) AS emd_micro
+      |FROM t JOIN n ON t.ta = n.ta AND t.tb = n.tb""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ty = ev.select("event_type").distinct()
+      val pr = ty.toDF("ta").join(ty.toDF("tb"),
+        col("ta") < col("tb"))
+      val v = ev.select(col("event_type"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            .as("vm"))
+        .join(broadcast(pr),
+          col("event_type") === col("ta") ||
+            col("event_type") === col("tb"))
+      val g = v.groupBy("ta", "tb", "vm").agg(
+        sum(when(col("event_type") === col("ta"), 1L).otherwise(0L))
+          .as("ca"),
+        sum(when(col("event_type") === col("tb"), 1L).otherwise(0L))
+          .as("cb"))
+      val n = g.groupBy("ta", "tb")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val o = Window.partitionBy("ta", "tb").orderBy("vm")
+      val c = g.select(col("ta"), col("tb"), col("vm"),
+        sum("ca").over(o.rowsBetween(Window.unboundedPreceding, 0))
+          .as("cuma"),
+        sum("cb").over(o.rowsBetween(Window.unboundedPreceding, 0))
+          .as("cumb"),
+        lead("vm", 1).over(o).as("nxt"))
+      val t = c.where(col("nxt").isNotNull)
+        .join(broadcast(n), Seq("ta", "tb"))
+        .groupBy("ta", "tb")
+        .agg(sum((col("nxt") - col("vm")) *
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("num"))
+      t.join(broadcast(n), Seq("ta", "tb"))
+        .select(col("ta"), col("tb"), col("na"), col("nb"),
+          expr("num DIV (na * nb)").as("emd_micro"))
+    })
+
+  def all: Seq[QueryDef] = Seq(q285, q286, q287, q291, q299, q314, q315)
 }

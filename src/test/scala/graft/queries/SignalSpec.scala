@@ -190,6 +190,28 @@ class SignalSpec extends AnyFunSuite {
       "coupling approximation must be the same order of magnitude")
   }
 
+  test("q315: EMD matrix agrees with q314 on the click/purchase cell and the triangle inequality") {
+    val rows = run("q315_emd_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 10)
+    val single = run("q314_emd_1d").collect().head
+    val (na, nb, emd) = rows(("click", "purchase"))
+    assert(na == single.getLong(0) && nb == single.getLong(1))
+    assert(emd == single.getLong(2),
+      "matrix cell must equal the standalone q314 computation")
+    // Wasserstein-1 is a metric: triangle inequality over all triples
+    // (floor rounding can violate by at most 2 micro)
+    def d(a: String, b: String): Long =
+      rows.getOrElse((a, b), rows((b, a)))._3
+    val types = rows.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+    for (a <- types; b <- types; c <- types
+         if a < b && !Seq(a, b).contains(c))
+      assert(d(a, b) <= d(a, c) + d(c, b) + 2,
+        s"triangle violated for ($a,$b) via $c")
+    assert(rows.values.forall(_._3 >= 0))
+  }
+
   test("q287: Haar energies replay and satisfy integer Parseval") {
     val rows = run("q287_haar_energy").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
