@@ -820,6 +820,75 @@ object CausalQueries {
         .unionByName(pooled)
     })
 
+  /** Deterministic weighted sampling WITH replacement — the mixture
+    * DRAW primitive (q101/q90 allocate budgets; this one actually
+    * draws): each brand's revenue is its weight, the cumulative
+    * ranges partition [0, W), and 256 md5-derived pseudo-uniform
+    * points land in ranges via a range join — every draw exact
+    * integer arithmetic, replayable cross-engine, no RNG state. The
+    * output is the per-brand draw count next to its floor-expected
+    * count (256 * w / W): the audit that a weighted sampler is
+    * actually proportional. Scale shape: one fact aggregate, one
+    * ~|brands|-row prefix window, one broadcast range join of 256
+    * points — at a billion keys the ranges come from the two-pass
+    * prefix sum and the points bucket by range id. */
+  val q316 = QueryDef.sql("q316_weighted_draws",
+    """WITH w AS (SELECT p.p_brand,
+      |    CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS wt
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1),
+      |c AS (SELECT p_brand, wt,
+      |    CAST(coalesce(sum(wt) OVER (ORDER BY p_brand
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS lo,
+      |    CAST(sum(wt) OVER (ORDER BY p_brand
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      |  FROM w),
+      |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+      |d AS (SELECT g.i,
+      |    ('0x' || substring(md5('draw|' || CAST(g.i AS VARCHAR)),
+      |      1, 15))::BIGINT % tot.tw AS u
+      |  FROM generate_series(1, 256) g(i), tot),
+      |hits AS (SELECT c.p_brand, CAST(count(*) AS BIGINT) AS draws
+      |  FROM d JOIN c ON d.u >= c.lo AND d.u < c.hi
+      |  GROUP BY 1)
+      |SELECT c.p_brand, c.wt,
+      |  coalesce(hits.draws, 0) AS draws,
+      |  (c.wt * 256) // tot.tw AS expected_floor
+      |FROM c LEFT JOIN hits ON c.p_brand = hits.p_brand, tot""")(
+    (s, dir) => {
+      val w = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("wt"))
+      val o = Window.orderBy("p_brand")
+      val c = w.select(col("p_brand"), col("wt"),
+        coalesce(sum("wt").over(
+          o.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("lo"),
+        sum("wt").over(
+          o.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("hi"))
+      val tot = w.agg(sum("wt").as("tw"))
+      val d = s.range(1, 257).select(col("id").as("i"))
+        .crossJoin(broadcast(tot))
+        .select(col("i"),
+          (conv(substring(md5(concat(lit("draw|"),
+            col("i").cast("string"))), 1, 15), 16, 10).cast("long")
+            % col("tw")).as("u"))
+      val hits = broadcast(d).join(c,
+          col("u") >= col("lo") && col("u") < col("hi"))
+        .groupBy("p_brand").agg(count(lit(1)).as("draws"))
+      c.join(hits, Seq("p_brand"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("p_brand"), col("wt"),
+          coalesce(col("draws"), lit(0L)).as("draws"),
+          expr("(wt * 256) DIV tw").as("expected_floor"))
+    })
+
   def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296, q304, q307,
-    q309)
+    q309, q316)
 }

@@ -272,6 +272,30 @@ class CausalSpec extends AnyFunSuite {
     assert(pd == Math.floorDiv(pooledNum, pooledN))
   }
 
+  test("q316: weighted draws replay and conserve the draw budget") {
+    val rows = run("q316_weighted_draws").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._2._2).sum == 256L,
+      "every draw must land in exactly one range")
+    val totW = rows.map(_._2._1).sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(i: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"draw|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) % totW
+    val sorted = rows.sortBy(_._1)
+    val ranges = sorted.scanLeft(("", 0L, 0L)) {
+      case ((_, _, hi), (b, (w, _, _))) => (b, hi, hi + w)
+    }.drop(1)
+    val draws = (1L to 256L).map(u).groupBy { x =>
+      ranges.find(r => x >= r._2 && x < r._3).get._1
+    }.view.mapValues(_.size.toLong).toMap
+    for ((b, (w, d, exp)) <- rows) {
+      assert(d == draws.getOrElse(b, 0L), b)
+      assert(exp == w * 256L / totW)
+    }
+  }
+
   test("q289: Qini deciles replay the ranked accumulation") {
     val rows = run("q289_qini_deciles").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
