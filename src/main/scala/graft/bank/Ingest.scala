@@ -3,8 +3,7 @@ package graft.bank
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Date
 
-import graft.sources.Xlsx
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -24,14 +23,20 @@ object Ingest {
       .option("header", "true")
       .schema(Schemas.transactionsCsv)
       .csv(path)
-    val typed = raw.select(
+    val typed = typedTransactions(raw)
+    val day = typed.agg(min(to_date(col("transaction_date")))).head().getDate(0)
+    (typed, day)
+  }
+
+  /** S1–S3 typing projection, shared by the batch reader above and the
+    * streaming ingestion twin ([[graft.streaming.IngestStream]]):
+    * decimal-comma amount → DECIMAL(10,2), column order fixed. */
+  def typedTransactions(raw: DataFrame): DataFrame =
+    raw.select(
       col("transaction_id"), col("transaction_date"), col("card_num"),
       col("oper_type"),
       regexp_replace(col("amount"), ",", ".").cast(DecimalType(10, 2)).as("amount"),
       col("oper_result"), col("terminal"))
-    val day = typed.agg(min(to_date(col("transaction_date")))).head().getDate(0)
-    (typed, day)
-  }
 
   /** [[transactions]] with a malformed-row QUARANTINE instead of a
     * poisoned load: at 100 TB a handful of bad rows must divert, not
@@ -99,30 +104,28 @@ object Ingest {
     (good, quarantine, minDay.getDate(0))
   }
 
-  /** S5: terminals full snapshot (4 string columns). */
+  /** S5: terminals full snapshot (4 string columns). Reads through the
+    * distributed xlsx source ([[graft.sources.XlsxDataSource]]) — one
+    * daily file is one partition, a directory of snapshot drops parses
+    * across executors instead of serializing through the driver. */
   def terminals(spark: SparkSession, path: String): DataFrame = {
-    val sheet = Xlsx.read(path)
-    expectHeader(sheet, Seq("terminal_id", "terminal_type", "terminal_city",
-      "terminal_address"), path)
-    val rows = sheet.rows.map(r => Row(r.map(_.orNull): _*))
-    spark.createDataFrame(java.util.List.copyOf(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      Schemas.terminalsSnapshot)
+    val df = spark.read.format("xlsx").load(path)
+    expectHeader(df, Schemas.terminalsSnapshot.fieldNames.toSeq, path)
+    df.select(Schemas.terminalsSnapshot.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** S6: cumulative passport blacklist; Excel serial → DateType, and
-    * all-null styled rows already dropped by the reader. */
+  /** S6: cumulative passport blacklist; Excel serial → DateType (1900
+    * system, 1899-12-30 epoch — [[Xlsx.serialToDate]]), all-null styled
+    * rows already dropped by the reader. Same distributed source as
+    * [[terminals]]; the serial decode is a column expression so it runs
+    * where the rows are. */
   def blacklist(spark: SparkSession, path: String): DataFrame = {
-    val sheet = Xlsx.read(path)
-    expectHeader(sheet, Seq("date", "passport"), path)
-    val rows = sheet.rows.map { r =>
-      val serial = r.head.map(s => Date.valueOf(
-        Xlsx.serialToDate(s.takeWhile(_ != '.').toInt)))
-      Row(serial.orNull, r(1).orNull)
-    }
-    spark.createDataFrame(java.util.List.copyOf(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      Schemas.factPassportBlacklist)
+    val df = spark.read.format("xlsx").load(path)
+    expectHeader(df, Seq("date", "passport"), path)
+    df.select(
+      date_add(to_date(lit("1899-12-30")),
+        substring_index(col("date"), ".", 1).cast("int")).as("date"),
+      col("passport"))
   }
 
   /** S13: move a consumed file to `<archiveDir>/<name>.backup`. */
@@ -133,7 +136,12 @@ object Ingest {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def expectHeader(sheet: Xlsx.Sheet, want: Seq[String], path: String): Unit =
-    require(sheet.header.map(_.trim) == want,
-      s"unexpected header in $path: ${sheet.header.mkString(",")}")
+  /** Order-strict header check (the reference relies on fixed column
+    * positions — main.py:70,78); `_file` provenance is the source's own
+    * trailing column, not part of the sheet header. */
+  private def expectHeader(df: DataFrame, want: Seq[String], path: String): Unit = {
+    val header = df.schema.fieldNames.toSeq
+      .filterNot(_ == graft.sources.XlsxDataSource.FileColumn).map(_.trim)
+    require(header == want, s"unexpected header in $path: ${header.mkString(",")}")
+  }
 }

@@ -15,11 +15,12 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
   * and styled-but-empty rows (all-null rows are dropped, matching
   * pandas `read_excel` — SURVEY §7 quirk 4).
   *
-  * Scale note: dimension snapshots are inherently small (hundreds of
-  * rows/day here); this reader runs on the driver and hands Spark a
-  * local DataFrame. A 100 TB deployment would keep xlsx out of the hot
-  * path entirely (facts arrive as CSV/parquet); wrapping this in a
-  * DataSourceV2 is mechanical if ever needed.
+  * Scale note: a single sheet parses on one JVM (zip + XML are
+  * inherently sequential), so per-FILE is the parallel unit. The
+  * driver-side [[read]] stays the right tool for one small snapshot;
+  * a DIRECTORY of snapshots reads distributed through
+  * [[XlsxDataSource]] (`spark.read.format("xlsx")`), which assigns one
+  * file per input partition and parses on executors via [[readBytes]].
   */
 object Xlsx {
 
@@ -42,13 +43,46 @@ object Xlsx {
         .getOrElse(Vector.empty)
       val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
         .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
-      val raw = readSheet(zip.getInputStream(sheetEntry), shared)
-      val width = raw.map(_.size).maxOption.getOrElse(0)
-      val padded = raw.map(r => r.padTo(width, None))
-      val header = padded.headOption.getOrElse(Seq.empty).map(_.getOrElse(""))
-      val data = padded.drop(1).filter(_.exists(_.isDefined))
-      Sheet(header, data)
+      buildSheet(readSheet(zip.getInputStream(sheetEntry), shared))
     } finally zip.close()
+  }
+
+  /** Parse an xlsx from its raw bytes — the executor-side entry point
+    * ([[XlsxDataSource]]): zip entries arrive in archive order, so both
+    * parts are buffered before parsing (sharedStrings may follow the
+    * sheet). Snapshot files are small by nature; a sheet too big to
+    * buffer is too big for ONE parse task and belongs in a splittable
+    * format instead. */
+  def readBytes(bytes: Array[Byte], context: String = "<bytes>"): Sheet = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    var sharedBytes: Array[Byte] = null
+    var sheetBytes: Array[Byte] = null
+    try {
+      var e = zin.getNextEntry
+      while (e != null && (sharedBytes == null || sheetBytes == null)) {
+        e.getName match {
+          case "xl/sharedStrings.xml" => sharedBytes = zin.readAllBytes()
+          case "xl/worksheets/sheet1.xml" => sheetBytes = zin.readAllBytes()
+          case _ =>
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    if (sheetBytes == null)
+      throw new IllegalArgumentException(s"no sheet1 in $context")
+    val shared = Option(sharedBytes)
+      .map(b => readSharedStrings(new java.io.ByteArrayInputStream(b)))
+      .getOrElse(Vector.empty)
+    buildSheet(readSheet(new java.io.ByteArrayInputStream(sheetBytes), shared))
+  }
+
+  private def buildSheet(raw: Seq[Seq[Option[String]]]): Sheet = {
+    val width = raw.map(_.size).maxOption.getOrElse(0)
+    val padded = raw.map(r => r.padTo(width, None))
+    val header = padded.headOption.getOrElse(Seq.empty).map(_.getOrElse(""))
+    val data = padded.drop(1).filter(_.exists(_.isDefined))
+    Sheet(header, data)
   }
 
   /** Excel serial day → date (1900 date system with the Lotus leap bug,

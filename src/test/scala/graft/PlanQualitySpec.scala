@@ -304,6 +304,99 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q221 grew a model-table join: $p")
   }
 
+  test("unpartitioned windows take aggregate-bounded input: absolute cap " +
+       "at sf0.001, sublinear growth to sf0.01") {
+    // `WindowExec: No Partition Defined` means ALL rows reaching that
+    // window sort through ONE task — fine over a post-aggregate frame
+    // whose cardinality is a handful of group keys, fatal over anything
+    // that grows with the fact tables. The plan string can't prove the
+    // bound, so this measures it: execute every catalog query, find the
+    // unpartitioned WindowExecs in the final adaptive plan, and read the
+    // rows that ACTUALLY flowed into each from SQL metrics. Then the
+    // growth check: re-run just the window-bearing queries on 10× the
+    // data and require the window input to grow ≤4× — sublinear growth
+    // is the signature of an aggregate/limit bound (distinct flags,
+    // clusters, days), linear growth is a 100 TB single-task sort.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other
+    }
+    def collectGlobalWindows(p: SparkPlan): Seq[WindowExec] = {
+      val here = unwrap(p)
+      val self = here match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Nil
+      }
+      self ++ here.children.flatMap(collectGlobalWindows) ++
+        here.subqueriesAll.flatMap(collectGlobalWindows)
+    }
+    // A window's output cardinality equals its input, and Project/Sort/
+    // Exchange/Coalesce preserve cardinality too — so descend through
+    // cardinality-preserving nodes to the first metric that counts rows.
+    def inputRows(p: SparkPlan): Option[Long] = {
+      val n = unwrap(p)
+      n.metrics.get("numOutputRows").map(_.value)
+        .orElse(n.metrics.get("shuffleRecordsWritten").map(_.value))
+        .orElse(n match {
+          case _: org.apache.spark.sql.execution.ProjectExec |
+               _: org.apache.spark.sql.execution.SortExec |
+               _: org.apache.spark.sql.execution.CoalesceExec |
+               _: org.apache.spark.sql.execution.InputAdapter |
+               _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+               _: WindowExec |
+               _: org.apache.spark.sql.execution.exchange.Exchange |
+               _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+            inputRows(n.children.head)
+          case _ => None
+        })
+    }
+    def measure(dir: String, names: Option[Set[String]])
+        : Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if names.forall(_(name))) {
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        val ws = collectGlobalWindows(df.queryExecution.executedPlan)
+        if (ws.nonEmpty) {
+          // max over sites: the cap is per window, a query is as
+          // bounded as its widest global window
+          val rows = ws.map(w => inputRows(w.child).getOrElse {
+            fail(s"$name: cannot attribute rows to unpartitioned " +
+              s"window over ${unwrap(w.child).nodeName} — extend the " +
+              "cardinality-preserving descent or partition the window")
+          }).max
+          out(name) = rows
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      out.toMap
+    }
+    val at001 = measure(sf, None)
+    // every unpartitioned window's input must be far below fact-table
+    // cardinality (sf0.001 lineitem is 6001 rows; group-key frames are
+    // ≤ a few hundred)
+    val cap = 2048L
+    val over = at001.filter(_._2 > cap)
+    assert(over.isEmpty,
+      s"unpartitioned windows over $cap rows at sf0.001: $over")
+    // growth: 10× the data may not mean 4× the window input
+    val at01 = measure("/root/testdata/sf0.01", Some(at001.keySet))
+    val growing = at01.filter { case (n, r) =>
+      r > math.max(4 * at001(n), 512L) }
+    assert(growing.isEmpty,
+      s"unpartitioned window inputs growing ~linearly with data " +
+        s"(sf0.001=${growing.keys.map(at001)} -> sf0.01=${growing.values}): " +
+        s"$growing")
+  }
+
   test("the only nested-loop plans are the intentional all-pairs baselines") {
     // q55's cross join is at BLOCK granularity (blocks² rows, each row
     // one packed block) — bounded by construction, not an n² row plan

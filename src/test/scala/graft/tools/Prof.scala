@@ -28,7 +28,9 @@ object Prof {
     graft.Tables.embeddings(spark, dir).count()
     graft.Tables.documents(spark, dir).count()
 
-    for (q <- Seq("q39_ann_ivf", "q34_ann_lsh", "q75_typicality",
+    // q39's fitted-IVF variant left the driver catalog (deterministic
+    // twin q160 carries the oracle) — profile the twin instead
+    for (q <- Seq("q160_ann_ivf_det", "q34_ann_lsh", "q75_typicality",
                   "q70_interval_overlap", "q74_curation_funnel")) {
       for (i <- 1 to 2) {
         spark.catalog.clearCache()
