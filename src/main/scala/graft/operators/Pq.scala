@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the compression scheme behind
+  * billion-scale ANN serving (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): the d-dim space factors into
+  * `m` orthogonal subspaces of d/m dims, each with its own tiny
+  * codebook of `k` centroids, so a vector stores as `m` byte codes
+  * (64 dims of float32 → 8 bytes here) and query-time distance is a
+  * table lookup per subspace (ADC — asymmetric distance computation)
+  * instead of d multiplies.
+  *
+  * Everything here is exact-integer and deterministic so the DuckDB
+  * oracle replays codes and distances bit-for-bit (q317/q318):
+  * components quantize to milli units (⌊x·1000⌋ — same floor on both
+  * engines), distances are integer L2², the codebook is the `k`
+  * LOWEST-id vectors (no fitted k-means — the fitted flavour of cell
+  * assignment is covered by [[Ivf]]'s spec-checked variant), and
+  * argmin ties break to the lowest code.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - the codebook is m·k rows (128 here) — always broadcast;
+  *  - encoding is one narrow pass: explode n vectors to n·m subvector
+  *    rows, broadcast-join the codebook (n·m·k intermediate rows live
+  *    only inside one stage), partial-aggregate the argmin map-side,
+  *    shuffle n·m encoded rows once on (id, m);
+  *  - ADC serving broadcasts the query LUT (q·m·k rows) against the
+  *    encoded corpus and aggregates with the bounded
+  *    [[graft.functions.TopKAggregate]], so the shuffle carries q·k
+  *    rows per partition, never the corpus.
+  */
+object Pq {
+
+  /** ⌊x·1000⌋ per component — the shared milli-unit lattice. */
+  private def milli(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+
+  /** Integer L2² between two equal-length long arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic codebook: codeword (m, c) = subvector m of the
+    * vector with the c-th lowest id. `k` rows collect through a
+    * limit — bounded by construction (k ≤ 256). Output:
+    * (m: int, code: int, cw: array&lt;long&gt;). */
+  def codebook(emb: DataFrame, idCol: String, vecCol: String,
+               subvectors: Int, codewords: Int): DataFrame = {
+    val dsub = size(col("v")) / subvectors
+    emb.select(col(idCol).cast("long").as("id"), milli(col(vecCol)).as("v"))
+      .orderBy("id").limit(codewords)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("code"), col("v"),
+        explode(sequence(lit(0), lit(subvectors - 1))).as("m"))
+      .select(col("m").cast("int").as("m"), col("code"),
+        slice(col("v"), col("m") * dsub + 1, dsub).as("cw"))
+  }
+
+  /** Encode every vector: per (id, m) the argmin-L2² code and its
+    * distortion. Ties → lowest code (the struct min orders by dist2
+    * first, then code). Output: (id, m, code, dist2). */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             subvectors: Int = 8, codewords: Int = 16): DataFrame = {
+    val cb = codebook(emb, idCol, vecCol, subvectors, codewords)
+    val dsub = size(col("v")) / subvectors
+    val subs = emb
+      .select(col(idCol).cast("long").as("id"), milli(col(vecCol)).as("v"))
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(subvectors - 1))).as("m"))
+      .select(col("id"), col("m").cast("int").as("m"),
+        slice(col("v"), col("m") * dsub + 1, dsub).as("sub"))
+    subs.join(broadcast(cb), "m")
+      .select(col("id"), col("m"),
+        struct(l2sq(col("sub"), col("cw")).as("dist2"), col("code")).as("s"))
+      .groupBy("id", "m")
+      .agg(min(col("s")).as("best"))
+      .select(col("id"), col("m"), col("best.code").as("code"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** Code-usage + distortion audit per (subquantizer, code): how many
+    * vectors land on each codeword and the summed quantization error —
+    * the table a PQ deployment watches for dead codes and drifting
+    * residuals. One broadcast-join pass + one n·m-row aggregate. */
+  def codeStats(emb: DataFrame, idCol: String, vecCol: String,
+                subvectors: Int = 8, codewords: Int = 16): DataFrame =
+    encode(emb, idCol, vecCol, subvectors, codewords)
+      .groupBy("m", "code")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist2")).as("dist_sum"))
+      .select(col("m"), col("code"), col("n_vecs"),
+        col("dist_sum").cast("long").as("dist_sum"))
+
+  /** ADC top-k: for each query (rows matching `queryPred`), the k
+    * nearest corpus vectors by asymmetric distance — Σ_m
+    * lut(q, m, code(v, m)) where the LUT holds exact L2² from the
+    * query's subvectors to every codeword. Self-matches excluded;
+    * ordering (adc ASC, id_b ASC) via the bounded top-k aggregate.
+    * Output: (id_a, id_b, adc_dist2, rnk). */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int,
+              subvectors: Int = 8, codewords: Int = 16): DataFrame = {
+    val cb = codebook(emb, idCol, vecCol, subvectors, codewords)
+    val dsub = size(col("v")) / subvectors
+    val lut = emb.where(queryPred)
+      .select(col(idCol).cast("long").as("id_a"), milli(col(vecCol)).as("v"))
+      .select(col("id_a"), col("v"),
+        explode(sequence(lit(0), lit(subvectors - 1))).as("m"))
+      .select(col("id_a"), col("m").cast("int").as("m"),
+        slice(col("v"), col("m") * dsub + 1, dsub).as("sub"))
+      .join(broadcast(cb), "m")
+      .select(col("id_a"), col("m"), col("code"),
+        l2sq(col("sub"), col("cw")).as("lut_dist2"))
+    val enc = encode(emb, idCol, vecCol, subvectors, codewords)
+    enc.join(broadcast(lut), Seq("m", "code"))
+      .where(col("id") =!= col("id_a"))
+      .groupBy(col("id_a"), col("id").as("id_b"))
+      .agg(sum(col("lut_dist2")).as("adc"))
+      .groupBy("id_a")
+      .agg(graft.functions.TopKAggregate
+        .topkByScore(-col("adc").cast("double"), col("id_b"), k).as("nn"))
+      .select(col("id_a"), posexplode(col("nn")).as(Seq("i", "e")))
+      .select(col("id_a"), col("e.id").as("id_b"),
+        (-col("e.score")).cast("long").as("adc_dist2"),
+        (col("i") + 1).cast("int").as("rnk"))
+  }
+}

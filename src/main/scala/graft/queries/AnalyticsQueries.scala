@@ -67,10 +67,11 @@ object AnalyticsQueries {
         expr("percentile(l_quantity, 0.9)").as("p90")))
 
   /** Sketch aggregates: HyperLogLog++ distinct counts and quantile
-    * sketches — sketch internals differ per engine, so this is a
-    * rows-only driver check; AnalyticsSpec asserts accuracy vs exact.
-    * The quantile pair is flattened to scalar p50/p99 columns (the
-    * driver harness sorts rows in pandas and cannot hash array cells). */
+    * sketches — sketch internals differ per engine, so no cross-engine
+    * oracle exists and this variant is not in the driver catalog:
+    * AnalyticsSpec asserts accuracy vs exact, and the deterministic
+    * md5-register twin (q51) carries the hash-checked oracle for the
+    * mergeable-sketch semantics. */
   val q46 = QueryDef.rowsOnly("q46_sketches")(
     (s, dir) => Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -1722,7 +1723,49 @@ object AnalyticsQueries {
           .cast("long"), shift = 28)
       .select(col("n"), col("median").as("median_micro")))
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q46, q47, q51, q52, q58,
+  /** Quantile regression through the origin by pinball-loss grid
+    * search: fit the τ=0.9 quantile of l_extendedprice as slope·
+    * l_quantity by evaluating 51 candidate slopes (0..20000 step 400)
+    * against the exact pinball loss — 10·loss = 9·(y−ŷ)⁺ + (p̂−y)⁺ in
+    * integer centi units, so the argmin and every grid cell replay
+    * exactly. Rank 1 is the fitted slope. Plan shape: one broadcast
+    * cross join with the 51-row grid, map-side partial aggregation
+    * collapses to 51 groups before the only shuffle; the ranking
+    * window sorts 51 rows. A 100 TB fit is one pass regardless of
+    * grid size. */
+  val q319 = QueryDef.sql("q319_pinball_grid",
+    """WITH g AS (SELECT CAST(unnest(range(0, 51)) AS BIGINT) * 400 AS slope),
+      |li AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |           AS BIGINT) AS y,
+      |         CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+      |l AS (SELECT g.slope,
+      |    CAST(sum(CASE WHEN li.y >= g.slope * li.x * 100
+      |         THEN 9 * (li.y - g.slope * li.x * 100)
+      |         ELSE (g.slope * li.x * 100 - li.y) END) AS BIGINT)
+      |      AS loss10_centi
+      |  FROM li, g GROUP BY g.slope)
+      |SELECT slope, loss10_centi,
+      |  CAST(row_number() OVER (ORDER BY loss10_centi, slope) AS INT)
+      |    AS rnk
+      |FROM l""")(
+    (s, dir) => {
+      val grid = s.range(0, 51).select((col("id") * 400L).as("slope"))
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_extendedprice").cast(D182) * 100).cast("long").as("y"),
+        col("l_quantity").cast("long").as("x"))
+      val pred = col("slope") * col("x") * 100L
+      li.crossJoin(broadcast(grid))
+        .select(col("slope"),
+          when(col("y") >= pred, lit(9L) * (col("y") - pred))
+            .otherwise(pred - col("y")).as("lc"))
+        .groupBy("slope")
+        .agg(sum(col("lc")).cast("long").as("loss10_centi"))
+        // 51-row frame: the unpartitioned window is grid-bounded
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("loss10_centi"), col("slope"))).cast("int"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q47, q51, q52, q58, q319,
     q69, q70, q72, q78, q79, q81, q83, q84, q85, q89, q90, q91, q96, q99,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q113, q114,
     q167, q189, q220, q245, q253, q257, q268, q278, q290, q300, q306)

@@ -2069,8 +2069,32 @@ object PlannerQueries {
           when(col("t_ppm") > 200000, 1L).otherwise(0L))
     })
 
+  /** Weight-balanced range-shard planner
+    * ([[graft.operators.RangeShard]]): split the documents table into 8
+    * contiguous doc_id ranges of ~equal total characters — the exact
+    * boundary table behind evenly-sized ordered output files, computed
+    * WITHOUT a global single-task sort: per-block partitioned running
+    * sums + one unpartitioned window over the n/1024-row block-offset
+    * table (a few MB even at a billion rows). The oracle is the naive
+    * global window — same numbers, single-node plan. */
+  val q320 = QueryDef.sql("q320_range_shards",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |           CAST(n_chars AS BIGINT) AS w FROM documents),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM d),
+      |c AS (SELECT id, w,
+      |    COALESCE(sum(w) OVER (ORDER BY id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM d)
+      |SELECT CAST(c.cum_before * 8 // t.total AS INT) AS shard,
+      |  count(*) AS n_docs, CAST(sum(c.w) AS BIGINT) AS char_sum,
+      |  min(c.id) AS min_doc, max(c.id) AS max_doc
+      |FROM c, t GROUP BY 1""")(
+    (s, dir) => graft.operators.RangeShard.plan(
+      Tables.documents(s, dir), "doc_id", "n_chars", shards = 8))
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
-    q266, q270, q279, q297)
+    q266, q270, q279, q297, q320)
 }

@@ -93,8 +93,11 @@ object SimilarityQueries {
       "vec_id", "embedding", dim = 64, planes = 7, tables = 20, k = 5,
       multiprobe = 4))
 
-  /** IVF ANN (KMeans cells + nprobe search), auto-sized nlist ≈ √n —
-    * rows-only; recall vs exact asserted in IvfSpec. */
+  /** IVF ANN (KMeans cells + nprobe search), auto-sized nlist ≈ √n.
+    * The fitted-KMeans index is seed-dependent, so this variant is not
+    * in the driver catalog: recall vs exact is asserted in IvfSpec, and
+    * the deterministic grid-cell twin (q160) carries the hash-checked
+    * oracle for the IVF probe semantics. */
   val q39 = QueryDef.rowsOnly("q39_ann_ivf")(
     (s, dir) => graft.operators.Ivf.ivfTopKAuto(Tables.embeddings(s, dir),
       "vec_id", "embedding", k = 5))
@@ -760,6 +763,84 @@ object SimilarityQueries {
             .as("scatter_ppm"))
     })
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q39, q55, q60, q61, q65, q98,
-    q160, q176, q187, q231, q242, q262, q263, q264, q280, q295)
+  /** Product-quantization encode audit ([[graft.operators.Pq]]): code
+    * usage + summed distortion per (subquantizer, codeword) — 64 dims
+    * → 8 subvectors × 16-codeword codebooks on the shared milli-unit
+    * lattice, codebook = the 16 lowest-id vectors, argmin ties to the
+    * lowest code. Encoding is one broadcast-join pass with map-side
+    * argmin; the oracle replays codes and distances bit-for-bit in
+    * exact integer L2². */
+  val q317 = QueryDef.sql("q317_pq_codes",
+    """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+      |    list_transform(embedding::DOUBLE[],
+      |                   x -> CAST(floor(x*1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cb0 AS (SELECT id, v FROM v ORDER BY id LIMIT 16),
+      |cb AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+      |         AS code, v FROM cb0),
+      |ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+      |cbs AS (SELECT m, code, list_slice(v, m*8 + 1, m*8 + 8) AS cw
+      |        FROM cb, ms),
+      |vs AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sub
+      |       FROM v, ms),
+      |d AS (SELECT vs.id, vs.m, cbs.code,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (sub[CAST(i AS INT)] - cw[CAST(i AS INT)])
+      |         * (sub[CAST(i AS INT)] - cw[CAST(i AS INT)]))) AS BIGINT)
+      |      AS dist2
+      |  FROM vs JOIN cbs USING (m)),
+      |enc AS (SELECT id, m, code, dist2,
+      |    row_number() OVER (PARTITION BY id, m
+      |                       ORDER BY dist2, code) AS rn FROM d)
+      |SELECT m, code, count(*) AS n_vecs, CAST(sum(dist2) AS BIGINT)
+      |  AS dist_sum
+      |FROM enc WHERE rn = 1 GROUP BY m, code""")(
+    (s, dir) => graft.operators.Pq.codeStats(Tables.embeddings(s, dir),
+      "vec_id", "embedding"))
+
+  /** PQ ADC serving ([[graft.operators.Pq.adcTopK]]): queries (every
+    * 250th vector) look up exact subvector-to-codeword distances in a
+    * broadcast LUT and rank the encoded corpus by Σ_m lut[m][code] —
+    * the table-lookup scan that serves billion-vector indexes. Top-5
+    * per query, (adc ASC, id ASC) ties, self excluded; shuffle carries
+    * q·k rows after the bounded top-k aggregate, never the corpus. */
+  val q318 = QueryDef.sql("q318_pq_adc_topk",
+    """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+      |    list_transform(embedding::DOUBLE[],
+      |                   x -> CAST(floor(x*1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cb0 AS (SELECT id, v FROM v ORDER BY id LIMIT 16),
+      |cb AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+      |         AS code, v FROM cb0),
+      |ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+      |cbs AS (SELECT m, code, list_slice(v, m*8 + 1, m*8 + 8) AS cw
+      |        FROM cb, ms),
+      |vs AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sub
+      |       FROM v, ms),
+      |d AS (SELECT vs.id, vs.m, cbs.code,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (sub[CAST(i AS INT)] - cw[CAST(i AS INT)])
+      |         * (sub[CAST(i AS INT)] - cw[CAST(i AS INT)]))) AS BIGINT)
+      |      AS dist2
+      |  FROM vs JOIN cbs USING (m)),
+      |enc AS (SELECT id, m, code FROM (
+      |    SELECT id, m, code, row_number() OVER (PARTITION BY id, m
+      |        ORDER BY dist2, code) AS rn FROM d) WHERE rn = 1),
+      |lut AS (SELECT id AS id_a, m, code, dist2 AS lut FROM d
+      |        WHERE id % 250 = 7),
+      |adc AS (SELECT lut.id_a, e.id AS id_b,
+      |          CAST(sum(lut.lut) AS BIGINT) AS adc
+      |        FROM enc e JOIN lut ON e.m = lut.m AND e.code = lut.code
+      |          AND e.id <> lut.id_a
+      |        GROUP BY 1, 2),
+      |r AS (SELECT id_a, id_b, adc, row_number() OVER (PARTITION BY id_a
+      |        ORDER BY adc, id_b) AS rnk FROM adc)
+      |SELECT id_a, id_b, adc AS adc_dist2, CAST(rnk AS INT) AS rnk
+      |FROM r WHERE rnk <= 5""")(
+    (s, dir) => graft.operators.Pq.adcTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", queryPred = pmod(col("vec_id"), lit(250)) === 7,
+      k = 5))
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q55, q60, q61, q65, q98,
+    q160, q176, q187, q231, q242, q262, q263, q264, q280, q295, q317, q318)
 }
