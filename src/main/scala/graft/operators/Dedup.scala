@@ -113,6 +113,43 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** IDF-WEIGHTED n-gram Jaccard near-dup pairs: [[ngramJaccard]]'s
+    * single-pass inverted-index shape, but every shingle counts with
+    * the integer rational weight w = (N·1000) DIV df — rare
+    * (informative) shingles dominate the score while near-boilerplate
+    * below the stop cap contributes almost nothing, the standard
+    * refinement when plain Jaccard over-matches template-heavy
+    * corpora. WJ(a,b) = Σ_{s∈a∩b} w_s / (W_a + W_b − Σ_shared w_s),
+    * reported as an exact ppm ratio (weights are global per shingle,
+    * so min = max = w on shared shingles and the set formula
+    * collapses to sums). Same df² pair-expansion bound as
+    * [[ngramJaccard]]; the corpus size N rides in on a broadcast
+    * one-row frame. Weight sums stay far from Long range: W_doc ≤
+    * shingles(doc) · N · 500 — at a billion docs ppm numerators need
+    * ~2⁶² for 10k-shingle docs, the documented ceiling. */
+  def idfWeightedJaccard(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, maxDf: Int, minPpm: Long): DataFrame = {
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val inv = invertedIndexHashed(df, idCol, textCol, k)
+    val kept = inv.where(size(col("docs")) <= maxDf)
+      .crossJoin(broadcast(n))
+      .withColumn("w", expr("(n_docs * 1000) DIV size(docs)"))
+    val weights = kept.select(explode(col("docs")).as(idCol), col("w"))
+      .groupBy(col(idCol)).agg(sum(col("w")).as("tw"))
+    val shared = kept.where(size(col("docs")) >= 2)
+      .select(col("w"), explode(expandPairs(kept, "docs")).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(sum(col("w")).as("cw"))
+    shared
+      .join(weights.select(col(idCol).as("id1"), col("tw").as("tw1")), "id1")
+      .join(weights.select(col(idCol).as("id2"), col("tw").as("tw2")), "id2")
+      .withColumn("wj_ppm",
+        expr("(cw * 1000000) DIV (tw1 + tw2 - cw)"))
+      .where(col("wj_ppm") >= minPpm)
+      .select(col("id1"), col("id2"), col("cw").cast("long").as("shared_w"),
+        col("wj_ppm"))
+  }
+
   /** EXACT Jaccard similarity join by PREFIX FILTERING (AllPairs /
     * PPJoin family — Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06):
     * the principled exact-at-scale alternative to [[ngramJaccard]]'s

@@ -2093,8 +2093,88 @@ object PlannerQueries {
     (s, dir) => graft.operators.RangeShard.plan(
       Tables.documents(s, dir), "doc_id", "n_chars", shards = 8))
 
+  /** Skew-salting plan: from the key histogram, compute the salt
+    * factor a skewed groupBy/join should apply per hot key — keys
+    * whose count exceeds total/200 get ⌈count/threshold⌉ salts (capped
+    * at 32, a practical executor-fanout bound) and the resulting
+    * per-bucket row load. This is the PLANNING half of the salted
+    * machinery q69 executes; at 100 TB the histogram aggregate is the
+    * only pass and the plan table is ≤ #hot-keys rows. All-integer
+    * ceil-division, so the oracle replays the plan exactly. */
+  val q323 = QueryDef.sql("q323_salt_plan",
+    """WITH tot AS (SELECT count(*) AS n FROM events),
+      |t AS (SELECT greatest(n // 200, 1) AS thr FROM tot),
+      |k AS (SELECT event_type AS key, count(*) AS cnt FROM events
+      |      GROUP BY 1)
+      |SELECT key, cnt,
+      |  CAST(least((cnt + thr - 1) // thr, 32) AS INT) AS salt_factor,
+      |  CAST((cnt + least((cnt + thr - 1) // thr, 32) - 1)
+      |    // least((cnt + thr - 1) // thr, 32) AS BIGINT) AS bucket_rows
+      |FROM k, t WHERE cnt > thr""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val thr = ev.agg(count(lit(1)).as("n"))
+        .select(greatest(expr("n DIV 200"), lit(1L)).as("thr"))
+      ev.groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(thr))
+        .where(col("cnt") > col("thr"))
+        .withColumn("salt_factor",
+          least(expr("(cnt + thr - 1) DIV thr"), lit(32L)).cast("int"))
+        .withColumn("bucket_rows",
+          expr("(cnt + salt_factor - 1) DIV salt_factor"))
+        .select("key", "cnt", "salt_factor", "bucket_rows")
+    })
+
+  /** Z-order (Morton) layout audit: interleave the low 12 bits of
+    * customer key and order-day into a 24-bit z-value, bucket rows by
+    * the top 8 z-bits, and report each bucket's bounding box and
+    * point density — the locality table behind multi-dimensional
+    * file clustering (a well-z-ordered layout gives every bucket a
+    * tight box, so a 2-D predicate prunes most files; a row-order
+    * layout smears every bucket across one full dimension). The
+    * z-value is a pure per-row fold (no shuffle), the audit one
+    * aggregate. Integer bit arithmetic replays exactly. */
+  val q324 = QueryDef.sql("q324_zorder_audit",
+    """WITH o AS (SELECT
+      |    CAST(o_custkey % 4096 AS BIGINT) AS x,
+      |    CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 4096
+      |      AS BIGINT) AS y
+      |  FROM orders),
+      |z AS (SELECT x, y,
+      |    CAST(list_sum(list_transform(range(0, 12), i ->
+      |      ((x // CAST(pow(2, i) AS BIGINT)) % 2)
+      |        * CAST(pow(2, 2*i) AS BIGINT)
+      |      + ((y // CAST(pow(2, i) AS BIGINT)) % 2)
+      |        * CAST(pow(2, 2*i+1) AS BIGINT))) AS BIGINT) AS zv
+      |  FROM o)
+      |SELECT CAST(zv // 65536 AS INT) AS z_bucket, count(*) AS n,
+      |  min(x) AS x_min, max(x) AS x_max,
+      |  min(y) AS y_min, max(y) AS y_max,
+      |  CAST(count(*) * 1000000
+      |    // ((max(x)-min(x)+1) * (max(y)-min(y)+1)) AS BIGINT)
+      |    AS density_ppm
+      |FROM z GROUP BY 1""")(
+    (s, dir) => Tables.orders(s, dir)
+      .select(
+        pmod(col("o_custkey"), lit(4096L)).as("x"),
+        pmod(expr("datediff(to_date(o_orderdate), DATE'1995-01-01')")
+          .cast("long"), lit(4096L)).as("y"))
+      .withColumn("zv", expr(
+        """aggregate(sequence(0, 11), 0L, (acc, i) ->
+          |  acc + ((x DIV CAST(pow(2, i) AS BIGINT)) % 2)
+          |          * CAST(pow(2, CAST(2*i AS DOUBLE)) AS BIGINT)
+          |      + ((y DIV CAST(pow(2, i) AS BIGINT)) % 2)
+          |          * CAST(pow(2, CAST(2*i+1 AS DOUBLE)) AS BIGINT))"""
+          .stripMargin))
+      .groupBy(expr("CAST(zv DIV 65536 AS INT)").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("density_ppm", expr(
+        "n * 1000000 DIV ((x_max - x_min + 1) * (y_max - y_min + 1))")))
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
-    q266, q270, q279, q297, q320)
+    q266, q270, q279, q297, q320, q323, q324)
 }

@@ -841,6 +841,50 @@ object SimilarityQueries {
       "vec_id", "embedding", queryPred = pmod(col("vec_id"), lit(250)) === 7,
       k = 5))
 
+  /** Mutual-kNN graph degrees: edge (a, b) iff each is in the other's
+    * exact cosine top-5 — the symmetric neighbourhood graph embedding
+    * curation builds for density/outlier analysis (an isolated vector
+    * has degree 0 even though kNN always returns 5 rows). Rides the
+    * blocked exact top-k kernel (q32/q55's plan — block pairs, bounded
+    * per-block emission), then one n·k self-join on the (a, b) pair
+    * and a degree count; the oracle replays top-5 sets and the mutual
+    * intersection exactly (shared fold order ⇒ identical sets). */
+  val q321 = QueryDef.sql("q321_mutual_knn",
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |      FROM n a JOIN n b ON a.id <> b.id),
+      |r AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+      |        row_number() OVER (PARTITION BY id_a
+      |                           ORDER BY cosine DESC, id_b) AS rnk
+      |      FROM p) WHERE rnk <= 5),
+      |m AS (SELECT x.id_a AS u, x.id_b AS w FROM r x JOIN r y
+      |      ON x.id_a = y.id_b AND x.id_b = y.id_a AND x.id_a < x.id_b),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS id FROM m UNION ALL SELECT w AS id FROM m)
+      |  GROUP BY id)
+      |SELECT e.vec_id, COALESCE(deg.deg, CAST(0 AS BIGINT))
+      |  AS mutual_degree
+      |FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.id""")(
+    (s, dir) => {
+      val top = Similarity.cosineTopKBlocked(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 5)
+        .select(col("id_a"), col("id_b"))
+      val mutual = top.as("x").join(top.as("y"),
+          col("x.id_a") === col("y.id_b") && col("x.id_b") === col("y.id_a")
+            && col("x.id_a") < col("x.id_b"))
+        .select(col("x.id_a").as("u"), col("x.id_b").as("v"))
+      val deg = mutual.select(col("u").as("id"))
+        .unionAll(mutual.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      Tables.embeddings(s, dir).select(col("vec_id"))
+        .join(deg, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("deg"), lit(0L)).as("mutual_degree"))
+    })
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q55, q60, q61, q65, q98,
-    q160, q176, q187, q231, q242, q262, q263, q264, q280, q295, q317, q318)
+    q160, q176, q187, q231, q242, q262, q263, q264, q280, q295, q317,
+    q318, q321)
 }

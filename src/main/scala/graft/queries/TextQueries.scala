@@ -1990,9 +1990,39 @@ object TextQueries {
         .select("phrase", "n_words", "n_occurrences", "score_ppm", "rk")
     })
 
+  /** IDF-weighted n-gram Jaccard near-dup pairs
+    * ([[graft.operators.Dedup.idfWeightedJaccard]]): q29's df-capped
+    * single-pass index, but shingles score with the exact rational
+    * weight (N·1000) DIV df so rare shingles dominate — the standard
+    * refinement when plain Jaccard over-matches template-heavy
+    * corpora. All-integer ppm scores; same df² expansion bound. */
+  val q322 = QueryDef.sql("q322_idf_jaccard",
+    """WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+      |        FROM documents)),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |g AS (SELECT s, count(*) AS df FROM sh GROUP BY s
+      |      HAVING count(*) <= 100),
+      |w AS (SELECT s, (n_docs * 1000) // df AS w FROM g, nd),
+      |tw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw
+      |       FROM sh JOIN w USING (s) GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |         CAST(sum(w.w) AS BIGINT) AS cw
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       JOIN w ON w.s = a.s
+      |       GROUP BY 1, 2)
+      |SELECT id1, id2, cw AS shared_w,
+      |  CAST((cw * 1000000) // (t1.tw + t2.tw - cw) AS BIGINT) AS wj_ppm
+      |FROM co JOIN tw t1 ON co.id1 = t1.doc_id
+      |JOIN tw t2 ON co.id2 = t2.doc_id
+      |WHERE (cw * 1000000) // (t1.tw + t2.tw - cw) >= 300000""")(
+    (s, dir) => Dedup.idfWeightedJaccard(Tables.documents(s, dir),
+      "doc_id", "text", k = 8, maxDf = 100, minPpm = 300000L))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185, q236, q259, q260, q261, q274, q298, q305, q313)
+    q185, q236, q259, q260, q261, q274, q298, q305, q313, q322)
 }
