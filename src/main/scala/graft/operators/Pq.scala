@@ -48,9 +48,17 @@ object Pq {
     * limit — bounded by construction (k ≤ 256). Output:
     * (m: int, code: int, cw: array&lt;long&gt;). */
   def codebook(emb: DataFrame, idCol: String, vecCol: String,
-               subvectors: Int, codewords: Int): DataFrame = {
+               subvectors: Int, codewords: Int): DataFrame =
+    codebookQuantized(
+      emb.select(col(idCol).cast("long").as("id"), milli(col(vecCol)).as("qv")),
+      subvectors, codewords)
+
+  /** [[codebook]] over an ALREADY-quantized long-array column `qv`
+    * keyed by `id` — the entry point residual schemes (IVF-PQ) use. */
+  def codebookQuantized(q: DataFrame,
+                        subvectors: Int, codewords: Int): DataFrame = {
     val dsub = size(col("v")) / subvectors
-    emb.select(col(idCol).cast("long").as("id"), milli(col(vecCol)).as("v"))
+    q.select(col("id"), col("qv").as("v"))
       .orderBy("id").limit(codewords)
       .withColumn("code",
         (row_number().over(Window.orderBy("id")) - 1).cast("int"))
@@ -64,11 +72,19 @@ object Pq {
     * distortion. Ties → lowest code (the struct min orders by dist2
     * first, then code). Output: (id, m, code, dist2). */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
-             subvectors: Int = 8, codewords: Int = 16): DataFrame = {
-    val cb = codebook(emb, idCol, vecCol, subvectors, codewords)
+             subvectors: Int = 8, codewords: Int = 16): DataFrame =
+    encodeQuantized(
+      emb.select(col(idCol).cast("long").as("id"), milli(col(vecCol)).as("qv")),
+      subvectors, codewords)
+
+  /** [[encode]] over an ALREADY-quantized long-array column `qv` keyed
+    * by `id` (IVF-PQ residuals arrive pre-quantized). */
+  def encodeQuantized(q: DataFrame,
+                      subvectors: Int = 8, codewords: Int = 16): DataFrame = {
+    val cb = codebookQuantized(q, subvectors, codewords)
     val dsub = size(col("v")) / subvectors
-    val subs = emb
-      .select(col(idCol).cast("long").as("id"), milli(col(vecCol)).as("v"))
+    val subs = q
+      .select(col("id"), col("qv").as("v"))
       .select(col("id"), col("v"),
         explode(sequence(lit(0), lit(subvectors - 1))).as("m"))
       .select(col("id"), col("m").cast("int").as("m"),
@@ -88,11 +104,81 @@ object Pq {
     * residuals. One broadcast-join pass + one n·m-row aggregate. */
   def codeStats(emb: DataFrame, idCol: String, vecCol: String,
                 subvectors: Int = 8, codewords: Int = 16): DataFrame =
-    encode(emb, idCol, vecCol, subvectors, codewords)
-      .groupBy("m", "code")
+    stats(encode(emb, idCol, vecCol, subvectors, codewords))
+
+  /** IVF-PQ residual encode audit — the storage layout of a
+    * billion-scale index (FAISS's IVFPQ): every vector stores as its
+    * IVF cell id plus `m` byte codes of the RESIDUAL v − mean(cell)
+    * (within-cell spread is smaller than corpus spread, so the same
+    * codebook budget buys lower distortion — asserted in PqSpec).
+    * Cells come from the deterministic md5-sampled IVF assignment
+    * ([[Ivf.buildIndexDeterministic]], the q160 machinery — ties to
+    * the lowest cell); the subtracted centroid is the cell's exact
+    * integer milli-lattice mean (sum DIV count per dimension, the
+    * q128/q187 recipe — truncating division matches on both engines),
+    * so residuals are pure integers and the code/distortion table
+    * replays bit-for-bit. The nlist-row mean table broadcasts;
+    * everything else is [[encodeQuantized]]'s one-pass shape. */
+  def ivfPqCodeStats(emb: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int = 64, subvectors: Int = 8,
+                     codewords: Int = 16): DataFrame = {
+    val index = Ivf.buildIndexDeterministic(emb, idCol, vecCol, nlist)
+    val vm = index.indexed.select(col("id").cast("long").as("id"),
+      col("cell"),
+      transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("vm"))
+    val means = vm
+      .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "qx")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"), expr("sq DIV n").as("cm"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cm")))),
+        s => s.getField("cm")).as("cmv"))
+    val residuals = vm.join(broadcast(means), "cell")
+      .select(col("id"),
+        zip_with(col("vm"), col("cmv"), (a, b) => a - b).as("qv"))
+    stats(encodeQuantized(residuals, subvectors, codewords))
+  }
+
+  private def stats(enc: DataFrame): DataFrame =
+    enc.groupBy("m", "code")
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist2")).as("dist_sum"))
       .select(col("m"), col("code"), col("n_vecs"),
         col("dist_sum").cast("long").as("dist_sum"))
+
+  /** Recall@k of [[adcTopK]] against the exact cosine top-k for the
+    * same query set — the evaluation every quantized index ships with
+    * (how much recall did 8-byte codes cost?). The exact side is the
+    * broadcast query-batch scan ([[Similarity.retrieveTopK]]'s plan,
+    * self excluded): the corpus streams once, the bounded top-k
+    * aggregate keeps the shuffle at q·k rows. Output: (id_a, hits,
+    * recall_ppm), hits = |ADC top-k ∩ exact top-k|. */
+  def adcRecallAtK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, k: Int,
+                   subvectors: Int = 8, codewords: Int = 16): DataFrame = {
+    val adc = adcTopK(emb, idCol, vecCol, queryPred, k,
+      subvectors, codewords).select(col("id_a"), col("id_b"))
+    val c = emb.select(col(idCol).cast("long").as("id_b"),
+        transform(col(vecCol), x => x.cast("double")).as("vb"))
+      .withColumn("nb", Similarity.norm(col("vb")))
+    val q = emb.where(queryPred)
+      .select(col(idCol).cast("long").as("id_a"),
+        transform(col(vecCol), x => x.cast("double")).as("va"))
+      .withColumn("na", Similarity.norm(col("va")))
+    val exact = Similarity.rankTopK(
+      c.crossJoin(broadcast(q))
+        .where(col("id_a") =!= col("id_b"))
+        .withColumn("cosine",
+          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .select("id_a", "id_b", "cosine"), k)
+      .select(col("id_a"), col("id_b"))
+    adc.join(exact.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy("id_a")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("hits"))
+      .select(col("id_a"), col("hits"),
+        expr(s"hits * 1000000 DIV $k").as("recall_ppm"))
+  }
 
   /** ADC top-k: for each query (rows matching `queryPred`), the k
     * nearest corpus vectors by asymmetric distance — Σ_m

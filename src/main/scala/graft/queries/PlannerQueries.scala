@@ -2173,8 +2173,93 @@ object PlannerQueries {
       .withColumn("density_ppm", expr(
         "n * 1000000 DIV ((x_max - x_min + 1) * (y_max - y_min + 1))")))
 
+  /** Broadcast-join advisor: per table, row count and a deterministic
+    * serialized-size estimate (8 bytes per fixed-width column + string
+    * lengths), and whether it fits the 10 MiB broadcast budget — the
+    * statistics table behind every join-strategy choice the fraud
+    * pipeline makes (masters broadcast, facts shuffle). Six single-
+    * table aggregates unioned; the estimate replays exactly. */
+  val q327 = QueryDef.sql("q327_broadcast_advisor",
+    """WITH s AS (
+      |  SELECT 'region' AS tbl, count(*) AS n_rows,
+      |    CAST(sum(8 + length(r_name)) AS BIGINT) AS est_bytes FROM region
+      |  UNION ALL SELECT 'nation', count(*),
+      |    CAST(sum(16 + length(n_name)) AS BIGINT) FROM nation
+      |  UNION ALL SELECT 'customer', count(*),
+      |    CAST(sum(24 + length(c_name) + length(c_mktsegment)) AS BIGINT)
+      |    FROM customer
+      |  UNION ALL SELECT 'supplier', count(*),
+      |    CAST(sum(24 + length(s_name)) AS BIGINT) FROM supplier
+      |  UNION ALL SELECT 'part', count(*),
+      |    CAST(sum(24 + length(p_name) + length(p_brand) + length(p_type))
+      |      AS BIGINT) FROM part
+      |  UNION ALL SELECT 'lineitem', count(*),
+      |    CAST(sum(72 + length(l_returnflag) + length(l_linestatus))
+      |      AS BIGINT) FROM lineitem)
+      |SELECT tbl, n_rows, est_bytes, est_bytes < 10485760 AS broadcastable
+      |FROM s""")(
+    (s, dir) => {
+      def est(df: org.apache.spark.sql.DataFrame, name: String,
+              bytes: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(bytes).cast("long").as("est_bytes"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("est_bytes"),
+            (col("est_bytes") < 10485760L).as("broadcastable"))
+      est(Tables.region(s, dir), "region", lit(8) + length(col("r_name")))
+        .unionAll(est(Tables.nation(s, dir), "nation",
+          lit(16) + length(col("n_name"))))
+        .unionAll(est(Tables.customer(s, dir), "customer",
+          lit(24) + length(col("c_name")) + length(col("c_mktsegment"))))
+        .unionAll(est(Tables.supplier(s, dir), "supplier",
+          lit(24) + length(col("s_name"))))
+        .unionAll(est(Tables.part(s, dir), "part",
+          lit(24) + length(col("p_name")) + length(col("p_brand"))
+            + length(col("p_type"))))
+        .unionAll(est(Tables.lineitem(s, dir), "lineitem",
+          lit(72) + length(col("l_returnflag"))
+            + length(col("l_linestatus"))))
+    })
+
+  /** Zone-map skipping audit across two LAYOUTS of the same fact: for
+    * the predicate `l_shipdate ≥ 1998-01-01`, per-block min/max
+    * shipdate and skippability when blocks follow insertion order
+    * (orderkey ranges — dates smear, nothing skips) vs a
+    * date-partitioned layout (year-month blocks — history prunes).
+    * This is the min/max row-group statistic parquet keeps and the
+    * measurement that justifies re-clustering; one aggregate per
+    * layout, block counts bounded by keyspace/512 and months. */
+  val q328 = QueryDef.sql("q328_zonemap_skip",
+    """WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS d
+      |           FROM lineitem),
+      |ins AS (SELECT 'insertion' AS layout,
+      |    CAST(l_orderkey // 512 AS BIGINT) AS blk, count(*) AS n_rows,
+      |    min(d) AS d_min, max(d) AS d_max
+      |  FROM li GROUP BY 2),
+      |dp AS (SELECT 'date_partitioned' AS layout,
+      |    CAST(year(d) * 100 + month(d) AS BIGINT) AS blk, count(*)
+      |      AS n_rows,
+      |    min(d) AS d_min, max(d) AS d_max
+      |  FROM li GROUP BY 2)
+      |SELECT layout, blk, n_rows, d_min, d_max,
+      |  d_max < DATE '1998-01-01' AS skippable
+      |FROM (SELECT * FROM ins UNION ALL SELECT * FROM dp)""")(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
+      def audit(layout: String, blk: org.apache.spark.sql.Column) =
+        li.groupBy(blk.cast("long").as("blk"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+          .select(lit(layout).as("layout"), col("blk"), col("n_rows"),
+            col("d_min"), col("d_max"),
+            (col("d_max") < to_date(lit("1998-01-01"))).as("skippable"))
+      audit("insertion", expr("l_orderkey DIV 512"))
+        .unionAll(audit("date_partitioned",
+          year(col("d")) * 100 + month(col("d"))))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
-    q266, q270, q279, q297, q320, q323, q324)
+    q266, q270, q279, q297, q320, q323, q324, q327, q328)
 }

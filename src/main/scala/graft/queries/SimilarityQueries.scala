@@ -884,7 +884,117 @@ object SimilarityQueries {
           coalesce(col("deg"), lit(0L)).as("mutual_degree"))
     })
 
+  /** IVF-PQ residual encoding ([[graft.operators.Pq.ivfPqCodeStats]]):
+    * each vector's deterministic IVF cell (q160's md5-sampled
+    * assignment) plus PQ codes of the RESIDUAL v − mean(cell), the
+    * cell centroid being the exact integer milli-lattice mean — the
+    * storage layout of billion-scale quantized indexes, with every
+    * step (assignment, means, residuals, codes) replaying
+    * bit-for-bit. */
+  val q325 = QueryDef.sql("q325_ivfpq_codes",
+    """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[]
+      |    AS v FROM embeddings),
+      |n AS (SELECT id, v, list_dot_product(v, v) AS vn2 FROM v),
+      |cent AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)),
+      |           id) - 1 AS cell, v AS cv, list_dot_product(v, v) AS cn2
+      |         FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 64),
+      |dc AS (SELECT n.id, c.cell,
+      |         n.vn2 - 2.0::DOUBLE * list_dot_product(n.v, c.cv) + c.cn2
+      |           AS d2
+      |       FROM n CROSS JOIN cent c),
+      |asgn AS (SELECT id, cell FROM (SELECT id, cell,
+      |           row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS r
+      |         FROM dc) WHERE r = 1),
+      |vm AS (SELECT v.id, a.cell,
+      |         list_transform(v.v, x -> CAST(floor(x * 1000.0) AS BIGINT))
+      |           AS vm
+      |       FROM v JOIN asgn a ON v.id = a.id),
+      |mexp AS (SELECT cell, pos, qx FROM (SELECT cell, unnest(vm) AS qx,
+      |           unnest(range(len(vm))) AS pos FROM vm)),
+      |mm AS (SELECT cell, pos, CAST(sum(qx) AS BIGINT) // count(*) AS cm
+      |       FROM mexp GROUP BY 1, 2),
+      |cmv AS (SELECT cell, list(cm ORDER BY pos) AS cmv FROM mm
+      |        GROUP BY cell),
+      |res AS (SELECT vm.id, list_transform(range(1, len(vm.vm) + 1),
+      |          i -> vm.vm[CAST(i AS INT)] - c.cmv[CAST(i AS INT)]) AS rv
+      |        FROM vm JOIN cmv c ON vm.cell = c.cell),
+      |cb0 AS (SELECT id, rv FROM res ORDER BY id LIMIT 16),
+      |cb AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+      |         AS code, rv FROM cb0),
+      |ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+      |cbs AS (SELECT m, code, list_slice(rv, m*8 + 1, m*8 + 8) AS cw
+      |        FROM cb, ms),
+      |vs AS (SELECT id, m, list_slice(rv, m*8 + 1, m*8 + 8) AS sub
+      |       FROM res, ms),
+      |d AS (SELECT vs.id, vs.m, cbs.code,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (sub[CAST(i AS INT)] - cw[CAST(i AS INT)])
+      |         * (sub[CAST(i AS INT)] - cw[CAST(i AS INT)]))) AS BIGINT)
+      |      AS dist2
+      |  FROM vs JOIN cbs USING (m)),
+      |enc AS (SELECT id, m, code, dist2,
+      |    row_number() OVER (PARTITION BY id, m
+      |                       ORDER BY dist2, code) AS rn FROM d)
+      |SELECT m, code, count(*) AS n_vecs, CAST(sum(dist2) AS BIGINT)
+      |  AS dist_sum
+      |FROM enc WHERE rn = 1 GROUP BY m, code""")(
+    (s, dir) => graft.operators.Pq.ivfPqCodeStats(Tables.embeddings(s, dir),
+      "vec_id", "embedding"))
+
+  /** Recall@5 of PQ-ADC serving vs the exact cosine top-5
+    * ([[graft.operators.Pq.adcRecallAtK]]) — what 8-byte codes cost
+    * in recall, per query. The honest-measurement twin of q318. */
+  val q326 = QueryDef.sql("q326_pq_recall",
+    """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+      |    list_transform(embedding::DOUBLE[],
+      |                   x -> CAST(floor(x*1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cb0 AS (SELECT id, v FROM v ORDER BY id LIMIT 16),
+      |cb AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+      |         AS code, v FROM cb0),
+      |ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+      |cbs AS (SELECT m, code, list_slice(v, m*8 + 1, m*8 + 8) AS cw
+      |        FROM cb, ms),
+      |vs AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sub
+      |       FROM v, ms),
+      |d AS (SELECT vs.id, vs.m, cbs.code,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (sub[CAST(i AS INT)] - cw[CAST(i AS INT)])
+      |         * (sub[CAST(i AS INT)] - cw[CAST(i AS INT)]))) AS BIGINT)
+      |      AS dist2
+      |  FROM vs JOIN cbs USING (m)),
+      |enc AS (SELECT id, m, code FROM (
+      |    SELECT id, m, code, row_number() OVER (PARTITION BY id, m
+      |        ORDER BY dist2, code) AS rn FROM d) WHERE rn = 1),
+      |lut AS (SELECT id AS id_a, m, code, dist2 AS lut FROM d
+      |        WHERE id % 250 = 7),
+      |adcd AS (SELECT lut.id_a, e.id AS id_b,
+      |          CAST(sum(lut.lut) AS BIGINT) AS adc
+      |        FROM enc e JOIN lut ON e.m = lut.m AND e.code = lut.code
+      |          AND e.id <> lut.id_a GROUP BY 1, 2),
+      |adct AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+      |        row_number() OVER (PARTITION BY id_a ORDER BY adc, id_b)
+      |          AS rnk FROM adcd) WHERE rnk <= 5),
+      |fv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS fv
+      |       FROM embeddings),
+      |fn AS (SELECT id, fv, sqrt(list_dot_product(fv, fv)) AS nrm FROM fv),
+      |ext AS (SELECT id_a, id_b FROM (SELECT q.id AS id_a, c.id AS id_b,
+      |        row_number() OVER (PARTITION BY q.id ORDER BY
+      |          list_dot_product(q.fv, c.fv) / (q.nrm * c.nrm) DESC, c.id)
+      |          AS rnk
+      |      FROM fn q JOIN fn c ON q.id <> c.id WHERE q.id % 250 = 7)
+      |      WHERE rnk <= 5),
+      |hits AS (SELECT a.id_a, CAST(count(e.id_b) AS BIGINT) AS hits
+      |         FROM adct a LEFT JOIN ext e
+      |           ON a.id_a = e.id_a AND a.id_b = e.id_b
+      |         GROUP BY 1)
+      |SELECT id_a, hits, CAST(hits * 200000 AS BIGINT) AS recall_ppm
+      |FROM hits""")(
+    (s, dir) => graft.operators.Pq.adcRecallAtK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", queryPred = pmod(col("vec_id"), lit(250)) === 7,
+      k = 5))
+
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q55, q60, q61, q65, q98,
     q160, q176, q187, q231, q242, q262, q263, q264, q280, q295, q317,
-    q318, q321)
+    q318, q321, q325, q326)
 }

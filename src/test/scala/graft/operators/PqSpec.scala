@@ -87,6 +87,35 @@ class PqSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("ivfPqCodeStats: residual codes cover every vector; residual " +
+       "distortion beats raw-vector PQ (the point of IVF-PQ)") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivfpq = Pq.ivfPqCodeStats(emb, "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+    for (m <- 0 until M) {
+      val perM = ivfpq.collect { case ((`m`, _), v) => v }
+      assert(perM.map(_._1).sum == vecs.size, s"subquantizer $m coverage")
+    }
+    val rawDist = Pq.codeStats(emb, "vec_id", "embedding").collect()
+      .map(_.getLong(3)).sum
+    val resDist = ivfpq.map(_._2._2).sum
+    assert(resDist < rawDist,
+      s"residual PQ distortion $resDist should beat raw $rawDist")
+  }
+
+  test("adcRecallAtK: hits bounded by k, consistent with brute-force sets") {
+    val got = Pq.adcRecallAtK(Tables.embeddings(spark, sf),
+        "vec_id", "embedding",
+        queryPred = pmod(col("vec_id"), lit(250)) === 7, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val queries = vecs.keys.filter(_ % 250 == 7)
+    assert(got.map(_._1).toSet == queries.toSet)
+    for ((_, hits, ppm) <- got) {
+      assert(hits >= 0 && hits <= 5)
+      assert(ppm == hits * 200000L)
+    }
+  }
+
   test("encode plan: codebook broadcasts, no shuffle carries the n·m·k blowup") {
     val p = Pq.encode(Tables.embeddings(spark, sf), "vec_id", "embedding")
       .queryExecution.executedPlan.toString
