@@ -889,6 +889,148 @@ object CausalQueries {
           expr("(wt * 256) DIV tw").as("expected_floor"))
     })
 
+  /** Instrumental-variable Wald estimator over an encouragement
+    * design: the instrument z is the md5 parity of the user id (the
+    * q202 deterministic-assignment recipe), "encouragement" adds 6 to
+    * the user's error count against a data-derived cutoff (mean + 3 —
+    * SF-stable, so the first stage is strong at every scale), outcome
+    * is the exact micro mean of non-error values. Wald = reduced form
+    * / first stage, both as integer ratios; a degenerate first stage
+    * reports 0 instead of dividing by it. Two aggregates and a
+    * broadcast cutoff — nothing scales with more than the user
+    * count. */
+  val q332 = QueryDef.sql("q332_iv_wald",
+    """WITH u AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS errs,
+      |    ('0x' || substring(md5('z|' || CAST(user_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 2 AS z
+      |  FROM events GROUP BY user_id),
+      |c AS (SELECT CAST(sum(errs) AS BIGINT) // count(*) + 3 AS cutoff
+      |      FROM u),
+      |t AS (SELECT user_id, z,
+      |    CASE WHEN errs + 6 * z >= c.cutoff THEN 1 ELSE 0 END AS treated
+      |  FROM u, c),
+      |y AS (SELECT e.user_id,
+      |    CAST(sum(CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT)) AS BIGINT) AS sv, count(*) AS n
+      |  FROM events e WHERE e.event_type <> 'error' GROUP BY 1),
+      |g AS (SELECT t.z, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(t.treated) AS BIGINT) AS n_treated,
+      |    CAST(sum(y.sv) AS BIGINT) AS sv, CAST(sum(y.n) AS BIGINT) AS ne
+      |  FROM t JOIN y USING (user_id) GROUP BY 1),
+      |w AS (SELECT
+      |    CAST(max(CASE WHEN z = 0 THEN n_treated * 1000000 // n_users END)
+      |      AS BIGINT) AS p0_ppm,
+      |    CAST(max(CASE WHEN z = 1 THEN n_treated * 1000000 // n_users END)
+      |      AS BIGINT) AS p1_ppm,
+      |    CAST(max(CASE WHEN z = 0 THEN sv // ne END) AS BIGINT)
+      |      AS y0_micro,
+      |    CAST(max(CASE WHEN z = 1 THEN sv // ne END) AS BIGINT)
+      |      AS y1_micro
+      |  FROM g)
+      |SELECT p0_ppm, p1_ppm, y0_micro, y1_micro,
+      |  CASE WHEN p1_ppm = p0_ppm THEN 0 ELSE
+      |    CAST((y1_micro - y0_micro) * 1000000 // (p1_ppm - p0_ppm)
+      |      AS BIGINT)
+      |  END AS wald_micro
+      |FROM w""")(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val u = ev.groupBy("user_id")
+        .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errs"))
+        .withColumn("z",
+          conv(substring(md5(concat(lit("z|"),
+            col("user_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 2)
+      val cut = u.agg((expr("sum(errs) DIV count(*)") + 3L).as("cutoff"))
+      val t = u.crossJoin(broadcast(cut))
+        .select(col("user_id"), col("z"),
+          when(col("errs") + lit(6L) * col("z") >= col("cutoff"), 1L)
+            .otherwise(0L).as("treated"))
+      val y = ev.where(col("event_type") =!= "error")
+        .groupBy("user_id")
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).cast("long").as("sv"), count(lit(1)).as("n"))
+      val g = t.join(y, Seq("user_id"))
+        .groupBy("z")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("treated")).cast("long").as("n_treated"),
+          sum(col("sv")).cast("long").as("sv"),
+          sum(col("n")).cast("long").as("ne"))
+      def pick(zv: Int, e: org.apache.spark.sql.Column) =
+        max(when(col("z") === zv, e))
+      g.agg(
+          pick(0, expr("n_treated * 1000000 DIV n_users")).as("p0_ppm"),
+          pick(1, expr("n_treated * 1000000 DIV n_users")).as("p1_ppm"),
+          pick(0, expr("sv DIV ne")).as("y0_micro"),
+          pick(1, expr("sv DIV ne")).as("y1_micro"))
+        .withColumn("wald_micro",
+          when(col("p1_ppm") === col("p0_ppm"), 0L)
+            .otherwise(expr(
+              "(y1_micro - y0_micro) * 1000000 DIV (p1_ppm - p0_ppm)")))
+    })
+
+  /** Sharp regression-discontinuity estimate: running variable =
+    * event_id % 1000 (spans the full support at every SF), cutoff 500,
+    * local means of the non-error value either side at three
+    * bandwidths — the bandwidth-sensitivity row is the standard RD
+    * robustness table. Exact integer micro means; empty sides report
+    * 0 rather than dividing by zero. One pass, map-side combine to
+    * 3 bandwidth groups. */
+  val q333 = QueryDef.sql("q333_rd_estimate",
+    """WITH u AS (SELECT event_id % 1000 AS r,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+      |  FROM events WHERE event_type <> 'error'),
+      |b AS (SELECT CAST(unnest([50, 100, 200]) AS BIGINT) AS bw),
+      |g AS (SELECT bw,
+      |  CAST(sum(CASE WHEN r >= 500 - bw AND r < 500 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_left,
+      |  CAST(sum(CASE WHEN r >= 500 AND r < 500 + bw THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_right,
+      |  CAST(sum(CASE WHEN r >= 500 - bw AND r < 500 THEN vm ELSE 0 END)
+      |    AS BIGINT) AS sl,
+      |  CAST(sum(CASE WHEN r >= 500 AND r < 500 + bw THEN vm ELSE 0 END)
+      |    AS BIGINT) AS sr
+      |  FROM u, b GROUP BY bw)
+      |SELECT bw, n_left, n_right,
+      |  CASE WHEN n_left = 0 THEN 0 ELSE CAST(sl // n_left AS BIGINT) END
+      |    AS mean_left_micro,
+      |  CASE WHEN n_right = 0 THEN 0 ELSE CAST(sr // n_right AS BIGINT) END
+      |    AS mean_right_micro,
+      |  CASE WHEN n_left = 0 OR n_right = 0 THEN 0
+      |    ELSE CAST(sr // n_right - sl // n_left AS BIGINT) END AS rd_micro
+      |FROM g""")(
+    (s, dir) => {
+      val u = Tables.events(s, dir).where(col("event_type") =!= "error")
+        .select(pmod(col("event_id"), lit(1000L)).as("r"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            .as("vm"))
+      val bw = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(50L),
+          org.apache.spark.sql.Row(100L), org.apache.spark.sql.Row(200L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bw",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val left = col("r") >= lit(500L) - col("bw") && col("r") < 500L
+      val right = col("r") >= 500L && col("r") < lit(500L) + col("bw")
+      u.crossJoin(broadcast(bw))
+        .groupBy("bw")
+        .agg(sum(when(left, 1L).otherwise(0L)).cast("long").as("n_left"),
+          sum(when(right, 1L).otherwise(0L)).cast("long").as("n_right"),
+          sum(when(left, col("vm")).otherwise(0L)).cast("long").as("sl"),
+          sum(when(right, col("vm")).otherwise(0L)).cast("long").as("sr"))
+        .select(col("bw"), col("n_left"), col("n_right"),
+          when(col("n_left") === 0, 0L)
+            .otherwise(expr("sl DIV n_left")).as("mean_left_micro"),
+          when(col("n_right") === 0, 0L)
+            .otherwise(expr("sr DIV n_right")).as("mean_right_micro"),
+          when(col("n_left") === 0 || col("n_right") === 0, 0L)
+            .otherwise(expr("sr DIV n_right - sl DIV n_left"))
+            .as("rd_micro"))
+    })
+
   def all: Seq[QueryDef] = Seq(q288, q289, q292, q293, q296, q304, q307,
-    q309, q316)
+    q309, q316, q332, q333)
 }

@@ -2348,8 +2348,86 @@ object PlannerQueries {
           coalesce(col("latest_ts") > col("ts"), lit(false)).as("leaked"))
     })
 
+  /** Experiment-size planner (power analysis): per event type, the
+    * users-per-arm needed to detect a 5% lift of the mean value at
+    * α = 0.05, power 0.8 — n = ⌈2σ²(z_α/2 + z_β)² / δ²⌉, with
+    * (1.96 + 0.8416)² · 2 · 400 = 6279.2 folded into one literal since
+    * δ = mean/20. Variance comes from exact decimal sums cast to
+    * double ONCE (the q105 contract — identical IEEE ops both
+    * engines), so the ceiling is bit-stable. One aggregate. */
+  val q335 = QueryDef.sql("q335_power_planner",
+    """WITH m AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))
+      |             * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(ceil(6279.2 * (n * sxx - sx * sx) / (sx * sx)) AS BIGINT)
+      |    AS n_needed
+      |FROM m""")(
+    (s, dir) => {
+      val x = col("value").cast("decimal(18,2)")
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"))
+        .select(col("event_type"), col("n"),
+          ceil(lit(6279.2) * (col("n") * col("sxx") - col("sx") * col("sx"))
+            / (col("sx") * col("sx"))).cast("long").as("n_needed"))
+    })
+
+  /** Bloom-filter size planner: for each join-pruning keyset (the
+    * q167 bloom-join candidates), the filter bits and hash count the
+    * standard sizing formulas give at 1% and 0.1% target fpp —
+    * m = ⌈−n·ln p / ln²2⌉ (the ln terms folded into per-fpp literals),
+    * k = round(m/n·ln 2). Distinct counts are the only data pass; the
+    * advisor table is |keysets|×|fpp| rows. */
+  val q337 = QueryDef.sql("q337_bloom_planner",
+    """WITH k AS (
+      |  SELECT 'lineitem.l_orderkey' AS keyset,
+      |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+      |  FROM lineitem
+      |  UNION ALL SELECT 'orders.o_custkey',
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'customer.c_custkey',
+      |    CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer),
+      |f AS (SELECT * FROM (VALUES ('1pct', 9.585059, 7),
+      |      ('0.1pct', 14.377589, 10)) AS t(fpp, bits_per_key, n_hashes))
+      |SELECT k.keyset, f.fpp, k.n_keys,
+      |  CAST(ceil(k.n_keys * f.bits_per_key) AS BIGINT) AS filter_bits,
+      |  CAST(f.n_hashes AS INT) AS n_hashes
+      |FROM k, f""")(
+    (s, dir) => {
+      def keys(df: org.apache.spark.sql.DataFrame, name: String, c: String) =
+        df.agg(countDistinct(col(c)).cast("long").as("n_keys"))
+          .select(lit(name).as("keyset"), col("n_keys"))
+      val k = keys(Tables.lineitem(s, dir), "lineitem.l_orderkey",
+          "l_orderkey")
+        .unionAll(keys(Tables.orders(s, dir), "orders.o_custkey",
+          "o_custkey"))
+        .unionAll(keys(Tables.customer(s, dir), "customer.c_custkey",
+          "c_custkey"))
+      val f = s.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row("1pct", 9.585059, 7),
+          org.apache.spark.sql.Row("0.1pct", 14.377589, 10)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fpp",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("bits_per_key",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_hashes",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      k.crossJoin(broadcast(f))
+        .select(col("keyset"), col("fpp"), col("n_keys"),
+          ceil(col("n_keys") * col("bits_per_key")).cast("long")
+            .as("filter_bits"),
+          col("n_hashes").cast("int").as("n_hashes"))
+    })
+
   val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
-    q266, q270, q279, q297, q320, q323, q324, q327, q328, q329, q330)
+    q266, q270, q279, q297, q320, q323, q324, q327, q328, q329, q330, q335,
+    q337)
 }

@@ -2062,9 +2062,111 @@ object TextQueries {
           expr("tokens_lost * 1000000 DIV tokens_total"))
     })
 
+  /** Inverted-index size planner: per token, the delta-encoded posting
+    * list cost in bits (gap to the previous doc id, bit-length via
+    * `bin()` — the integer log2 every index compressor starts from)
+    * vs raw 64-bit postings. The compression-ratio column is what
+    * decides index layout before building one at corpus scale. Lag
+    * windows are PARTITIONED by token (bounded by df); first gap
+    * measures from −1 so doc 0 costs its true bits. */
+  val q334 = QueryDef.sql("q334_posting_size",
+    """WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS t FROM documents) WHERE t <> ''),
+      |d AS (SELECT token, doc_id,
+      |    doc_id - lag(doc_id, 1, -1) OVER (PARTITION BY token
+      |      ORDER BY doc_id) AS delta
+      |  FROM tok)
+      |SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(length(bin(delta))) AS BIGINT) AS delta_bits,
+      |  CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+      |  CAST(sum(length(bin(delta))) * 1000000 // (count(*) * 64)
+      |    AS BIGINT) AS ratio_ppm
+      |FROM d GROUP BY token""")(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+        .distinct()
+      tok
+        .withColumn("delta", col("doc_id") - lag(col("doc_id"), 1, -1)
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("token").orderBy("doc_id")))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          sum(length(bin(col("delta")))).cast("long").as("delta_bits"))
+        .select(col("token"), col("df"), col("delta_bits"),
+          (col("df") * 64).as("raw_bits"),
+          expr("delta_bits * 1000000 DIV (df * 64)").as("ratio_ppm"))
+    })
+
+  /** Heaps'-law fit: how the distinct-8-gram vocabulary grows with
+    * corpus size, measured at nested doc-id prefixes (1/8 … full) and
+    * fit as a floor-log2 regression (q197's libm-free recipe — the
+    * Zipf slope's growth-curve twin). Gram counts are per-doc-distinct
+    * (the shingle expression's set semantics, same contract as q29's
+    * index). The β exponent sizes vocabulary hash maps and shingle
+    * indexes BEFORE a 100 TB build; β ≈ 0.4 here. One shingle scan
+    * shared by all prefixes (the frac frame broadcasts), one distinct
+    * aggregate per prefix. */
+  val q336 = QueryDef.sql("q336_heaps_law",
+    """WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |f AS (SELECT CAST(unnest([8, 4, 2, 1]) AS BIGINT) AS frac),
+      |sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+      |        FROM documents)),
+      |pre AS (SELECT f.frac,
+      |    CAST(count(*) AS BIGINT) AS grams,
+      |    CAST(count(DISTINCT s) AS BIGINT) AS vocab
+      |  FROM sh, f, mx WHERE sh.doc_id < mx.n // f.frac GROUP BY f.frac),
+      |xy AS (SELECT frac, grams, vocab,
+      |    CAST(length(bin(grams)) - 1 AS BIGINT) AS x,
+      |    CAST(length(bin(vocab)) - 1 AS BIGINT) AS y FROM pre),
+      |s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+      |    CAST(sum(x*x) AS BIGINT) AS sxx FROM xy)
+      |SELECT xy.frac, xy.grams, xy.vocab,
+      |  round(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+      |    / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE), 6) AS heaps_beta
+      |FROM xy, s""")(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mx = docs.agg((max(col("doc_id")) + 1).as("n"))
+      val fr = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(8L),
+          org.apache.spark.sql.Row(4L), org.apache.spark.sql.Row(2L),
+          org.apache.spark.sql.Row(1L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("frac",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val pre = Dedup.shingles(docs, "doc_id", "text", 8)
+        .crossJoin(broadcast(fr)).crossJoin(broadcast(mx))
+        .where(col("doc_id") < expr("n DIV frac"))
+        .groupBy("frac")
+        .agg(count(lit(1)).as("grams"),
+          countDistinct(col("s")).cast("long").as("vocab"))
+      val xy = pre.select(col("frac"), col("grams"), col("vocab"),
+        (length(bin(col("grams"))) - 1).cast("long").as("x"),
+        (length(bin(col("vocab"))) - 1).cast("long").as("y"))
+      val sums = xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      xy.crossJoin(broadcast(sums))
+        .select(col("frac"), col("grams"), col("vocab"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("heaps_beta"))
+    })
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31,
     q44, q45, q49, q50, q53, q54, q56, q57, q59, q62, q63, q64, q66, q71,
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
-    q185, q236, q259, q260, q261, q274, q298, q305, q313, q322, q331)
+    q185, q236, q259, q260, q261, q274, q298, q305, q313, q322, q331,
+    q334, q336)
 }
