@@ -713,6 +713,59 @@ object PlannerQueries {
           col("diff_mean"), col("ci_lo"), col("ci_hi")))
   }
 
+  /** CLUSTER bootstrap A/B read-out: q202 resamples EVENTS, which
+    * understates the CI when a user's events are correlated (they
+    * are — value draws share the user); the statistically-correct
+    * unit is the USER, so here the Poisson weight keys on user_id and
+    * every event of a drawn user rides along with the same
+    * multiplicity, in BOTH arms (the paired/cluster design). Same
+    * one-pass replicate machinery ([[graft.operators.Bootstrap
+    * .diffMeanCI]] — the key column is a parameter), same B = 64
+    * order-statistic interval; expect a wider CI than q202 on the
+    * same contrast. */
+  val q338 = {
+    import graft.operators.Bootstrap
+    val wCase = Bootstrap.poissonWeightSql("h")
+    QueryDef.sql("q338_cluster_bootstrap",
+      s"""WITH ev AS (SELECT event_type AS g,
+         |    CAST(user_id AS VARCHAR) AS key,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |e AS (SELECT g, key, cents, unnest(range(64)) AS b FROM ev),
+         |w AS (SELECT g, b, cents, $wCase AS w
+         |  FROM (SELECT *,
+         |      ('0x' || substring(md5(key || '|' || CAST(b AS VARCHAR)),
+         |        1, 15))::BIGINT AS h
+         |    FROM e)),
+         |m AS (SELECT g, b, CAST(sum(w * cents) AS BIGINT) AS s,
+         |    CAST(sum(w) AS BIGINT) AS n
+         |  FROM w WHERE w > 0 GROUP BY 1, 2),
+         |mb AS (SELECT g, b,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean_b
+         |  FROM m),
+         |d AS (SELECT a.b, a.mean_b - c.mean_b AS d
+         |  FROM mb a JOIN mb c ON a.b = c.b
+         |  WHERE a.g = 'purchase' AND c.g = 'click'),
+         |r AS (SELECT d, row_number() OVER (ORDER BY d, b) AS rn FROM d),
+         |pt AS (SELECT g, count(*) AS n, sum(cents) AS sc FROM ev
+         |       GROUP BY 1)
+         |SELECT pa.n AS n_a, pb.n AS n_b,
+         |  round(CAST(pa.sc AS DOUBLE) / (pa.n * 1000000.0)
+         |    - CAST(pb.sc AS DOUBLE) / (pb.n * 1000000.0), 6) AS diff_mean,
+         |  (SELECT round(d, 6) FROM r WHERE rn = 2) AS ci_lo,
+         |  (SELECT round(d, 6) FROM r WHERE rn = 63) AS ci_hi
+         |FROM (SELECT n, sc FROM pt WHERE g = 'purchase') pa,
+         |     (SELECT n, sc FROM pt WHERE g = 'click') pb""")(
+      (s, dir) => Bootstrap.diffMeanCI(
+          Tables.events(s, dir), "event_type", "purchase", "click",
+          col("user_id").cast("string"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long"),
+          scale = 1000000.0)
+        .select(
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          col("diff_mean"), col("ci_lo"), col("ci_hi")))
+  }
+
   /** Robust anomaly days: per event type, flag days whose count sits
     * more than 3·1.4826·MAD from the per-type median (the
     * normal-consistent MAD z-score — outlier-proof where mean/stddev
@@ -2429,5 +2482,5 @@ object PlannerQueries {
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q226, q234, q240, q246, q247, q252,
     q266, q270, q279, q297, q320, q323, q324, q327, q328, q329, q330, q335,
-    q337)
+    q337, q338)
 }
