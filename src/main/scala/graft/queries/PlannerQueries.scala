@@ -2127,9 +2127,10 @@ object PlannerQueries {
     * contiguous doc_id ranges of ~equal total characters — the exact
     * boundary table behind evenly-sized ordered output files, computed
     * WITHOUT a global single-task sort: per-block partitioned running
-    * sums + one unpartitioned window over the n/1024-row block-offset
-    * table (a few MB even at a billion rows). The oracle is the naive
-    * global window — same numbers, single-node plan. */
+    * sums recurse until the block frame fits one ≤ blockWidth-row
+    * window, so no task sorts more than 1024 rows at any input size.
+    * The oracle is the naive global window — same numbers, single-node
+    * plan. */
   val q320 = QueryDef.sql("q320_range_shards",
     """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
       |           CAST(n_chars AS BIGINT) AS w FROM documents),

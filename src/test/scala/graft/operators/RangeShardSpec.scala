@@ -61,10 +61,9 @@ class RangeShardSpec extends AnyFunSuite {
         s"shard $s weight ${sh.w} vs target $target (maxDoc $maxW)")
   }
 
-  test("only the block-offset window is unpartitioned — and it is tiny") {
+  private def windows(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     import org.apache.spark.sql.execution.window.WindowExec
-    val df = RangeShard.plan(Tables.documents(spark, sf), "doc_id",
-      "n_chars", shards = 8, blockWidth = 64L)
     df.write.format("noop").mode("overwrite").save()
     def walk(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[WindowExec] = {
@@ -78,9 +77,31 @@ class RangeShardSpec extends AnyFunSuite {
       }
       here ++ p.children.flatMap(walk)
     }
-    val ws = walk(df.queryExecution.executedPlan)
-    assert(ws.size == 2, s"expected within-block + offset windows: $ws")
-    val unpart = ws.filter(_.partitionSpec.isEmpty)
-    assert(unpart.size == 1, "exactly one unpartitioned window (offsets)")
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("only the recursion's base case is unpartitioned — and it is tiny") {
+    val df = RangeShard.plan(Tables.documents(spark, sf), "doc_id",
+      "n_chars", shards = 8, blockWidth = 64L)
+    // 500 docs, width 64 → one partitioned within-block level + the
+    // 8-row base case
+    val ws = windows(df)
+    assert(ws.size == 2, s"expected within-block + base windows: $ws")
+    assert(ws.count(_.partitionSpec.isEmpty) == 1,
+      "exactly one unpartitioned window (the base case)")
+  }
+
+  test("deep recursion: every level but the base is partitioned") {
+    // width 7 over 500 docs: 500 → 72 → 11 → 2 rows (3 partitioned
+    // levels + one ≤7-row base case). However deep, exactly ONE
+    // unpartitioned window exists, so no task ever sorts more than
+    // blockWidth rows at any input size.
+    val df = RangeShard.plan(Tables.documents(spark, sf), "doc_id",
+      "n_chars", shards = 8, blockWidth = 7L)
+    val ws = windows(df)
+    assert(ws.count(_.partitionSpec.isEmpty) == 1,
+      s"exactly one unpartitioned window at any depth: $ws")
+    assert(ws.count(_.partitionSpec.nonEmpty) == 3,
+      s"width 7 over 500 ids should recurse through 3 partitioned levels: $ws")
   }
 }
