@@ -487,6 +487,45 @@ object ScaleStress {
       Ivf.ivfTopK(emb, "vec_id", "embedding", 5, 128, 8).count())
     }
 
+    if (sections("pq")) {
+    // --- PQ-ADC serving vs exact brute force for the same query batch
+    // on mult× embeddings: the quantized scan does 8 integer adds per
+    // (corpus, query) pair through a broadcast LUT where the exact scan
+    // does a 64-dim double dot; encode is the one-off index build.
+    val emb0 = Tables.embeddings(spark, sf)
+    val emb = (0 until mult).map { i =>
+      emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + lit(i.toFloat / 100))).as("embedding"))
+    }.reduce(_ unionByName _).cache()
+    val pred = pmod(col("vec_id"), lit(250L)) === 7
+    println(s"embeddings: ${emb.count()} rows, " +
+      s"queries: ${emb.where(pred).count()}")
+    val enc = graft.operators.Pq.packCodes(
+      graft.operators.Pq.encode(emb, "vec_id", "embedding"),
+      partitions = spark.sparkContext.defaultParallelism * 4).cache()
+    time("PQ encode + pack (8x16 codebook, index build)")(enc.count())
+    time("exact retrieve top-5 (broadcast query batch, 64-dim dots)") {
+      val c = emb.select(col("vec_id").cast("long").as("id_b"),
+          transform(col("embedding"), x => x.cast("double")).as("vb"))
+        .withColumn("nb", Similarity.norm(col("vb")))
+      val q = emb.where(pred)
+        .select(col("vec_id").cast("long").as("id_a"),
+          transform(col("embedding"), x => x.cast("double")).as("va"))
+        .withColumn("na", Similarity.norm(col("va")))
+      Similarity.rankTopK(
+        c.crossJoin(broadcast(q)).where(col("id_a") =!= col("id_b"))
+          .withColumn("cosine", Similarity.dot(col("va"), col("vb"))
+            / (col("na") * col("nb")))
+          .select("id_a", "id_b", "cosine"), 5).count()
+    }
+    time("PQ-ADC top-5 (packed codes + broadcast LUT, prebuilt index)")(
+      graft.operators.Pq.adcTopK(emb, "vec_id", "embedding",
+        pred, 5, encoded = Some(enc)).count())
+    enc.unpersist()
+    emb.unpersist()
+    }
+
     if (sections("chunks")) {
     // --- content-defined chunking + chunk-store containment at mult×
     // documents (each replica's text is prefixed so replica chunks

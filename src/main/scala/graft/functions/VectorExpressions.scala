@@ -532,7 +532,64 @@ case class IvfProbe(child: Expression, centroidsFlat: Array[Double],
     copy(child = newChild)
 }
 
+/** Native ADC (asymmetric-distance) lookup-sum for PQ serving:
+  * `codes` is a vector's packed `array<int>` of m subquantizer codes,
+  * `lut` a query's flattened `array<long>` of m·k exact codeword
+  * distances ordered by (subquantizer, code); result =
+  * Σ_m lut[m·k + codes[m]].
+  *
+  * The composable forms measured slower than the exact 64-dim dot
+  * they are meant to beat (the whole point of 8-byte codes):
+  * `aggregate(zip_with(...))` runs interpreted with per-row allocation
+  * (~3× the dot at 262M pairs), and even 8 unrolled `element_at`
+  * terms pay branchy per-access checks (~1.5×). One fused loop keeps
+  * the pair scan inside whole-stage codegen at m array reads + adds. */
+case class AdcLookup(left: Expression, right: Expression, codewords: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "adc_lookup"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    var acc = 0L
+    var m = 0
+    val n = codes.numElements()
+    while (m < n) {
+      acc += lut.getLong(m * codewords + codes.getInt(m))
+      m += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $codes.numElements();
+         |long $acc = 0L;
+         |for (int $m = 0; $m < $n; $m++) {
+         |  $acc += $lut.getLong($m * $codewords + $codes.getInt($m));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookup =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
+  /** `Column` wrapper for [[AdcLookup]]. */
+  def adcLookupNative(codes: Column, lut: Column, codewords: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(AdcLookup(
+      org.apache.spark.sql.graftshim.Shim.expression(codes),
+      org.apache.spark.sql.graftshim.Shim.expression(lut), codewords))
+
   /** `Column` wrapper for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
     org.apache.spark.sql.graftshim.Shim.column(DotProduct(

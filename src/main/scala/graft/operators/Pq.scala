@@ -141,6 +141,21 @@ object Pq {
     stats(encodeQuantized(residuals, subvectors, codewords))
   }
 
+  /** Pack an [[encode]] result to the index's storage row: one
+    * m-byte code array per vector, ordered by subquantizer.
+    * `partitions` > 0 widens the index beyond the aggregate's shuffle
+    * width — the serving scan is a heavy nested-loop stage, and an
+    * index at exactly `spark.sql.shuffle.partitions` (= cores on this
+    * rig) measured 2.5× slower than one at 4× that width purely from
+    * stragglers (SCALING.md); match it to ~3–4× cluster parallelism. */
+  def packCodes(enc: DataFrame, partitions: Int = 0): DataFrame = {
+    val packed = enc.groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    if (partitions > 0) packed.repartition(partitions) else packed
+  }
+
   private def stats(enc: DataFrame): DataFrame =
     enc.groupBy("m", "code")
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist2")).as("dist_sum"))
@@ -183,14 +198,22 @@ object Pq {
   /** ADC top-k: for each query (rows matching `queryPred`), the k
     * nearest corpus vectors by asymmetric distance — Σ_m
     * lut(q, m, code(v, m)) where the LUT holds exact L2² from the
-    * query's subvectors to every codeword. Self-matches excluded;
-    * ordering (adc ASC, id_b ASC) via the bounded top-k aggregate.
-    * Output: (id_a, id_b, adc_dist2, rnk). */
+    * query's subvectors to every codeword. The serving scan is the
+    * real PQ shape: corpus codes PACK to one m-byte array per vector,
+    * the per-query LUT flattens to an m·k array riding a broadcast,
+    * and each (corpus, query) pair costs m array lookups + adds — no
+    * join fan-out, no per-subvector rows. Pass `encoded` to serve
+    * from a prebuilt [[packCodes]]([[encode]]) index (builds once,
+    * serves many batches). Self-matches excluded; ordering (adc ASC,
+    * id_b ASC) via the bounded top-k aggregate. Output:
+    * (id_a, id_b, adc_dist2, rnk). */
   def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
-              subvectors: Int = 8, codewords: Int = 16): DataFrame = {
+              subvectors: Int = 8, codewords: Int = 16,
+              encoded: Option[DataFrame] = None): DataFrame = {
     val cb = codebook(emb, idCol, vecCol, subvectors, codewords)
     val dsub = size(col("v")) / subvectors
+    // per-query LUT rows → one (m·k)-element array ordered by (m, code)
     val lut = emb.where(queryPred)
       .select(col(idCol).cast("long").as("id_a"), milli(col(vecCol)).as("v"))
       .select(col("id_a"), col("v"),
@@ -200,14 +223,25 @@ object Pq {
       .join(broadcast(cb), "m")
       .select(col("id_a"), col("m"), col("code"),
         l2sq(col("sub"), col("cw")).as("lut_dist2"))
-    val enc = encode(emb, idCol, vecCol, subvectors, codewords)
-    enc.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("id_a")
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"),
+          col("lut_dist2")))),
+        s => s.getField("lut_dist2")).as("lut"))
+    val packed = encoded.getOrElse(
+      packCodes(encode(emb, idCol, vecCol, subvectors, codewords)))
+    // native fused lookup-sum ([[graft.functions.AdcLookup]]):
+    // zip_with/aggregate ran interpreted (~3× the exact dot at 262M
+    // pairs) and 8 unrolled element_at terms still paid branchy
+    // per-access checks (~1.5×) — the fused loop is what makes 8-byte
+    // codes actually cheaper than the 64-dim dot
+    packed.crossJoin(broadcast(lut))
       .where(col("id") =!= col("id_a"))
-      .groupBy(col("id_a"), col("id").as("id_b"))
-      .agg(sum(col("lut_dist2")).as("adc"))
+      .withColumn("adc", graft.functions.VectorExpressions
+        .adcLookupNative(col("codes"), col("lut"), codewords))
       .groupBy("id_a")
       .agg(graft.functions.TopKAggregate
-        .topkByScore(-col("adc").cast("double"), col("id_b"), k).as("nn"))
+        .topkByScore(-col("adc").cast("double"), col("id"), k).as("nn"))
       .select(col("id_a"), posexplode(col("nn")).as(Seq("i", "e")))
       .select(col("id_a"), col("e.id").as("id_b"),
         (-col("e.score")).cast("long").as("adc_dist2"),
