@@ -144,14 +144,25 @@ object Bench {
     // 18.8 s on BOTH reps, and 0.94 s under the identical harness once
     // the machine was quiet; a different query spikes each driver run).
     // A query whose best time is seconds long while its MEASURED work
-    // is tiny (KBs of shuffle, MBs of input, zero spill) is stalled,
-    // not slow — re-measure it once at the END of the run, after the
-    // interference window has passed, and keep the faster execution.
-    // Genuinely heavy queries never qualify: their byte counters are
-    // commensurate with their seconds.
+    // is tiny (KBs of shuffle, MBs of file reads, zero spill) is
+    // stalled, not slow — re-measure it once at the END of the run,
+    // after the interference window has passed, and keep the faster
+    // execution. Genuinely heavy queries never qualify: their byte
+    // counters are commensurate with their seconds.
+    //
+    // The input gate is FS bytes (actual file reads), not TaskMetrics
+    // input_read: input_read counts resident cached/localCheckpoint
+    // blocks too, so an iterative op scanning an in-memory graph 20×
+    // (q268: 636 MB input_read, ~20 MB of files) looked "heavy" to the
+    // old gate and its environmental spikes escaped re-measurement.
+    // Cost of the wider gate: a handful of genuinely CPU-bound queries
+    // with no I/O footprint (the fused bootstrap q196) re-run once at
+    // the end (~10-20 s per full bench); min-keeping makes that
+    // harmless, and byte counters alone cannot distinguish pure-CPU
+    // work from a stall.
     val results = firstPass.map { case (name, m) =>
-      val (sec, sr, _, sp, in, _) = m
-      val stallShaped = sec > 4.0 && sr < (8L << 20) && in < (64L << 20) &&
+      val (sec, sr, _, sp, _, fs) = m
+      val stallShaped = sec > 4.0 && sr < (8L << 20) && fs < (64L << 20) &&
         sp == 0 && !errors.contains(name)
       if (!stallShaped) name -> m
       else {
@@ -193,49 +204,61 @@ object Bench {
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // Per-query keys at full catalog size no longer fit the driver's
-    // ~2000-char tail window (162 queries measured 1767 chars; the
-    // catalog keeps growing). The line lists failed queries plus the
-    // slowest `topN` individually — the only timings that carry signal —
-    // and folds the fast tail into one "rest" bucket (count + summed
-    // seconds). The COMPLETE per-query map with ns precision and task
-    // metrics is always in bench_detail.json, committed every round.
-    val topN = 110
+    // ~2000-char tail window (162 queries measured 1767 chars). The
+    // line lists failed queries plus the slowest `topN` individually —
+    // the only timings that carry signal — and folds the fast tail
+    // into one "rest" bucket (count + summed seconds). topN is
+    // SELF-SIZING: start at 110 and shrink until the line fits 1615
+    // chars — 85% of the ~1900-char window, i.e. a guaranteed >=15%
+    // margin (measured r10: 336 queries at topN 110 → ~1380 chars, so
+    // the loop is headroom against catalog growth, not a working
+    // constraint). The COMPLETE per-query map with ns precision and
+    // task metrics is always in bench_detail.json, committed every
+    // round.
     val (errQs, okQs) = results.partition { case (n, _) => errors.contains(n) }
-    val keep = errQs ++ okQs.sortBy { case (n, m) => (-m._1, n) }.take(topN)
-    val keepSet = keep.map(_._1).toSet
-    val rest = results.filterNot(r => keepSet(r._1))
-    val shortKeys = keep.map { case (k, _) => k.takeWhile(_ != '_') }
-    require(shortKeys.distinct.size == shortKeys.size,
-      s"shortened bench keys collide: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
-    val restEntry =
-      if (rest.isEmpty) Nil
-      else Seq("\"rest\":{\"n\":" + rest.size + ",\"sec\":" +
-        sec(rest.map(_._2._1).sum) + "}")
-    val qs = (keep.sortBy(_._1).map { case (k, (v, _, _, _, _, _)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + sec(v)
-    } ++ restEntry).mkString("{", ",", "}")
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    def mkQs(topN: Int): String = {
+      val keep = errQs ++ okQs.sortBy { case (n, m) => (-m._1, n) }.take(topN)
+      val keepSet = keep.map(_._1).toSet
+      val rest = results.filterNot(r => keepSet(r._1))
+      val shortKeys = keep.map { case (k, _) => k.takeWhile(_ != '_') }
+      require(shortKeys.distinct.size == shortKeys.size,
+        s"shortened bench keys collide: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
+      val restEntry =
+        if (rest.isEmpty) Nil
+        else Seq("\"rest\":{\"n\":" + rest.size + ",\"sec\":" +
+          sec(rest.map(_._2._1).sum) + "}")
+      (keep.sortBy(_._1).map { case (k, (v, _, _, _, _, _)) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + sec(v)
+      } ++ restEntry).mkString("{", ",", "}")
+    }
     // basename only ("sf0.1") — the driver wrapper records the full dir
     // itself, and every char here is headroom against its tail window
-    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def mkLine(errs: String) =
+    def mkLine(qs: String, errs: String) =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfShort"}"""
     // The driver json-parses the last ~2000 chars of raw stdout; an
-    // over-long line silently truncates to parsed:null there. When error
-    // MESSAGES are what overflows (one broken table ⇒ dozens of failed
-    // queries × 200-char messages), degrade to error NAMES — a parseable
-    // line with per-query timings plus which queries failed beats no
-    // metric line at all. Full messages are always in bench_detail.json.
+    // over-long line silently truncates to parsed:null there. Degrade
+    // in order: (1) full error messages at topN 110; (2) error NAMES
+    // only (one broken table ⇒ dozens of failed queries × 200-char
+    // messages); (3) shrink topN. A parseable line with fewer per-query
+    // timings beats no metric line at all. Full messages are always in
+    // bench_detail.json.
+    val errNamesJson = errors.keys.map(k => s"${jstr(k)}:${jstr("failed")}")
+      .mkString("{", ",", "}")
     val line = {
-      val full = mkLine(errJson)
-      if (full.length <= 1900) full
-      else mkLine(errors.keys.map(k => s"${jstr(k)}:${jstr("failed")}")
-        .mkString("{", ",", "}"))
+      val full = mkLine(mkQs(110), errJson)
+      if (full.length <= 1615) full
+      else Iterator.iterate(110)(_ - 10).takeWhile(_ >= 10)
+        .map(n => mkLine(mkQs(n), errNamesJson))
+        .find(_.length <= 1615)
+        .getOrElse(mkLine(mkQs(10), errNamesJson))
     }
-    // Capacity (not failure-mode) overflows must still fail loudly at
-    // dev time: with zero errors the line is all query keys/timings.
-    require(errors.nonEmpty || line.length <= 1900,
-      s"bench metric line ${line.length} chars exceeds the ~2000-char " +
-        "driver tail window; shorten keys or precision before adding queries")
+    // Capacity (not failure-mode) overflow now requires even topN=10
+    // to blow the window — still fail loudly at dev time if it does.
+    require(errors.nonEmpty || line.length <= 1615,
+      s"bench metric line ${line.length} chars exceeds 85% of the " +
+        "~1900-char driver tail window even at topN=10; shorten keys " +
+        "or precision before adding queries")
     println(line)
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BandJoin, Ivf, Similarity}
+import graft.operators.{BandJoin, Dedup, Graph, Ivf, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -829,6 +829,66 @@ object ScaleStress {
     time("kendall pairs (long xm)")(kendall(lBig))
     base.unpersist(); wBig.unpersist(); lBig.unpersist()
     }
+
+    if (sections("megacluster")) {
+    // --- adversarial dedup corpus: the inputs the asymptotic prose
+    // used to merely assert. ONE chained mega-cluster (every doc in a
+    // single transitive-closure component whose weakest pair scores 0
+    // — exactly the over-merge q313 exists to detect, and exactly the
+    // input that makes naive within-cluster all-pairs quadratic) plus
+    // ONE ubiquitous shingle family on every doc (df = corpus size,
+    // the stop-shingle stress for the df-capped inverted index).
+    val nChain = 150 * mult // mult=8 → 1200-doc mega-cluster
+    val corpus = chainCorpus(spark, nChain,
+      hotSuffix = Some(" the same trailing text everywhere")).cache()
+    println(s"chain corpus: ${corpus.count()} docs, one expected mega-cluster")
+    // q29's plan: the hot shingles exceed maxDf and generate no pairs;
+    // candidate volume is governed by the chain's df<=4 block shingles
+    time("ngram jaccard df-capped (hot shingle present)")(
+      Dedup.ngramJaccard(corpus, "doc_id", "text", 8, 100, 0.3).count())
+    // q30's plan: the mega-cluster collides into shared LSH buckets —
+    // the in-bucket quadratic is LSH's known bound, measured here
+    time("minhash LSH candidates (mega-cluster buckets)")(
+      Dedup.minhashLshCandidates(corpus, "doc_id", "text", 8,
+        bands = 4, rowsPerBand = 3).count())
+    // q56's plan: transitive closure must converge to ONE component
+    time("dedup clusters (chained closure)")(
+      Graph.dedupClusters(corpus, "doc_id",
+        Dedup.ngramJaccard(corpus, "doc_id", "text", 8, 100, 0.3),
+        "id1", "id2").where(col("cluster") === 0L).count())
+    // q313's audit: memberCap bounds pairing at cap·(cap−1)/2 per
+    // cluster vs the naive nChain²/2 set intersections (the reported
+    // row count is Σ n_pairs — the actual intersection volume)
+    time("over-merge audit CAPPED (64)")(
+      Dedup.clusterOverMergeAudit(corpus, "doc_id", "text", 8, 100, 0.3,
+        memberCap = 64).agg(sum("n_pairs")).head().getLong(0))
+    time("over-merge audit UNCAPPED (naive)")(
+      Dedup.clusterOverMergeAudit(corpus, "doc_id", "text", 8, 100, 0.3,
+        memberCap = Int.MaxValue).agg(sum("n_pairs")).head().getLong(0))
+    corpus.unpersist()
+    }
     spark.stop()
+  }
+
+  /** Adversarial near-dup CHAIN corpus: doc i = 4 consecutive 100-char
+    * blocks (i..i+3), so adjacent docs share 3 of 4 blocks (Jaccard
+    * ≈ 0.59 on 8-gram shingles), docs 2 apart ≈ 0.33, 3+ apart ≈ 0.13
+    * — a 0.3-threshold transitive closure chains ALL docs into one
+    * mega-cluster whose weakest pair scores 0, while every block
+    * shingle's document frequency stays ≤ 4 (the chain defeats the
+    * df-cap, not the audit — that is the point). `hotSuffix` appends
+    * the same literal to every doc: a ubiquitous shingle family with
+    * df = corpus size that the df-capped index must drop. Blocks are
+    * md5-derived, so the corpus is deterministic at any size. */
+  def chainCorpus(spark: SparkSession, nChain: Int,
+                  hotSuffix: Option[String] = None): DataFrame = {
+    def block(j: Column): Column = substring(concat(
+      (0 until 4).map(r =>
+        md5((j * 4 + lit(r)).cast("string").cast("binary"))): _*), 1, 100)
+    val base = spark.range(nChain).select(
+      col("id").as("doc_id"),
+      concat((0 until 4).map(o => block(col("id") + lit(o))): _*).as("text"))
+    hotSuffix.fold(base)(s =>
+      base.withColumn("text", concat(col("text"), lit(s))))
   }
 }

@@ -122,11 +122,18 @@ object Ingest {
   def blacklist(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.format("xlsx").load(path)
     expectHeader(df, Seq("date", "passport"), path)
-    df.select(
+    typedBlacklist(df)
+  }
+
+  /** S6 typing projection, shared by the batch reader above and the
+    * streaming twin ([[graft.streaming.IngestStream.blacklistAvailableNow]]):
+    * Excel serial string ("44256" / "44256.0") → DateType via the 1900
+    * system's 1899-12-30 epoch. */
+  def typedBlacklist(raw: DataFrame): DataFrame =
+    raw.select(
       date_add(to_date(lit("1899-12-30")),
         substring_index(col("date"), ".", 1).cast("int")).as("date"),
       col("passport"))
-  }
 
   /** S13: move a consumed file to `<archiveDir>/<name>.backup`. */
   def archive(path: String, archiveDir: String): Unit = {

@@ -51,6 +51,33 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     Files.move(tmp, dir(name))
   }
 
+  /** [[overwrite]] plus small metadata files written INTO the new table
+    * directory before the swap, so the tags and the data version move
+    * as ONE unit. This is what makes a streaming `foreachBatch`
+    * overwrite sink exactly-once: the micro-batch id that produced a
+    * table version is part of that version (a separate marker file
+    * would race the swap — a crash between the two would replay a batch
+    * against a dimension that already absorbed it). Tag file names must
+    * start with `_` or `.` so Spark's file listing ignores them. */
+  def overwriteTagged(name: String, df: DataFrame,
+                      tags: Map[String, String]): Unit = {
+    require(tags.keys.forall(t => t.startsWith("_") || t.startsWith(".")),
+      s"tag files must be _/. prefixed (Spark must skip them): ${tags.keys.mkString(",")}")
+    val tmp = Paths.get(root, s"$name.tmp")
+    deleteRecursive(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    tags.foreach { case (f, content) =>
+      Files.writeString(tmp.resolve(f), content) }
+    deleteRecursive(dir(name))
+    Files.move(tmp, dir(name))
+  }
+
+  /** Read a tag file written by [[overwriteTagged]], if present. */
+  def readTag(name: String, tag: String): Option[String] = {
+    val p = dir(name).resolve(tag)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
   def drop(name: String): Unit = deleteRecursive(dir(name))
 
   /** Compact a table's small files into ~`targetFileBytes`-sized ones.

@@ -819,4 +819,71 @@ object Dedup {
       .orderBy("h")
       .collect().map(_.getLong(0))
   }
+
+  /** Over-merge audit for near-dup clusters (q313's operator form) —
+    * transitive closure's known failure mode, measured: connected
+    * components accept a doc pair into one cluster whenever a CHAIN of
+    * ≥ threshold links connects them, so the weakest internal pair can
+    * sit far below the threshold. Per multi-doc cluster: the minimum
+    * pairwise rare-shingle Jaccard over member pairs (floor micro;
+    * pairs sharing no shingle score 0), the count of pairs below the
+    * link threshold, and the `over_merged` flag.
+    *
+    * Structural bound: the audit's own TARGET input is the over-merged
+    * mega-cluster — exactly the shape that makes naive within-cluster
+    * all-pairs quadratic — so membership is capped to the `memberCap`
+    * LOWEST ids per cluster before pairing. The cap is a bounded
+    * bottom-k AGGREGATE ([[graft.functions.BottomKByKey]]): map-side
+    * partials hold ≤ memberCap ids per cluster, so no task ever sorts a
+    * whole cluster (a row_number window would put the entire
+    * mega-cluster in one sort task). Pairs per cluster ≤ cap·(cap−1)/2
+    * regardless of cluster size, and min-Jaccard over the cap earliest
+    * members still witnesses over-merge — a chained cluster's weak
+    * links are everywhere, not in the tail of the id order
+    * (ClusterAuditSpec proves both properties on a generated
+    * mega-cluster; ScaleStress measures capped vs uncapped).
+    *
+    * `idCol` must be integral (the bottom-k key is a long). */
+  def clusterOverMergeAudit(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, maxDf: Int, threshold: Double,
+                            memberCap: Int = 64,
+                            linkFloorMicro: Long = 300000L): DataFrame = {
+    val clusters = Graph.dedupClusters(docs, idCol,
+      ngramJaccard(docs, idCol, textCol, k, maxDf, threshold), "id1", "id2")
+    val memb = clusters.select(col(idCol), col("cluster"))
+    val multi = memb.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      .where(col("csz") >= 2).select("cluster")
+    val sh = shingles(docs, idCol, textCol, k).distinct()
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.where(col("df") <= maxDf), "s")
+      .select(idCol, "s")
+    val sets = rare.groupBy(idCol)
+      .agg(sort_array(collect_set(col("s"))).as("ss"))
+    val capped = memb.join(broadcast(multi), "cluster")
+      .groupBy("cluster")
+      .agg(graft.functions.TopKAggregate
+        .bottomkByKey(col(idCol), lit(0.0), memberCap).as("keep"))
+      .select(col("cluster"), explode(col("keep.h")).as(idCol))
+    val m = capped
+      .join(sets, Seq(idCol), "left")
+      .select(col("cluster"), col(idCol),
+        coalesce(col("ss"), expr("CAST(array() AS ARRAY<STRING>)"))
+          .as("ss"))
+    val a = m.toDF("cluster", "id1", "sa")
+    val b = m.toDF("cluster", "id2", "sb")
+    val pj = a.join(b, Seq("cluster"))
+      .where(col("id1") < col("id2"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb")))
+        .cast("long"))
+      .withColumn("j_micro", when(col("c") === 0, 0L)
+        .otherwise(expr(
+          "(c * 1000000) DIV (size(sa) + size(sb) - c)")))
+    pj.groupBy("cluster").agg(
+      count(lit(1)).as("n_pairs"),
+      min("j_micro").as("min_jaccard_micro"),
+      sum(when(col("j_micro") < linkFloorMicro, 1L).otherwise(0L))
+        .as("weak_pairs"),
+      max(when(col("j_micro") < linkFloorMicro, 1L).otherwise(0L))
+        .as("over_merged"))
+  }
 }

@@ -9,11 +9,19 @@ import org.apache.spark.sql.types._
   * partition-wise (the Scala analog of `mapInPandas` — one iterator per
   * partition, vectorizable batch work inside).
   *
-  * The decode step is a clearly-marked STUB: real image/audio codecs are
-  * not available in this container, so `decodeStub` derives a
-  * deterministic fake feature vector from the bytes. Everything around
-  * it — schema, partitioning, batch iteration, output shape — is real
-  * and is what a production decode UDF would plug into.
+  * The AUDIO and IMAGE decode paths are REAL: payloads are genuine
+  * RIFF/WAVE and PNG containers produced and parsed by the JVM's
+  * built-in codecs (`javax.sound.sampled` —
+  * [[encodeWavPcm16]]/[[decodeWavPcm16]]; `javax.imageio` —
+  * [[encodePngGray]]/[[decodePngGray]]), and [[decode]] reports true
+  * sample/pixel statistics from the decoded content, dispatching on
+  * container magic. Formats with no pure-JVM codec in this offline
+  * container (the video stand-in) take a clearly-marked STUB fallback
+  * inside the same seam — raw-byte stats, same output shape — so
+  * plugging a production video decoder in changes one branch, not the
+  * plumbing. [[resizeStub]]/[[frameSample]] remain deterministic
+  * byte-level stand-ins for the same reason, with the mapPartitions
+  * batch shape being the production seam.
   */
 object Multimodal {
 
@@ -39,29 +47,196 @@ object Multimodal {
         length(col("text")).cast("int").as("n_bytes"),
         col("lang").as("declared_lang")).as("meta"))
 
-  final case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
-                                feature: Array[Float])
+  // ------------------------------------------------------------------
+  // real WAV codec path (javax.sound.sampled — the JVM's audio stack)
+  // ------------------------------------------------------------------
 
-  /** Partition-wise "decode + feature extract". STUB: the feature is a
-    * 8-bin byte histogram (normalized) instead of a real decoded
-    * embedding — swap the body for a codec call in production; the
-    * signature and batch shape stay the same. */
-  def decodeStub(media: DataFrame): Dataset[MediaFeature] = {
+  /** Encode 16-bit signed mono PCM into a real RIFF/WAVE container via
+    * the JVM's audio codec (`AudioSystem.write` — an actual format
+    * writer, not a byte stub). Little-endian samples, as PCM WAV
+    * specifies. */
+  def encodeWavPcm16(samples: Array[Short], sampleRateHz: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, 1,
+      /*signed=*/ true, /*bigEndian=*/ false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    finally ais.close()
+    out.toByteArray
+  }
+
+  final case class WavPcm(sampleRateHz: Int, bits: Int, channels: Int,
+                          samples: Array[Short])
+
+  /** Encode bytes as a real 8-bit grayscale PNG via the JVM's image
+    * codec (`javax.imageio` — actual DEFLATE-compressed PNG, headless
+    * -safe): pixel i = byte i, row-major at `width` columns, the last
+    * row zero-padded. `bytes` must be non-empty (a 0×0 image is not
+    * encodable — callers keep empty payloads on the raw path). */
+  def encodePngGray(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
+    require(bytes.nonEmpty, "cannot encode an empty payload as PNG")
+    val w = math.min(bytes.length, width)
+    val h = (bytes.length + w - 1) / w
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0,
+        if (i < bytes.length) bytes(i) & 0xff else 0)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  final case class GrayPixels(width: Int, height: Int, samples: Array[Int])
+
+  /** Decode a PNG through `ImageIO` (real chunk/DEFLATE parse — works
+    * on any grayscale-convertible PNG, not only [[encodePngGray]]
+    * output). Samples read from the raster band directly, NOT via
+    * getRGB, so no color-space conversion perturbs the values. */
+  def decodePngGray(bytes: Array[Byte]): GrayPixels = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode the payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val samples = new Array[Int](w * h)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = raster.getSample(i % w, i / w, 0)
+      i += 1
+    }
+    GrayPixels(w, h, samples)
+  }
+
+  /** Decode a RIFF/WAVE container through `AudioSystem` (real header
+    * parse + format validation — works on any PCM16-mono WAV from the
+    * wild, not only [[encodeWavPcm16]] output). Throws for non-WAV or
+    * non-PCM16-mono payloads. */
+  def decodeWavPcm16(bytes: Array[Byte]): WavPcm = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
+        s"expected PCM16-mono-LE WAV, got $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      WavPcm(fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
+        fmt.getChannels, samples)
+    } finally ais.close()
+  }
+
+  /** [[corpusFromDocuments]] with REAL encoded payloads wherever the
+    * JVM ships a codec: the AUDIO third carries RIFF/WAVE (sample_i =
+    * (byte_i − 128) · 256, mono PCM16 through the real WAVE encoder)
+    * and the non-empty IMAGE third carries 8-bit grayscale PNG (pixel_i
+    * = byte_i through the real `ImageIO` encoder). The video third and
+    * empty images keep the raw-byte stand-in (no pure-JVM video codec).
+    * The `meta.n_bytes` field stays the DECLARED content size (text
+    * length), distinct from the container's on-disk size — as with any
+    * media table whose metadata describes the content, not the
+    * encoding. */
+  def corpusWithCodecs(docs: DataFrame, sampleRateHz: Int = 16000): DataFrame = {
+    import docs.sparkSession.implicits._
+    val enc = corpusFromDocuments(docs)
+      .select(col("media_id"), col("kind"), col("bytes"),
+        col("meta.source"), col("meta.n_bytes"), col("meta.declared_lang"))
+      .as[(Long, String, Array[Byte], String, Int, String)]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes, src, nb, lang) =>
+          val payload = kind match {
+            case "audio" =>
+              encodeWavPcm16(
+                bytes.map(b => (((b & 0xff) - 128) * 256).toShort), sampleRateHz)
+            case "image" if bytes.nonEmpty => encodePngGray(bytes)
+            case _ => bytes
+          }
+          (id, kind, payload, src, nb, lang)
+        }
+      }
+    enc.toDF("media_id", "kind", "bytes", "source", "n_bytes", "declared_lang")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("source"), col("n_bytes"), col("declared_lang")).as("meta"))
+  }
+
+  final case class DecodedMedia(media_id: Long, kind: String, format: String,
+                                sample_rate_hz: Int, n_units: Int,
+                                peak_abs: Long, sum_abs: Long)
+
+  /** Partition-wise decode + feature extraction at the codec seam,
+    * dispatching on the container MAGIC (not on `kind` — a decoder
+    * trusts bytes, not labels):
+    *
+    *  - RIFF/WAVE → the JVM's WAV codec ([[decodeWavPcm16]]): `n_units`
+    *    = samples, `peak_abs`/`sum_abs` over |sample|, rate from the
+    *    header;
+    *  - PNG → the JVM's image codec ([[decodePngGray]]): `n_units` =
+    *    pixels (incl. the zero-padded tail row), stats over gray
+    *    samples;
+    *  - anything else → the clearly-marked STUB fallback: the same
+    *    stats over raw bytes (`format = "raw_stub"`, rate 0) — the
+    *    seam a production video codec would fill.
+    *
+    * One output shape, so downstream quality gates don't branch. */
+  def decode(media: DataFrame): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup would open the codec once here
         it.map { case (id, kind, bytes) =>
-          val hist = new Array[Float](8)
-          var i = 0
-          while (i < bytes.length) {
-            hist((bytes(i) & 0xff) >> 5) += 1f
-            i += 1
+          def stats(n: Int, at: Int => Long): (Long, Long) = {
+            var peak = 0L; var sum = 0L
+            var i = 0
+            while (i < n) {
+              val v = at(i)
+              if (v > peak) peak = v
+              sum += v
+              i += 1
+            }
+            (peak, sum)
           }
-          val n = math.max(bytes.length, 1).toFloat
-          var j = 0
-          while (j < 8) { hist(j) /= n; j += 1 }
-          MediaFeature(id, kind, bytes.length, hist)
+          val isRiffWave = bytes.length >= 12 &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+            bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+            bytes(10) == 'V' && bytes(11) == 'E'
+          val isPng = bytes.length >= 8 &&
+            (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+            bytes(2) == 'N' && bytes(3) == 'G'
+          if (isRiffWave) {
+            val w = decodeWavPcm16(bytes)
+            val (peak, sum) =
+              stats(w.samples.length, i => math.abs(w.samples(i).toLong))
+            DecodedMedia(id, kind, "pcm_s16le", w.sampleRateHz,
+              w.samples.length, peak, sum)
+          } else if (isPng) {
+            val g = decodePngGray(bytes)
+            val (peak, sum) = stats(g.samples.length, i => g.samples(i).toLong)
+            DecodedMedia(id, kind, "png_gray8", 0,
+              g.samples.length, peak, sum)
+          } else {
+            val (peak, sum) = stats(bytes.length, i => (bytes(i) & 0xff).toLong)
+            DecodedMedia(id, kind, "raw_stub", 0, bytes.length, peak, sum)
+          }
         }
       }
   }

@@ -4,10 +4,12 @@ import graft.Tables
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing queries (rows-only driver checks — the decode
-  * step is a deterministic stub, see [[graft.operators.Multimodal]];
-  * per-kind aggregates of the corpus metadata DO carry an oracle since
-  * they never touch the stub). */
+/** Multimodal queries. The audio and image decode paths are REAL
+  * (RIFF/WAVE and grayscale PNG via the JVM's own codecs — see
+  * [[graft.operators.Multimodal.decode]]); the video stand-in remains
+  * a deterministic byte stub. All entries carry FULL DuckDB oracles:
+  * payloads derive from document text, so decode(encode(text)) stats
+  * replay as integer SQL over the text. */
 object MultimodalQueries {
 
   /** Typed-metadata aggregate over the media corpus (oracle-checkable:
@@ -21,49 +23,51 @@ object MultimodalQueries {
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("total_bytes")))
 
-  /** Partition-wise decode-stub features. The 8-bin feature vector is
-    * flattened to scalar f0..f7 columns — the driver harness sorts rows
-    * in pandas and cannot hash array cells, so array outputs must never
-    * reach the driver boundary.
+  /** Partition-wise media decode with REAL codecs on two thirds of the
+    * corpus: audio carries genuine RIFF/WAVE (JVM WAVE writer, samples
+    * `(byte − 128)·256`), images carry genuine 8-bit grayscale PNG
+    * (JVM `ImageIO` writer, pixel_i = byte_i, 64-wide rows with a
+    * zero-padded tail). [[Multimodal.decode]] parses them back through
+    * `AudioSystem`/`ImageIO` — dispatching on container MAGIC, not the
+    * kind label — and reports true decoded stats: rate from the WAV
+    * header, `n_units` = samples/pixels, `peak_abs`/`sum_abs` over
+    * |sample| / gray value. The video third (no pure-JVM codec) takes
+    * the stub fallback: the same stats over raw bytes.
     *
-    * FULL oracle despite the mapPartitions stub: the fake feature is a
-    * normalized byte histogram over ASCII payloads, and DuckDB's
-    * FLOAT/FLOAT division is true single-precision — so
-    * `CAST(cnt AS FLOAT)/CAST(len AS FLOAT)` replays the stub's
-    * `Float` arithmetic bit-for-bit (verified across boundary cases),
-    * and the final CAST AS DOUBLE is exact widening on both engines. */
-  val q36 = {
-    val cnts = (0 until 8)
-      .map(j => s"  count(*) FILTER (WHERE bin = $j) AS c$j").mkString(",\n")
-    // COALESCE + greatest: a zero-length payload has no char rows (the
-    // hist CTE drops it) but the stub still emits it with f* = 0/1 = 0.0
-    val fs = (0 until 8)
-      .map(j => s"  CAST(CAST(COALESCE(c$j, 0) AS FLOAT) / " +
-        s"CAST(greatest(length(d.text), 1) AS FLOAT) AS DOUBLE) AS f$j")
-      .mkString(",\n")
-    QueryDef.sql("q36_media_decode",
-      s"""WITH chars AS (
-         |  SELECT doc_id,
-         |    (ascii(substring(text, CAST(i AS INT), 1)) >> 5) AS bin
-         |  FROM (SELECT doc_id, text,
-         |          unnest(range(1, length(text) + 1)) AS i FROM documents) t),
-         |hist AS (SELECT doc_id,
-         |$cnts
-         |  FROM chars GROUP BY doc_id)
-         |SELECT d.doc_id AS media_id,
-         |  CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-         |       ELSE 'video' END AS kind,
-         |  CAST(length(d.text) AS INT) AS n_bytes,
-         |$fs
-         |FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id""")(
-      (s, dir) => {
-        val flat = Multimodal.decodeStub(
-          Multimodal.corpusFromDocuments(Tables.documents(s, dir))).toDF()
-        val bins = (0 until 8).map(i =>
-          element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
-        flat.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ bins: _*)
-      })
-  }
+    * FULL exact oracle: decode(encode(text)) is the identity on the
+    * content values, so every output column is integer arithmetic over
+    * the ASCII payload — samples are |byte−128|·256, pixels are the
+    * bytes plus `64·ceil(len/64) − len` zero pads (pads shift n_units
+    * only; peak/sum are pad-invariant) — and the oracle replays the
+    * round-trip without touching a codec, which is precisely what
+    * makes a real-codec path hash-checkable offline. */
+  val q36 = QueryDef.sql("q36_media_decode",
+    """WITH st AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN doc_id % 3 = 1
+      |        THEN abs(ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256
+      |        ELSE ascii(substring(text, CAST(i AS INT), 1)) END) AS peak,
+      |    sum(CASE WHEN doc_id % 3 = 1
+      |        THEN abs(ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256
+      |        ELSE ascii(substring(text, CAST(i AS INT), 1)) END) AS sabs
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, length(text) + 1)) AS i FROM documents) t
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id,
+      |  CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CASE WHEN d.doc_id % 3 = 1 THEN 'pcm_s16le'
+      |       WHEN d.doc_id % 3 = 0 AND length(d.text) > 0 THEN 'png_gray8'
+      |       ELSE 'raw_stub' END AS format,
+      |  CASE WHEN d.doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate_hz,
+      |  CAST(CASE WHEN d.doc_id % 3 = 0 AND length(d.text) > 64
+      |       THEN 64 * CAST(ceil(length(d.text) / 64.0) AS BIGINT)
+      |       ELSE length(d.text) END AS INT) AS n_units,
+      |  CAST(COALESCE(st.peak, 0) AS BIGINT) AS peak_abs,
+      |  CAST(COALESCE(st.sabs, 0) AS BIGINT) AS sum_abs
+      |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""")(
+    (s, dir) => Multimodal.decode(
+        Multimodal.corpusWithCodecs(Tables.documents(s, dir))).toDF())
 
   /** Frame sampling of video payloads. The stub "frames" are
     * deterministic substring arithmetic over ASCII payloads, so a full

@@ -1817,11 +1817,22 @@ object TextQueries {
     * below the threshold. Per multi-doc cluster: the minimum
     * pairwise rare-shingle Jaccard over ALL member pairs (floor
     * micro; pairs sharing no shingle score 0), the count of member
-    * pairs below the link threshold, and the over_merged flag. The
-    * all-pairs step runs INSIDE clusters (bounded — near-dup
-    * clusters are small; q179 histograms them), never across the
-    * corpus. The audit that tells a curation pipeline whether its
-    * clustering threshold chains unrelated docs together. */
+    * pairs below the link threshold, and the over_merged flag.
+    *
+    * Structural bound: the audit's own target input is the
+    * over-merged mega-cluster — exactly the shape that makes naive
+    * within-cluster all-pairs quadratic — so membership is capped to
+    * the 64 LOWEST doc_ids per cluster before pairing. The cap is a
+    * bounded bottom-k AGGREGATE ([[graft.functions.BottomKByKey]]):
+    * map-side partials hold <= 64 ids per cluster, so no task ever
+    * sorts a whole cluster (a row_number window would put the entire
+    * mega-cluster in one sort task). Pairs per cluster <= 64*63/2 =
+    * 2016 regardless of cluster size; min-Jaccard over the 64
+    * earliest members still witnesses over-merge (a chained cluster's
+    * weak links are everywhere, not in the tail of the id order). The
+    * cap is mirrored verbatim in the oracle SQL (row_number <= 64 on
+    * the same order), so the hash check stays exact; ScaleStressSpec
+    * proves the capped plan flat on a corpus with one mega-cluster. */
   val q313 = QueryDef.sql("q313_cluster_diameter",
     """WITH RECURSIVE
       |sh AS (SELECT DISTINCT doc_id, substring(text, i, 8) AS s
@@ -1848,10 +1859,15 @@ object TextQueries {
       |  FROM reach GROUP BY id),
       |multi AS (SELECT cluster FROM memb GROUP BY cluster
       |  HAVING count(*) >= 2),
+      |capped AS (SELECT cluster, doc_id FROM (
+      |  SELECT m.cluster, m.doc_id,
+      |    row_number() OVER (PARTITION BY m.cluster
+      |      ORDER BY m.doc_id) AS rn
+      |  FROM memb m WHERE m.cluster IN (SELECT cluster FROM multi))
+      |  WHERE rn <= 64),
       |mp AS (SELECT a.cluster, a.doc_id AS id1, b.doc_id AS id2
-      |  FROM memb a JOIN memb b
-      |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id
-      |  WHERE a.cluster IN (SELECT cluster FROM multi)),
+      |  FROM capped a JOIN capped b
+      |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
       |pj AS (SELECT mp.cluster, mp.id1, mp.id2,
       |    CASE WHEN co.c IS NULL THEN 0
       |      ELSE (co.c * 1000000)
@@ -1867,42 +1883,9 @@ object TextQueries {
       |  CASE WHEN min(j_micro) < 300000 THEN 1 ELSE 0 END
       |    AS over_merged
       |FROM pj GROUP BY 1""")(
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val clusters = graft.operators.Graph.dedupClusters(docs, "doc_id",
-        Dedup.ngramJaccard(docs, "doc_id", "text",
-          k = 8, maxDf = 100, threshold = 0.3), "id1", "id2")
-      val memb = clusters.select(col("doc_id"), col("cluster"))
-      val multi = memb.groupBy("cluster").agg(count(lit(1)).as("csz"))
-        .where(col("csz") >= 2).select("cluster")
-      val sh = Dedup.shingles(docs, "doc_id", "text", 8).distinct()
-      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      val rare = sh.join(dfreq.where(col("df") <= 100), "s")
-        .select("doc_id", "s")
-      val sets = rare.groupBy("doc_id")
-        .agg(sort_array(collect_set(col("s"))).as("ss"))
-      val m = memb.join(broadcast(multi), "cluster")
-        .join(sets, Seq("doc_id"), "left")
-        .select(col("cluster"), col("doc_id"),
-          coalesce(col("ss"), expr("CAST(array() AS ARRAY<STRING>)"))
-            .as("ss"))
-      val a = m.toDF("cluster", "id1", "sa")
-      val b = m.toDF("cluster", "id2", "sb")
-      val pj = a.join(b, Seq("cluster"))
-        .where(col("id1") < col("id2"))
-        .withColumn("c", size(array_intersect(col("sa"), col("sb")))
-          .cast("long"))
-        .withColumn("j_micro", when(col("c") === 0, 0L)
-          .otherwise(expr(
-            "(c * 1000000) DIV (size(sa) + size(sb) - c)")))
-      pj.groupBy("cluster").agg(
-        count(lit(1)).as("n_pairs"),
-        min("j_micro").as("min_jaccard_micro"),
-        sum(when(col("j_micro") < 300000, 1L).otherwise(0L))
-          .as("weak_pairs"),
-        max(when(col("j_micro") < 300000, 1L).otherwise(0L))
-          .as("over_merged"))
-    })
+    (s, dir) => Dedup.clusterOverMergeAudit(Tables.documents(s, dir),
+      "doc_id", "text", k = 8, maxDf = 100, threshold = 0.3,
+      memberCap = 64, linkFloorMicro = 300000L))
 
   /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
     * keyphrase pass a corpus card runs next to TF-IDF top terms

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.bank.{Ingest, Schemas}
+import graft.bank.{Ingest, Pipeline, Schemas, Warehouse}
+import graft.operators.Cdc
+import graft.sources.Xlsx
 
 /** Structured Streaming twin of the reference's daily file-drop loop
   * (`main.py:85-100`): the batch loop polls a directory, consumes each
@@ -58,6 +60,215 @@ object IngestStream {
       .option("checkpointLocation", checkpointDir)
       .partitionBy("txn_date")
       .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progressed = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    progressed.toLong
+  }
+
+  // ------------------------------------------------------------------
+  // xlsx drop twins: terminals snapshot → SCD2, blacklist → dedup append
+  // ------------------------------------------------------------------
+
+  /** DDMMYYYY from the reference's drop naming
+    * (`terminals_02032021.xlsx`, `passport_blacklist_01032021.xlsx`) →
+    * batch date. The terminals sheet carries no date column, so the
+    * FILE NAME is the only batch-date source — same convention the
+    * reference's loop encodes in its hardcoded paths (main.py:85-100).
+    */
+  private[streaming] def dayFromFileName(path: String): java.sql.Date = {
+    val name = path.split('/').last
+    val m = "(\\d{2})(\\d{2})(\\d{4})".r.findFirstMatchIn(name).getOrElse(
+      throw new IllegalArgumentException(s"no DDMMYYYY batch date in $name"))
+    java.sql.Date.valueOf(s"${m.group(3)}-${m.group(2)}-${m.group(1)}")
+  }
+
+  /** Unbounded source over an xlsx drop directory: one row per FILE
+    * (path + raw bytes) via the `binaryFile` streaming source — xlsx is
+    * a zip, unsplittable, so per-file rows are the natural streaming
+    * unit, mirroring how [[graft.sources.XlsxDataSource]] makes
+    * per-file the batch parallel unit. The file-source checkpoint
+    * carries the consumed-file bookkeeping (S13's archive-move twin),
+    * exactly as in [[transactionsSource]]. */
+  private def xlsxFiles(spark: SparkSession, inboxDir: String,
+                        maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .format("binaryFile")
+      // the streaming source requires an explicit schema; this is
+      // binaryFile's fixed one
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.xlsx")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(inboxDir)
+
+  /** Parse a micro-batch of (path, content) file rows into cell rows —
+    * EXECUTOR-side ([[Xlsx.readBytes]] per file, like the batch
+    * DataSourceV2's partition reader), never through the driver.
+    * Output: `_file` + the requested header columns as nullable
+    * strings, the same raw layer the batch source exposes. */
+  private def parseSheets(batch: DataFrame, wanted: Seq[String]): DataFrame = {
+    import batch.sparkSession.implicits._
+    val cells = batch.select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val sheet = Xlsx.readBytes(bytes, context = p)
+        val idx = wanted.map { c =>
+          val i = sheet.header.map(_.trim).indexOf(c)
+          require(i >= 0, s"column '$c' missing in $p " +
+            s"(header: ${sheet.header.mkString(",")})")
+          i
+        }
+        sheet.rows.map(r => (p, idx.map(i => r.lift(i).flatten.orNull)))
+      }
+      .toDF("_file", "cells")
+    cells.select(col("_file") +: wanted.zipWithIndex.map {
+      case (c, i) => col("cells").getItem(i).as(c) }: _*)
+  }
+
+  /** Tag file carrying the last-applied micro-batch id inside the
+    * dimension directory (written via [[Warehouse.overwriteTagged]] so
+    * it swaps atomically WITH the table version). */
+  private[streaming] val BatchTag = "_stream_batch"
+
+  /** foreachBatch body for the terminals SCD2 twin, factored out so the
+    * replay guard is directly testable: all snapshot files of the
+    * micro-batch fold into ONE new dimension version
+    * (day-ordered [[Cdc.scd2Apply]] chain — pure plans, no intermediate
+    * persist), committed in a single tagged swap. A replayed batch id
+    * (crash between the sink commit and the source checkpoint advance)
+    * is skipped by the tag check, which is what makes the overwrite
+    * sink exactly-once — scd2Apply itself is NOT idempotent (the
+    * reference's all-versions deleted-detection quirk re-tombstones on
+    * re-apply), so at-least-once delivery alone would corrupt history. */
+  private[streaming] def applyTerminalsBatch(wh: Warehouse, batch: DataFrame,
+                                             batchId: Long,
+                                             streamId: String): Unit = {
+    // the tag is scoped to the CHECKPOINT (streamId): a fresh checkpoint
+    // restarts micro-batch ids at 0 and its batches must not be skipped
+    // by a stale tag from a previous stream's id sequence
+    val applied = wh.readTag(Pipeline.DimTerminals, BatchTag)
+      .map(_.trim.split(' ')).collect {
+        case Array(sid, id) if sid == streamId => id.toLong
+      }
+    if (applied.exists(_ >= batchId)) return
+    val attrs = Schemas.terminalsSnapshot.fieldNames.toSeq
+    val parsed = parseSheets(batch, attrs).cache()
+    try {
+      // bounded driver round-trip: ≤ maxFilesPerTrigger paths per batch
+      val files = parsed.select("_file").distinct()
+        .collect().map(_.getString(0))
+        .sortBy(f => dayFromFileName(f).toLocalDate.toEpochDay)
+      if (files.nonEmpty) {
+        val hist0 = wh.readOr(Pipeline.DimTerminals, Schemas.dimTerminalsHist)
+        // Out-of-order guard: SCD2 effective-dating is ORDER-SENSITIVE
+        // (applying an older snapshot over a newer history silently
+        // corrupts the version chain — the reference's loop is
+        // hardcoded in date order, main.py:85-100), and the file source
+        // orders same-mtime files by listing, NOT by batch date. An
+        // older drop arriving after a newer one must fail loudly.
+        // max(effective_from) is the last day that CHANGED anything; a
+        // no-change day leaves no trace and cannot be detected — same
+        // blindness the reference has to re-running a no-op day.
+        val lastApplied = hist0.agg(max(col("effective_from"))).head()
+        if (!lastApplied.isNullAt(0)) {
+          val firstDay = dayFromFileName(files.head)
+          require(!firstDay.before(lastApplied.getDate(0)),
+            s"out-of-order snapshot drop: ${files.head} carries batch " +
+              s"date $firstDay but the dimension was last changed on " +
+              s"${lastApplied.getDate(0)}; deliver drops in day order " +
+              "(the default whole-backlog batch folds them in day order)")
+        }
+        // Each fold step MATERIALIZES (eager localCheckpoint): scd2Apply
+        // embeds its input plan in ~6 branches, so an unmaterialized
+        // k-day chain grows the plan 6^k-fold — a 3-file backlog without
+        // the boundary measured as thousands of stages (the batch
+        // pipeline gets the same boundary for free from its daily
+        // parquet write). One in-memory dim per step, lineage cut.
+        val dim = files.foldLeft(hist0) { (hist, f) =>
+          Cdc.scd2Apply(hist,
+            parsed.where(col("_file") === f).drop("_file"),
+            dayFromFileName(f), keyCol = "terminal_id",
+            attrCols = attrs.tail).localCheckpoint(true)
+        }.select(Schemas.dimTerminalsHist.fieldNames.map(col).toSeq: _*)
+        wh.overwriteTagged(Pipeline.DimTerminals, dim,
+          Map(BatchTag -> s"$streamId $batchId"))
+      }
+    } finally parsed.unpersist()
+  }
+
+  /** Streaming twin of the daily terminals-snapshot drop → SCD2
+    * dimension path (`main.py:77-82` + `incr_loading.py:60-129`): drain
+    * every not-yet-committed `terminals_DDMMYYYY.xlsx`, apply each
+    * snapshot to the SCD2 history in batch-date order, stop. Returns
+    * committing micro-batches (0 ⇒ nothing new). Batch parity with
+    * [[graft.bank.Pipeline.runDay]]'s dimension output is spec'd on the
+    * reference's 3-day fixture (XlsxStreamSpec).
+    *
+    * Ordering contract: the file source does NOT order same-mtime files
+    * by name, but SCD2 application is order-sensitive — so the default
+    * drains the WHOLE backlog as one micro-batch, where the fold sorts
+    * by batch date and commits one atomic tagged swap. A smaller
+    * `maxFilesPerTrigger` suits the steady state (arrival order = day
+    * order, one drop per drain); across batches, out-of-order delivery
+    * fails loudly in [[applyTerminalsBatch]] instead of corrupting the
+    * version chain. */
+  def terminalsScd2AvailableNow(spark: SparkSession, inboxDir: String,
+                                checkpointDir: String, wh: Warehouse,
+                                maxFilesPerTrigger: Int = 10000): Long = {
+    val q = xlsxFiles(spark, inboxDir, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyTerminalsBatch(wh, batch, id, streamId = checkpointDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progressed = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    progressed.toLong
+  }
+
+  /** foreachBatch body for the blacklist twin. No batch-id tag: J1's
+    * anti-join on passport IS the idempotence mechanism — the
+    * reference's cumulative files re-deliver prior days' rows every day
+    * and the anti-join absorbs them (`comm_funcs.py:50-54`), so a
+    * replayed micro-batch (its rows already in the fact) appends zero
+    * rows for free. In-batch multi-file dedup keeps the EARLIEST date
+    * per passport, which equals the reference's sequential day-order
+    * processing (cumulative drops repeat identical rows). */
+  private[streaming] def applyBlacklistBatch(wh: Warehouse,
+                                             batch: DataFrame): Unit = {
+    val typed = Ingest.typedBlacklist(parseSheets(batch, Seq("date", "passport")))
+      .groupBy("passport").agg(min(col("date")).as("date"))
+    val fact = wh.readOr(Pipeline.FactBlacklist, Schemas.factPassportBlacklist)
+    val fresh = typed.join(fact.select("passport"), Seq("passport"), "left_anti")
+    wh.append(Pipeline.FactBlacklist, fresh.select("date", "passport"))
+  }
+
+  /** Streaming twin of the cumulative blacklist drop → fact append path
+    * (`main.py:69-74` + `comm_funcs.py:47-56`): drain every
+    * not-yet-committed `passport_blacklist_DDMMYYYY.xlsx`, anti-join
+    * against the accumulated fact, append only never-seen passports. */
+  def blacklistAvailableNow(spark: SparkSession, inboxDir: String,
+                            checkpointDir: String, wh: Warehouse,
+                            maxFilesPerTrigger: Int = 1): Long = {
+    val q = xlsxFiles(spark, inboxDir, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBlacklistBatch(wh, batch)
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

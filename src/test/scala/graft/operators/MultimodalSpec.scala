@@ -91,4 +91,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tail.toSeq == Seq(
       Multimodal.VadSegment(1L, 0, 1, 2, 2 * 16 * 122L)))
   }
+
+  test("WAV codec round-trip: samples, rate, and container survive") {
+    val samples = Array[Short](0, 1, -1, 32512, -32768, 12345, -12345)
+    val bytes = Multimodal.encodeWavPcm16(samples, sampleRateHz = 16000)
+    // a real RIFF/WAVE container, not a byte dump
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val w = Multimodal.decodeWavPcm16(bytes)
+    assert(w.sampleRateHz == 16000 && w.bits == 16 && w.channels == 1)
+    assert(w.samples.toSeq == samples.toSeq)
+    // empty payload is still a valid (0-sample) container
+    val empty = Multimodal.decodeWavPcm16(
+      Multimodal.encodeWavPcm16(Array.empty[Short], 8000))
+    assert(empty.samples.isEmpty && empty.sampleRateHz == 8000)
+  }
+
+  test("PNG codec round-trip: pixels, padding, and dimensions survive") {
+    val bytes = (0 until 130).map(i => ((i * 7) % 256).toByte).toArray
+    val png = Multimodal.encodePngGray(bytes) // 64 wide → 3 rows, 62 pads
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P') // real PNG container
+    val g = Multimodal.decodePngGray(png)
+    assert(g.width == 64 && g.height == 3 && g.samples.length == 192)
+    assert(g.samples.take(130).toSeq == bytes.map(_ & 0xff).toSeq)
+    assert(g.samples.drop(130).forall(_ == 0)) // zero-padded tail row
+    // short payload: width = length, one row, no pads
+    val small = Multimodal.decodePngGray(
+      Multimodal.encodePngGray(Array[Byte](5, 250.toByte)))
+    assert(small.width == 2 && small.height == 1 &&
+      small.samples.toSeq == Seq(5, 250))
+  }
+
+  test("decode: real codec stats on WAV audio and PNG images, stub on video") {
+    // doc_id 1 → audio ('b'=98 → sample (98-128)*256 = -7680;
+    //                   'P'=80 → -12288), peak over |sample|
+    val docs = Seq((0L, "ab"), (1L, "bP"), (2L, ""), (3L, ""))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'s' AS source", "'en' AS lang",
+        "length(text) AS n_chars")
+    val out = Multimodal.decode(Multimodal.corpusWithCodecs(docs))
+      .collect().map(d => d.media_id -> d).toMap
+    val audio = out(1L)
+    assert(audio.format == "pcm_s16le" && audio.sample_rate_hz == 16000)
+    assert(audio.n_units == 2 && audio.peak_abs == 12288L &&
+      audio.sum_abs == 7680L + 12288L)
+    val image = out(0L) // real PNG: pixel stats of "ab", 2×1, no pads
+    assert(image.format == "png_gray8" && image.sample_rate_hz == 0)
+    assert(image.n_units == 2 && image.peak_abs == 98L &&
+      image.sum_abs == 97L + 98L)
+    val video = out(2L) // empty video payload → stub
+    assert(video.format == "raw_stub" && video.n_units == 0 &&
+      video.peak_abs == 0L && video.sum_abs == 0L)
+    val emptyImage = out(3L) // empty image cannot encode → stays raw
+    assert(emptyImage.format == "raw_stub" && emptyImage.n_units == 0)
+  }
 }

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.bank.{Ingest, Pipeline, Schemas, Warehouse}
+import graft.operators.Cdc
+
+/** Streaming twins of the two xlsx drop paths, on the reference's real
+  * 3-day fixture: terminals snapshot → SCD2 dimension (foreachBatch +
+  * Cdc.scd2Apply, exactly-once via the tagged swap) and cumulative
+  * blacklist → anti-join fact append (idempotent via J1 itself). Each
+  * twin must match the batch path row-for-row, commit nothing on an
+  * empty re-run, and absorb a replayed micro-batch without corrupting
+  * state (scd2Apply is NOT idempotent — the reference's all-versions
+  * deleted-detection quirk re-tombstones on re-apply — so the replay
+  * guard is what the exactly-once contract rests on). */
+class XlsxStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val refData = "/root/reference/data/data"
+  private val days = Seq("01032021", "02032021", "03032021")
+  private def dayDate(d: String): Date =
+    Date.valueOf(s"${d.substring(4)}-${d.substring(2, 4)}-${d.substring(0, 2)}")
+
+  private def drop(inbox: Path, prefix: String, day: String): Unit =
+    Files.copy(Paths.get(refData, s"${prefix}_$day.xlsx"),
+      inbox.resolve(s"${prefix}_$day.xlsx"), StandardCopyOption.REPLACE_EXISTING)
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.selectExpr(s"concat_ws('|', ${df.columns.mkString(",")})")
+      .collect().map(_.getString(0)).toSet
+
+  /** The batch-path dimension: fold Cdc.scd2Apply over the day-ordered
+    * snapshots, exactly what Pipeline.runDay does per day. Each step
+    * materializes (localCheckpoint) — the boundary the pipeline's daily
+    * parquet write provides — or the chained plan grows 6^days-fold. */
+  private def batchDim(upToDay: Int): DataFrame =
+    days.take(upToDay).foldLeft(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        Schemas.dimTerminalsHist)) { (hist, d) =>
+      Cdc.scd2Apply(hist,
+        Ingest.terminals(spark, s"$refData/terminals_$d.xlsx"),
+        dayDate(d), keyCol = "terminal_id",
+        attrCols = Schemas.terminalsSnapshot.fieldNames.toSeq.tail)
+        .select(Schemas.dimTerminalsHist.fieldNames.map(
+          org.apache.spark.sql.functions.col).toSeq: _*)
+        .localCheckpoint(true)
+    }
+
+  /** A fake (path, content) micro-batch frame, as the binaryFile source
+    * would deliver it — for driving the foreachBatch bodies directly. */
+  private def fileBatch(paths: String*): DataFrame = {
+    import spark.implicits._
+    paths.map(p => (p, Files.readAllBytes(Paths.get(p))))
+      .toDF("path", "content")
+  }
+
+  test("terminals twin: batch parity, idempotent re-run, replay guard") {
+    val root = Files.createTempDirectory("xlsx_stream_term")
+    val inbox = Files.createDirectory(root.resolve("inbox"))
+    val cp = root.resolve("cp").toString
+    val wh = new Warehouse(spark, root.resolve("wh").toString)
+
+    // day 1+2 backlog drains as ONE micro-batch (the default), folded
+    // in day order and committed in one tagged swap
+    drop(inbox, "terminals", "01032021"); drop(inbox, "terminals", "02032021")
+    assert(IngestStream.terminalsScd2AvailableNow(
+      spark, inbox.toString, cp, wh) == 1)
+    assert(rowSet(wh.read(Pipeline.DimTerminals)) == rowSet(batchDim(2)))
+
+    // re-run with nothing new: zero committing batches, dim unchanged
+    assert(IngestStream.terminalsScd2AvailableNow(
+      spark, inbox.toString, cp, wh) == 0)
+    assert(rowSet(wh.read(Pipeline.DimTerminals)) == rowSet(batchDim(2)))
+
+    // incremental day-3 drop picks up exactly the new snapshot
+    drop(inbox, "terminals", "03032021")
+    assert(IngestStream.terminalsScd2AvailableNow(
+      spark, inbox.toString, cp, wh) >= 1)
+    val after3 = rowSet(wh.read(Pipeline.DimTerminals))
+    assert(after3 == rowSet(batchDim(3)))
+
+    // replayed micro-batch id (crash between sink commit and source
+    // checkpoint advance): the tagged-swap guard must skip it — without
+    // the guard scd2Apply would re-tombstone and grow history
+    IngestStream.applyTerminalsBatch(wh,
+      fileBatch(s"$refData/terminals_03032021.xlsx"),
+      batchId = 0, streamId = cp)
+    assert(rowSet(wh.read(Pipeline.DimTerminals)) == after3)
+
+    // ...but a NEW stream (different checkpoint) is not blocked by the
+    // old tag: its batch 0 applies and the version tag moves. (The dim
+    // content is allowed to change here — re-applying a same-day
+    // snapshot re-tombstones deleted keys, the reference's all-versions
+    // quirk — which is exactly why the REPLAY guard above matters.)
+    IngestStream.applyTerminalsBatch(wh,
+      fileBatch(s"$refData/terminals_03032021.xlsx"),
+      batchId = 0, streamId = "other-cp")
+    assert(wh.readTag(Pipeline.DimTerminals,
+      IngestStream.BatchTag).exists(_.startsWith("other-cp ")))
+  }
+
+  test("terminals twin: 3-file backlog folds in one batch; out-of-order drop fails loudly") {
+    val root = Files.createTempDirectory("xlsx_stream_term_multi")
+    val inbox = Files.createDirectory(root.resolve("inbox"))
+    val wh = new Warehouse(spark, root.resolve("wh").toString)
+    days.foreach(drop(inbox, "terminals", _))
+    // all three snapshots in ONE micro-batch: one folded dimension
+    // version, one tagged swap — exactly-once even mid-backlog
+    assert(IngestStream.terminalsScd2AvailableNow(spark, inbox.toString,
+      root.resolve("cp").toString, wh) == 1)
+    assert(rowSet(wh.read(Pipeline.DimTerminals)) == rowSet(batchDim(3)))
+
+    // an OLDER snapshot arriving after day 3 must be rejected — SCD2
+    // application is order-sensitive and silent corruption is the
+    // failure mode (the file source does not order ties by name)
+    val ex = intercept[IllegalArgumentException] {
+      IngestStream.applyTerminalsBatch(wh,
+        fileBatch(s"$refData/terminals_01032021.xlsx"),
+        batchId = 99, streamId = "any")
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+    assert(rowSet(wh.read(Pipeline.DimTerminals)) == rowSet(batchDim(3)))
+  }
+
+  test("blacklist twin: cumulative drops, anti-join idempotence") {
+    val root = Files.createTempDirectory("xlsx_stream_bl")
+    val inbox = Files.createDirectory(root.resolve("inbox"))
+    val cp = root.resolve("cp").toString
+    val wh = new Warehouse(spark, root.resolve("wh").toString)
+
+    drop(inbox, "passport_blacklist", "01032021")
+    drop(inbox, "passport_blacklist", "02032021")
+    assert(IngestStream.blacklistAvailableNow(
+      spark, inbox.toString, cp, wh) >= 2)
+    // cumulative semantics: after day 2 the fact equals the day-2 file
+    // (it contains day 1), each passport exactly once
+    val day2 = rowSet(Ingest.blacklist(spark,
+      s"$refData/passport_blacklist_02032021.xlsx"))
+    assert(rowSet(wh.read(Pipeline.FactBlacklist)) == day2)
+
+    // nothing new: zero committing batches
+    assert(IngestStream.blacklistAvailableNow(
+      spark, inbox.toString, cp, wh) == 0)
+
+    // day-3 drop: only the 9 never-seen passports append
+    drop(inbox, "passport_blacklist", "03032021")
+    assert(IngestStream.blacklistAvailableNow(
+      spark, inbox.toString, cp, wh) >= 1)
+    val day3 = rowSet(Ingest.blacklist(spark,
+      s"$refData/passport_blacklist_03032021.xlsx"))
+    assert(rowSet(wh.read(Pipeline.FactBlacklist)) == day3)
+    assert(wh.read(Pipeline.FactBlacklist).count() == day3.size)
+
+    // replayed micro-batch: J1's anti-join absorbs it — zero new rows
+    IngestStream.applyBlacklistBatch(wh,
+      fileBatch(s"$refData/passport_blacklist_03032021.xlsx"))
+    assert(wh.read(Pipeline.FactBlacklist).count() == day3.size)
+  }
+}
