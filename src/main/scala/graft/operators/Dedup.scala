@@ -853,12 +853,17 @@ object Dedup {
     val memb = clusters.select(col(idCol), col("cluster"))
     val multi = memb.groupBy("cluster").agg(count(lit(1)).as("csz"))
       .where(col("csz") >= 2).select("cluster")
-    val sh = shingles(docs, idCol, textCol, k).distinct()
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val rare = sh.join(dfreq.where(col("df") <= maxDf), "s")
-      .select(idCol, "s")
-    val sets = rare.groupBy(idCol)
-      .agg(sort_array(collect_set(col("s"))).as("ss"))
+    // Rare-shingle sets come from the SAME cached hashed inverted index
+    // ngramJaccard just built (plan-equal call = one materialization):
+    // no second corpus scan, and the pair intersections compare 8-byte
+    // longs instead of UTF8 strings. Set sizes and intersections equal
+    // the string form modulo 64-bit collisions — the documented
+    // [[invertedIndexHashed]] trade the oracle shares.
+    val kept = invertedIndexHashed(docs, idCol, textCol, k)
+      .where(size(col("docs")) <= maxDf)
+    val sets = kept.select(col("xh"), explode(col("docs")).as(idCol))
+      .groupBy(idCol)
+      .agg(sort_array(collect_set(col("xh"))).as("ss"))
     val capped = memb.join(broadcast(multi), "cluster")
       .groupBy("cluster")
       .agg(graft.functions.TopKAggregate
@@ -867,7 +872,7 @@ object Dedup {
     val m = capped
       .join(sets, Seq(idCol), "left")
       .select(col("cluster"), col(idCol),
-        coalesce(col("ss"), expr("CAST(array() AS ARRAY<STRING>)"))
+        coalesce(col("ss"), expr("CAST(array() AS ARRAY<BIGINT>)"))
           .as("ss"))
     val a = m.toDF("cluster", "id1", "sa")
     val b = m.toDF("cluster", "id2", "sb")
