@@ -42,7 +42,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * directory goes away, so self-referencing rewrites (SCD2) are safe.
     * NOT atomic against concurrent access — see [[compact]]'s
     * concurrency contract (single writer; crash between delete and move
-    * leaves the table at `<name>.tmp` — move it back to recover). */
+    * leaves the table at `<name>.tmp` — [[recover]] moves it back). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val tmp = Paths.get(root, s"$name.tmp")
     deleteRecursive(tmp)
@@ -78,6 +78,26 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }
 
+  /** Recover a table from a crash inside the write-new → swap window
+    * ([[overwrite]]/[[overwriteTagged]]/[[compact]]): if the table
+    * directory is gone but `<name>.tmp` survives (the crash landed
+    * between the delete and the move), move the tmp back in. Returns
+    * true iff a recovery happened. Safe to call unconditionally at
+    * startup for every swapped table; a healthy table (dir present) is
+    * left untouched and a stale tmp BESIDE a healthy table is an
+    * aborted write that never reached the delete — dropped, since the
+    * live directory is the committed version. */
+  def recover(name: String): Boolean = {
+    val tmp = Paths.get(root, s"$name.tmp")
+    if (!Files.exists(dir(name)) && Files.exists(tmp)) {
+      Files.move(tmp, dir(name))
+      true
+    } else {
+      if (Files.exists(dir(name))) deleteRecursive(tmp)
+      false
+    }
+  }
+
   def drop(name: String): Unit = deleteRecursive(dir(name))
 
   /** Compact a table's small files into ~`targetFileBytes`-sized ones.
@@ -96,7 +116,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * source materialization and the delete-then-move swap is lost, and
     * the swap itself is two filesystem ops, not one atomic rename. If a
     * crash lands between them the data survives solely at `<name>.tmp`;
-    * recovery = move `<name>.tmp` back to `<name>`. A cluster deployment
+    * recovery = [[recover]] (moves `<name>.tmp` back). A cluster deployment
     * gets real atomicity from a table format's commit protocol; this
     * layer deliberately keeps the single-writer filesystem shape. */
   def compact(name: String, partitionCols: Seq[String] = Nil,

@@ -225,6 +225,10 @@ object IngestStream {
   def terminalsScd2AvailableNow(spark: SparkSession, inboxDir: String,
                                 checkpointDir: String, wh: Warehouse,
                                 maxFilesPerTrigger: Int = 10000): Long = {
+    // close the swap crash window before draining: a dimension stranded
+    // at `<name>.tmp` (crash between delete and move) comes back, WITH
+    // its batch tag, so the replay guard still sees the right version
+    wh.recover(Pipeline.DimTerminals)
     val q = xlsxFiles(spark, inboxDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -1,0 +1,50 @@
+package graft.bank
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The write-new → swap crash window, executed rather than documented:
+  * [[Warehouse.recover]] must restore a table stranded at `<name>.tmp`
+  * (crash between the delete and the move), leave healthy tables
+  * untouched, and drop a stale tmp beside a healthy table (an aborted
+  * write that never reached the delete — the live dir is the committed
+  * version). */
+class WarehouseRecoverySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("recover: stranded tmp restored, healthy table untouched, stale tmp dropped") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh_recover").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+
+    // healthy table, no tmp: no-op
+    assert(!wh.recover("t"))
+    assert(wh.read("t").count() == 2)
+
+    // simulate a crash between delete and move: table gone, tmp present
+    Files.move(Paths.get(root, "t"), Paths.get(root, "t.tmp"))
+    assert(!wh.exists("t"))
+    assert(wh.recover("t"))
+    assert(wh.exists("t") && wh.read("t").count() == 2)
+    assert(!Files.exists(Paths.get(root, "t.tmp")))
+
+    // stale tmp beside a healthy table (aborted write before the
+    // delete): recovery keeps the live version and drops the tmp
+    Files.createDirectories(Paths.get(root, "t.tmp"))
+    Files.writeString(Paths.get(root, "t.tmp", "junk"), "aborted")
+    assert(!wh.recover("t"))
+    assert(wh.read("t").count() == 2)
+    assert(!Files.exists(Paths.get(root, "t.tmp")))
+
+    // tagged swap crash: the tag travels with the recovered version
+    wh.overwriteTagged("d", Seq((1, "x")).toDF("k", "v"),
+      Map("_stream_batch" -> "cp 7"))
+    Files.move(Paths.get(root, "d"), Paths.get(root, "d.tmp"))
+    assert(wh.recover("d"))
+    assert(wh.readTag("d", "_stream_batch").contains("cp 7"))
+  }
+}
