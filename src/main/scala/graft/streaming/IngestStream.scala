@@ -164,9 +164,11 @@ object IngestStream {
     val attrs = Schemas.terminalsSnapshot.fieldNames.toSeq
     val parsed = parseSheets(batch, attrs).cache()
     try {
-      // bounded driver round-trip: ≤ maxFilesPerTrigger paths per batch
-      val files = parsed.select("_file").distinct()
-        .collect().map(_.getString(0))
+      // bounded driver round-trip: ≤ maxFilesPerTrigger paths per batch,
+      // one row each (counts feed the META audit rows below)
+      val fileCounts = parsed.groupBy("_file").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val files = fileCounts.keys.toArray
         .sortBy(f => dayFromFileName(f).toLocalDate.toEpochDay)
       if (files.nonEmpty) {
         val hist0 = wh.readOr(Pipeline.DimTerminals, Schemas.dimTerminalsHist)
@@ -202,6 +204,14 @@ object IngestStream {
         }.select(Schemas.dimTerminalsHist.fieldNames.map(col).toSeq: _*)
         wh.overwriteTagged(Pipeline.DimTerminals, dim,
           Map(BatchTag -> s"$streamId $batchId"))
+        // S8 audit parity with the batch path (Pipeline.runDay logs
+        // per-day staging counts): one META row per consumed snapshot,
+        // AFTER the swap so a guard-skipped replay never double-logs
+        // (a crash between swap and log loses audit rows, not data —
+        // the same at-least-once audit semantics a rerun of the
+        // reference has)
+        files.foreach(f =>
+          wh.logMeta("stg_terminals", dayFromFileName(f), fileCounts(f)))
       }
     } finally parsed.unpersist()
   }
@@ -253,11 +263,22 @@ object IngestStream {
     * processing (cumulative drops repeat identical rows). */
   private[streaming] def applyBlacklistBatch(wh: Warehouse,
                                              batch: DataFrame): Unit = {
-    val typed = Ingest.typedBlacklist(parseSheets(batch, Seq("date", "passport")))
-      .groupBy("passport").agg(min(col("date")).as("date"))
-    val fact = wh.readOr(Pipeline.FactBlacklist, Schemas.factPassportBlacklist)
-    val fresh = typed.join(fact.select("passport"), Seq("passport"), "left_anti")
-    wh.append(Pipeline.FactBlacklist, fresh.select("date", "passport"))
+    val parsed = parseSheets(batch, Seq("date", "passport")).cache()
+    try {
+      val typed = Ingest.typedBlacklist(parsed)
+        .groupBy("passport").agg(min(col("date")).as("date"))
+      val fact = wh.readOr(Pipeline.FactBlacklist, Schemas.factPassportBlacklist)
+      val fresh = typed.join(fact.select("passport"), Seq("passport"), "left_anti")
+      wh.append(Pipeline.FactBlacklist, fresh.select("date", "passport"))
+      // S8 audit parity: one META row per consumed cumulative drop, with
+      // the FILE's row count (the staging count the batch path logs).
+      // A replayed batch re-logs — same at-least-once audit semantics a
+      // rerun of the reference has; the FACT rows stay exactly-once via
+      // the anti-join.
+      parsed.groupBy("_file").agg(count(lit(1)).as("n")).collect()
+        .foreach(r => wh.logMeta("stg_passport_blacklist",
+          dayFromFileName(r.getString(0)), r.getLong(1)))
+    } finally parsed.unpersist()
   }
 
   /** Streaming twin of the cumulative blacklist drop → fact append path

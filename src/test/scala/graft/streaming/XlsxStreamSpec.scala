@@ -115,6 +115,15 @@ class XlsxStreamSpec extends AnyFunSuite {
       root.resolve("cp").toString, wh) == 1)
     assert(rowSet(wh.read(Pipeline.DimTerminals)) == rowSet(batchDim(3)))
 
+    // S8 audit parity: one META row per consumed snapshot with the
+    // file's row count, like the batch path's staging log
+    val meta = wh.read(Pipeline.MetaLoading)
+      .where(org.apache.spark.sql.functions.col("table_name") === "stg_terminals")
+      .select("event_dt", "rows_processed")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))).toSet
+    assert(meta == Set(("2021-03-01", 150), ("2021-03-02", 151),
+      ("2021-03-03", 150)))
+
     // an OLDER snapshot arriving after day 3 must be rejected — SCD2
     // application is order-sensitive and silent corruption is the
     // failure mode (the file source does not order ties by name)
@@ -155,6 +164,16 @@ class XlsxStreamSpec extends AnyFunSuite {
       s"$refData/passport_blacklist_03032021.xlsx"))
     assert(rowSet(wh.read(Pipeline.FactBlacklist)) == day3)
     assert(wh.read(Pipeline.FactBlacklist).count() == day3.size)
+
+    // S8 audit parity: one META row per consumed drop with the FILE's
+    // (cumulative) row count — order-independent across batches
+    val meta = wh.read(Pipeline.MetaLoading)
+      .where(org.apache.spark.sql.functions.col("table_name")
+        === "stg_passport_blacklist")
+      .select("event_dt", "rows_processed")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))).toSet
+    assert(meta == Set(("2021-03-01", 7), ("2021-03-02", 15),
+      ("2021-03-03", 24)))
 
     // replayed micro-batch: J1's anti-join absorbs it — zero new rows
     IngestStream.applyBlacklistBatch(wh,
