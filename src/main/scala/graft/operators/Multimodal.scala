@@ -9,19 +9,20 @@ import org.apache.spark.sql.types._
   * partition-wise (the Scala analog of `mapInPandas` — one iterator per
   * partition, vectorizable batch work inside).
   *
-  * The AUDIO and IMAGE decode paths are REAL: payloads are genuine
-  * RIFF/WAVE and PNG containers produced and parsed by the JVM's
-  * built-in codecs (`javax.sound.sampled` —
+  * All three decode paths are REAL containers: audio is genuine
+  * RIFF/WAVE and images are genuine PNG, produced and parsed by the
+  * JVM's built-in codecs (`javax.sound.sampled` —
   * [[encodeWavPcm16]]/[[decodeWavPcm16]]; `javax.imageio` —
-  * [[encodePngGray]]/[[decodePngGray]]), and [[decode]] reports true
-  * sample/pixel statistics from the decoded content, dispatching on
-  * container magic. Formats with no pure-JVM codec in this offline
-  * container (the video stand-in) take a clearly-marked STUB fallback
-  * inside the same seam — raw-byte stats, same output shape — so
-  * plugging a production video decoder in changes one branch, not the
-  * plumbing. [[resizeStub]]/[[frameSample]] remain deterministic
-  * byte-level stand-ins for the same reason, with the mapPartitions
-  * batch shape being the production seam.
+  * [[encodePngGray]]/[[decodePngGray]]); video is Y4M (YUV4MPEG2) —
+  * an uncompressed plain-text-header + raw-luma-frame format parsed
+  * with zero dependencies ([[encodeY4m]]/[[decodeY4m]], monochrome
+  * colorspace). [[decode]] reports true sample/pixel/luma statistics
+  * from the decoded content, dispatching on container magic, and
+  * degrades to raw-byte stats when a body fails its codec (decode
+  * quarantine, not query failure). [[resizeStub]]/[[frameSample]]
+  * remain deterministic byte-level stand-ins, with the mapPartitions
+  * batch shape being the production seam a compressed-video decoder
+  * would fill.
   */
 object Multimodal {
 
@@ -121,6 +122,84 @@ object Multimodal {
     GrayPixels(w, h, samples)
   }
 
+  final case class Y4mMono(width: Int, height: Int, fps: Int,
+                           nFrames: Int, samples: Array[Byte])
+
+  /** Encode bytes as a real Y4M (YUV4MPEG2) video container, monochrome
+    * colorspace: the plain-text stream header (`YUV4MPEG2 W<w> H<h>
+    * F<fps>:1 Ip A1:1 Cmono`) followed by one `FRAME` marker + raw
+    * 8-bit luma plane per frame — the format's actual on-disk layout,
+    * zero dependencies. Pixel `i` of the concatenated planes = byte
+    * `i`, row-major `width`×`height` frames, the last frame
+    * zero-padded. `bytes` must be non-empty (callers keep empty
+    * payloads on the raw path, as with PNG). */
+  def encodeY4m(bytes: Array[Byte], width: Int = 16, height: Int = 4,
+                fps: Int = 25): Array[Byte] = {
+    require(bytes.nonEmpty, "cannot encode an empty payload as Y4M")
+    require(width > 0 && height > 0 && fps > 0,
+      s"bad Y4M geometry ${width}x$height@$fps")
+    val frameLen = width * height
+    val nFrames = (bytes.length + frameLen - 1) / frameLen
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val frameMark = "FRAME\n".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var f = 0
+    while (f < nFrames) {
+      out.write(frameMark)
+      val start = f * frameLen
+      val n = math.min(frameLen, bytes.length - start)
+      out.write(bytes, start, n)
+      var pad = n
+      while (pad < frameLen) { out.write(0); pad += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a Y4M container (real stream-header + frame-marker parse —
+    * works on any `Cmono` Y4M from the wild, not only [[encodeY4m]]
+    * output; chroma-subsampled colorspaces are rejected, same contract
+    * shape as [[decodeWavPcm16]]'s PCM16-mono requirement). Returns the
+    * concatenated luma planes. */
+  def decodeY4m(bytes: Array[Byte]): Y4mMono = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, "no Y4M stream header line")
+    val toks = new String(bytes, 0, nl, ascii).split(' ')
+    require(toks.headOption.contains("YUV4MPEG2"),
+      s"not a Y4M stream: ${toks.headOption.getOrElse("")}")
+    def tok(c: Char): Option[String] =
+      toks.iterator.drop(1).find(_.headOption.contains(c)).map(_.tail)
+    val w = tok('W').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M header missing width"))
+    val h = tok('H').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M header missing height"))
+    val fps = tok('F').map(_.takeWhile(_ != ':').toInt).getOrElse(25)
+    val cs = tok('C').getOrElse("420jpeg")
+    require(cs == "mono", s"expected Cmono Y4M, got C$cs")
+    require(w > 0 && h > 0, s"bad Y4M geometry ${w}x$h")
+    val frameLen = w * h
+    val samples = new java.io.ByteArrayOutputStream()
+    var pos = nl + 1
+    var nFrames = 0
+    while (pos < bytes.length) {
+      var e = pos
+      while (e < bytes.length && bytes(e) != '\n') e += 1
+      require(e < bytes.length &&
+        new String(bytes, pos, math.min(5, e - pos), ascii) == "FRAME",
+        s"expected FRAME marker at byte $pos")
+      pos = e + 1
+      require(pos + frameLen <= bytes.length,
+        s"truncated Y4M frame $nFrames at byte $pos")
+      samples.write(bytes, pos, frameLen)
+      pos += frameLen
+      nFrames += 1
+    }
+    Y4mMono(w, h, fps, nFrames, samples.toByteArray)
+  }
+
   /** Decode a RIFF/WAVE container through `AudioSystem` (real header
     * parse + format validation — works on any PCM16-mono WAV from the
     * wild, not only [[encodeWavPcm16]] output). Throws for non-WAV or
@@ -147,12 +226,15 @@ object Multimodal {
     } finally ais.close()
   }
 
-  /** [[corpusFromDocuments]] with REAL encoded payloads wherever the
-    * JVM ships a codec: the AUDIO third carries RIFF/WAVE (sample_i =
-    * (byte_i − 128) · 256, mono PCM16 through the real WAVE encoder)
-    * and the non-empty IMAGE third carries 8-bit grayscale PNG (pixel_i
-    * = byte_i through the real `ImageIO` encoder). The video third and
-    * empty images keep the raw-byte stand-in (no pure-JVM video codec).
+  /** [[corpusFromDocuments]] with REAL encoded payloads in all three
+    * modalities: the AUDIO third carries RIFF/WAVE (sample_i =
+    * (byte_i − 128) · 256, mono PCM16 through the real WAVE encoder),
+    * the non-empty IMAGE third carries 8-bit grayscale PNG (pixel_i =
+    * byte_i through the real `ImageIO` encoder), and the non-empty
+    * VIDEO third carries Y4M monochrome (pixel_i = byte_i in 16×4
+    * luma frames through [[encodeY4m]] — the format's real on-disk
+    * layout, parsed back frame-by-frame). Empty payloads keep the
+    * raw-byte path (a 0-frame/0-pixel container is not encodable).
     * The `meta.n_bytes` field stays the DECLARED content size (text
     * length), distinct from the container's on-disk size — as with any
     * media table whose metadata describes the content, not the
@@ -170,6 +252,7 @@ object Multimodal {
               encodeWavPcm16(
                 bytes.map(b => (((b & 0xff) - 128) * 256).toShort), sampleRateHz)
             case "image" if bytes.nonEmpty => encodePngGray(bytes)
+            case "video" if bytes.nonEmpty => encodeY4m(bytes)
             case _ => bytes
           }
           (id, kind, payload, src, nb, lang)
@@ -194,11 +277,21 @@ object Multimodal {
     *  - PNG → the JVM's image codec ([[decodePngGray]]): `n_units` =
     *    pixels (incl. the zero-padded tail row), stats over gray
     *    samples;
-    *  - anything else → the clearly-marked STUB fallback: the same
-    *    stats over raw bytes (`format = "raw_stub"`, rate 0) — the
-    *    seam a production video codec would fill.
+    *  - YUV4MPEG2 → the Y4M parser ([[decodeY4m]]): `n_units` = luma
+    *    samples across all frames (incl. the zero-padded tail frame),
+    *    stats over luma, `sample_rate_hz` = frames/sec from the header;
+    *  - anything else → the raw fallback: the same stats over raw
+    *    bytes (`format = "raw_stub"`, rate 0).
     *
-    * One output shape, so downstream quality gates don't branch. */
+    * A payload whose magic matches but whose body fails its codec
+    * (truncated container, unsupported sub-format, or raw bytes that
+    * merely BEGIN like a container — e.g. text starting "RIFF…WAVE")
+    * degrades to the same raw fallback instead of poisoning the whole
+    * query: at 100 TB a handful of adversarial payloads must divert,
+    * not kill the job — the quarantine philosophy of
+    * [[graft.bank.Ingest.transactionsQuarantined]] applied at the
+    * decode seam. One output shape, so downstream quality gates don't
+    * branch. */
   def decode(media: DataFrame): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
@@ -215,6 +308,10 @@ object Multimodal {
             }
             (peak, sum)
           }
+          def rawStub: DecodedMedia = {
+            val (peak, sum) = stats(bytes.length, i => (bytes(i) & 0xff).toLong)
+            DecodedMedia(id, kind, "raw_stub", 0, bytes.length, peak, sum)
+          }
           val isRiffWave = bytes.length >= 12 &&
             bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
             bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
@@ -222,21 +319,29 @@ object Multimodal {
           val isPng = bytes.length >= 8 &&
             (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
             bytes(2) == 'N' && bytes(3) == 'G'
-          if (isRiffWave) {
-            val w = decodeWavPcm16(bytes)
-            val (peak, sum) =
-              stats(w.samples.length, i => math.abs(w.samples(i).toLong))
-            DecodedMedia(id, kind, "pcm_s16le", w.sampleRateHz,
-              w.samples.length, peak, sum)
-          } else if (isPng) {
-            val g = decodePngGray(bytes)
-            val (peak, sum) = stats(g.samples.length, i => g.samples(i).toLong)
-            DecodedMedia(id, kind, "png_gray8", 0,
-              g.samples.length, peak, sum)
-          } else {
-            val (peak, sum) = stats(bytes.length, i => (bytes(i) & 0xff).toLong)
-            DecodedMedia(id, kind, "raw_stub", 0, bytes.length, peak, sum)
-          }
+          val isY4m = bytes.length >= 10 &&
+            new String(bytes, 0, 9,
+              java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2"
+          val decoded: scala.util.Try[DecodedMedia] =
+            if (isRiffWave) scala.util.Try {
+              val w = decodeWavPcm16(bytes)
+              val (peak, sum) =
+                stats(w.samples.length, i => math.abs(w.samples(i).toLong))
+              DecodedMedia(id, kind, "pcm_s16le", w.sampleRateHz,
+                w.samples.length, peak, sum)
+            } else if (isPng) scala.util.Try {
+              val g = decodePngGray(bytes)
+              val (peak, sum) = stats(g.samples.length, i => g.samples(i).toLong)
+              DecodedMedia(id, kind, "png_gray8", 0,
+                g.samples.length, peak, sum)
+            } else if (isY4m) scala.util.Try {
+              val v = decodeY4m(bytes)
+              val (peak, sum) =
+                stats(v.samples.length, i => (v.samples(i) & 0xff).toLong)
+              DecodedMedia(id, kind, "y4m_mono", v.fps,
+                v.samples.length, peak, sum)
+            } else scala.util.Success(rawStub)
+          decoded.getOrElse(rawStub)
         }
       }
   }

@@ -4,12 +4,12 @@ import graft.Tables
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal queries. The audio and image decode paths are REAL
-  * (RIFF/WAVE and grayscale PNG via the JVM's own codecs — see
-  * [[graft.operators.Multimodal.decode]]); the video stand-in remains
-  * a deterministic byte stub. All entries carry FULL DuckDB oracles:
-  * payloads derive from document text, so decode(encode(text)) stats
-  * replay as integer SQL over the text. */
+/** Multimodal queries. All three decode paths are REAL containers
+  * (RIFF/WAVE and grayscale PNG via the JVM's own codecs, Y4M
+  * monochrome via a zero-dependency parser — see
+  * [[graft.operators.Multimodal.decode]]). All entries carry FULL
+  * DuckDB oracles: payloads derive from document text, so
+  * decode(encode(text)) stats replay as integer SQL over the text. */
 object MultimodalQueries {
 
   /** Typed-metadata aggregate over the media corpus (oracle-checkable:
@@ -23,24 +23,28 @@ object MultimodalQueries {
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("total_bytes")))
 
-  /** Partition-wise media decode with REAL codecs on two thirds of the
-    * corpus: audio carries genuine RIFF/WAVE (JVM WAVE writer, samples
-    * `(byte − 128)·256`), images carry genuine 8-bit grayscale PNG
-    * (JVM `ImageIO` writer, pixel_i = byte_i, 64-wide rows with a
-    * zero-padded tail). [[Multimodal.decode]] parses them back through
-    * `AudioSystem`/`ImageIO` — dispatching on container MAGIC, not the
-    * kind label — and reports true decoded stats: rate from the WAV
-    * header, `n_units` = samples/pixels, `peak_abs`/`sum_abs` over
-    * |sample| / gray value. The video third (no pure-JVM codec) takes
-    * the stub fallback: the same stats over raw bytes.
+  /** Partition-wise media decode with REAL containers in ALL THREE
+    * modalities: audio carries genuine RIFF/WAVE (JVM WAVE writer,
+    * samples `(byte − 128)·256`), images carry genuine 8-bit grayscale
+    * PNG (JVM `ImageIO` writer, pixel_i = byte_i, 64-wide rows with a
+    * zero-padded tail), video carries Y4M monochrome (real YUV4MPEG2
+    * stream layout, luma_i = byte_i in 16×4 frames with a zero-padded
+    * tail frame). [[Multimodal.decode]] parses them back — dispatching
+    * on container MAGIC, not the kind label, degrading to raw stats on
+    * codec failure — and reports true decoded stats: rate from the WAV
+    * header / fps from the Y4M header, `n_units` = samples/pixels/luma
+    * samples, `peak_abs`/`sum_abs` over |sample| / gray / luma value.
+    * Only EMPTY payloads take the raw path (a 0-unit container is not
+    * encodable).
     *
     * FULL exact oracle: decode(encode(text)) is the identity on the
     * content values, so every output column is integer arithmetic over
-    * the ASCII payload — samples are |byte−128|·256, pixels are the
-    * bytes plus `64·ceil(len/64) − len` zero pads (pads shift n_units
-    * only; peak/sum are pad-invariant) — and the oracle replays the
-    * round-trip without touching a codec, which is precisely what
-    * makes a real-codec path hash-checkable offline. */
+    * the ASCII payload — samples are |byte−128|·256, pixels/luma are
+    * the bytes plus zero pads to the 64-pixel row / 64-luma frame
+    * boundary (pads shift n_units only; peak/sum are pad-invariant) —
+    * and the oracle replays the round-trip without touching a codec,
+    * which is precisely what makes a real-codec path hash-checkable
+    * offline. */
   val q36 = QueryDef.sql("q36_media_decode",
     """WITH st AS (
       |  SELECT doc_id,
@@ -56,11 +60,17 @@ object MultimodalQueries {
       |SELECT d.doc_id AS media_id,
       |  CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |       ELSE 'video' END AS kind,
-      |  CASE WHEN d.doc_id % 3 = 1 THEN 'pcm_s16le'
-      |       WHEN d.doc_id % 3 = 0 AND length(d.text) > 0 THEN 'png_gray8'
-      |       ELSE 'raw_stub' END AS format,
-      |  CASE WHEN d.doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate_hz,
+      |  CASE WHEN length(d.text) = 0 THEN 'raw_stub'
+      |       WHEN d.doc_id % 3 = 1 THEN 'pcm_s16le'
+      |       WHEN d.doc_id % 3 = 0 THEN 'png_gray8'
+      |       ELSE 'y4m_mono' END AS format,
+      |  CASE WHEN length(d.text) = 0 THEN 0
+      |       WHEN d.doc_id % 3 = 1 THEN 16000
+      |       WHEN d.doc_id % 3 = 2 THEN 25
+      |       ELSE 0 END AS sample_rate_hz,
       |  CAST(CASE WHEN d.doc_id % 3 = 0 AND length(d.text) > 64
+      |       THEN 64 * CAST(ceil(length(d.text) / 64.0) AS BIGINT)
+      |       WHEN d.doc_id % 3 = 2 AND length(d.text) > 0
       |       THEN 64 * CAST(ceil(length(d.text) / 64.0) AS BIGINT)
       |       ELSE length(d.text) END AS INT) AS n_units,
       |  CAST(COALESCE(st.peak, 0) AS BIGINT) AS peak_abs,

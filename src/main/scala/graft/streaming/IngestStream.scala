@@ -140,6 +140,27 @@ object IngestStream {
     * it swaps atomically WITH the table version). */
   private[streaming] val BatchTag = "_stream_batch"
 
+  /** The streaming query id persisted at `<checkpointDir>/metadata` —
+    * written by the stream engine at query start and REGENERATED when
+    * the checkpoint is deleted and recreated. Scoping the replay tag to
+    * this id (not the checkpoint PATH) is what makes the guard safe
+    * against the routine ops action of wiping a checkpoint: a recreated
+    * checkpoint restarts micro-batch ids at 0 under a NEW query id, so
+    * its batches never match a stale tag and fall through to the
+    * day-order guard (loud failure) instead of being silently skipped
+    * while marked consumed. */
+  private[streaming] def checkpointQueryId(spark: SparkSession,
+                                           checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"no streaming query id in $p: $txt"))
+  }
+
   /** foreachBatch body for the terminals SCD2 twin, factored out so the
     * replay guard is directly testable: all snapshot files of the
     * micro-batch fold into ONE new dimension version
@@ -153,9 +174,11 @@ object IngestStream {
   private[streaming] def applyTerminalsBatch(wh: Warehouse, batch: DataFrame,
                                              batchId: Long,
                                              streamId: String): Unit = {
-    // the tag is scoped to the CHECKPOINT (streamId): a fresh checkpoint
-    // restarts micro-batch ids at 0 and its batches must not be skipped
-    // by a stale tag from a previous stream's id sequence
+    // the tag is scoped to the CHECKPOINT INSTANCE (streamId = the query
+    // id from <checkpointDir>/metadata, see [[checkpointQueryId]]): a
+    // fresh OR recreated checkpoint restarts micro-batch ids at 0 under
+    // a new id, so its batches are never skipped by a stale tag from a
+    // previous id sequence — they fall through to the day-order guard
     val applied = wh.readTag(Pipeline.DimTerminals, BatchTag)
       .map(_.trim.split(' ')).collect {
         case Array(sid, id) if sid == streamId => id.toLong
@@ -177,18 +200,26 @@ object IngestStream {
         // corrupts the version chain — the reference's loop is
         // hardcoded in date order, main.py:85-100), and the file source
         // orders same-mtime files by listing, NOT by batch date. An
-        // older drop arriving after a newer one must fail loudly.
+        // older drop arriving after a newer one must fail loudly — and
+        // so must a SAME-day drop: scd2Apply is not idempotent (the
+        // all-versions deleted-detection quirk re-tombstones on
+        // re-apply), so an applied day that changed anything can only
+        // reappear via duplicate delivery or a wiped checkpoint, and
+        // loud failure beats silent history growth. Strictly-after is
+        // therefore the rule; an intentional same-day correction needs
+        // an explicit operator action (roll the dimension back first).
         // max(effective_from) is the last day that CHANGED anything; a
         // no-change day leaves no trace and cannot be detected — same
         // blindness the reference has to re-running a no-op day.
         val lastApplied = hist0.agg(max(col("effective_from"))).head()
         if (!lastApplied.isNullAt(0)) {
           val firstDay = dayFromFileName(files.head)
-          require(!firstDay.before(lastApplied.getDate(0)),
-            s"out-of-order snapshot drop: ${files.head} carries batch " +
-              s"date $firstDay but the dimension was last changed on " +
-              s"${lastApplied.getDate(0)}; deliver drops in day order " +
-              "(the default whole-backlog batch folds them in day order)")
+          require(firstDay.after(lastApplied.getDate(0)),
+            s"out-of-order or duplicate snapshot drop: ${files.head} " +
+              s"carries batch date $firstDay but the dimension was last " +
+              s"changed on ${lastApplied.getDate(0)}; drops must arrive " +
+              "strictly after the last applied day (the default " +
+              "whole-backlog batch folds a backlog in day order)")
         }
         // Each fold step MATERIALIZES (eager localCheckpoint): scd2Apply
         // embeds its input plan in ~6 branches, so an unmaterialized
@@ -239,11 +270,15 @@ object IngestStream {
     // at `<name>.tmp` (crash between delete and move) comes back, WITH
     // its batch tag, so the replay guard still sees the right version
     wh.recover(Pipeline.DimTerminals)
+    // evaluated lazily INSIDE the first micro-batch, after the engine
+    // has written <checkpointDir>/metadata — the id is the checkpoint
+    // INSTANCE, regenerated if the checkpoint is wiped and recreated
+    lazy val sid = checkpointQueryId(spark, checkpointDir)
     val q = xlsxFiles(spark, inboxDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyTerminalsBatch(wh, batch, id, streamId = checkpointDir)
+        applyTerminalsBatch(wh, batch, id, streamId = sid)
       }
       .trigger(Trigger.AvailableNow())
       .start()

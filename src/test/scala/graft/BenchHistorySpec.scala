@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stall-arbitration inputs: the committed BENCH_r*.json
+  * driver records parse into a per-query history, and the median over
+  * them is what the proportional gate (re-measure when sec > 3× the
+  * three-round median) compares against. Round 10's q115 spike — 41 s
+  * on a 3.5 s history, escaping the absolute byte gate — is the exact
+  * case this arbitration exists for, so it doubles as the fixture. */
+class BenchHistorySpec extends AnyFunSuite {
+
+  test("loadHistory parses the last three committed driver records") {
+    val h = Bench.loadHistory(".")
+    assert(h.nonEmpty, "no BENCH_r*.json parsed from the repo root")
+    // r8/r9/r10 all carried q115 individually (it is a headline query)
+    val q115 = h.getOrElse("q115", fail("q115 missing from history"))
+    assert(q115.size == 3)
+    // the r10 environmental spike is IN the history and the median
+    // shrugs it off — that robustness is why the gate uses median
+    assert(q115.max > 30.0, s"expected the 41 s r10 spike, got $q115")
+    assert(Bench.median(q115) < 5.0,
+      s"median must ignore the single-round spike: $q115")
+    // "rest"-bucketed queries must not leak in as a pseudo-query
+    assert(!h.contains("rest"))
+  }
+
+  test("median: odd, even, and singleton vectors") {
+    assert(Bench.median(Vector(3.0)) == 3.0)
+    assert(Bench.median(Vector(4.6, 40.96, 3.5)) == 4.6)
+    assert(Bench.median(Vector(2.0, 4.0)) == 3.0)
+  }
+
+  test("a missing directory degrades to an empty history, not a crash") {
+    assert(Bench.loadHistory("/nonexistent-dir-xyz").isEmpty)
+  }
+}

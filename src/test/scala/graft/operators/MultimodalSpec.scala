@@ -122,10 +122,30 @@ class MultimodalSpec extends AnyFunSuite {
       small.samples.toSeq == Seq(5, 250))
   }
 
-  test("decode: real codec stats on WAV audio and PNG images, stub on video") {
+  test("Y4M codec round-trip: luma frames, padding, fps, geometry survive") {
+    val bytes = (0 until 130).map(i => ((i * 7) % 256).toByte).toArray
+    val y4m = Multimodal.encodeY4m(bytes) // 16×4=64/frame → 3 frames, 62 pads
+    // a real YUV4MPEG2 stream: plain-text header then FRAME markers
+    assert(new String(y4m.take(9), "US-ASCII") == "YUV4MPEG2")
+    val v = Multimodal.decodeY4m(y4m)
+    assert(v.width == 16 && v.height == 4 && v.fps == 25 && v.nFrames == 3)
+    assert(v.samples.length == 192)
+    assert(v.samples.take(130).toSeq == bytes.toSeq)
+    assert(v.samples.drop(130).forall(_ == 0)) // zero-padded tail frame
+    // one-byte payload still yields one whole (padded) frame
+    val one = Multimodal.decodeY4m(Multimodal.encodeY4m(Array[Byte](42)))
+    assert(one.nFrames == 1 && one.samples.length == 64 &&
+      one.samples(0) == 42 && one.samples.drop(1).forall(_ == 0))
+    // non-mono colorspaces are rejected, not misread
+    val c420 = "YUV4MPEG2 W2 H2 F25:1 C420jpeg\nFRAME\nxxxxxx".getBytes("US-ASCII")
+    val ex = intercept[IllegalArgumentException](Multimodal.decodeY4m(c420))
+    assert(ex.getMessage.contains("Cmono"))
+  }
+
+  test("decode: real codec stats on WAV audio, PNG images and Y4M video") {
     // doc_id 1 → audio ('b'=98 → sample (98-128)*256 = -7680;
     //                   'P'=80 → -12288), peak over |sample|
-    val docs = Seq((0L, "ab"), (1L, "bP"), (2L, ""), (3L, ""))
+    val docs = Seq((0L, "ab"), (1L, "bP"), (2L, "vid"), (3L, ""), (5L, ""))
       .toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'s' AS source", "'en' AS lang",
         "length(text) AS n_chars")
@@ -139,10 +159,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(image.format == "png_gray8" && image.sample_rate_hz == 0)
     assert(image.n_units == 2 && image.peak_abs == 98L &&
       image.sum_abs == 97L + 98L)
-    val video = out(2L) // empty video payload → stub
-    assert(video.format == "raw_stub" && video.n_units == 0 &&
-      video.peak_abs == 0L && video.sum_abs == 0L)
+    val video = out(2L) // real Y4M: "vid" → one 64-luma frame, 61 pads
+    assert(video.format == "y4m_mono" && video.sample_rate_hz == 25)
+    assert(video.n_units == 64 && video.peak_abs == 'v'.toLong &&
+      video.sum_abs == 'v'.toLong + 'i'.toLong + 'd'.toLong)
+    val emptyVideo = out(5L) // empty video cannot encode → stays raw
+    assert(emptyVideo.format == "raw_stub" && emptyVideo.n_units == 0 &&
+      emptyVideo.peak_abs == 0L && emptyVideo.sum_abs == 0L)
     val emptyImage = out(3L) // empty image cannot encode → stays raw
     assert(emptyImage.format == "raw_stub" && emptyImage.n_units == 0)
+  }
+
+  test("decode: magic-matching but undecodable payloads degrade to raw stats") {
+    // adversarial raw payloads whose ASCII text merely BEGINS like a
+    // container — each must fall back to raw-byte stats, not crash the
+    // partition (the failure mode ADVICE r10 flagged)
+    val riffText = "RIFF....WAVEbut not actually a wav body"
+    val y4mText = "YUV4MPEG2 W0 H0\ngarbage that is not frames"
+    val pngish = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
+    val m = Seq(
+      (10L, riffText.getBytes("US-ASCII")),
+      (11L, y4mText.getBytes("US-ASCII")),
+      (12L, pngish)).toDF("media_id", "bytes")
+      .selectExpr("media_id", "'video' AS kind", "bytes")
+    val out = Multimodal.decode(m).collect().map(d => d.media_id -> d).toMap
+    assert(out.values.forall(_.format == "raw_stub"))
+    assert(out(10L).n_units == riffText.length)
+    assert(out(11L).n_units == y4mText.length)
+    assert(out(12L).n_units == pngish.length)
+    // and a VALID container under a wrong kind label still decodes by
+    // magic (decoders trust bytes, not labels)
+    val wav = Multimodal.encodeWavPcm16(Array[Short](100, -100), 8000)
+    val mislabeled = Seq((13L, wav)).toDF("media_id", "bytes")
+      .selectExpr("media_id", "'video' AS kind", "bytes")
+    val d = Multimodal.decode(mislabeled).collect().head
+    assert(d.format == "pcm_s16le" && d.sample_rate_hz == 8000 &&
+      d.n_units == 2 && d.peak_abs == 100L)
   }
 }

@@ -86,22 +86,63 @@ class XlsxStreamSpec extends AnyFunSuite {
 
     // replayed micro-batch id (crash between sink commit and source
     // checkpoint advance): the tagged-swap guard must skip it — without
-    // the guard scd2Apply would re-tombstone and grow history
+    // the guard scd2Apply would re-tombstone and grow history. The tag
+    // is scoped to the checkpoint INSTANCE (the persisted query id),
+    // so the replay carries the id the real stream wrote.
+    val sid = wh.readTag(Pipeline.DimTerminals, IngestStream.BatchTag)
+      .get.trim.split(' ').head
+    assert(sid == IngestStream.checkpointQueryId(spark, cp))
     IngestStream.applyTerminalsBatch(wh,
       fileBatch(s"$refData/terminals_03032021.xlsx"),
-      batchId = 0, streamId = cp)
+      batchId = 0, streamId = sid)
     assert(rowSet(wh.read(Pipeline.DimTerminals)) == after3)
 
-    // ...but a NEW stream (different checkpoint) is not blocked by the
-    // old tag: its batch 0 applies and the version tag moves. (The dim
-    // content is allowed to change here — re-applying a same-day
-    // snapshot re-tombstones deleted keys, the reference's all-versions
-    // quirk — which is exactly why the REPLAY guard above matters.)
-    IngestStream.applyTerminalsBatch(wh,
-      fileBatch(s"$refData/terminals_03032021.xlsx"),
-      batchId = 0, streamId = "other-cp")
+    // a NEW stream (different query id) is not blocked by the old tag —
+    // but re-delivering an ALREADY-APPLIED day must now fail LOUDLY at
+    // the strictly-after day guard (scd2Apply is not idempotent:
+    // silently re-applying would re-tombstone and grow history)
+    val dup = intercept[IllegalArgumentException] {
+      IngestStream.applyTerminalsBatch(wh,
+        fileBatch(s"$refData/terminals_03032021.xlsx"),
+        batchId = 0, streamId = "other-stream-id")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    assert(rowSet(wh.read(Pipeline.DimTerminals)) == after3)
     assert(wh.readTag(Pipeline.DimTerminals,
-      IngestStream.BatchTag).exists(_.startsWith("other-cp ")))
+      IngestStream.BatchTag).exists(_.startsWith(s"$sid ")))
+  }
+
+  test("terminals twin: wiped-and-recreated checkpoint fails loudly, no silent skip") {
+    val root = Files.createTempDirectory("xlsx_stream_term_wipe")
+    val inbox = Files.createDirectory(root.resolve("inbox"))
+    val cp = root.resolve("cp")
+    val wh = new Warehouse(spark, root.resolve("wh").toString)
+    days.foreach(drop(inbox, "terminals", _))
+    assert(IngestStream.terminalsScd2AvailableNow(
+      spark, inbox.toString, cp.toString, wh) == 1)
+    val committed = rowSet(wh.read(Pipeline.DimTerminals))
+
+    // the routine ops action the round-10 guard mishandled: delete the
+    // checkpoint. Batch ids restart at 0 while the dimension tag holds
+    // the OLD stream's high id. The instance-scoped tag must NOT match
+    // (that would silently skip real batches and mark them consumed);
+    // instead the re-listed old files hit the strictly-after day guard
+    // and the query dies loudly, dimension untouched.
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    rmTree(cp)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IngestStream.terminalsScd2AvailableNow(
+        spark, inbox.toString, cp.toString, wh)
+    }
+    assert(Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => Option(t.getMessage)
+        .exists(_.contains("out-of-order or duplicate"))))
+    assert(rowSet(wh.read(Pipeline.DimTerminals)) == committed)
   }
 
   test("terminals twin: 3-file backlog folds in one batch; out-of-order drop fails loudly") {
