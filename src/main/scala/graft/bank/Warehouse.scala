@@ -98,7 +98,53 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Replace exactly the partitions PRESENT IN `df`, leaving all other
+    * partitions of the table untouched (Spark's dynamic partition
+    * overwrite). This is the idempotent write primitive for
+    * day-partitioned fact tables in a `foreachBatch` sink: a replayed
+    * micro-batch re-derives the same day rows and overwrites its own
+    * partition with identical content — append would double it. The
+    * per-partition delete-then-write is not atomic; a crash mid-write
+    * is healed by the replay itself (same batch, same partition,
+    * rewritten whole). */
+  def overwritePartitions(name: String, df: DataFrame,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitions needs partition columns; use overwrite for whole-table swap")
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir(name).toString)
+  }
+
   def drop(name: String): Unit = deleteRecursive(dir(name))
+
+  /** Number of parquet data files currently backing a table — the
+    * fragmentation signal [[compactIfFragmented]] gates on. */
+  def parquetFileCount(name: String): Int = {
+    if (!exists(name)) 0
+    else {
+      val walk = Files.walk(dir(name))
+      try walk.filter(_.toString.endsWith(".parquet")).count().toInt
+      finally walk.close()
+    }
+  }
+
+  /** Compact-behind gate for streaming drains: [[compact]] the table iff
+    * its parquet file count exceeds `maxFiles`. File count — not commit
+    * count — is the trigger, so the cadence self-regulates to append
+    * granularity: a year of one-row daily audit appends compacts every
+    * `maxFiles` days, while a drain that appends nothing never pays a
+    * rewrite. Same single-writer contract as [[compact]]: call it from
+    * the drain that owns the table, after the drain completes. Returns
+    * true iff a compaction ran. */
+  def compactIfFragmented(name: String, partitionCols: Seq[String] = Nil,
+                          maxFiles: Int = 256,
+                          targetFileBytes: Long = 128L << 20): Boolean = {
+    val n = parquetFileCount(name)
+    if (n > maxFiles) { compact(name, partitionCols, targetFileBytes); true }
+    else false
+  }
 
   /** Compact a table's small files into ~`targetFileBytes`-sized ones.
     * Daily appends leave one file-set per batch; a year of days makes

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.bank.{Ingest, Pipeline, Schemas, Warehouse}
+import graft.bank.{FraudRules, Ingest, Pipeline, Schemas, Seeds, Warehouse}
 import graft.operators.Cdc
 import graft.sources.Xlsx
 
@@ -319,10 +319,14 @@ object IngestStream {
   /** Streaming twin of the cumulative blacklist drop → fact append path
     * (`main.py:69-74` + `comm_funcs.py:47-56`): drain every
     * not-yet-committed `passport_blacklist_DDMMYYYY.xlsx`, anti-join
-    * against the accumulated fact, append only never-seen passports. */
+    * against the accumulated fact, append only never-seen passports.
+    * After the drain, compact-behind keeps the append-only fact's file
+    * count bounded (`compactAboveFiles`; a year of daily micro-batch
+    * appends must not leave a thousand tiny files for every scan). */
   def blacklistAvailableNow(spark: SparkSession, inboxDir: String,
                             checkpointDir: String, wh: Warehouse,
-                            maxFilesPerTrigger: Int = 1): Long = {
+                            maxFilesPerTrigger: Int = 1,
+                            compactAboveFiles: Int = 256): Long = {
     val q = xlsxFiles(spark, inboxDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -334,6 +338,150 @@ object IngestStream {
     q.awaitTermination()
     val progressed = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
+    // compact-behind AFTER the drain (single-writer: the stream is
+    // stopped; the daily cron runs drains sequentially)
+    wh.compactIfFragmented(Pipeline.FactBlacklist,
+      maxFiles = compactAboveFiles)
+    progressed.toLong
+  }
+
+  // ------------------------------------------------------------------
+  // transactions drop twin: fact partitions + incremental REP_FRAUD
+  // ------------------------------------------------------------------
+
+  /** foreachBatch body for the transactions → fact → REP_FRAUD twin,
+    * factored out so the replay semantics are directly testable. A
+    * micro-batch may carry several daily files; days apply in calendar
+    * order, and each day runs the reference's full per-day sequence
+    * (`main.py:43-66` ingest + `loading_rep_fraud.py` rules):
+    *
+    *  1. the day's rows land as a DYNAMIC PARTITION OVERWRITE of their
+    *     `txn_date` partition ([[Warehouse.overwritePartitions]]) — the
+    *     idempotent write: a replayed micro-batch re-derives identical
+    *     day rows and rewrites the same partition, where an append
+    *     would double it;
+    *  2. the four fraud rules run against the accumulated fact (which
+    *     now includes this day but no later one) and append to
+    *     REP_FRAUD, each logging its META row like the batch path;
+    *  3. a COMPLETED day — its last rule marker
+    *     (`REP_FRAUD_attempt_amount`) already in META — is skipped
+    *     entirely on re-delivery, after a loud content check (row count
+    *     must match the committed partition: a same-day file with
+    *     DIFFERENT content is an upstream fault, not a replay).
+    *
+    * Exactly-once summary: fact partitions are exactly-once by
+    * idempotent overwrite; rules 3/4 are exactly-once under replay by
+    * J12's anti-join regardless of the marker; rules 1/2 are guarded by
+    * the day marker, with one at-least-once corner — a crash BETWEEN
+    * the rule appends and the day's last META row reruns all four on
+    * replay, duplicating rule-1/2 rows exactly as a rerun of the
+    * reference's daily script does (SURVEY §7 quirk 1; the reference
+    * re-reports rules 1/2 on every full-history rescan anyway). META
+    * staging rows re-log on such a replay — the same at-least-once
+    * audit semantics as the xlsx twins.
+    *
+    * Drive order within a day mirrors `main.py`: blacklist and
+    * terminals drains first, then this one, so the rules see the day's
+    * dimension and blacklist state. */
+  private[streaming] def applyTransactionsBatch(wh: Warehouse,
+      seed: Seeds.Seed, batch: DataFrame,
+      incrementalRules12: Boolean = false,
+      bucketedBandJoins: Boolean = true): Unit = {
+    val rows = batch.cache()
+    try {
+      // bounded driver round-trip: one calendar day per daily file,
+      // ≤ a few thousand even on a full-year backfill drain
+      val days = rows.select("txn_date").where(col("txn_date").isNotNull)
+        .distinct().collect().map(_.getDate(0)).sortBy(_.toLocalDate.toEpochDay)
+      if (days.isEmpty) return
+      val meta = wh.readOr(Pipeline.MetaLoading, Schemas.metaLoading)
+      // the day-completion marker is the LAST rule's META row
+      val done = meta.where(col("table_name") === "REP_FRAUD_attempt_amount")
+        .select("event_dt").distinct().collect().map(_.getDate(0)).toSet
+      val factCols = Schemas.factTransactions.fieldNames.toSeq :+ "txn_date"
+      days.foreach { day =>
+        val dayRows = rows.where(col("txn_date") === lit(day))
+          .select(factCols.map(col): _*)
+        if (done(day)) {
+          val existing = wh.read(Pipeline.FactTransactions)
+            .where(col("txn_date") === lit(day)).count()
+          val incoming = dayRows.count()
+          require(existing == incoming,
+            s"re-delivery of completed day $day with different content " +
+              s"($incoming rows vs $existing committed); a completed day " +
+              "can only be replayed verbatim — correct-by-replacement " +
+              "needs an explicit operator action")
+        } else {
+          val n = dayRows.count()
+          wh.overwritePartitions(Pipeline.FactTransactions, dayRows,
+            partitionCols = Seq("txn_date"))
+          wh.logMeta("stg_transactions", day, n)
+          val facts = wh.read(Pipeline.FactTransactions).cache()
+          try {
+            val blAll = wh.readOr(Pipeline.FactBlacklist,
+              Schemas.factPassportBlacklist)
+            val dim = wh.readOr(Pipeline.DimTerminals, Schemas.dimTerminalsHist)
+            val facts12 =
+              if (incrementalRules12) facts.where(col("txn_date") === lit(day))
+              else facts
+            def appendRule(name: String, df: DataFrame): Unit = {
+              val cached = df.cache()
+              val cnt = cached.count()
+              wh.append(Pipeline.RepFraud, cached)
+              wh.logMeta(name, day, cnt)
+              cached.unpersist()
+            }
+            appendRule("REP_FRAUD_passport",
+              FraudRules.rule1(facts12, blAll, seed, day))
+            appendRule("REP_FRAUD_contract",
+              FraudRules.rule2(facts12, seed, day))
+            appendRule("REP_FRAUD_diff_cities",
+              FraudRules.rule3(facts, dim, seed,
+                wh.readOr(Pipeline.RepFraud, Schemas.repFraud), day,
+                bucketedBandJoins))
+            // the day-completion marker: logged by appendRule LAST
+            appendRule("REP_FRAUD_attempt_amount",
+              FraudRules.rule4(facts, seed,
+                wh.readOr(Pipeline.RepFraud, Schemas.repFraud), day,
+                bucketedBandJoins))
+          } finally facts.unpersist()
+        }
+      }
+    } finally rows.unpersist()
+  }
+
+  /** Streaming twin of the daily transactions drop → fact → REP_FRAUD
+    * mart path — the one daily stage that previously had no twin: drain
+    * every not-yet-committed `transactions_*.txt`, land each day's rows
+    * as an idempotent partition overwrite, run the four fraud rules
+    * per day in calendar order, stop. See [[applyTransactionsBatch]]
+    * for the exactly-once contract. After the drain, compact-behind
+    * bounds the file counts of the three append-accumulating tables
+    * (fact partitions, REP_FRAUD, META_LOADING). */
+  def transactionsFraudAvailableNow(spark: SparkSession, inboxDir: String,
+      checkpointDir: String, wh: Warehouse, seed: Seeds.Seed,
+      maxFilesPerTrigger: Int = 1, incrementalRules12: Boolean = false,
+      bucketedBandJoins: Boolean = true,
+      compactAboveFiles: Int = 256): Long = {
+    val q = transactionsSource(spark, inboxDir, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyTransactionsBatch(wh, seed, batch, incrementalRules12,
+          bucketedBandJoins)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progressed = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    // compact-behind AFTER the drain (single-writer: stream stopped,
+    // daily cron runs drains sequentially). This drain owns the three
+    // append-accumulating tables of the daily cycle.
+    wh.compactIfFragmented(Pipeline.FactTransactions, Seq("txn_date"),
+      compactAboveFiles)
+    wh.compactIfFragmented(Pipeline.RepFraud, maxFiles = compactAboveFiles)
+    wh.compactIfFragmented(Pipeline.MetaLoading, maxFiles = compactAboveFiles)
     progressed.toLong
   }
 }
