@@ -34,6 +34,27 @@ object Dedup {
       explode(graft.functions.TextExpressions
         .shingleArray(col(textCol), k)).as("s"))
 
+  /** One-pass audit of the 64-bit shingle-hash trade every hashed-index
+    * operator rides on: number of distinct shingle STRINGS that share a
+    * hash with a different string (0 = the hashed and string
+    * representations are interchangeable on this corpus — df counts,
+    * set sizes and intersections all agree exactly). Expected
+    * collisions at n distinct shingles ≈ n²/2⁶⁵ (~0.03 at one billion),
+    * so this is a per-corpus certificate to run when EXACTNESS matters
+    * (e.g. an oracle comparison), not a steady-state cost: one extra
+    * aggregation over distinct shingles. ClusterAuditSpec certifies the
+    * testdata corpus; the q313 oracle's string-side df computation is
+    * exact-equal to the hashed plan precisely when this returns 0. */
+  def shingleHashCollisions(df: DataFrame, textCol: String, k: Int): Long = {
+    val d = df.select(explode(graft.functions.TextExpressions
+        .shingleArray(col(textCol), k)).as("s"))
+      .distinct()
+    d.groupBy(xxhash64(col("s")).as("xh"))
+      .agg(countDistinct(col("s")).as("n"))
+      .where(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct text
     * with the kept (minimum) id and the duplicate count. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -857,8 +878,11 @@ object Dedup {
     // ngramJaccard just built (plan-equal call = one materialization):
     // no second corpus scan, and the pair intersections compare 8-byte
     // longs instead of UTF8 strings. Set sizes and intersections equal
-    // the string form modulo 64-bit collisions — the documented
-    // [[invertedIndexHashed]] trade the oracle shares.
+    // the STRING form (which the q313 oracle computes) exactly iff the
+    // corpus has zero 64-bit shingle-hash collisions —
+    // [[shingleHashCollisions]] is the per-corpus certificate
+    // (ClusterAuditSpec certifies the testdata; expected collisions at
+    // a billion distinct shingles ≈ 0.03).
     val kept = invertedIndexHashed(docs, idCol, textCol, k)
       .where(size(col("docs")) <= maxDf)
     val sets = kept.select(col("xh"), explode(col("docs")).as(idCol))

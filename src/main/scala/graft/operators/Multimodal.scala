@@ -346,6 +346,45 @@ object Multimodal {
       }
   }
 
+  final case class ShotBoundary(media_id: Long, frame_idx: Int,
+                                prev_sum: Long, luma_sum: Long, delta: Long)
+
+  /** Shot-boundary detection on REAL decoded video: parse each Y4M
+    * payload ([[decodeY4m]]), total the luma per frame, and emit a
+    * boundary row wherever consecutive frames' luma sums jump by more
+    * than `deltaMin` — the luma-histogram-difference cut detector on
+    * actual frame planes, where q232 operates on raw-byte stand-in
+    * frames. All frames of a payload live in its own row, so the lag
+    * comparison runs IN-ROW: zero shuffles, zero window state, and the
+    * same loop serves streaming intake unchanged (stateless append
+    * mode, like [[vadSegmentsInRow]]). Non-Y4M and undecodable
+    * payloads contribute no rows — the decode-quarantine contract of
+    * [[decode]]. */
+  def y4mShotBoundaries(media: DataFrame, deltaMin: Long): Dataset[ShotBoundary] = {
+    require(deltaMin >= 0, s"deltaMin=$deltaMin must be non-negative")
+    import media.sparkSession.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val isY4m = bytes.length >= 10 && new String(bytes, 0, 9,
+          java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2"
+        if (!isY4m) Iterator.empty
+        else scala.util.Try(decodeY4m(bytes)).toOption match {
+          case None => Iterator.empty
+          case Some(v) =>
+            val fl = v.width * v.height
+            val sums = Array.tabulate(v.nFrames) { f =>
+              var s = 0L; var i = f * fl; val end = i + fl
+              while (i < end) { s += (v.samples(i) & 0xff); i += 1 }
+              s
+            }
+            (1 until v.nFrames).iterator
+              .filter(f => math.abs(sums(f) - sums(f - 1)) > deltaMin)
+              .map(f => ShotBoundary(id, f, sums(f - 1), sums(f),
+                math.abs(sums(f) - sums(f - 1))))
+        }
+      }
+  }
+
   final case class ResizedMedia(media_id: Long, n_orig: Int, n_resized: Int,
                                 resized: Array[Byte])
 

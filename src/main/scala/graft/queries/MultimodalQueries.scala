@@ -310,6 +310,39 @@ object MultimodalQueries {
       })
   }
 
+  /** Shot boundaries on REAL decoded video (q232's production
+    * counterpart): each video payload is a genuine Y4M container, the
+    * operator parses its 16×4 luma frames back and cuts where the
+    * per-frame luma SUM jumps by more than 1500 — the luma-difference
+    * detector over actual decoded planes, computed in-row (all frames
+    * of a payload live in its row: zero shuffles, no window state).
+    *
+    * FULL exact oracle: frame f's decoded luma sum = Σ ascii over
+    * text[64f+1 .. 64f+64] (the tail frame's zero pads add nothing),
+    * so DuckDB replays the boundaries with a per-frame group-by and a
+    * lag — no codec involved. The tail frame's pad-drop guarantees at
+    * least one boundary per multi-frame payload, so the query is
+    * self-evidencing on any corpus. */
+  val q339 = QueryDef.sql("q339_video_luma_cuts",
+    """WITH v AS (SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE doc_id % 3 = 2 AND length(text) > 0),
+      |f AS (SELECT doc_id, (i - 1) // 64 AS frame_idx,
+      |    sum(ascii(substring(text, CAST(i AS INT), 1))) AS luma_sum
+      |  FROM (SELECT doc_id, text, unnest(range(1, len + 1)) AS i FROM v) t
+      |  GROUP BY 1, 2),
+      |l AS (SELECT doc_id, frame_idx, luma_sum,
+      |    lag(luma_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+      |      AS prev
+      |  FROM f)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(prev AS BIGINT) AS prev_sum,
+      |  CAST(luma_sum AS BIGINT) AS luma_sum,
+      |  CAST(abs(luma_sum - prev) AS BIGINT) AS delta
+      |FROM l WHERE prev IS NOT NULL AND abs(luma_sum - prev) > 1500""")(
+    (s, dir) => Multimodal.y4mShotBoundaries(
+        Multimodal.corpusWithCodecs(Tables.documents(s, dir)),
+        deltaMin = 1500L).toDF())
+
   val all: Seq[QueryDef] = Seq(q35, q36, q37, q73, q169, q170, q182, q183,
-    q232)
+    q232, q339)
 }

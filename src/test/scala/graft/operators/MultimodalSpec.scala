@@ -170,6 +170,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(emptyImage.format == "raw_stub" && emptyImage.n_units == 0)
   }
 
+  test("y4mShotBoundaries: luma-sum cuts on decoded frames, in-row") {
+    // doc_id % 3 == 2 → video. Frame = 64 luma bytes.
+    // doc 2: 'z'*64 (sum 7808) then ' '*64 (sum 2048) then 'z'*64 —
+    // two cuts of |Δ|=5760. doc 5: 70 chars → frame1 is 6 chars + 58
+    // zero pads, a guaranteed tail-frame cut. doc 8: uniform 2 frames,
+    // |Δ|=0 → no cut. audio/image docs contribute nothing.
+    val docs = Seq(
+      (2L, "z" * 64 + " " * 64 + "z" * 64),
+      (5L, "a" * 70),
+      (8L, "b" * 128),
+      (1L, "z" * 200), (0L, "z" * 200)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'s' AS source", "'en' AS lang",
+        "length(text) AS n_chars")
+    val m = Multimodal.corpusWithCodecs(docs)
+    val out = Multimodal.y4mShotBoundaries(m, deltaMin = 1500L)
+      .collect().map(b => (b.media_id, b.frame_idx) -> b).toMap
+    assert(out.keySet == Set((2L, 1), (2L, 2), (5L, 1)))
+    assert(out((2L, 1)).prev_sum == 64L * 122 &&
+      out((2L, 1)).luma_sum == 64L * 32 && out((2L, 1)).delta == 5760L)
+    assert(out((2L, 2)).delta == 5760L)
+    // tail frame: 6×'a' + 58 zero pads vs full 64×'a'
+    assert(out((5L, 1)).prev_sum == 64L * 97 &&
+      out((5L, 1)).luma_sum == 6L * 97)
+  }
+
   test("decode: magic-matching but undecodable payloads degrade to raw stats") {
     // adversarial raw payloads whose ASCII text merely BEGINS like a
     // container — each must fall back to raw-byte stats, not crash the
