@@ -398,6 +398,23 @@ object IngestStream {
       // the day-completion marker is the LAST rule's META row
       val done = meta.where(col("table_name") === "REP_FRAUD_attempt_amount")
         .select("event_dt").distinct().collect().map(_.getDate(0)).toSet
+      // Cross-batch day-order guard, same philosophy as the terminals
+      // twin: the rules are order-sensitive (day D's band joins must
+      // not see day D+1 facts — the reference's loop is hardcoded in
+      // date order) and the file source does not order same-mtime
+      // files by name. A NEW day arriving behind an already-completed
+      // LATER day must fail loudly; replays of completed days (the
+      // branch below) are exempt.
+      val maxDone = done.toSeq.sortBy(_.toLocalDate.toEpochDay).lastOption
+      days.foreach { day =>
+        maxDone.foreach { last =>
+          require(done(day) || day.after(last),
+            s"out-of-order transactions drop: day $day arrived after " +
+              s"day $last completed; the fraud rules are day-order " +
+              "sensitive — deliver drops in day order (a whole-backlog " +
+              "batch folds them in day order)")
+        }
+      }
       val factCols = Schemas.factTransactions.fieldNames.toSeq :+ "txn_date"
       days.foreach { day =>
         val dayRows = rows.where(col("txn_date") === lit(day))
@@ -483,5 +500,40 @@ object IngestStream {
     wh.compactIfFragmented(Pipeline.RepFraud, maxFiles = compactAboveFiles)
     wh.compactIfFragmented(Pipeline.MetaLoading, maxFiles = compactAboveFiles)
     progressed.toLong
+  }
+
+  /** The whole daily cycle as one streaming call — the twin of the
+    * reference's `main.py` entrypoint (blacklist → terminals →
+    * transactions + rules, `main.py:43-117`) with the drive order the
+    * individual drains require codified in one place: the two
+    * dimension drains land first so the fraud rules see the day's
+    * dimension and blacklist state, exactly like the batch
+    * [[graft.bank.Pipeline.runDay]]. Each drain keeps its own
+    * checkpoint under `checkpointRoot` and its own inbox subdirectory
+    * (`blacklist/`, `terminals/`, `transactions/`). Safe to run from
+    * cron at any cadence: an empty cycle commits nothing anywhere.
+    * Returns the number of committing micro-batches across the three
+    * drains (0 ⇒ nothing new). */
+  def runDailyDrains(spark: SparkSession, inboxRoot: String,
+                     checkpointRoot: String, wh: Warehouse,
+                     seed: Seeds.Seed,
+                     incrementalRules12: Boolean = false,
+                     compactAboveFiles: Int = 256): Long = {
+    def sub(p: String) = s"$inboxRoot/$p"
+    def cp(p: String) = s"$checkpointRoot/$p"
+    // the file source needs its inbox to exist; an idle cron cycle
+    // must not fail on a not-yet-created drop directory
+    Seq("blacklist", "terminals", "transactions").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(sub(p))
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(hp)
+    }
+    val a = blacklistAvailableNow(spark, sub("blacklist"), cp("blacklist"),
+      wh, compactAboveFiles = compactAboveFiles)
+    val b = terminalsScd2AvailableNow(spark, sub("terminals"),
+      cp("terminals"), wh)
+    val c = transactionsFraudAvailableNow(spark, sub("transactions"),
+      cp("transactions"), wh, seed, incrementalRules12 = incrementalRules12,
+      compactAboveFiles = compactAboveFiles)
+    a + b + c
   }
 }

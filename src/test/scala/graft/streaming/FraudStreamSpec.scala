@@ -142,6 +142,63 @@ class FraudStreamSpec extends AnyFunSuite {
     assert(r12(wh) == r12(batchWh))
   }
 
+  test("runDailyDrains: the main.py-shaped cycle matches the batch mart end to end") {
+    val root = Files.createTempDirectory("fraudstream_cycle")
+    val inboxRoot = root.resolve("inbox")
+    Seq("blacklist", "terminals", "transactions")
+      .foreach(p => Files.createDirectories(inboxRoot.resolve(p)))
+    val wh = new Warehouse(spark, root.resolve("wh").toString)
+    // idle first cycle: directories exist (or are created), nothing
+    // committed anywhere
+    assert(IngestStream.runDailyDrains(spark, inboxRoot.toString,
+      root.resolve("cp").toString, wh, seed) == 0)
+    days.foreach { d =>
+      copyIn(inboxRoot.resolve("blacklist"), s"passport_blacklist_$d.xlsx")
+      copyIn(inboxRoot.resolve("terminals"), s"terminals_$d.xlsx")
+      copyIn(inboxRoot.resolve("transactions"), s"transactions_$d.txt")
+      assert(IngestStream.runDailyDrains(spark, inboxRoot.toString,
+        root.resolve("cp").toString, wh, seed) >= 3)
+    }
+    assert(rowSet(wh.read(Pipeline.RepFraud)) ==
+      rowSet(batchWh.read(Pipeline.RepFraud)))
+    assert(rowSet(wh.read(Pipeline.DimTerminals)) ==
+      rowSet(batchWh.read(Pipeline.DimTerminals)))
+    assert(rowSet(wh.read(Pipeline.FactBlacklist)) ==
+      rowSet(batchWh.read(Pipeline.FactBlacklist)))
+    // quiet follow-up cycle: nothing new, nothing changes
+    val mart = rowSet(wh.read(Pipeline.RepFraud))
+    assert(IngestStream.runDailyDrains(spark, inboxRoot.toString,
+      root.resolve("cp").toString, wh, seed) == 0)
+    assert(rowSet(wh.read(Pipeline.RepFraud)) == mart)
+  }
+
+  test("out-of-order transactions drop fails loudly before touching state") {
+    val root = Files.createTempDirectory("fraudstream_ooo")
+    val inbox = Files.createDirectories(root.resolve("inbox"))
+    val wh = new Warehouse(spark, root.resolve("wh").toString)
+    drainDims(root, wh, "01032021"); drainDims(root, wh, "02032021")
+    // day 2 completes first…
+    copyIn(inbox, "transactions_02032021.txt")
+    assert(IngestStream.transactionsFraudAvailableNow(
+      spark, inbox.toString, root.resolve("cp").toString, wh, seed) >= 1)
+    val factAfter2 = wh.read(Pipeline.FactTransactions).count()
+    val martAfter2 = rowSet(wh.read(Pipeline.RepFraud))
+    // …then day 1 arrives late: the rules are day-order sensitive
+    // (day 1's band joins would see day 2 facts), so this must fail
+    // loudly, not silently diverge from the batch path
+    val day1 = spark.read.option("sep", ";").option("header", "true")
+      .schema(graft.bank.Schemas.transactionsCsv)
+      .csv(s"$refData/transactions_01032021.txt")
+    val typed = graft.bank.Ingest.typedTransactions(day1)
+      .withColumn("txn_date", to_date(col("transaction_date")))
+    val ex = intercept[IllegalArgumentException] {
+      IngestStream.applyTransactionsBatch(wh, seed, typed)
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+    assert(wh.read(Pipeline.FactTransactions).count() == factAfter2)
+    assert(rowSet(wh.read(Pipeline.RepFraud)) == martAfter2)
+  }
+
   test("compact-behind bounds file counts of the append-accumulating tables") {
     val root = Files.createTempDirectory("fraudstream_compact")
     val inbox = Files.createDirectories(root.resolve("inbox"))
