@@ -37,8 +37,12 @@ object Bench {
           val root = om.readTree(java.nio.file.Files.readString(p))
           val qs = root.path("parsed").path("queries")
           if (!qs.isObject) None
+          // negative values are the bench's error sentinels (-1.0 for
+          // a failed query) — a failed round must not poison the
+          // median a recovered query is gated against
           else Some(qs.fields().asScala.collect {
-            case e if e.getValue.isNumber && e.getKey != "rest" =>
+            case e if e.getValue.isNumber && e.getKey != "rest" &&
+              e.getValue.asDouble() >= 0 =>
               e.getKey -> e.getValue.asDouble()
           }.toMap)
         } catch { case _: Throwable => None }

@@ -45,15 +45,21 @@ object Dedup {
     * aggregation over distinct shingles. ClusterAuditSpec certifies the
     * testdata corpus; the q313 oracle's string-side df computation is
     * exact-equal to the hashed plan precisely when this returns 0. */
-  def shingleHashCollisions(df: DataFrame, textCol: String, k: Int): Long = {
-    val d = df.select(explode(graft.functions.TextExpressions
+  def shingleHashCollisions(df: DataFrame, textCol: String, k: Int): Long =
+    hashCollisionsIn(df.select(explode(graft.functions.TextExpressions
         .shingleArray(col(textCol), k)).as("s"))
-      .distinct()
-    d.groupBy(xxhash64(col("s")).as("xh"))
+      .select(col("s"), xxhash64(col("s")).as("xh")))
+
+  /** Collision count over explicit (s, xh) pairs — the aggregation
+    * behind [[shingleHashCollisions]], split out so its POSITIVE path
+    * is testable (a genuine xxhash64 collision cannot be planted, but
+    * a crafted pair frame can — DedupSimilaritySpec does). */
+  private[operators] def hashCollisionsIn(pairs: DataFrame): Long =
+    pairs.distinct()
+      .groupBy(col("xh"))
       .agg(countDistinct(col("s")).as("n"))
       .where(col("n") > 1)
       .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-  }
 
   /** Exact duplicate groups by content hash: one row per distinct text
     * with the kept (minimum) id and the duplicate count. */

@@ -34,8 +34,10 @@ object MultimodalQueries {
     * codec failure — and reports true decoded stats: rate from the WAV
     * header / fps from the Y4M header, `n_units` = samples/pixels/luma
     * samples, `peak_abs`/`sum_abs` over |sample| / gray / luma value.
-    * Only EMPTY payloads take the raw path (a 0-unit container is not
-    * encodable).
+    * Only EMPTY image/video payloads take the raw path (a 0-pixel PNG
+    * or 0-frame Y4M is not encodable) — empty AUDIO is different: a
+    * 0-sample RIFF/WAVE is a perfectly valid container, so it encodes,
+    * decodes as pcm_s16le @ 16 kHz, and reports 0 units.
     *
     * FULL exact oracle: decode(encode(text)) is the identity on the
     * content values, so every output column is integer arithmetic over
@@ -60,12 +62,12 @@ object MultimodalQueries {
       |SELECT d.doc_id AS media_id,
       |  CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |       ELSE 'video' END AS kind,
-      |  CASE WHEN length(d.text) = 0 THEN 'raw_stub'
-      |       WHEN d.doc_id % 3 = 1 THEN 'pcm_s16le'
+      |  CASE WHEN d.doc_id % 3 = 1 THEN 'pcm_s16le'
+      |       WHEN length(d.text) = 0 THEN 'raw_stub'
       |       WHEN d.doc_id % 3 = 0 THEN 'png_gray8'
       |       ELSE 'y4m_mono' END AS format,
-      |  CASE WHEN length(d.text) = 0 THEN 0
-      |       WHEN d.doc_id % 3 = 1 THEN 16000
+      |  CASE WHEN d.doc_id % 3 = 1 THEN 16000
+      |       WHEN length(d.text) = 0 THEN 0
       |       WHEN d.doc_id % 3 = 2 THEN 25
       |       ELSE 0 END AS sample_rate_hz,
       |  CAST(CASE WHEN d.doc_id % 3 = 0 AND length(d.text) > 64

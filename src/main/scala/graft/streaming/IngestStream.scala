@@ -327,6 +327,11 @@ object IngestStream {
                             checkpointDir: String, wh: Warehouse,
                             maxFilesPerTrigger: Int = 1,
                             compactAboveFiles: Int = 256): Long = {
+    // close the compact crash window first: a crash between compact's
+    // delete and move strands the fact at `<name>.tmp`, and the next
+    // drain would otherwise read an EMPTY fact and re-append every
+    // passport the anti-join exists to dedup
+    wh.recover(Pipeline.FactBlacklist)
     val q = xlsxFiles(spark, inboxDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -389,9 +394,19 @@ object IngestStream {
       bucketedBandJoins: Boolean = true): Unit = {
     val rows = batch.cache()
     try {
+      // A row with an unparseable/null transaction_date would be
+      // silently unroutable (it belongs to no day partition and no
+      // rule could ever match it). The batch path buries such rows in
+      // the null partition as inert rows; here loud beats silent —
+      // reject the drop and point at the quarantine reader.
+      val nNull = rows.where(col("txn_date").isNull).count()
+      require(nNull == 0,
+        s"$nNull transaction row(s) with null/unparseable " +
+          "transaction_date in this micro-batch; fix the drop or route " +
+          "it through Ingest.transactionsQuarantined before the inbox")
       // bounded driver round-trip: one calendar day per daily file,
       // ≤ a few thousand even on a full-year backfill drain
-      val days = rows.select("txn_date").where(col("txn_date").isNotNull)
+      val days = rows.select("txn_date")
         .distinct().collect().map(_.getDate(0)).sortBy(_.toLocalDate.toEpochDay)
       if (days.isEmpty) return
       val meta = wh.readOr(Pipeline.MetaLoading, Schemas.metaLoading)
@@ -416,18 +431,29 @@ object IngestStream {
         }
       }
       val factCols = Schemas.factTransactions.fieldNames.toSeq :+ "txn_date"
+      // order-independent content signature: (count, XOR of per-row
+      // 64-bit hashes over all fact columns). XOR never overflows and
+      // ignores row order; paired with the count it catches any
+      // single-row edit — the realistic "corrected file under the same
+      // day" fault — at the cost of one scan of ONE day partition, paid
+      // only on completed-day re-delivery (rare)
+      def daySig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          expr(s"bit_xor(xxhash64(${factCols.mkString(", ")}))")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
       days.foreach { day =>
         val dayRows = rows.where(col("txn_date") === lit(day))
           .select(factCols.map(col): _*)
         if (done(day)) {
-          val existing = wh.read(Pipeline.FactTransactions)
-            .where(col("txn_date") === lit(day)).count()
-          val incoming = dayRows.count()
+          val existing = daySig(wh.read(Pipeline.FactTransactions)
+            .where(col("txn_date") === lit(day)).select(factCols.map(col): _*))
+          val incoming = daySig(dayRows)
           require(existing == incoming,
             s"re-delivery of completed day $day with different content " +
-              s"($incoming rows vs $existing committed); a completed day " +
-              "can only be replayed verbatim — correct-by-replacement " +
-              "needs an explicit operator action")
+              s"(rows/xor-sig $incoming vs committed $existing); a " +
+              "completed day can only be replayed verbatim — " +
+              "correct-by-replacement needs an explicit operator action")
         } else {
           val n = dayRows.count()
           wh.overwritePartitions(Pipeline.FactTransactions, dayRows,
@@ -474,12 +500,25 @@ object IngestStream {
     * per day in calendar order, stop. See [[applyTransactionsBatch]]
     * for the exactly-once contract. After the drain, compact-behind
     * bounds the file counts of the three append-accumulating tables
-    * (fact partitions, REP_FRAUD, META_LOADING). */
+    * (fact partitions, REP_FRAUD, META_LOADING).
+    *
+    * Return value counts committing micro-batches as observed through
+    * the engine's recent-progress buffer, which Spark caps (default
+    * 100 entries) — on a backfill bigger than the cap the count is a
+    * floor, not exact; the reliable contract is 0 ⇔ nothing new. */
   def transactionsFraudAvailableNow(spark: SparkSession, inboxDir: String,
       checkpointDir: String, wh: Warehouse, seed: Seeds.Seed,
       maxFilesPerTrigger: Int = 1, incrementalRules12: Boolean = false,
       bucketedBandJoins: Boolean = true,
       compactAboveFiles: Int = 256): Long = {
+    // close the compact crash window for every table this drain owns
+    // BEFORE reading any of them: a crash between compact's delete and
+    // move strands a table at `<name>.tmp`; without recovery the next
+    // drain would see an empty META (losing the day-completion markers
+    // and re-running non-idempotent rules on replay), an empty fact, or
+    // an empty mart
+    Seq(Pipeline.FactTransactions, Pipeline.RepFraud, Pipeline.MetaLoading)
+      .foreach(wh.recover)
     val q = transactionsSource(spark, inboxDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -513,7 +552,8 @@ object IngestStream {
     * (`blacklist/`, `terminals/`, `transactions/`). Safe to run from
     * cron at any cadence: an empty cycle commits nothing anywhere.
     * Returns the number of committing micro-batches across the three
-    * drains (0 ⇒ nothing new). */
+    * drains (a floor on huge backfills — see
+    * [[transactionsFraudAvailableNow]]; 0 ⇒ nothing new). */
   def runDailyDrains(spark: SparkSession, inboxRoot: String,
                      checkpointRoot: String, wh: Warehouse,
                      seed: Seeds.Seed,

@@ -63,13 +63,17 @@ class ClusterAuditSpec extends AnyFunSuite {
     assert(Dedup.shingleHashCollisions(docs, "text", k = 8) == 0L)
     val chain = ScaleStress.chainCorpus(spark, 4800)
     assert(Dedup.shingleHashCollisions(chain, "text", k = 8) == 0L)
-    // and the certificate itself detects a planted collision: two
-    // distinct strings forced under one hash via a mock column
+    // the POSITIVE path: a genuine xxhash64 collision cannot be
+    // planted, so drive the underlying aggregation with crafted
+    // (s, xh) pairs — two distinct strings under one hash count as 2
+    // colliding strings, duplicates of one (s, xh) pair count as 0
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val planted = Seq("aaaaaaaaab", "baaaaaaaaa").toDF("text")
-    // sanity: on real data these two 10-char texts have disjoint
-    // shingles and distinct hashes → 0 collisions
-    assert(Dedup.shingleHashCollisions(planted, "text", k = 10) == 0L)
+    assert(Dedup.hashCollisionsIn(
+      Seq(("alpha", 7L), ("beta", 7L), ("gamma", 9L)).toDF("s", "xh")) == 2L)
+    assert(Dedup.hashCollisionsIn(
+      Seq(("alpha", 7L), ("alpha", 7L)).toDF("s", "xh")) == 0L)
+    assert(Dedup.hashCollisionsIn(
+      Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 2L), ("e", 2L))
+        .toDF("s", "xh")) == 5L)
   }
 }

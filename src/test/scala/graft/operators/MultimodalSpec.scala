@@ -145,8 +145,8 @@ class MultimodalSpec extends AnyFunSuite {
   test("decode: real codec stats on WAV audio, PNG images and Y4M video") {
     // doc_id 1 → audio ('b'=98 → sample (98-128)*256 = -7680;
     //                   'P'=80 → -12288), peak over |sample|
-    val docs = Seq((0L, "ab"), (1L, "bP"), (2L, "vid"), (3L, ""), (5L, ""))
-      .toDF("doc_id", "text")
+    val docs = Seq((0L, "ab"), (1L, "bP"), (2L, "vid"), (3L, ""), (4L, ""),
+      (5L, "")).toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'s' AS source", "'en' AS lang",
         "length(text) AS n_chars")
     val out = Multimodal.decode(Multimodal.corpusWithCodecs(docs))
@@ -168,6 +168,13 @@ class MultimodalSpec extends AnyFunSuite {
       emptyVideo.peak_abs == 0L && emptyVideo.sum_abs == 0L)
     val emptyImage = out(3L) // empty image cannot encode → stays raw
     assert(emptyImage.format == "raw_stub" && emptyImage.n_units == 0)
+    // empty AUDIO is the asymmetric case: a 0-sample RIFF/WAVE is a
+    // valid container, so it encodes and decodes as real PCM with 0
+    // units — NOT the raw path (the q36 oracle encodes exactly this)
+    val emptyAudio = out(4L)
+    assert(emptyAudio.format == "pcm_s16le" &&
+      emptyAudio.sample_rate_hz == 16000 && emptyAudio.n_units == 0 &&
+      emptyAudio.peak_abs == 0L && emptyAudio.sum_abs == 0L)
   }
 
   test("y4mShotBoundaries: luma-sum cuts on decoded frames, in-row") {

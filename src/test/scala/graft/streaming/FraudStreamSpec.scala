@@ -106,11 +106,21 @@ class FraudStreamSpec extends AnyFunSuite {
     assert(rowSet(wh.read(Pipeline.RepFraud)) == martBefore)
 
     // different-content re-delivery of a completed day: loud failure,
-    // not silent partition replacement
+    // not silent partition replacement — both the truncated case…
     val ex = intercept[IllegalArgumentException] {
       IngestStream.applyTransactionsBatch(wh, seed, typed.limit(100))
     }
     assert(ex.getMessage.contains("different content"))
+    // …and the nastier SAME-COUNT case (one field edited in a re-drop):
+    // the count alone cannot see it; the xor row-hash signature must
+    val anId = typed.agg(min(col("transaction_id"))).head().getString(0)
+    val tweaked = typed.withColumn("oper_type",
+      when(col("transaction_id") === anId, lit("TWEAKED"))
+        .otherwise(col("oper_type")))
+    val ex2 = intercept[IllegalArgumentException] {
+      IngestStream.applyTransactionsBatch(wh, seed, tweaked)
+    }
+    assert(ex2.getMessage.contains("different content"))
     assert(wh.read(Pipeline.FactTransactions).count() == factBefore)
   }
 
