@@ -120,30 +120,131 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def drop(name: String): Unit = deleteRecursive(dir(name))
 
   /** Number of parquet data files currently backing a table — the
-    * fragmentation signal [[compactIfFragmented]] gates on. */
-  def parquetFileCount(name: String): Int = {
-    if (!exists(name)) 0
-    else {
-      val walk = Files.walk(dir(name))
-      try walk.filter(_.toString.endsWith(".parquet")).count().toInt
-      finally walk.close()
-    }
-  }
+    * fragmentation signal [[compactIfFragmented]] gates on. Files under
+    * `_`-prefixed dirs (in-flight `_tmppart_` rewrites) are not data. */
+  def parquetFileCount(name: String): Int =
+    if (!exists(name)) 0 else parquetFilesUnder(dir(name)).size
 
-  /** Compact-behind gate for streaming drains: [[compact]] the table iff
+  /** Compact-behind gate for streaming drains: compact the table iff
     * its parquet file count exceeds `maxFiles`. File count — not commit
     * count — is the trigger, so the cadence self-regulates to append
     * granularity: a year of one-row daily audit appends compacts every
     * `maxFiles` days, while a drain that appends nothing never pays a
     * rewrite. Same single-writer contract as [[compact]]: call it from
     * the drain that owns the table, after the drain completes. Returns
-    * true iff a compaction ran. */
+    * true iff a compaction ran.
+    *
+    * PARTITIONED tables compact PER PARTITION ([[compactPartition]] on
+    * each leaf directory over `maxFiles / #partitions`, floor 2): a
+    * date-partitioned fact accumulates small files only in the
+    * partitions recent drains touched, and rewriting the whole table to
+    * fix yesterday's files is exactly the O(table) cost that cannot
+    * survive 100 TB — per-partition, the rewrite is O(what fragmented),
+    * old cold partitions are never read, and each swap window is one
+    * partition wide. Unpartitioned tables keep the whole-table rewrite
+    * (they ARE one partition). */
   def compactIfFragmented(name: String, partitionCols: Seq[String] = Nil,
                           maxFiles: Int = 256,
                           targetFileBytes: Long = 128L << 20): Boolean = {
-    val n = parquetFileCount(name)
-    if (n > maxFiles) { compact(name, partitionCols, targetFileBytes); true }
-    else false
+    if (partitionCols.isEmpty) {
+      if (parquetFileCount(name) > maxFiles) {
+        compact(name, Nil, targetFileBytes); true
+      } else false
+    } else {
+      recoverPartitions(name)
+      val parts = leafPartitionDirs(name)
+      val perPart = math.max(2, maxFiles / math.max(1, parts.size))
+      val frag = parts.filter(p => parquetFilesUnder(p).size > perPart)
+      frag.foreach(p => compactPartition(name, p, targetFileBytes))
+      frag.nonEmpty
+    }
+  }
+
+  /** Leaf partition directories of a partitioned table (the `col=value`
+    * dirs that directly hold parquet files). */
+  private def leafPartitionDirs(name: String): Seq[Path] = {
+    if (!exists(name)) return Nil
+    val walk = Files.walk(dir(name))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(_.getParent).toSet.toSeq
+        .filter { p =>
+          val leaf = p.getFileName.toString
+          leaf.contains("=") && !leaf.startsWith("_")
+        }
+    } finally walk.close()
+  }
+
+  private def parquetFilesUnder(p: Path): Seq[Path] = {
+    val walk = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      // skip `_`-prefixed dirs (in-flight _tmppart_ rewrites, sink
+      // metadata) — Spark's listing skips them too
+      walk.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .filterNot(_.iterator().asScala
+          .exists(_.toString.startsWith("_tmppart_")))
+        .toSeq
+    } finally walk.close()
+  }
+
+  /** `_tmppart_` sibling name for a leaf partition dir. The `=` in the
+    * leaf name must be ENCODED: Spark's listing only skips `_`-prefixed
+    * names that contain no `=` (HadoopFSUtils treats `_x=y` as a
+    * potential partition dir), so `_tmppart_dt=...` would be READ as
+    * live data mid-rewrite — verified the hard way in CompactionSpec. */
+  private def tmpPartName(leaf: String): String =
+    "_tmppart_" + leaf.replace("=", "__EQ__")
+  private def leafFromTmpPart(tmp: String): String =
+    tmp.stripPrefix("_tmppart_").replace("__EQ__", "=")
+
+  /** Rewrite ONE leaf partition directory's small files into
+    * ~`targetFileBytes` ones, leaving every other partition untouched.
+    * Write-new → swap like [[compact]], but the tmp lives INSIDE the
+    * table as an `_`-prefixed sibling (ignored by Spark's listing), so
+    * the crash window is one partition wide and [[recoverPartitions]]
+    * heals it. Rows inside a leaf dir carry no partition columns, so
+    * the rewrite is a plain read→repartition→write of that directory. */
+  def compactPartition(name: String, partDir: Path,
+                       targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val bytes = parquetFilesUnder(partDir).map(Files.size(_)).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = partDir.resolveSibling(tmpPartName(partDir.getFileName.toString))
+    deleteRecursive(tmp)
+    spark.read.parquet(partDir.toString).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    deleteRecursive(partDir)
+    Files.move(tmp, partDir)
+  }
+
+  /** Heal [[compactPartition]] crash windows: a `_tmppart_<leaf>` dir
+    * whose target leaf is GONE is a crash between delete and move —
+    * move it back; one whose target exists is an aborted write that
+    * never reached the delete — drop it (the live leaf is the committed
+    * version). Mirrors [[recover]] at partition granularity. */
+  def recoverPartitions(name: String): Int = {
+    if (!exists(name)) return 0
+    val walk = Files.walk(dir(name))
+    val tmps =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("_tmppart_")).toList
+      } finally walk.close()
+    var recovered = 0
+    tmps.foreach { tmp =>
+      val target = tmp.resolveSibling(
+        leafFromTmpPart(tmp.getFileName.toString))
+      if (!Files.exists(target)) {
+        Files.move(tmp, target); recovered += 1
+      } else deleteRecursive(tmp)
+    }
+    recovered
   }
 
   /** Compact a table's small files into ~`targetFileBytes`-sized ones.

@@ -45,6 +45,58 @@ class CompactionSpec extends AnyFunSuite {
     assert(oneDay == 200L)
   }
 
+  test("partitioned compact-behind rewrites ONLY fragmented partitions") {
+    val root = java.nio.file.Files.createTempDirectory("wh_compact3").toString
+    val wh = new Warehouse(spark, root)
+    // day 1 fragmented (8 single-file appends), day 2 tidy (ONE file —
+    // coalesced, since a plain range write splits across cores)
+    for (_ <- 1 to 8)
+      wh.append("facts", spark.range(100).coalesce(1)
+        .select(col("id"), lit("2021-03-01").as("dt")),
+        partitionCols = Seq("dt"))
+    wh.append("facts", spark.range(100).coalesce(1)
+      .select(col("id"), lit("2021-03-02").as("dt")),
+      partitionCols = Seq("dt"))
+    def files(day: String) = parquetFiles(s"$root/facts/dt=$day")
+    val day2Before = files("2021-03-02").map(_.toString).toSet
+    val sumBefore = wh.read("facts").agg(sum("id"), count(lit(1)))
+      .as[(Long, Long)].first()
+
+    assert(wh.compactIfFragmented("facts", Seq("dt"), maxFiles = 4))
+    // fragmented day 1 shrank; tidy day 2's files are BYTE-IDENTICAL
+    // paths — it was never read, the per-partition point at 100 TB
+    assert(files("2021-03-01").size < 8)
+    assert(files("2021-03-02").map(_.toString).toSet == day2Before)
+    assert(wh.read("facts").agg(sum("id"), count(lit(1)))
+      .as[(Long, Long)].first() == sumBefore)
+    // below threshold: second call is a no-op
+    assert(!wh.compactIfFragmented("facts", Seq("dt"), maxFiles = 400))
+  }
+
+  test("recoverPartitions heals a crash inside the partition swap window") {
+    val root = java.nio.file.Files.createTempDirectory("wh_compact4").toString
+    val wh = new Warehouse(spark, root)
+    wh.append("facts", spark.range(50)
+      .select(col("id"), lit("2021-03-01").as("dt")),
+      partitionCols = Seq("dt"))
+    val part = java.nio.file.Paths.get(s"$root/facts/dt=2021-03-01")
+    // the encoded form: an "=" inside a _-prefixed name would defeat
+    // Spark's listing filter (it treats `_x=y` as a partition dir)
+    val tmp = part.resolveSibling("_tmppart_dt__EQ__2021-03-01")
+    val rows = wh.read("facts").count()
+    // simulate the crash between delete and move: data only at _tmppart_
+    java.nio.file.Files.move(part, tmp)
+    // the tmp is invisible as data: zero countable parquet files
+    assert(wh.parquetFileCount("facts") == 0)
+    assert(wh.recoverPartitions("facts") == 1)
+    assert(wh.read("facts").count() == rows)
+    // aborted-write shape: stale tmp BESIDE a live leaf is dropped
+    java.nio.file.Files.createDirectories(tmp)
+    assert(wh.recoverPartitions("facts") == 0)
+    assert(!java.nio.file.Files.exists(tmp))
+    assert(wh.read("facts").count() == rows)
+  }
+
   test("compact on an unpartitioned table shrinks to the computed file count") {
     val root = java.nio.file.Files.createTempDirectory("wh_compact2").toString
     val wh = new Warehouse(spark, root)
