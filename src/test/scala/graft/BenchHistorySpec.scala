@@ -34,4 +34,23 @@ class BenchHistorySpec extends AnyFunSuite {
   test("a missing directory degrades to an empty history, not a crash") {
     assert(Bench.loadHistory("/nonexistent-dir-xyz").isEmpty)
   }
+
+  test("stallShaped: the r10 q115 spike fires the proportional gate, not the byte gate") {
+    val MB = 1L << 20
+    // q115 in the r10 driver record: 40.96 s, 32 MB shuffle, no spill —
+    // the byte gate is blind to it (shuffle ≥ 8 MB)…
+    assert(!Bench.stallShaped(40.96, 32 * MB, 1 * MB, 0, None))
+    // …but with its 3-round median of 4.6 s the proportional gate fires
+    assert(Bench.stallShaped(40.96, 32 * MB, 1 * MB, 0, Some(4.6)))
+    // a genuinely heavy query near its own history does NOT re-measure
+    assert(!Bench.stallShaped(8.3, 200 * MB, 500 * MB, 0, Some(7.6)))
+    // 3× of a tiny median clamps at the 4 s floor — sub-4 s runs of
+    // fast queries never re-measure
+    assert(!Bench.stallShaped(3.9, 0, 0, 0, Some(0.5)))
+    assert(Bench.stallShaped(4.1, 0, 0, 0, Some(0.5))) // byte gate too
+    // byte gate alone: seconds of wall over trivial measured work
+    assert(Bench.stallShaped(5.0, 1 * MB, 10 * MB, 0, None))
+    // spill disqualifies the byte gate (heavy work, honest seconds)
+    assert(!Bench.stallShaped(5.0, 1 * MB, 10 * MB, 1, None))
+  }
 }
