@@ -22,6 +22,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("l_comment")) // pruned read schema
   }
 
+  test("incremental-rules fact read PRUNES to one txn_date partition") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("pq_prune").toString
+    val wh = new graft.bank.Warehouse(spark, root)
+    Seq("2021-03-01", "2021-03-02", "2021-03-03").foreach { d =>
+      wh.append(graft.bank.Pipeline.FactTransactions,
+        spark.range(10).select(col("id").cast("string").as("transaction_id"),
+          lit(java.sql.Date.valueOf(d)).as("txn_date")),
+        partitionCols = Seq("txn_date"))
+    }
+    // the exact read shape of Pipeline.runDay's incrementalRules12 mode
+    // and the streaming twin's facts12: day filter on the partition col
+    val df = wh.read(graft.bank.Pipeline.FactTransactions)
+      .where(col("txn_date") === lit(java.sql.Date.valueOf("2021-03-02")))
+    val p = df.queryExecution.executedPlan.toString
+    // the day predicate must be a PARTITION filter (pruned at listing,
+    // no data files of other days opened), not a post-scan data filter
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("txn_date"), pf)
+    assert(df.count() == 10)
+  }
+
   test("q11: all four dimension joins broadcast; no shuffle for dims") {
     val p = plan("q11_join_chain")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
