@@ -37,16 +37,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
       .parquet(dir(name).toString)
 
-  /** Replace via write-new → swap: write to `<name>.tmp`, delete old,
-    * move in. The source plan is fully materialized before the old
-    * directory goes away, so self-referencing rewrites (SCD2) are safe.
-    * NOT atomic against concurrent access — see [[compact]]'s
-    * concurrency contract (single writer; crash between delete and move
-    * leaves the table at `<name>.tmp` — [[recover]] moves it back). */
+  /** Marker file written into a tmp directory once its content is
+    * COMPLETE — the swap's commit point. Recovery rules hinge on it: a
+    * tmp WITH the marker is the committed version (the crash landed
+    * somewhere in delete-old → move-in, possibly mid-delete with the
+    * old directory half-gone — rolling FORWARD to the tmp is the only
+    * safe direction, since the old copy may already be partial); a tmp
+    * WITHOUT it is an aborted write that never reached the commit
+    * point — dropped, the live directory is authoritative. `_`-prefixed
+    * so Spark's listing ignores it if it rides along after the move. */
+  private val CommitMarker = "_COMMITTED"
+
+  /** Replace via write-new → swap: write to `<name>.tmp`, mark it
+    * complete, delete old, move in. The source plan is fully
+    * materialized before the old directory goes away, so
+    * self-referencing rewrites (SCD2) are safe. NOT atomic against
+    * concurrent access — see [[compact]]'s concurrency contract
+    * (single writer; a crash anywhere in the window is healed by
+    * [[recover]] using the [[CommitMarker]] rules). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val tmp = Paths.get(root, s"$name.tmp")
     deleteRecursive(tmp)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.writeString(tmp.resolve(CommitMarker), "")
     deleteRecursive(dir(name))
     Files.move(tmp, dir(name))
   }
@@ -68,6 +81,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     tags.foreach { case (f, content) =>
       Files.writeString(tmp.resolve(f), content) }
+    // marker written AFTER the tags: a committed version always carries
+    // its tags, so rolling forward keeps the replay guard consistent
+    Files.writeString(tmp.resolve(CommitMarker), "")
     deleteRecursive(dir(name))
     Files.move(tmp, dir(name))
   }
@@ -79,17 +95,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** Recover a table from a crash inside the write-new → swap window
-    * ([[overwrite]]/[[overwriteTagged]]/[[compact]]): if the table
-    * directory is gone but `<name>.tmp` survives (the crash landed
-    * between the delete and the move), move the tmp back in. Returns
-    * true iff a recovery happened. Safe to call unconditionally at
-    * startup for every swapped table; a healthy table (dir present) is
-    * left untouched and a stale tmp BESIDE a healthy table is an
-    * aborted write that never reached the delete — dropped, since the
-    * live directory is the committed version. */
+    * ([[overwrite]]/[[overwriteTagged]]/[[compact]]), using the
+    * [[CommitMarker]] rules. Safe to call unconditionally at startup
+    * for every swapped table. Returns true iff a recovery happened.
+    *
+    *  - table gone, tmp present: crash between delete and move — move
+    *    the tmp in (it necessarily carries the marker: the delete only
+    *    runs after the commit point);
+    *  - table present, tmp WITH marker: crash somewhere in delete-old →
+    *    move-in, possibly MID-delete with the live directory already
+    *    partial — roll FORWARD to the tmp (existence of the live dir
+    *    proves nothing about its completeness; the marked tmp is the
+    *    one provably complete copy);
+    *  - table present, tmp WITHOUT marker: aborted write that never
+    *    reached the commit point — drop the tmp, the live directory is
+    *    the committed version. */
   def recover(name: String): Boolean = {
     val tmp = Paths.get(root, s"$name.tmp")
     if (!Files.exists(dir(name)) && Files.exists(tmp)) {
+      Files.move(tmp, dir(name))
+      true
+    } else if (Files.exists(dir(name)) && Files.exists(tmp) &&
+        Files.exists(tmp.resolve(CommitMarker))) {
+      deleteRecursive(dir(name))
       Files.move(tmp, dir(name))
       true
     } else {
@@ -217,15 +245,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     deleteRecursive(tmp)
     spark.read.parquet(partDir.toString).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.writeString(tmp.resolve(CommitMarker), "")
     deleteRecursive(partDir)
     Files.move(tmp, partDir)
   }
 
-  /** Heal [[compactPartition]] crash windows: a `_tmppart_<leaf>` dir
-    * whose target leaf is GONE is a crash between delete and move —
-    * move it back; one whose target exists is an aborted write that
-    * never reached the delete — drop it (the live leaf is the committed
-    * version). Mirrors [[recover]] at partition granularity. */
+  /** Heal [[compactPartition]] crash windows, per leaf, with the same
+    * [[CommitMarker]] rules as [[recover]]: target gone → move the tmp
+    * in; target present + MARKED tmp → roll forward (the crash may have
+    * landed mid-delete, leaving the live leaf partial — the marked tmp
+    * is the provably complete copy); target present + unmarked tmp →
+    * aborted write, drop it. */
   def recoverPartitions(name: String): Int = {
     if (!exists(name)) return 0
     val walk = Files.walk(dir(name))
@@ -241,6 +271,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val target = tmp.resolveSibling(
         leafFromTmpPart(tmp.getFileName.toString))
       if (!Files.exists(target)) {
+        Files.move(tmp, target); recovered += 1
+      } else if (Files.exists(tmp.resolve(CommitMarker))) {
+        deleteRecursive(target)
         Files.move(tmp, target); recovered += 1
       } else deleteRecursive(tmp)
     }
@@ -285,6 +318,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     deleteRecursive(tmp)
     arranged.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    Files.writeString(tmp.resolve(CommitMarker), "")
     deleteRecursive(src)
     Files.move(tmp, src)
   }

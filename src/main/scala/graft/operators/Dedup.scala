@@ -53,7 +53,7 @@ object Dedup {
   /** Collision count over explicit (s, xh) pairs — the aggregation
     * behind [[shingleHashCollisions]], split out so its POSITIVE path
     * is testable (a genuine xxhash64 collision cannot be planted, but
-    * a crafted pair frame can — DedupSimilaritySpec does). */
+    * a crafted pair frame can — ClusterAuditSpec does). */
   private[operators] def hashCollisionsIn(pairs: DataFrame): Long =
     pairs.distinct()
       .groupBy(col("xh"))

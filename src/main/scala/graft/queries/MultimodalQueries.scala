@@ -322,9 +322,11 @@ object MultimodalQueries {
     * FULL exact oracle: frame f's decoded luma sum = Σ ascii over
     * text[64f+1 .. 64f+64] (the tail frame's zero pads add nothing),
     * so DuckDB replays the boundaries with a per-frame group-by and a
-    * lag — no codec involved. The tail frame's pad-drop guarantees at
-    * least one boundary per multi-frame payload, so the query is
-    * self-evidencing on any corpus. */
+    * lag — no codec involved. The zero-padded tail frame usually drops
+    * the luma sum enough to land a boundary (not always: a payload
+    * whose length divides 64 exactly, or whose tail is nearly full,
+    * produces none) — on the testdata corpora the query returns a
+    * healthy row count (120 at sf0.01). */
   val q339 = QueryDef.sql("q339_video_luma_cuts",
     """WITH v AS (SELECT doc_id, text, length(text) AS len FROM documents
       |  WHERE doc_id % 3 = 2 AND length(text) > 0),

@@ -431,16 +431,21 @@ object IngestStream {
         }
       }
       val factCols = Schemas.factTransactions.fieldNames.toSeq :+ "txn_date"
-      // order-independent content signature: (count, XOR of per-row
-      // 64-bit hashes over all fact columns). XOR never overflows and
-      // ignores row order; paired with the count it catches any
-      // single-row edit — the realistic "corrected file under the same
-      // day" fault — at the cost of one scan of ONE day partition, paid
-      // only on completed-day re-delivery (rare)
-      def daySig(df: DataFrame): (Long, Long) = {
+      // order-independent content signature over all fact columns:
+      // (count, XOR of per-row 64-bit hashes, SUM of the same hashes).
+      // XOR alone is blind to even-multiplicity edits (a duplicated
+      // row pair {A,A} rewritten to {B,B} XORs to 0 both ways) — the
+      // sum component catches those; it accumulates as decimal(38,0),
+      // which cannot overflow under ANSI at any realistic day size.
+      // One scan of ONE day partition, paid only on completed-day
+      // re-delivery (rare).
+      def daySig(df: DataFrame): (Long, Long, String) = {
+        val hash = s"xxhash64(${factCols.mkString(", ")})"
         val r = df.agg(count(lit(1)),
-          expr(s"bit_xor(xxhash64(${factCols.mkString(", ")}))")).head()
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          expr(s"bit_xor($hash)"),
+          expr(s"cast(sum(cast($hash as decimal(38,0))) as string)")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) "" else r.getString(2))
       }
       days.foreach { day =>
         val dayRows = rows.where(col("txn_date") === lit(day))
@@ -508,17 +513,28 @@ object IngestStream {
     * floor, not exact; the reliable contract is 0 ⇔ nothing new. */
   def transactionsFraudAvailableNow(spark: SparkSession, inboxDir: String,
       checkpointDir: String, wh: Warehouse, seed: Seeds.Seed,
-      maxFilesPerTrigger: Int = 1, incrementalRules12: Boolean = false,
+      // whole-backlog default, like the terminals twin: the file source
+      // does NOT order same-mtime files by batch day, so a bulk backfill
+      // at maxFilesPerTrigger=1 could complete a later day first and
+      // WEDGE on the day-order guard forever (the offending file is
+      // already committed in the source offsets, so every restart
+      // replays the same failure). One big batch folds the backlog in
+      // day order inside applyTransactionsBatch instead; steady state
+      // (one drop per drain) is unaffected.
+      maxFilesPerTrigger: Int = 10000, incrementalRules12: Boolean = false,
       bucketedBandJoins: Boolean = true,
       compactAboveFiles: Int = 256): Long = {
-    // close the compact crash window for every table this drain owns
+    // close the compact crash windows for every table this drain owns
     // BEFORE reading any of them: a crash between compact's delete and
-    // move strands a table at `<name>.tmp`; without recovery the next
+    // move strands a table at `<name>.tmp` (or ONE LEAF of the
+    // partitioned fact at `_tmppart_<leaf>`); without recovery the next
     // drain would see an empty META (losing the day-completion markers
-    // and re-running non-idempotent rules on replay), an empty fact, or
-    // an empty mart
+    // and re-running non-idempotent rules on replay), an empty mart, or
+    // — the partition case — run the rules against a fact silently
+    // missing one day's partition
     Seq(Pipeline.FactTransactions, Pipeline.RepFraud, Pipeline.MetaLoading)
       .foreach(wh.recover)
+    wh.recoverPartitions(Pipeline.FactTransactions)
     val q = transactionsSource(spark, inboxDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)

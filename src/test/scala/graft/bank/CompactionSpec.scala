@@ -90,11 +90,27 @@ class CompactionSpec extends AnyFunSuite {
     assert(wh.parquetFileCount("facts") == 0)
     assert(wh.recoverPartitions("facts") == 1)
     assert(wh.read("facts").count() == rows)
-    // aborted-write shape: stale tmp BESIDE a live leaf is dropped
+    // aborted-write shape: UNMARKED tmp beside a live leaf is dropped
     java.nio.file.Files.createDirectories(tmp)
     assert(wh.recoverPartitions("facts") == 0)
     assert(!java.nio.file.Files.exists(tmp))
     assert(wh.read("facts").count() == rows)
+
+    // crash MID-DELETE shape: a COMMITTED tmp beside a (possibly
+    // partial) live leaf must roll FORWARD — the marked tmp is the
+    // provably complete copy; keeping the live leaf here is the
+    // data-loss path (the leaf may already be half-deleted)
+    wh.compactPartition("facts", part) // leaves a fresh committed leaf
+    val live = parquetFiles(part.toString)
+    // rebuild the crash: complete tmp (with marker), then maim the leaf
+    java.nio.file.Files.createDirectories(tmp)
+    live.foreach(f => java.nio.file.Files.copy(f,
+      tmp.resolve(f.getFileName), java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    java.nio.file.Files.writeString(tmp.resolve("_COMMITTED"), "")
+    java.nio.file.Files.delete(live.head) // partial delete of the leaf
+    assert(wh.recoverPartitions("facts") == 1)
+    assert(!java.nio.file.Files.exists(tmp))
+    assert(wh.read("facts").count() == rows) // full content restored
   }
 
   test("compact on an unpartitioned table shrinks to the computed file count") {

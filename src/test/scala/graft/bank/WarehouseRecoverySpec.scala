@@ -47,4 +47,23 @@ class WarehouseRecoverySpec extends AnyFunSuite {
     assert(wh.recover("d"))
     assert(wh.readTag("d", "_stream_batch").contains("cp 7"))
   }
+
+  test("recover: COMMITTED tmp beside a (possibly partial) table rolls FORWARD") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh_recover_fwd").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite("t", Seq((1, "old")).toDF("k", "v"))
+    // rebuild the crash-mid-delete shape: a NEW version fully written
+    // and marked at t.tmp (past the commit point), live dir possibly
+    // half-deleted — recovery must take the marked tmp, never keep the
+    // live dir (it may be partial) and never drop the only complete copy
+    val tmpWh = new Warehouse(spark, root)
+    tmpWh.overwrite("t.tmp_build", Seq((1, "new"), (2, "new")).toDF("k", "v"))
+    Files.move(Paths.get(root, "t.tmp_build"), Paths.get(root, "t.tmp"))
+    Files.writeString(Paths.get(root, "t.tmp", "_COMMITTED"), "")
+    assert(wh.recover("t"))
+    val vs = wh.read("t").select("v").collect().map(_.getString(0)).toSet
+    assert(vs == Set("new") && wh.read("t").count() == 2)
+    assert(!Files.exists(Paths.get(root, "t.tmp")))
+  }
 }
