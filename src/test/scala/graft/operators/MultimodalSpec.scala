@@ -142,6 +142,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Cmono"))
   }
 
+  test("codec round-trips hold on random payloads (property, fixed seeds)") {
+    // raw ScalaCheck generators with fixed seeds — the scalatestplus
+    // bridge is not in the offline cache (OperatorPropertySpec pattern)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    val bytesGen = for {
+      n <- Gen.choose(1, 700)
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray
+    for (trial <- 0 until 12) {
+      val payload = bytesGen.apply(params, Seed(4200L + trial)).get
+      // Y4M: content prefix survives, pads zero, frame math exact
+      val v = Multimodal.decodeY4m(Multimodal.encodeY4m(payload))
+      assert(v.nFrames == (payload.length + 63) / 64)
+      assert(v.samples.length == v.nFrames * 64)
+      assert(v.samples.take(payload.length).toSeq == payload.toSeq)
+      assert(v.samples.drop(payload.length).forall(_ == 0))
+      // PNG: gray samples equal unsigned bytes, zero tail pads
+      val g = Multimodal.decodePngGray(Multimodal.encodePngGray(payload))
+      assert(g.samples.take(payload.length).toSeq ==
+        payload.map(_ & 0xff).toSeq)
+      assert(g.samples.drop(payload.length).forall(_ == 0))
+      // WAV: the audio-arm sample mapping round-trips exactly
+      val samples = payload.map(b => (((b & 0xff) - 128) * 256).toShort)
+      val w = Multimodal.decodeWavPcm16(
+        Multimodal.encodeWavPcm16(samples, 16000))
+      assert(w.samples.toSeq == samples.toSeq && w.sampleRateHz == 16000)
+    }
+  }
+
   test("decode: real codec stats on WAV audio, PNG images and Y4M video") {
     // doc_id 1 → audio ('b'=98 → sample (98-128)*256 = -7680;
     //                   'P'=80 → -12288), peak over |sample|
