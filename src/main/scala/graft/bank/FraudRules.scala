@@ -49,13 +49,23 @@ object FraudRules {
       lit(reportDt).as("report_dt"))
 
   /** Rule 1 — blocked or expired passport (`loading_rep_fraud.py:15-37`):
-    * expired at transaction time, or blacklisted before it. */
+    * expired at transaction time, or blacklisted before it.
+    *
+    * The blacklist is CUMULATIVE and grows forever, so a static
+    * `broadcast()` hint is an eventual driver OOM (SCALING.md measured
+    * the 8g broadcast wall). Count-then-dial instead, the same pattern
+    * as the graph/HITS operators: one bounded count sizes the decision —
+    * broadcast below `broadcastMaxRows` (~64 MB at ~64 B/row of
+    * passport+date), plain shuffle join above it, which is the plan a
+    * years-old blacklist needs anyway. */
   def rule1(txns: DataFrame, blacklist: DataFrame, seed: Seeds.Seed,
-            reportDt: Date): DataFrame = {
+            reportDt: Date,
+            broadcastMaxRows: Long = (64L << 20) / 64): DataFrame = {
+    val bl = blacklist.select(col("passport").as("bl_passport"),
+      col("date").as("bl_date"))
+    val dialed = if (bl.count() <= broadcastMaxRows) broadcast(bl) else bl
     val joined = withClients(txns, seed)
-      .join(broadcast(blacklist.select(col("passport").as("bl_passport"),
-        col("date").as("bl_date"))),
-        col("passport_num") === col("bl_passport"), "left")
+      .join(dialed, col("passport_num") === col("bl_passport"), "left")
       .where((col("passport_valid_to") < to_date(col("transaction_date")) ||
         (col("bl_passport").isNotNull &&
           to_date(col("transaction_date")) > col("bl_date"))) &&
@@ -83,10 +93,11 @@ object FraudRules {
     * shapes, quadratic on a hot key). Identical semantics either way
     * (BucketedRulesSpec proves it on the fixture byte-for-byte). */
   private def bandPairs(a: DataFrame, b: DataFrame, i: Int, j: Int,
-                        deltaUs: Long, bucketed: Boolean): DataFrame =
+                        deltaUs: Long, bucketed: Boolean,
+                        salt: Int = 1): DataFrame =
     if (bucketed)
       BandJoin.joinWithin(a, b, "card_num",
-        s"transaction_date_$i", s"transaction_date_$j", deltaUs)
+        s"transaction_date_$i", s"transaction_date_$j", deltaUs, salt)
     else
       a.join(b, Seq("card_num"))
         .where(col(s"transaction_date_$i") < col(s"transaction_date_$j") &&
@@ -100,9 +111,9 @@ object FraudRules {
     * (a date) is cast to timestamp for the BETWEEN bound. */
   def rule3(txns: DataFrame, termHist: DataFrame, seed: Seeds.Seed,
             repFraud: DataFrame, reportDt: Date,
-            bucketed: Boolean = true): DataFrame = {
+            bucketed: Boolean = true, bandSalt: Int = 1): DataFrame = {
     val pairs = bandPairs(sided(txns, 1), sided(txns, 2), 1, 2,
-      3600L * 1000000L, bucketed)
+      3600L * 1000000L, bucketed, bandSalt)
     def th(n: Int): DataFrame = termHist.columns.foldLeft(termHist)(
       (d, c) => d.withColumnRenamed(c, s"${c}_h$n"))
     val located = pairs
@@ -128,12 +139,14 @@ object FraudRules {
     * REJECT → REJECT → SUCCESS with strictly decreasing amounts, all
     * gaps and the total span under 20 minutes. */
   def rule4(txns: DataFrame, seed: Seeds.Seed, repFraud: DataFrame,
-            reportDt: Date, bucketed: Boolean = true): DataFrame = {
+            reportDt: Date, bucketed: Boolean = true,
+            bandSalt: Int = 1): DataFrame = {
     val limit = 1200L * 1000000L
     def us(n: Int) = unix_micros(col(s"transaction_date_$n"))
     val chain = bandPairs(
-        bandPairs(sided(txns, 1), sided(txns, 2), 1, 2, limit, bucketed),
-        sided(txns, 3), 2, 3, limit, bucketed)
+        bandPairs(sided(txns, 1), sided(txns, 2), 1, 2, limit, bucketed,
+          bandSalt),
+        sided(txns, 3), 2, 3, limit, bucketed, bandSalt)
       .where(col("oper_result_1") === "REJECT" &&
         col("oper_result_2") === "REJECT" &&
         col("oper_result_3") === "SUCCESS" &&

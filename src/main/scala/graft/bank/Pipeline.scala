@@ -14,12 +14,34 @@ import org.apache.spark.sql.functions._
   */
 final class Pipeline(wh: Warehouse, seed: Seeds.Seed,
                      incrementalRules12: Boolean = false,
+                     // Δ-margin incremental mode for the cross-day rules 3/4:
+                     // prune the daily fact read to partitions [day−1, day].
+                     // Any rule-3/4 chain is confined to Δ ≤ 1 h of its last
+                     // transaction, so a chain with any leg on `day` fits the
+                     // window, and a chain confined to days ≤ day−1 was
+                     // derived (and reported) by an earlier run — J12's
+                     // anti-join makes its re-derivation a no-op. Under
+                     // in-day-order operation (the streaming twin enforces
+                     // it; the reference's cron assumes it) the output is
+                     // byte-identical to the full-history rescan
+                     // (IncrementalPipelineSpec) at O(2 days) per day instead
+                     // of O(history) — the plan that survives years of facts.
+                     // `false` restores the reference's full rescan
+                     // (`loading_rep_fraud.py:73,107`).
+                     incrementalRules34: Boolean = false,
                      // Δ-bucketed band joins are the default: byte-identical
                      // to the naive plan on the fixture (BucketedRulesSpec)
                      // and the only formulation that survives hot keys at
                      // scale (89.1 s → 1.1 s on one hot card, SCALING.md).
                      // `false` restores the reference's naive plan.
-                     bucketedBandJoins: Boolean = true) {
+                     bucketedBandJoins: Boolean = true,
+                     // >1 spreads a hot (card, Δ-bucket) pair in the rule-3/4
+                     // band joins over this many tasks (content-hash salt —
+                     // see [[graft.operators.BandJoin]]); identical output
+                     // (BucketedRulesSpec), parallelism-only dial for the
+                     // one-card-hammered-in-one-hour shape below AQE's
+                     // skew-split threshold.
+                     bandJoinSalt: Int = 1) {
   private val spark: SparkSession = wh.spark
 
   import Pipeline._
@@ -30,13 +52,30 @@ final class Pipeline(wh: Warehouse, seed: Seeds.Seed,
              archiveDir: String): Date = {
     // --- ingestion to staging (`main.py:43-82`)
     val (txns, day) = Ingest.transactions(spark, txnPath)
+    runDayStaged(txns, Ingest.blacklist(spark, blacklistPath),
+      Ingest.terminals(spark, terminalsPath), day)
+    // --- archive consumed files (`main.py:66,74,82`)
+    Seq(txnPath, blacklistPath, terminalsPath)
+      .foreach(Ingest.archive(_, archiveDir))
+    day
+  }
+
+  /** The post-ingest daily cycle over already-typed staging frames:
+    * staging audit → fact updates → SCD2 terminals → fraud mart. Split
+    * from [[runDay]] so synthetic multi-day parity specs and the
+    * end-to-end scale probe ([[graft.ScaleStress]]) can drive the
+    * pipeline at volume without materializing CSV/XLSX drops. */
+  def runDayStaged(txns: org.apache.spark.sql.DataFrame,
+                   blacklist: org.apache.spark.sql.DataFrame,
+                   terminals: org.apache.spark.sql.DataFrame,
+                   day: Date): Unit = {
     val stgTxns = txns.cache()
     wh.logMeta("stg_transactions", day, stgTxns.count())
 
-    val stgBlacklist = Ingest.blacklist(spark, blacklistPath).cache()
+    val stgBlacklist = blacklist.cache()
     wh.logMeta("stg_passport_blacklist", day, stgBlacklist.count())
 
-    val stgTerminals = Ingest.terminals(spark, terminalsPath).cache()
+    val stgTerminals = terminals.cache()
     wh.logMeta("stg_terminals", day, stgTerminals.count())
 
     // --- fact updates (`comm_funcs.py:47-78`)
@@ -63,9 +102,13 @@ final class Pipeline(wh: Warehouse, seed: Seeds.Seed,
     Seq("stg_transactions", "stg_terminals", "stg_passport_blacklist")
       .foreach(t => wh.logMeta(s"CLEAR_$t", day, 0))
 
-    // --- fraud mart (`loading_rep_fraud.py`): rules read the FULL
-    // accumulated fact table each day, like the reference.
-    val facts = wh.read(FactTransactions).cache()
+    // --- fraud mart (`loading_rep_fraud.py`): the reference rules read
+    // the FULL accumulated fact table each day. The incremental modes
+    // prune the read BELOW the cache boundary so the parquet scan itself
+    // skips cold partitions — with both modes on, a day's run touches at
+    // most two txn_date partitions of the fact, however old the table.
+    val (facts, facts12, facts34) =
+      ruleFacts(wh, day, incrementalRules12, incrementalRules34)
     val blAll = wh.read(FactBlacklist)
     val dim = wh.read(DimTerminals)
 
@@ -76,31 +119,58 @@ final class Pipeline(wh: Warehouse, seed: Seeds.Seed,
       wh.logMeta(name, day, n)
       cached.unpersist()
     }
-    // Rules 1/2 have no cross-day joins; the reference's full-history
-    // rescan re-reports prior days (SURVEY §7 quirk 1). Incremental mode
-    // is the sane default at scale: scan only today's partition (pruned
-    // at the source), reporting each hit exactly once.
-    val facts12 =
-      if (incrementalRules12) facts.where(col("txn_date") === lit(day))
-      else facts
     appendRule("REP_FRAUD_passport", FraudRules.rule1(facts12, blAll, seed, day))
     appendRule("REP_FRAUD_contract", FraudRules.rule2(facts12, seed, day))
-    appendRule("REP_FRAUD_diff_cities", FraudRules.rule3(facts, dim, seed,
-      wh.readOr(RepFraud, Schemas.repFraud), day, bucketedBandJoins))
-    appendRule("REP_FRAUD_attempt_amount", FraudRules.rule4(facts, seed,
-      wh.readOr(RepFraud, Schemas.repFraud), day, bucketedBandJoins))
+    appendRule("REP_FRAUD_diff_cities", FraudRules.rule3(facts34, dim, seed,
+      wh.readOr(RepFraud, Schemas.repFraud), day, bucketedBandJoins,
+      bandJoinSalt))
+    appendRule("REP_FRAUD_attempt_amount", FraudRules.rule4(facts34, seed,
+      wh.readOr(RepFraud, Schemas.repFraud), day, bucketedBandJoins,
+      bandJoinSalt))
 
     stgTxns.unpersist(); stgBlacklist.unpersist(); stgTerminals.unpersist()
     facts.unpersist()
-
-    // --- archive consumed files (`main.py:66,74,82`)
-    Seq(txnPath, blacklistPath, terminalsPath)
-      .foreach(Ingest.archive(_, archiveDir))
-    day
   }
 }
 
 object Pipeline {
+  import org.apache.spark.sql.DataFrame
+
+  /** The fact-table frames the four fraud rules read, under the two
+    * incremental dials — shared by the batch pipeline and the streaming
+    * twin so the pruning logic lives once. Returns (cached widest frame,
+    * rules-1/2 input, rules-3/4 input); the caller unpersists the first.
+    *
+    *  - rules 1/2 (no cross-day joins): today's partition only when
+    *    `incremental12` — the sane default at scale, each hit reported
+    *    exactly once (the reference's full rescan re-reports, SURVEY §7
+    *    quirk 1);
+    *  - rules 3/4 (Δ ≤ 1 h chains): partitions [day−1, day] when
+    *    `incremental34` — byte-identical output under in-day-order
+    *    operation (see the [[Pipeline]] ctor note), O(2 days) per day.
+    *
+    * The widest frame any enabled rule needs is what gets cached, and
+    * its filter sits BELOW the cache so the parquet scan itself prunes:
+    * with both dials on, a daily run reads two txn_date partitions no
+    * matter how many years of facts have accumulated. */
+  private[graft] def ruleFacts(wh: Warehouse, day: Date,
+      incremental12: Boolean, incremental34: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val window34 =
+      col("txn_date").between(date_sub(lit(day), 1), lit(day))
+    val facts = (
+      if (incremental12 && incremental34)
+        wh.read(FactTransactions).where(window34)
+      else wh.read(FactTransactions)).cache()
+    val facts12 =
+      if (incremental12) facts.where(col("txn_date") === lit(day))
+      else facts
+    val facts34 =
+      if (incremental34) facts.where(window34)
+      else facts
+    (facts, facts12, facts34)
+  }
+
   val FactTransactions = "dwh_fact_transactions"
   val FactBlacklist = "dwh_fact_passport_blacklist"
   val DimTerminals = "dwh_dim_terminals_hist"

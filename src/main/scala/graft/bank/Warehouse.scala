@@ -25,17 +25,40 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   def exists(name: String): Boolean = Files.exists(dir(name))
 
-  def read(name: String): DataFrame = spark.read.parquet(dir(name).toString)
+  /** Every read and write path heals crash windows FIRST. Without this,
+    * a marked tmp left by a crashed [[compact]]/[[overwrite]] can
+    * coexist with subsequent appends to the (possibly stale, possibly
+    * partial) live directory — and the next [[recover]] call would roll
+    * forward to the marked tmp, silently discarding those appends. With
+    * heal-at-entry the invariant is: no table is read or written while
+    * a committed-but-unswapped version exists, so a marked tmp can never
+    * coexist with data written after it (WarehouseRecoverySpec pins the
+    * append-after-crashed-compact case). Cost: a handful of
+    * Files.exists checks (plus a directory walk for `_tmppart_` leaves)
+    * per table access — noise next to any Spark job. */
+  private def heal(name: String): Unit = {
+    recover(name)
+    if (exists(name)) recoverPartitions(name)
+  }
+
+  def read(name: String): DataFrame = {
+    heal(name)
+    spark.read.parquet(dir(name).toString)
+  }
 
   /** Read if present, else an empty frame with the given schema. */
-  def readOr(name: String, schema: StructType): DataFrame =
+  def readOr(name: String, schema: StructType): DataFrame = {
+    heal(name)
     if (exists(name)) read(name)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   def append(name: String, df: DataFrame,
-             partitionCols: Seq[String] = Nil): Unit =
+             partitionCols: Seq[String] = Nil): Unit = {
+    heal(name)
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
       .parquet(dir(name).toString)
+  }
 
   /** Marker file written into a tmp directory once its content is
     * COMPLETE — the swap's commit point. Recovery rules hinge on it: a
@@ -56,6 +79,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * (single writer; a crash anywhere in the window is healed by
     * [[recover]] using the [[CommitMarker]] rules). */
   def overwrite(name: String, df: DataFrame): Unit = {
+    heal(name)
     val tmp = Paths.get(root, s"$name.tmp")
     deleteRecursive(tmp)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -76,6 +100,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                       tags: Map[String, String]): Unit = {
     require(tags.keys.forall(t => t.startsWith("_") || t.startsWith(".")),
       s"tag files must be _/. prefixed (Spark must skip them): ${tags.keys.mkString(",")}")
+    heal(name)
     val tmp = Paths.get(root, s"$name.tmp")
     deleteRecursive(tmp)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -139,6 +164,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                           partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty,
       "overwritePartitions needs partition columns; use overwrite for whole-table swap")
+    heal(name)
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
@@ -174,12 +200,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def compactIfFragmented(name: String, partitionCols: Seq[String] = Nil,
                           maxFiles: Int = 256,
                           targetFileBytes: Long = 128L << 20): Boolean = {
+    heal(name)
     if (partitionCols.isEmpty) {
       if (parquetFileCount(name) > maxFiles) {
         compact(name, Nil, targetFileBytes); true
       } else false
     } else {
-      recoverPartitions(name)
       val parts = leafPartitionDirs(name)
       val perPart = math.max(2, maxFiles / math.max(1, parts.size))
       val frag = parts.filter(p => parquetFilesUnder(p).size > perPart)
@@ -302,6 +328,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def compact(name: String, partitionCols: Seq[String] = Nil,
               targetFileBytes: Long = 128L << 20): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    heal(name)
     val src = dir(name)
     val walk = Files.walk(src)
     val bytes =

@@ -308,6 +308,26 @@ object CoreQueries {
           (unix_micros(col("ts_2")) - unix_micros(col("ts_1"))).as("gap_us"))
     })
 
+  /** q38's Δ-bucket rewrite under the hot-bucket SALT dial (salt=8):
+    * one hot (key, bucket) pair spreads over 8 tasks via a
+    * deterministic content-hash salt on one side and an 8-way replicate
+    * on the other — same oracle as q13/q38, so the salted plan must
+    * hash-match the naive semantics exactly. */
+  val q340 = QueryDef.sql("q340_band_pairs_salted",
+    """SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id,
+      |  epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+      |FROM events e1
+      |JOIN events e2 ON e1.user_id = e2.user_id AND e1.ts < e2.ts
+      |  AND epoch_us(e2.ts) - epoch_us(e1.ts) < 3600000000""")(
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      graft.operators.BandJoin.pairsWithin(e, "user_id", "ts",
+          3600L * 1000000L, Seq("event_id"), salt = 8)
+        .select(col("event_id_1").as("id1"), col("event_id_2").as("id2"),
+          col("user_id"),
+          (unix_micros(col("ts_2")) - unix_micros(col("ts_1"))).as("gap_us"))
+    })
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q38)
+    q09, q10, q11, q12, q13, q14, q15, q16, q38, q340)
 }

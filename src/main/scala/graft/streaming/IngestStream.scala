@@ -375,15 +375,26 @@ object IngestStream {
     *     DIFFERENT content is an upstream fault, not a replay).
     *
     * Exactly-once summary: fact partitions are exactly-once by
-    * idempotent overwrite; rules 3/4 are exactly-once under replay by
-    * J12's anti-join regardless of the marker; rules 1/2 are guarded by
-    * the day marker, with one at-least-once corner — a crash BETWEEN
-    * the rule appends and the day's last META row reruns all four on
-    * replay, duplicating rule-1/2 rows exactly as a rerun of the
-    * reference's daily script does (SURVEY §7 quirk 1; the reference
-    * re-reports rules 1/2 on every full-history rescan anyway). META
-    * staging rows re-log on such a replay — the same at-least-once
-    * audit semantics as the xlsx twins.
+    * idempotent overwrite; the MART is exactly-once the same way — the
+    * four rules' output for a day lands as ONE dynamic partition
+    * overwrite of `report_dt=<day>` (computed against the mart
+    * EXCLUDING that partition, so a crashed attempt's own partial rows
+    * never perturb the recomputation), so a replay of any cut inside
+    * the day rewrites the identical partition instead of appending a
+    * second copy. Every write boundary therefore heals to byte parity
+    * with an uninterrupted run (FraudStreamSpec crash-injection cases);
+    * only META audit rows re-log on replay — deliberate at-least-once
+    * audit semantics, same as the xlsx twins. The rules are computed
+    * from the mart-before-today: the reference appends them
+    * sequentially, but each rule's anti-join filters its OWN event_type
+    * (`loading_rep_fraud.py:86-91,123-128`), which same-day earlier
+    * rules never produce — so batch-computing all four against the
+    * prior mart is row-identical to the reference's order
+    * (FraudStreamSpec proves mart parity with the batch path).
+    *
+    * `failpoint` is the crash-injection seam: called with a label after
+    * each write boundary; a throwing hook simulates a crash exactly
+    * there. Production leaves it a no-op.
     *
     * Drive order within a day mirrors `main.py`: blacklist and
     * terminals drains first, then this one, so the rules see the day's
@@ -391,7 +402,9 @@ object IngestStream {
   private[streaming] def applyTransactionsBatch(wh: Warehouse,
       seed: Seeds.Seed, batch: DataFrame,
       incrementalRules12: Boolean = false,
-      bucketedBandJoins: Boolean = true): Unit = {
+      bucketedBandJoins: Boolean = true,
+      incrementalRules34: Boolean = false,
+      failpoint: String => Unit = _ => ()): Unit = {
     val rows = batch.cache()
     try {
       // A row with an unparseable/null transaction_date would be
@@ -463,35 +476,47 @@ object IngestStream {
           val n = dayRows.count()
           wh.overwritePartitions(Pipeline.FactTransactions, dayRows,
             partitionCols = Seq("txn_date"))
+          failpoint("fact_overwrite")
           wh.logMeta("stg_transactions", day, n)
-          val facts = wh.read(Pipeline.FactTransactions).cache()
+          failpoint("meta_stg")
+          val (facts, facts12, facts34) = Pipeline.ruleFacts(wh, day,
+            incrementalRules12, incrementalRules34)
           try {
             val blAll = wh.readOr(Pipeline.FactBlacklist,
               Schemas.factPassportBlacklist)
             val dim = wh.readOr(Pipeline.DimTerminals, Schemas.dimTerminalsHist)
-            val facts12 =
-              if (incrementalRules12) facts.where(col("txn_date") === lit(day))
-              else facts
-            def appendRule(name: String, df: DataFrame): Unit = {
-              val cached = df.cache()
-              val cnt = cached.count()
-              wh.append(Pipeline.RepFraud, cached)
-              wh.logMeta(name, day, cnt)
-              cached.unpersist()
-            }
-            appendRule("REP_FRAUD_passport",
-              FraudRules.rule1(facts12, blAll, seed, day))
-            appendRule("REP_FRAUD_contract",
-              FraudRules.rule2(facts12, seed, day))
-            appendRule("REP_FRAUD_diff_cities",
-              FraudRules.rule3(facts, dim, seed,
-                wh.readOr(Pipeline.RepFraud, Schemas.repFraud), day,
-                bucketedBandJoins))
-            // the day-completion marker: logged by appendRule LAST
-            appendRule("REP_FRAUD_attempt_amount",
-              FraudRules.rule4(facts, seed,
-                wh.readOr(Pipeline.RepFraud, Schemas.repFraud), day,
-                bucketedBandJoins))
+            // the mart WITHOUT today's partition: a crashed earlier
+            // attempt's own partial rows must not feed J12's anti-join,
+            // or the healing overwrite would drop exactly the rows the
+            // crashed attempt already wrote
+            val repBefore = wh.readOr(Pipeline.RepFraud, Schemas.repFraud)
+              .where(col("report_dt") =!= lit(day))
+            val ruleOut: Seq[(String, DataFrame)] = Seq(
+              "REP_FRAUD_passport" ->
+                FraudRules.rule1(facts12, blAll, seed, day),
+              "REP_FRAUD_contract" ->
+                FraudRules.rule2(facts12, seed, day),
+              "REP_FRAUD_diff_cities" ->
+                FraudRules.rule3(facts34, dim, seed, repBefore, day,
+                  bucketedBandJoins),
+              "REP_FRAUD_attempt_amount" ->
+                FraudRules.rule4(facts34, seed, repBefore, day,
+                  bucketedBandJoins))
+            val cached = ruleOut.map { case (nm, df) => nm -> df.cache() }
+            try {
+              val counts = cached.map { case (nm, df) => nm -> df.count() }
+              // ONE idempotent mart write for the whole day
+              wh.overwritePartitions(Pipeline.RepFraud,
+                cached.map(_._2).reduce(_ unionByName _),
+                partitionCols = Seq("report_dt"))
+              failpoint("mart_overwrite")
+              // rule META rows in reference order; the LAST one
+              // (attempt_amount) is the day-completion marker
+              counts.foreach { case (nm, cnt) =>
+                wh.logMeta(nm, day, cnt)
+                failpoint(s"meta_$nm")
+              }
+            } finally cached.foreach(_._2.unpersist())
           } finally facts.unpersist()
         }
       }
@@ -523,7 +548,13 @@ object IngestStream {
       // (one drop per drain) is unaffected.
       maxFilesPerTrigger: Int = 10000, incrementalRules12: Boolean = false,
       bucketedBandJoins: Boolean = true,
-      compactAboveFiles: Int = 256): Long = {
+      incrementalRules34: Boolean = false,
+      compactAboveFiles: Int = 256,
+      // crash-injection seam, forwarded to [[applyTransactionsBatch]];
+      // a throwing hook simulates a crash at that write boundary and
+      // the next drain must heal it (FraudStreamSpec). No-op in
+      // production.
+      failpoint: String => Unit = _ => ()): Long = {
     // close the compact crash windows for every table this drain owns
     // BEFORE reading any of them: a crash between compact's delete and
     // move strands a table at `<name>.tmp` (or ONE LEAF of the
@@ -535,12 +566,13 @@ object IngestStream {
     Seq(Pipeline.FactTransactions, Pipeline.RepFraud, Pipeline.MetaLoading)
       .foreach(wh.recover)
     wh.recoverPartitions(Pipeline.FactTransactions)
+    wh.recoverPartitions(Pipeline.RepFraud)
     val q = transactionsSource(spark, inboxDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyTransactionsBatch(wh, seed, batch, incrementalRules12,
-          bucketedBandJoins)
+          bucketedBandJoins, incrementalRules34, failpoint)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -552,7 +584,10 @@ object IngestStream {
     // append-accumulating tables of the daily cycle.
     wh.compactIfFragmented(Pipeline.FactTransactions, Seq("txn_date"),
       compactAboveFiles)
-    wh.compactIfFragmented(Pipeline.RepFraud, maxFiles = compactAboveFiles)
+    // the twin's mart is report_dt-partitioned (per-day idempotent
+    // overwrite) — compact per partition like the fact
+    wh.compactIfFragmented(Pipeline.RepFraud, Seq("report_dt"),
+      compactAboveFiles)
     wh.compactIfFragmented(Pipeline.MetaLoading, maxFiles = compactAboveFiles)
     progressed.toLong
   }
@@ -574,6 +609,7 @@ object IngestStream {
                      checkpointRoot: String, wh: Warehouse,
                      seed: Seeds.Seed,
                      incrementalRules12: Boolean = false,
+                     incrementalRules34: Boolean = false,
                      compactAboveFiles: Int = 256): Long = {
     def sub(p: String) = s"$inboxRoot/$p"
     def cp(p: String) = s"$checkpointRoot/$p"
@@ -589,6 +625,7 @@ object IngestStream {
       cp("terminals"), wh)
     val c = transactionsFraudAvailableNow(spark, sub("transactions"),
       cp("transactions"), wh, seed, incrementalRules12 = incrementalRules12,
+      incrementalRules34 = incrementalRules34,
       compactAboveFiles = compactAboveFiles)
     a + b + c
   }

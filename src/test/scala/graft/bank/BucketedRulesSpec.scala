@@ -7,13 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The Δ-bucketed band-join plan for rules 3/4 (the 100 TB path, see
   * SCALING.md) is the DEFAULT; it must produce the exact same fraud
-  * mart as the reference's naive plan on the fixture. */
+  * mart as the reference's naive plan on the fixture — and so must the
+  * hot-bucket SALTED variant (the skew dial on top of the buckets). */
 class BucketedRulesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val refData = "/root/reference/data/data"
   private val days = Seq("01032021", "02032021", "03032021")
 
-  private def replay(bucketed: Option[Boolean]): Warehouse = {
+  private def replay(mk: (Warehouse, Seeds.Seed) => Pipeline): Warehouse = {
     val work = Files.createTempDirectory("bucketspec").toString
     val inbox = Paths.get(work, "inbox")
     Files.createDirectories(inbox)
@@ -26,10 +27,7 @@ class BucketedRulesSpec extends AnyFunSuite {
     }
     val wh = new Warehouse(spark, Paths.get(work, "wh").toString)
     val seed = Seeds.load(spark, "/root/reference/data/ddl_dml.sql")
-    val pipe = bucketed match {
-      case Some(b) => new Pipeline(wh, seed, bucketedBandJoins = b)
-      case None    => new Pipeline(wh, seed) // the default path
-    }
+    val pipe = mk(wh, seed)
     days.foreach { d =>
       pipe.runDay(
         inbox.resolve(s"transactions_$d.txt").toString,
@@ -40,12 +38,20 @@ class BucketedRulesSpec extends AnyFunSuite {
     wh
   }
 
+  private def rows(wh: Warehouse) = wh.read(Pipeline.RepFraud)
+    .collect().map(_.toString).sorted.toSeq
+
+  private lazy val naive =
+    rows(replay((wh, s) => new Pipeline(wh, s, bucketedBandJoins = false)))
+
   test("default (bucketed) rules 3/4 replay the fixture byte-for-byte") {
-    def rows(wh: Warehouse) = wh.read(Pipeline.RepFraud)
-      .collect().map(_.toString).sorted.toSeq
-    val naive = rows(replay(bucketed = Some(false)))
-    val default = rows(replay(bucketed = None))
+    val default = rows(replay((wh, s) => new Pipeline(wh, s)))
     assert(naive.size == 1100)
     assert(default == naive)
+  }
+
+  test("salted band joins (bandJoinSalt=4) replay the fixture byte-for-byte") {
+    val salted = rows(replay((wh, s) => new Pipeline(wh, s, bandJoinSalt = 4)))
+    assert(salted == naive)
   }
 }

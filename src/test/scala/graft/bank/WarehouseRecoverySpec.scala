@@ -66,4 +66,49 @@ class WarehouseRecoverySpec extends AnyFunSuite {
     assert(vs == Set("new") && wh.read("t").count() == 2)
     assert(!Files.exists(Paths.get(root, "t.tmp")))
   }
+
+  test("write paths self-heal: append after a crashed compact cannot be lost") {
+    import spark.implicits._
+    // The round-11 hazard: compact crashes in its marker→delete window
+    // (marked tmp AND intact live dir), a batch append then lands on the
+    // live dir, and a later recover() rolls forward to the stale tmp —
+    // silently discarding the append. heal-at-entry closes it: append()
+    // itself rolls the marked tmp forward FIRST, so the new rows land on
+    // the committed version and survive every later recover call.
+    val root = Files.createTempDirectory("wh_heal").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite("t", Seq((1, "a")).toDF("k", "v"))
+    // crashed compact: committed tmp beside the intact live dir
+    val build = new Warehouse(spark, root)
+    build.overwrite("t.tmp_build", Seq((1, "a")).toDF("k", "v"))
+    Files.move(Paths.get(root, "t.tmp_build"), Paths.get(root, "t.tmp"))
+    Files.writeString(Paths.get(root, "t.tmp", "_COMMITTED"), "")
+    // the append heals first, then lands on the rolled-forward version
+    wh.append("t", Seq((2, "b")).toDF("k", "v"))
+    assert(!Files.exists(Paths.get(root, "t.tmp")))
+    assert(wh.read("t").count() == 2)
+    // a recover AFTER the append (the old data-loss trigger) is a no-op
+    assert(!wh.recover("t"))
+    assert(wh.read("t").count() == 2)
+
+    // same hazard for a crashed PER-PARTITION compact + partition write
+    val pdf = Seq((1, "2021-01-01"), (2, "2021-01-02"))
+      .toDF("k", "dt")
+    wh.append("p", pdf, partitionCols = Seq("dt"))
+    val leaf = Paths.get(root, "p", "dt=2021-01-01")
+    val tmpLeaf = Paths.get(root, "p", "_tmppart_dt__EQ__2021-01-01")
+    // committed leaf rewrite beside the intact live leaf (leaf files
+    // carry only the data column; k=10 marks the rewritten version)
+    build.overwrite("p_leafbuild", Seq(10).toDF("k"))
+    Files.move(Paths.get(root, "p_leafbuild"), tmpLeaf)
+    Files.writeString(tmpLeaf.resolve("_COMMITTED"), "")
+    // any entry-point access heals the leaf before touching the table
+    wh.append("p", Seq((3, "2021-01-03")).toDF("k", "dt"),
+      partitionCols = Seq("dt"))
+    assert(!Files.exists(tmpLeaf))
+    assert(Files.exists(leaf))
+    // the rolled-forward leaf content won; the append landed beside it
+    val ks = wh.read("p").select("k").collect().map(_.getInt(0)).toSet
+    assert(ks == Set(10, 2, 3))
+  }
 }

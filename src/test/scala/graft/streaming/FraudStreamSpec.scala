@@ -209,6 +209,81 @@ class FraudStreamSpec extends AnyFunSuite {
     assert(rowSet(wh.read(Pipeline.RepFraud)) == martAfter2)
   }
 
+  test("crash injection: every write boundary of the multi-write day heals to byte parity") {
+    // The day's writes, in order: fact partition overwrite → stg META →
+    // mart partition overwrite → four rule META rows. A crash after any
+    // of them, followed by a replay of the same batch (what the
+    // checkpoint guarantees), must converge to the exact fact and mart
+    // of an uninterrupted run: the fact heals by idempotent partition
+    // overwrite, the mart by the per-day partition overwrite computed
+    // against the mart-without-today (so a crashed attempt's own partial
+    // rows cannot perturb the recomputation). META audit rows are
+    // at-least-once by design — the log records both attempts.
+    val labels = Seq("fact_overwrite", "meta_stg", "mart_overwrite",
+      "meta_REP_FRAUD_passport", "meta_REP_FRAUD_contract",
+      "meta_REP_FRAUD_diff_cities", "meta_REP_FRAUD_attempt_amount")
+
+    def typedDay(d: String): DataFrame = {
+      val raw = spark.read.option("sep", ";").option("header", "true")
+        .schema(graft.bank.Schemas.transactionsCsv)
+        .csv(s"$refData/transactions_$d.txt")
+      graft.bank.Ingest.typedTransactions(raw)
+        .withColumn("txn_date", to_date(col("transaction_date")))
+    }
+    def copyDir(src: Path, dst: Path): Unit = {
+      val walk = Files.walk(src)
+      try {
+        walk.forEach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally walk.close()
+    }
+
+    // base state: days 1-2 complete, day-3 dims drained, day-3
+    // transactions NOT yet applied
+    val base = Files.createTempDirectory("fraudcrash_base")
+    val baseWh = new Warehouse(spark, base.resolve("wh").toString)
+    days.take(2).foreach { d =>
+      drainDims(base, baseWh, d)
+      IngestStream.applyTransactionsBatch(baseWh, seed, typedDay(d))
+    }
+    drainDims(base, baseWh, "03032021")
+    val day3 = typedDay("03032021").cache()
+
+    // the uninterrupted oracle
+    val oracleRoot = Files.createTempDirectory("fraudcrash_oracle")
+    copyDir(base.resolve("wh"), oracleRoot.resolve("wh"))
+    val oracleWh = new Warehouse(spark, oracleRoot.resolve("wh").toString)
+    IngestStream.applyTransactionsBatch(oracleWh, seed, day3)
+    val oracleFact = rowSet(oracleWh.read(Pipeline.FactTransactions))
+    val oracleMart = rowSet(oracleWh.read(Pipeline.RepFraud))
+
+    labels.foreach { cut =>
+      val root = Files.createTempDirectory(s"fraudcrash_$cut")
+      copyDir(base.resolve("wh"), root.resolve("wh"))
+      val wh = new Warehouse(spark, root.resolve("wh").toString)
+      val ex = intercept[RuntimeException] {
+        IngestStream.applyTransactionsBatch(wh, seed, day3,
+          failpoint = l => if (l == cut)
+            throw new RuntimeException(s"injected crash at $l"))
+      }
+      assert(ex.getMessage.contains(cut))
+      // the replay (same batch, no failpoint) heals every cut
+      IngestStream.applyTransactionsBatch(wh, seed, day3)
+      assert(rowSet(wh.read(Pipeline.FactTransactions)) == oracleFact,
+        s"fact diverged after crash at $cut")
+      assert(rowSet(wh.read(Pipeline.RepFraud)) == oracleMart,
+        s"mart diverged after crash at $cut")
+      // day-3 completion marker present exactly as in the oracle
+      assert(wh.read(Pipeline.MetaLoading)
+        .where(col("table_name") === "REP_FRAUD_attempt_amount" &&
+          col("event_dt") === "2021-03-03").count() >= 1)
+    }
+    day3.unpersist()
+  }
+
   test("compact-behind bounds file counts of the append-accumulating tables") {
     val root = Files.createTempDirectory("fraudstream_compact")
     val inbox = Files.createDirectories(root.resolve("inbox"))
@@ -224,7 +299,9 @@ class FraudStreamSpec extends AnyFunSuite {
     val rep = wh.read(Pipeline.RepFraud).count()
     assert(wh.parquetFileCount(Pipeline.MetaLoading) <= 2,
       s"meta not compacted: ${wh.parquetFileCount(Pipeline.MetaLoading)} files")
-    assert(wh.parquetFileCount(Pipeline.RepFraud) <= 2,
+    // the twin's mart is report_dt-partitioned: per-partition compaction
+    // bounds each of the 3 day partitions at perPart=2 files
+    assert(wh.parquetFileCount(Pipeline.RepFraud) <= 6,
       s"rep_fraud not compacted: ${wh.parquetFileCount(Pipeline.RepFraud)} files")
     // data survives the rewrite
     assert(wh.read(Pipeline.MetaLoading).count() == meta)
