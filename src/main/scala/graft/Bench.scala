@@ -16,37 +16,84 @@ object Bench {
   final case class M(sec: Double, sr: Long, sw: Long, sp: Long,
                      in: Long, fs: Long, cpuNs: Long, gcMs: Long)
 
-  /** Committed per-query history from the last `n` rounds' driver
-    * records (`BENCH_r*.json`, written by the driver every round):
-    * short query key → seconds per round. Queries folded into the
-    * "rest" bucket of a round simply have fewer samples. Parse failures
-    * degrade to an empty history (the byte gate still arbitrates). */
-  private[graft] def loadHistory(dir: String = ".", n: Int = 3)
-      : Map[String, Vector[Double]] = {
+  /** Committed per-query history from the last `n` rounds' records:
+    * short query key → seconds per round. Two record shapes merge per
+    * round:
+    *
+    *  - `BENCH_r<N>.json` (driver): `parsed.queries` carries the
+    *    top-110 slowest individually — the fast tail rides in "rest";
+    *  - `bench_detail_r<N>*.json` (the committed full detail): EVERY
+    *    query with ns precision — so the proportional stall gate sees
+    *    the whole catalog, not just the headline bucket (a spike in a
+    *    rest-bucketed query was previously invisible to it).
+    *
+    * `sfShort` filters rounds to the CURRENT scale factor (basename
+    * compare, e.g. "sf0.1"): a run at a different SF must not be gated
+    * against another scale's medians — larger-SF runs would re-measure
+    * everything, smaller-SF stalls would hide. Records predating the sf
+    * field (rounds ≤ 4) were all driver sf0.1 runs and are treated as
+    * such. No matching rounds ⇒ empty history ⇒ byte gate only. Parse
+    * failures degrade the same way. */
+  private[graft] def loadHistory(dir: String = ".", n: Int = 3,
+      sfShort: Option[String] = None): Map[String, Vector[Double]] = {
     import scala.jdk.CollectionConverters._
+    import com.fasterxml.jackson.databind.JsonNode
+    def base(s: String) =
+      s.split('/').filter(_.nonEmpty).lastOption.getOrElse(s)
+    def sfOk(node: JsonNode): Boolean = sfShort.forall { want =>
+      val v = node.path("sf")
+      if (v.isTextual) base(v.asText) == want else want == "sf0.1"
+    }
     try {
-      val rx = "BENCH_r(\\d+)\\.json".r
-      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .iterator().asScala
-        .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString)
-          .map(m => m.group(1).toInt -> p))
-        .toVector.sortBy(_._1).takeRight(n).map(_._2)
+      val rxDriver = "^BENCH_r(\\d+)\\.json$".r
+      val rxDetail = "^bench_detail_r(\\d+)".r
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val perRound = files.flatMap { p =>
+      def parse(p: java.nio.file.Path, detail: Boolean)
+          : Option[Map[String, Double]] =
         try {
           val root = om.readTree(java.nio.file.Files.readString(p))
-          val qs = root.path("parsed").path("queries")
-          if (!qs.isObject) None
-          // negative values are the bench's error sentinels (-1.0 for
-          // a failed query) — a failed round must not poison the
-          // median a recovered query is gated against
-          else Some(qs.fields().asScala.collect {
-            case e if e.getValue.isNumber && e.getKey != "rest" &&
-              e.getValue.asDouble() >= 0 =>
-              e.getKey -> e.getValue.asDouble()
-          }.toMap)
+          val rec = if (detail) root else root.path("parsed")
+          if (!sfOk(rec)) None
+          else {
+            val qs = rec.path("queries")
+            if (!qs.isObject) None
+            // negative values are the bench's error sentinels (-1.0 for
+            // a failed query) — a failed round must not poison the
+            // median a recovered query is gated against
+            else Some(qs.fields().asScala.flatMap { e =>
+              val sec =
+                if (detail) {
+                  val s = e.getValue.path("sec")
+                  if (s.isNumber) Some(s.asDouble) else None
+                } else if (e.getValue.isNumber) Some(e.getValue.asDouble)
+                else None
+              sec.filter(v => v >= 0 && e.getKey != "rest")
+                .map(v => e.getKey.takeWhile(_ != '_') -> v)
+            }.toMap)
+          }
         } catch { case _: Throwable => None }
-      }
+      val listed = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toVector
+      def byRound(rx: scala.util.matching.Regex): Map[Int, java.nio.file.Path] =
+        listed.flatMap { p =>
+          rx.findFirstMatchIn(p.getFileName.toString)
+            .map(m => m.group(1).toInt -> p)
+        }.toMap
+      val drivers = byRound(rxDriver)
+      val details = byRound(rxDetail)
+      val perRound = (drivers.keySet ++ details.keySet).toVector.sorted
+        .map { r =>
+          // the detail record covers every query; driver entries fill in
+          // only when no detail exists for that round
+          val d = drivers.get(r).flatMap(parse(_, detail = false))
+          val t = details.get(r).flatMap(parse(_, detail = true))
+          (d, t) match {
+            case (Some(a), Some(b)) => Some(a ++ b)
+            case (a, b) => b.orElse(a)
+          }
+        }
+        .collect { case Some(m) if m.nonEmpty => m }
+        .takeRight(n)
       perRound.flatten.groupMap(_._1)(_._2)
         .view.mapValues(_.toVector).toMap
     } catch { case _: Throwable => Map.empty }
@@ -271,7 +318,8 @@ object Bench {
     // still lands slow, so real slowdowns stay visible; only transient
     // interference is filtered. New queries have no history and fall
     // back to the byte gate alone.
-    val history = loadHistory()
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val history = loadHistory(sfShort = Some(sfShort))
     val results = firstPass.map { case (name, m) =>
       val histMed = history.get(name.takeWhile(_ != '_'))
         .filter(_.size >= 2).map(median)
@@ -352,7 +400,6 @@ object Bench {
     // task metrics is always in bench_detail.json, committed every
     // round.
     val (errQs, okQs) = results.partition { case (n, _) => errors.contains(n) }
-    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def mkQs(topN: Int): String = {
       val keep = errQs ++ okQs.sortBy { case (n, m) => (-m.sec, n) }.take(topN)
       val keepSet = keep.map(_._1).toSet

@@ -896,12 +896,18 @@ object ScaleStress {
     // whose clusters merge into artificial mega-clusters
     val docs = Tables.documents(spark, sf)
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+    val digits = "0123456789"
+    def rot(s: String, i: Int) = { val k = i % s.length; s.drop(k) + s.take(k) }
+    // digits rotate too: a shingle composed entirely of digits would
+    // otherwise be identical across replicas and merge their posting
+    // lists (ADVICE r11). Residual caveat: shingles of ONLY punctuation/
+    // whitespace still coincide — noted in SCALING.md, immeasurably rare
+    // in this corpus.
     (0 until reps).map(i => docs
         .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
         .withColumn("text", translate(col("text"),
-          lower + lower.toUpperCase,
-          rot(lower, i) + rot(lower.toUpperCase, i))))
+          lower + lower.toUpperCase + digits,
+          rot(lower, i) + rot(lower.toUpperCase, i) + rot(digits, i))))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // events: new users per replica on the same time axis — per-user
@@ -968,6 +974,126 @@ object ScaleStress {
         case _ => ()
       }
     }
+    }
+
+    if (sections("hotband")) {
+      // Adversarial hot-bucket band join (VERDICT r11 #4): ONE key with
+      // n rows inside ONE Δ window — the Δ-bucket rewrite bounds the
+      // candidate set per (key, bucket) but all ~n²/2 in-window pairs
+      // still land on a single task at salt=1. The pair count is
+      // SEMANTIC (they all qualify); salt is a parallelism dial, so the
+      // fix shows as max-task-time (and wall) dropping ~linearly in
+      // salt while the row count stays identical.
+      val n = sys.env.getOrElse("SPARK_GRAFT_HOT_ROWS", "50000").toInt
+      val delta = 3600L * 1000000L
+      val t0us = 1700000000L * 1000000L
+      val hot = spark.range(n).select(
+        col("id").as("event_id"), lit(0L).as("user_id"),
+        timestamp_micros(lit(t0us) + col("id") * lit(delta / n)).as("ts"))
+      val bg = spark.range(1000000).select(
+        (col("id") + lit(10000000L)).as("event_id"),
+        (pmod(xxhash64(col("id")), lit(100000L)) + 1L).as("user_id"),
+        timestamp_micros(lit(t0us) + pmod(xxhash64(col("id"), lit(7)),
+          lit(delta))).as("ts"))
+      val df = hot.unionByName(bg).cache()
+      println(s"hot-bucket corpus: ${df.count()} rows ($n on the hot key)")
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            maxTaskMs.updateAndGet(m => math.max(m, t.taskInfo.duration))
+        })
+      Seq(1, 8, 32).foreach { s =>
+        maxTaskMs.set(0)
+        time(f"hot-bucket pairsWithin salt=$s%-2d")(
+          BandJoin.pairsWithin(df, "user_id", "ts", delta,
+            Seq("event_id"), salt = s).count())
+        Thread.sleep(200) // drain task-end events
+        println(f"          max task ${maxTaskMs.get / 1e3}%.1f s")
+      }
+      df.unpersist(blocking = true)
+    }
+
+    if (sections("pipeline")) {
+      // End-to-end daily bank pipeline at volume (VERDICT r11 #2):
+      // nDays synthetic days × rowsPerDay transactions (defaults: 30 ×
+      // 1.6M ≈ 100× the fixture's per-day volume), run twice — the
+      // reference's full-history-rescan mode vs the incremental dials
+      // (rules 1/2 today-partition, rules 3/4 Δ-margin window). The
+      // claim under test: incremental day cost is FLAT in N while
+      // full-scan grows with accumulated history (the r11 `weak`).
+      // Synthetic cards keep realistic per-card density (~4 txns/day);
+      // 1% of rows land on seeded master cards so the enrichment joins
+      // and mart appends exercise their real paths.
+      import graft.bank.{Pipeline, Schemas, Seeds, Warehouse}
+      val nDays = if (args.length > 3) args(3).toInt else 30
+      val rowsPerDay = if (args.length > 4) args(4).toInt else 1600000
+      val seed = Seeds.load(spark, "/root/reference/data/ddl_dml.sql")
+      val seedCards = seed.cards.select("card_num").limit(20)
+        .collect().map(_.getString(0)).toSeq // bounded: 20 master cards
+      val nCards = math.max(1000L, rowsPerDay / 4L)
+      val day0 = java.time.LocalDate.of(2022, 1, 1)
+      def dayTxns(d: Int): DataFrame = {
+        val dayStartUs = day0.plusDays(d.toLong).toEpochDay * 86400000000L
+        val synth = concat(lit("SYN"),
+          pmod(xxhash64(col("id"), lit(d)), lit(nCards)))
+        val seeded = element_at(
+          array(seedCards.map(lit(_)): _*),
+          (pmod(xxhash64(col("id"), lit(d + 1)), lit(20L)) + 1).cast("int"))
+        spark.range(rowsPerDay).select(
+          concat(lit(s"tx${d}_"), col("id")).as("transaction_id"),
+          timestamp_micros(lit(dayStartUs) +
+            col("id") * lit(86400000000L / rowsPerDay)).as("transaction_date"),
+          when(pmod(col("id"), lit(100)) === 0, seeded).otherwise(synth)
+            .as("card_num"),
+          lit("PAYMENT").as("oper_type"),
+          (pmod(col("id"), lit(1000)) + 1).cast("decimal(10,2)").as("amount"),
+          when(pmod(col("id"), lit(17)) === 0, lit("REJECT"))
+            .otherwise(lit("SUCCESS")).as("oper_result"),
+          concat(lit("TS"), pmod(col("id"), lit(100))).as("terminal"))
+      }
+      val terminals = spark.range(100).select(
+        concat(lit("TS"), col("id")).as("terminal_id"),
+        lit("POS").as("terminal_type"),
+        when(col("id") % 2 === 0, "Moscow").otherwise("Kazan")
+          .as("terminal_city"),
+        concat(lit("addr "), col("id")).as("terminal_address")).cache()
+      val emptyBl = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.factPassportBlacklist)
+      def run(tag: String, inc: Boolean): Vector[Double] = {
+        val root = java.nio.file.Files.createTempDirectory(s"pipescale_$tag")
+        val wh = new Warehouse(spark, root.resolve("wh").toString)
+        val pipe = new Pipeline(wh, seed, incrementalRules12 = inc,
+          incrementalRules34 = inc)
+        val times = (0 until nDays).map { d =>
+          val t0 = System.nanoTime()
+          pipe.runDayStaged(dayTxns(d), emptyBl, terminals,
+            java.sql.Date.valueOf(day0.plusDays(d.toLong)))
+          // compact-behind like the daily drain, so file counts stay
+          // bounded and the read path ages realistically
+          wh.compactIfFragmented(Pipeline.FactTransactions,
+            Seq("txn_date"), maxFiles = 256)
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[$tag] day $d%2d: $t%7.2f s")
+          t
+        }.toVector
+        println(s"[$tag] fact files: " +
+          s"${wh.parquetFileCount(Pipeline.FactTransactions)}, " +
+          s"rep_fraud rows: ${wh.read(Pipeline.RepFraud).count()}, " +
+          s"meta rows: ${wh.read(Pipeline.MetaLoading).count()}")
+        times
+      }
+      val full = run("full-scan", inc = false)
+      val incr = run("incremental", inc = true)
+      def mean(v: Seq[Double]) = v.sum / v.size
+      println(f"full-scan   days 1-3 ${mean(full.slice(1, 4))}%6.2f s -> " +
+        f"last 3 ${mean(full.takeRight(3))}%6.2f s " +
+        f"(x${mean(full.takeRight(3)) / mean(full.slice(1, 4))}%.2f)")
+      println(f"incremental days 1-3 ${mean(incr.slice(1, 4))}%6.2f s -> " +
+        f"last 3 ${mean(incr.takeRight(3))}%6.2f s " +
+        f"(x${mean(incr.takeRight(3)) / mean(incr.slice(1, 4))}%.2f)")
     }
     spark.stop()
   }

@@ -25,6 +25,39 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(!h.contains("rest"))
   }
 
+  test("detail records extend the gate to EVERY query, and sf filtering holds") {
+    val dir = java.nio.file.Files.createTempDirectory("benchhist")
+    def w(name: String, body: String) =
+      java.nio.file.Files.writeString(dir.resolve(name), body)
+    // driver record: only the headline query is itemized; q77 rides in
+    // "rest" and is invisible to a driver-records-only history
+    w("BENCH_r41.json",
+      """{"parsed":{"queries":{"q05":2.0,"rest":{"n":1,"sec":1.0}},"sf":"sf0.1"}}""")
+    // committed detail for the same round: every query, full names
+    w("bench_detail_r41_builder.json",
+      """{"queries":{"q05_batch_date":{"sec":2.1},"q77_rest_rider":{"sec":0.9}},"sf":"/root/testdata/sf0.1"}""")
+    // a different-SF round: must NOT contaminate the sf0.1 medians
+    w("BENCH_r42.json",
+      """{"parsed":{"queries":{"q05":9.0,"q77":8.0},"sf":"sf1"}}""")
+    val h = Bench.loadHistory(dir.toString, sfShort = Some("sf0.1"))
+    // q77 gained history from the detail file (the VERDICT-r11 ask:
+    // the 3x-median gate provably sees rest-bucketed queries)
+    assert(h.get("q77").contains(Vector(0.9)), h.toString)
+    // same-round driver+detail merge to ONE sample; detail wins
+    assert(h.get("q05").contains(Vector(2.1)), h.toString)
+    assert(!h.contains("rest"))
+    // the sf1 round is filtered out entirely…
+    assert(!h("q77").contains(8.0))
+    // …but selecting sf1 sees only it
+    val h1 = Bench.loadHistory(dir.toString, sfShort = Some("sf1"))
+    assert(h1.get("q05").contains(Vector(9.0)), h1.toString)
+    // records predating the sf field count as driver sf0.1 runs
+    w("BENCH_r40.json", """{"parsed":{"queries":{"q05":1.5}}}""")
+    val h2 = Bench.loadHistory(dir.toString, sfShort = Some("sf0.1"))
+    assert(h2.get("q05").contains(Vector(1.5, 2.1)), h2.toString)
+    assert(Bench.loadHistory(dir.toString, sfShort = Some("sf10x")).isEmpty)
+  }
+
   test("median: odd, even, and singleton vectors") {
     assert(Bench.median(Vector(3.0)) == 3.0)
     assert(Bench.median(Vector(4.6, 40.96, 3.5)) == 4.6)

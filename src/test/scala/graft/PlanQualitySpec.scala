@@ -50,12 +50,80 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
   }
 
+  test("rules-3/4 incremental window read PRUNES to two txn_date partitions") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("pq_prune34").toString
+    val wh = new graft.bank.Warehouse(spark, root)
+    Seq("2021-03-01", "2021-03-02", "2021-03-03").foreach { d =>
+      wh.append(graft.bank.Pipeline.FactTransactions,
+        spark.range(10).select(col("id").cast("string").as("transaction_id"),
+          lit(java.sql.Date.valueOf(d)).as("txn_date")),
+        partitionCols = Seq("txn_date"))
+    }
+    // the exact read shape of ruleFacts' incrementalRules34 window:
+    // BETWEEN [day−1, day] on the partition column
+    val day = java.sql.Date.valueOf("2021-03-03")
+    val df = wh.read(graft.bank.Pipeline.FactTransactions)
+      .where(col("txn_date").between(date_sub(lit(day), 1), lit(day)))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("txn_date"), pf)
+    // two of the three day partitions survive the pruning
+    assert(df.count() == 20)
+  }
+
+  test("rule1 blacklist join: broadcast below the dial, shuffle join above it") {
+    import org.apache.spark.sql.functions._
+    val seed = graft.bank.Seeds.load(spark, "/root/reference/data/ddl_dml.sql")
+    import spark.implicits._
+    val txns = Seq(("t1", "2021-03-01 10:00:00", "1111",
+        "PAYMENT", "SUCCESS", "T1")).toDF("transaction_id", "ts",
+        "card_num", "oper_type", "oper_result", "terminal")
+      .withColumn("transaction_date", to_timestamp($"ts")).drop("ts")
+      .withColumn("amount", lit(BigDecimal(1)).cast("decimal(10,2)"))
+    val bl = Seq((java.sql.Date.valueOf("2021-01-01"), "P1"))
+      .toDF("date", "passport")
+    val day = java.sql.Date.valueOf("2021-03-01")
+    // below the threshold (default): the blacklist ships broadcast
+    val pSmall = graft.bank.FraudRules.rule1(txns, bl, seed, day)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*bl_passport".r.findFirstIn(pSmall).isDefined
+      || pSmall.contains("BroadcastHashJoin"), pSmall)
+    // above it (dial forced to 0): NO broadcast HINT for the blacklist
+    // join — the shuffle join an unbounded cumulative table needs.
+    // (Auto-broadcast is disabled for the check: a 1-row test blacklist
+    // would otherwise broadcast on size stats alone; at the dial's real
+    // threshold the table is past the auto threshold too.)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pBig = graft.bank.FraudRules.rule1(txns, bl, seed, day,
+          broadcastMaxRows = 0).queryExecution.executedPlan.toString
+      val blJoinLines = pBig.linesIterator
+        .filter(l => l.contains("bl_passport") && l.contains("Join")).toSeq
+      assert(blJoinLines.nonEmpty && blJoinLines.forall(!_.contains("Broadcast")),
+        pBig)
+      assert(pBig.contains("SortMergeJoin") ||
+        pBig.contains("ShuffledHashJoin"), pBig)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("band joins keep equi keys — never cartesian") {
-    for (q <- Seq("q13_band_pairs", "q16_triple_band", "q38_band_pairs_bucketed")) {
+    for (q <- Seq("q13_band_pairs", "q16_triple_band", "q38_band_pairs_bucketed",
+        "q340_band_pairs_salted")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated")
     }
+  }
+
+  test("salted band join: salt is part of the shuffle key") {
+    val p = plan("q340_band_pairs_salted")
+    // the join key must include the salt column — that is the whole
+    // point: a hot (key, bucket) pair hashes to `salt` partitions
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("fraud rule 3 default plan is the Δ-bucketed band join") {
