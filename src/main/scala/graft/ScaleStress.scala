@@ -895,19 +895,9 @@ object ScaleStress {
     // structure and per-shingle df preserved exactly), not as 10 copies
     // whose clusters merge into artificial mega-clusters
     val docs = Tables.documents(spark, sf)
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val digits = "0123456789"
-    def rot(s: String, i: Int) = { val k = i % s.length; s.drop(k) + s.take(k) }
-    // digits rotate too: a shingle composed entirely of digits would
-    // otherwise be identical across replicas and merge their posting
-    // lists (ADVICE r11). Residual caveat: shingles of ONLY punctuation/
-    // whitespace still coincide — noted in SCALING.md, immeasurably rare
-    // in this corpus.
     (0 until reps).map(i => docs
         .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
-        .withColumn("text", translate(col("text"),
-          lower + lower.toUpperCase + digits,
-          rot(lower, i) + rot(lower.toUpperCase, i) + rot(digits, i))))
+        .withColumn("text", caesarText(col("text"), i)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // events: new users per replica on the same time axis — per-user
@@ -976,6 +966,80 @@ object ScaleStress {
     }
     }
 
+    if (sections("sf1")) {
+      // --- complete 10× dataset for the FULL-catalog second decade
+      // (VERDICT r11 #5): the sf10x probe inflates only the three tables
+      // its five headline queries read; running the whole 337-query
+      // bench a decade up needs every table. Same inflation philosophy —
+      // NEW keys per replica, per-key density preserved, referential
+      // integrity kept WITHIN each replica (what a 10× TPC-H-style
+      // generator produces) — extended to the remaining tables:
+      //  - region/nation: fixed-size dimensions at every SF, copied as-is
+      //    (TPC-H holds them constant across scale factors);
+      //  - customer/supplier/part/orders: key-shifted replicas; orders
+      //    shifts o_custkey and lineitem shifts l_partkey/l_suppkey by
+      //    the SAME per-replica stride, so every FK resolves to exactly
+      //    its own replica's dimension row and join fan-outs match real
+      //    SF growth (10× facts joining one shared dim would inflate
+      //    per-dim-key fan-out 10×, which SF growth does not do);
+      //  - embeddings: vec_id-shifted replicas with the vector cyclically
+      //    dim-rotated per replica (13·i positions, 13 coprime to 64 so
+      //    all ten rotations are distinct). Rotation is an isometry:
+      //    norms and all intra-replica cosines are preserved EXACTLY, so
+      //    per-replica neighbor structure (what ANN recall is measured
+      //    on) carries over, while cross-replica cosines decorrelate —
+      //    the 10× corpus behaves as 10 independent vector sets, not as
+      //    10 exact-duplicate neighbor groups that would turn every
+      //    top-k list into copies of one vector.
+      // Bench runs against the output via SPARK_GRAFT_SF_DIR (the
+      // committed record is BENCH_sf1.json + bench_detail_sf1.json —
+      // the detail filename deliberately does NOT match Bench
+      // .loadHistory's bench_detail_r<N> pattern, and its "sf" field
+      // differs, so sf0.1 stall gating never sees this record).
+      val out = if (args.length > 3) args(3)
+                else sys.props("java.io.tmpdir") + "/graft_sf1"
+      val reps = 10
+      val C = 1000000000L
+      def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until reps).map(i => f(df, i)).reduce(_ unionByName _)
+      def save(name: String, df: DataFrame): Unit =
+        time(s"sf1 write $name") {
+          df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+          spark.read.parquet(s"$out/$name.parquet").count()
+        }
+      save("region", Tables.region(spark, sf))
+      save("nation", Tables.nation(spark, sf))
+      save("customer", rep(Tables.customer(spark, sf))((d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * C))))
+      save("supplier", rep(Tables.supplier(spark, sf))((d, i) =>
+        d.withColumn("s_suppkey", col("s_suppkey") + lit(i * C))))
+      save("part", rep(Tables.part(spark, sf))((d, i) =>
+        d.withColumn("p_partkey", col("p_partkey") + lit(i * C))))
+      save("orders", rep(Tables.orders(spark, sf))((d, i) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(i * C))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * C))))
+      save("lineitem", rep(Tables.lineitem(spark, sf))((d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(i * C))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * C))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * C))))
+      save("events", rep(Tables.events(spark, sf))((d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * C))
+          .withColumn("user_id", col("user_id") + lit(i * 100000000L))))
+      save("documents", rep(Tables.documents(spark, sf))((d, i) =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", caesarText(col("text"), i))))
+      save("embeddings", rep(Tables.embeddings(spark, sf))((d, i) => {
+        val k = (i * 13) % 64
+        val rotated =
+          if (k == 0) col("embedding")
+          else concat(slice(col("embedding"), k + 1, 64 - k),
+                      slice(col("embedding"), 1, k))
+        d.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
+          .withColumn("embedding", rotated)
+      }))
+      println(s"sf1: complete 10x dataset at $out")
+    }
+
     if (sections("hotband")) {
       // Adversarial hot-bucket band join (VERDICT r11 #4): ONE key with
       // n rows inside ONE Δ window — the Δ-bucket rewrite bounds the
@@ -1004,14 +1068,39 @@ object ScaleStress {
               t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
             maxTaskMs.updateAndGet(m => math.max(m, t.taskInfo.duration))
         })
-      Seq(1, 8, 32).foreach { s =>
-        maxTaskMs.set(0)
-        time(f"hot-bucket pairsWithin salt=$s%-2d")(
-          BandJoin.pairsWithin(df, "user_id", "ts", delta,
-            Seq("event_id"), salt = s).count())
-        Thread.sleep(200) // drain task-end events
-        println(f"          max task ${maxTaskMs.get / 1e3}%.1f s")
+      // Two traps stand between the salt dial and a bounded task, both
+      // config-shaped rather than plan-shaped:
+      //  1. AQE's byte-based partition coalescing: the salted join's
+      //     shuffle BYTES are tiny (the inputs) while its per-row cost
+      //     is huge (the n²/2 emitted pairs), so AQE sees "small
+      //     shuffle" and merges the salt groups back into few reduce
+      //     partitions — undoing the dial for a reason it cannot see.
+      //  2. Reduce-partition hash collisions: `salt` groups hashed into
+      //     ≈`salt` partitions put ~ln n/ln ln n groups on one task; the
+      //     groups must land in MANY more partitions than there are
+      //     salts. A real cluster runs thousands of shuffle partitions,
+      //     so only the probe's 32-partition default needs the override.
+      // Sweep all three configs so SCALING.md records the dial AND both
+      // traps.
+      val sweeps = Seq(
+        ("defaults (AQE coalesce, 32 parts)", true, 32),
+        ("coalesce off, 32 parts", false, 32),
+        ("coalesce off, 256 parts", false, 256))
+      sweeps.foreach { case (tag, coalesce, parts) =>
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        Seq(1, 8, 32).foreach { s =>
+          maxTaskMs.set(0)
+          time(f"hot-bucket pairsWithin salt=$s%-2d [$tag]")(
+            BandJoin.pairsWithin(df, "user_id", "ts", delta,
+              Seq("event_id"), salt = s).count())
+          Thread.sleep(200) // drain task-end events
+          println(f"          max task ${maxTaskMs.get / 1e3}%.1f s")
+        }
       }
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", true)
+      spark.conf.set("spark.sql.shuffle.partitions", 32)
       df.unpersist(blocking = true)
     }
 
@@ -1025,7 +1114,17 @@ object ScaleStress {
       // full-scan grows with accumulated history (the r11 `weak`).
       // Synthetic cards keep realistic per-card density (~4 txns/day);
       // 1% of rows land on seeded master cards so the enrichment joins
-      // and mart appends exercise their real paths.
+      // and mart appends exercise their real paths. Rules 3/4 only fire
+      // for master cards (their enrichment joins are inner on the seed
+      // chain), so the generator must produce their shapes ON those
+      // cards: seeded rows take a hash-spread terminal (different cities
+      // inside 1 h windows → rule 3 fires at volume), and each day
+      // carries 40 crafted REJECT→REJECT→SUCCESS decreasing-amount
+      // triples 36 min apart (> the 20-min span, so triples never chain
+      // into each other) → rule 4 fires a deterministic 40/day. The
+      // per-rule mart counts printed after each curve must be IDENTICAL
+      // across modes for rules 3/4 — the probe shows the Δ-margin
+      // rewrite exact at volume, not just on the fixture.
       import graft.bank.{Pipeline, Schemas, Seeds, Warehouse}
       val nDays = if (args.length > 3) args(3).toInt else 30
       val rowsPerDay = if (args.length > 4) args(4).toInt else 1600000
@@ -1041,17 +1140,41 @@ object ScaleStress {
         val seeded = element_at(
           array(seedCards.map(lit(_)): _*),
           (pmod(xxhash64(col("id"), lit(d + 1)), lit(20L)) + 1).cast("int"))
-        spark.range(rowsPerDay).select(
+        val isSeeded = pmod(col("id"), lit(100)) === 0
+        val sampled = spark.range(rowsPerDay).select(
           concat(lit(s"tx${d}_"), col("id")).as("transaction_id"),
           timestamp_micros(lit(dayStartUs) +
             col("id") * lit(86400000000L / rowsPerDay)).as("transaction_date"),
-          when(pmod(col("id"), lit(100)) === 0, seeded).otherwise(synth)
-            .as("card_num"),
+          when(isSeeded, seeded).otherwise(synth).as("card_num"),
           lit("PAYMENT").as("oper_type"),
           (pmod(col("id"), lit(1000)) + 1).cast("decimal(10,2)").as("amount"),
           when(pmod(col("id"), lit(17)) === 0, lit("REJECT"))
             .otherwise(lit("SUCCESS")).as("oper_result"),
-          concat(lit("TS"), pmod(col("id"), lit(100))).as("terminal"))
+          // seeded (master-card) rows spread over all 100 terminals by
+          // hash — id is a multiple of 100 here, so `id mod 100` would
+          // pin them all to TS0/one city and rule 3 could never fire
+          when(isSeeded,
+            concat(lit("TS"), pmod(xxhash64(col("id"), lit(d + 3)), lit(100L))))
+            .otherwise(concat(lit("TS"), pmod(col("id"), lit(100))))
+            .as("terminal"))
+        // 40 crafted rule-4 triples: k = triple index, j = position;
+        // REJECT(900) → REJECT(600) → SUCCESS(300), 10 s apart, on a
+        // fixed terminal (one city — the triple itself never adds a
+        // rule-3 pair); triples 2160 s apart so chains can't span them
+        val crafted = spark.range(120).select(
+          concat(lit(s"cr${d}_"), col("id")).as("transaction_id"),
+          timestamp_micros(lit(dayStartUs + 300000000L) +
+            expr("id DIV 3") * lit(2160000000L) +
+            pmod(col("id"), lit(3)) * lit(10000000L)).as("transaction_date"),
+          element_at(array(seedCards.map(lit(_)): _*),
+            (pmod(expr("id DIV 3"), lit(20L)) + 1).cast("int")).as("card_num"),
+          lit("PAYMENT").as("oper_type"),
+          (lit(900) - pmod(col("id"), lit(3)) * 300).cast("decimal(10,2)")
+            .as("amount"),
+          when(pmod(col("id"), lit(3)) < 2, lit("REJECT"))
+            .otherwise(lit("SUCCESS")).as("oper_result"),
+          lit("TS0").as("terminal"))
+        sampled.unionByName(crafted)
       }
       val terminals = spark.range(100).select(
         concat(lit("TS"), col("id")).as("terminal_id"),
@@ -1062,11 +1185,11 @@ object ScaleStress {
       val emptyBl = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.factPassportBlacklist)
-      def run(tag: String, inc: Boolean): Vector[Double] = {
+      def run(tag: String, inc12: Boolean, inc34: Boolean): Vector[Double] = {
         val root = java.nio.file.Files.createTempDirectory(s"pipescale_$tag")
         val wh = new Warehouse(spark, root.resolve("wh").toString)
-        val pipe = new Pipeline(wh, seed, incrementalRules12 = inc,
-          incrementalRules34 = inc)
+        val pipe = new Pipeline(wh, seed, incrementalRules12 = inc12,
+          incrementalRules34 = inc34)
         val times = (0 until nDays).map { d =>
           val t0 = System.nanoTime()
           pipe.runDayStaged(dayTxns(d), emptyBl, terminals,
@@ -1081,21 +1204,50 @@ object ScaleStress {
         }.toVector
         println(s"[$tag] fact files: " +
           s"${wh.parquetFileCount(Pipeline.FactTransactions)}, " +
-          s"rep_fraud rows: ${wh.read(Pipeline.RepFraud).count()}, " +
           s"meta rows: ${wh.read(Pipeline.MetaLoading).count()}")
+        // Per-rule mart counts: rules 1/2 totals legitimately differ
+        // across modes (incremental12 is the sane each-hit-once variant
+        // of the reference's re-report quirk — Pipeline.ruleFacts note);
+        // rules 3/4 totals must be IDENTICAL in every mode — the Δ-margin
+        // rewrite is exact, and the probe output shows it next to the
+        // cost curves (full byte parity is IncrementalPipelineSpec's).
+        wh.read(Pipeline.RepFraud).groupBy("event_type").count()
+          .orderBy("event_type").collect() // bounded: 4 rule types
+          .foreach(r => println(s"[$tag] mart ${r.get(0)}: ${r.get(1)}"))
         times
       }
-      val full = run("full-scan", inc = false)
-      val incr = run("incremental", inc = true)
+      val modes = Seq(
+        ("full-scan", false, false), // the reference's plan, O(history)
+        ("inc12-only", true, false), // isolates rules 3/4's growth (r11 weak)
+        ("incremental", true, true)) // both dials: the O(day) plan
+      val curves = modes.map { case (tag, i12, i34) =>
+        tag -> run(tag, i12, i34)
+      }
       def mean(v: Seq[Double]) = v.sum / v.size
-      println(f"full-scan   days 1-3 ${mean(full.slice(1, 4))}%6.2f s -> " +
-        f"last 3 ${mean(full.takeRight(3))}%6.2f s " +
-        f"(x${mean(full.takeRight(3)) / mean(full.slice(1, 4))}%.2f)")
-      println(f"incremental days 1-3 ${mean(incr.slice(1, 4))}%6.2f s -> " +
-        f"last 3 ${mean(incr.takeRight(3))}%6.2f s " +
-        f"(x${mean(incr.takeRight(3)) / mean(incr.slice(1, 4))}%.2f)")
+      curves.foreach { case (tag, ts) =>
+        println(f"$tag%-11s days 1-3 ${mean(ts.slice(1, 4))}%6.2f s -> " +
+          f"last 3 ${mean(ts.takeRight(3))}%6.2f s " +
+          f"(x${mean(ts.takeRight(3)) / mean(ts.slice(1, 4))}%.2f)")
+      }
     }
     spark.stop()
+  }
+
+  /** Per-replica Caesar translation for document inflation: letters AND
+    * digits rotate (digits per ADVICE r11 — an all-digit shingle would
+    * otherwise coincide across replicas and merge their posting lists),
+    * so each replica's shingles live in a disjoint space and the
+    * inflated corpus behaves as `reps` independent corpora of NEW
+    * documents — intra-replica near-dup structure and per-shingle df
+    * preserved exactly, clusters never merged across replicas. Residual
+    * caveat: shingles of ONLY punctuation/whitespace still coincide —
+    * noted in SCALING.md, immeasurably rare in this corpus. */
+  private def caesarText(c: Column, i: Int): Column = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def rot(s: String): String = { val k = i % s.length; s.drop(k) + s.take(k) }
+    translate(c, lower + lower.toUpperCase + digits,
+      rot(lower) + rot(lower.toUpperCase) + rot(digits))
   }
 
   /** Adversarial near-dup CHAIN corpus: doc i = 4 consecutive 100-char
