@@ -1190,20 +1190,35 @@ object ScaleStress {
         val wh = new Warehouse(spark, root.resolve("wh").toString)
         val pipe = new Pipeline(wh, seed, incrementalRules12 = inc12,
           incrementalRules34 = inc34)
+        import scala.jdk.CollectionConverters._
+        def gcMs: Long = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
         val times = (0 until nDays).map { d =>
-          val t0 = System.nanoTime()
+          val t0 = System.nanoTime(); val g0 = gcMs
           pipe.runDayStaged(dayTxns(d), emptyBl, terminals,
             java.sql.Date.valueOf(day0.plusDays(d.toLong)))
-          // compact-behind like the daily drain, so file counts stay
-          // bounded and the read path ages realistically
+          // compact-behind EVERY table the day appended to, exactly like
+          // the streaming daily drain (IngestStream.runDailyDrains) —
+          // a first probe run that compacted only the fact left the
+          // unpartitioned mart and meta audit accumulating 4 + 10 small
+          // files per day, an O(N)-files read path no production cadence
+          // would tolerate
           wh.compactIfFragmented(Pipeline.FactTransactions,
             Seq("txn_date"), maxFiles = 256)
+          wh.compactIfFragmented(Pipeline.RepFraud, maxFiles = 64)
+          wh.compactIfFragmented(Pipeline.MetaLoading, maxFiles = 64)
           val t = (System.nanoTime() - t0) / 1e9
-          println(f"[$tag] day $d%2d: $t%7.2f s")
+          // per-day GC: decides environment-vs-structural growth from
+          // the log alone (a day whose wall grows with flat GC is doing
+          // more WORK; growing GC in one long-lived probe JVM is heap
+          // aging, which a real per-day driver never accumulates)
+          println(f"[$tag] day $d%2d: $t%7.2f s  (gc ${(gcMs - g0) / 1e3}%5.2f s)")
           t
         }.toVector
         println(s"[$tag] fact files: " +
           s"${wh.parquetFileCount(Pipeline.FactTransactions)}, " +
+          s"mart files: ${wh.parquetFileCount(Pipeline.RepFraud)}, " +
+          s"meta files: ${wh.parquetFileCount(Pipeline.MetaLoading)}, " +
           s"meta rows: ${wh.read(Pipeline.MetaLoading).count()}")
         // Per-rule mart counts: rules 1/2 totals legitimately differ
         // across modes (incremental12 is the sane each-hit-once variant
