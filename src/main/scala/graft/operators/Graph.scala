@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the clustering step every dedup
@@ -367,11 +367,38 @@ object Graph {
     * [[connectedComponents]]. No dangling-node mass term: every node
     * here is incident to an edge (degree ≥ 1 by construction).
     *
-    * Overflow bound: a node's in-sum is at most the total mass N·scale
-    * (star-graph worst case) and the update multiplies by 85, so pick
-    * scale with 85·N·scale < 2^63 — the 1e12 default is safe to ~1e5
-    * nodes; drop to 1e8 for billion-node graphs (precision parts in
-    * 1e-5, still identical on both engines). */
+    * Overflow guard: the damping update multiplies a node's in-sum by
+    * 85, so the iteration is exact only while every in-sum s satisfies
+    * 85·s < 2^63. The worst CASE is the star graph (all mass N·scale
+    * into one hub), but gating statically on 85·N·scale rejects real
+    * graphs whose in-sums sit near `scale` — measured: the 10× sf1
+    * co-purchase graph (200 k nodes) trips the static bound while its
+    * true max in-sum is ~1e3× below the Long ceiling. The guard is
+    * therefore DYNAMIC and exact: each iteration's rank update
+    * `raise_error`s on any row whose in-sum would overflow (the same
+    * condition under which the DuckDB oracle's BIGINT would refuse) —
+    * never a silent wrap, never a false rejection. For graphs that DO
+    * trip it (a billion-node hub), drop scale to 1e8 — precision parts
+    * in 1e-5, still identical on both engines. */
+  /** Per-row overflow guard for the integer damping update: each
+    * iteration's rank frame passes through `.where(guardInSum(scale))`,
+    * so an in-sum whose 85× multiple would leave Long range fails the
+    * query loudly (`raise_error`, the [[IntervalJoin]] pattern — a
+    * `.where` is not prunable) instead of wrapping silently. `s ≤
+    * Long.MaxValue/85` also bounds the subsequent `+ 15·scale/100` term
+    * given the ctor's `scale ≤ Long.MaxValue/85`: the sum stays below
+    * Long.MaxValue·(1/100 + 15/(100·85)). This replaces the former
+    * static star-graph bound 85·N·scale < 2^63, which rejected real
+    * graphs whose in-sums sit near `scale` (the 10× co-purchase graph
+    * at 200 k nodes) a factor ~N early. */
+  private def guardInSum(scale: Long): Column = {
+    val maxS = Long.MaxValue / 85
+    when(coalesce(col("s"), lit(0L)) <= lit(maxS), lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"pagerank in-sum overflows 85*s at scale=$scale: s="),
+        col("s"), lit(s" > $maxS - lower `scale`"))))
+  }
+
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
@@ -392,8 +419,8 @@ object Graph {
     // sanity bound's N). Above the threshold the shuffle join is the
     // plan a billion-node graph needs anyway.
     val nNodes = deg.count()
-    require(nNodes == 0 || scale <= Long.MaxValue / 85 / nNodes,
-      s"scale=$scale overflows the 85·N·scale bound at N=$nNodes nodes")
+    require(scale > 0 && scale <= Long.MaxValue / 85,
+      s"scale=$scale overflows 85*scale on a single node")
     val small = nNodes * 24 < (64L << 20)
     def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // deg rides inside the rank frame: one join per iteration, not two
@@ -407,6 +434,7 @@ object Graph {
       // join is total — coalesce guards the type, not a real case
       rank = deg
         .join(dial(contrib), Seq("id"), "left")
+        .where(guardInSum(scale))
         .select(col("id"), col("deg"),
           (lit(15L * scale / 100L) +
             expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
@@ -448,8 +476,8 @@ object Graph {
         .as("seed"))
       .localCheckpoint(eager = true)
     val nNodes = deg.count()
-    require(nNodes == 0 || scale <= Long.MaxValue / 85 / nNodes,
-      s"scale=$scale overflows the 85·N·scale bound at N=$nNodes nodes")
+    require(scale > 0 && scale <= Long.MaxValue / 85,
+      s"scale=$scale overflows 85*scale on a single node")
     val small = nNodes * 32 < (64L << 20)
     def dial(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var rank = deg.select(col("id"), col("deg"), col("seed"),
@@ -461,6 +489,7 @@ object Graph {
         .groupBy(col("v").as("id")).agg(sum(col("c")).as("s"))
       rank = deg
         .join(dial(contrib), Seq("id"), "left")
+        .where(guardInSum(scale))
         .select(col("id"), col("deg"), col("seed"),
           (col("seed") * lit(15L * scale / 100L) +
             expr("85 * coalesce(s, 0L) DIV 100")).as("r"))

@@ -150,11 +150,12 @@ object RankMetricsQueries {
     * rank-robust cousin of the Theil–Sen trend (q223). Both rankings
     * are full permutations (deterministic event_id tiebreak → no
     * ties), so rho = 1 - 6*sum(d^2)/(n(n^2-1)) is exact; ships as
-    * signed floor-ppm via the portable floor-div. n ~ 20k per type at
-    * sf0.1 keeps 1e6*(D-6S) within BIGINT (|.| <= 8.3e18); beyond
-    * ~60k rows per group the same query upgrades the final quotient
-    * to DECIMAL(38,0) — the counts and d^2 sums themselves are safe
-    * far past that. */
+    * signed floor-ppm via the portable floor-div. The ppm numerator
+    * n(n^2-1)*1e6 leaves BIGINT past ~60k rows per group, so the Spark
+    * side computes it in DECIMAL(38,0) (exact to 1e38; quotient back
+    * in BIGINT) — the 200k-row sf1 groups run exact where the long
+    * formula tripped ANSI overflow. The oracle keeps BIGINT: exact at
+    * oracle SFs, identical values. */
   val q283 = QueryDef.sql("q283_spearman_drift",
     s"""WITH v AS (SELECT event_type,
        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
@@ -184,12 +185,21 @@ object RankMetricsQueries {
           .orderBy("vm", "event_id")).cast("long").as("rv"),
         row_number().over(Window.partitionBy("event_type")
           .orderBy("tu", "event_id")).cast("long").as("rt"))
+      // the ppm numerator n(n²−1)·1e6 leaves BIGINT past ~60k rows per
+      // group (the scaladoc's documented upgrade point — the 200k-row
+      // sf1 event-type groups tripped ANSI overflow in the round-12
+      // second-decade bench), so it rides DECIMAL(38,0); the floor-div
+      // quotient lands back in BIGINT (|rho_ppm| ≤ 1e6) and every value
+      // and the output schema are unchanged, so the DuckDB oracle
+      // (exact BIGINT at oracle SFs) stays green untouched
+      val nDec = "CAST(n AS DECIMAL(38,0))"
       r.groupBy("event_type").agg(count(lit(1)).as("n"),
           sum((col("rv") - col("rt")) * (col("rv") - col("rt")))
             .as("s_d2"))
         .withColumn("rho_ppm", expr(fdiv(
-          "(n * (n * n - 1) - 6 * s_d2) * 1000000",
-          "n * (n * n - 1)", "DIV")))
+          s"($nDec * ($nDec * n - 1) - 6 * CAST(s_d2 AS DECIMAL(38,0)))" +
+            " * 1000000",
+          s"$nDec * ($nDec * n - 1)", "DIV")))
     })
 
   /** Kendall concordance of each user's value stream with time:

@@ -18,6 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object ScoringQueries {
 
+  /** Weighted-Gini floor-ppm expressions shared by q308/q312. Row-count
+    * SQUARES ride DECIMAL(38,0): `nl*nl*1e6` leaves BIGINT past ~3e9
+    * rows in principle and the 6M-row sf1 lineitem already trips
+    * Spark's ANSI overflow check at `(tp+tq)^2 * 1e6` (3.6e19 > 2^63) —
+    * measured in the round-12 second-decade bench. DECIMAL(38,0)
+    * intermediates are exact to 1e38 (~1e12-row fact tables at ppm
+    * scale) and `DIV` lands the quotient back in BIGINT (≤ 2e6 ppm),
+    * so the output schema and every value are unchanged — the DuckDB
+    * oracle (exact BIGINT at oracle SFs) stays green untouched. */
+  // sq's expansion is self-parenthesized: `DIV` and `*` share
+  // precedence left-associatively, so an unwrapped `DIV CAST(..) * (..)`
+  // would parse as `(.. DIV CAST(..)) * (..)` and silently drop the
+  // denominator's second factor (caught by RankMetricsSpec's
+  // brute-force parity case)
+  private def sq(c: String) = s"(CAST($c AS DECIMAL(38,0)) * ($c))"
+
+  private val giniPpm: String =
+    s"((${sq("nl")} - ${sq("cp")} - ${sq("cq")}) * 1000000)" +
+      s" DIV (CAST(nl AS DECIMAL(38,0)) * (tp + tq))" +
+      s" + ((${sq("nr")} - ${sq("tp - cp")} - ${sq("tq - cq")}) * 1000000)" +
+      s" DIV (CAST(nr AS DECIMAL(38,0)) * (tp + tq))"
+
+  private val parentGiniPpm: String =
+    s"((${sq("tp + tq")} - ${sq("tp")} - ${sq("tq")}) * 1000000)" +
+      s" DIV ${sq("tp + tq")}"
+
   /** Hashed-feature linear text-quality scorer: token → 12-bit md5
     * bucket → deterministic integer weight in [-1000, 1000] milli
     * units; a document's score is the exact integer sum, its label the
@@ -872,16 +898,12 @@ object ScoringQueries {
         .withColumn("nl", col("cp") + col("cq"))
         .withColumn("nr",
           (col("tp") - col("cp")) + (col("tq") - col("cq")))
-      val i = sdf.withColumn("gini_ppm", expr(
-        "((nl * nl - cp * cp - cq * cq) * 1000000) DIV (nl * (tp + tq))" +
-          " + ((nr * nr - (tp - cp) * (tp - cp)" +
-          " - (tq - cq) * (tq - cq)) * 1000000) DIV (nr * (tp + tq))"))
+      val i = sdf.withColumn("gini_ppm", expr(giniPpm))
       // argmin as a single struct-min aggregate (field order = the
       // (gini, sc) tiebreak), not a global row_number window
       i.agg(min(struct(col("gini_ppm"), col("sc"), col("nl"),
           col("cp"), col("nr"), (col("tp") - col("cp")).as("pr"),
-          expr("((tp + tq) * (tp + tq) - tp * tp - tq * tq) * 1000000" +
-            " DIV ((tp + tq) * (tp + tq))").as("pg"))).as("b"))
+          expr(parentGiniPpm).as("pg"))).as("b"))
         .select(col("b.sc").as("threshold_cents"),
           col("b.nl").as("n_left"), col("b.cp").as("pos_left"),
           col("b.nr").as("n_right"), col("b.pr").as("pos_right"),
@@ -973,17 +995,13 @@ object ScoringQueries {
         .withColumn("nl", col("cp") + col("cq"))
         .withColumn("nr",
           (col("tp") - col("cp")) + (col("tq") - col("cq")))
-      val i = sdf.withColumn("gini_ppm", expr(
-        "((nl * nl - cp * cp - cq * cq) * 1000000) DIV (nl * (tp + tq))" +
-          " + ((nr * nr - (tp - cp) * (tp - cp)" +
-          " - (tq - cq) * (tq - cq)) * 1000000) DIV (nr * (tp + tq))"))
+      val i = sdf.withColumn("gini_ppm", expr(giniPpm))
       val best = i.groupBy("feature")
         .agg(min(struct(col("gini_ppm"), col("sc"))).as("bm"))
         .select(col("feature"), col("bm.sc").as("threshold"),
           col("bm.gini_ppm").as("child_gini_ppm"))
       val pg = t.select(col("feature"),
-        expr("((tp + tq) * (tp + tq) - tp * tp - tq * tq) * 1000000" +
-          " DIV ((tp + tq) * (tp + tq))").as("parent_gini_ppm"))
+        expr(parentGiniPpm).as("parent_gini_ppm"))
       best.join(pg, "feature")
         .withColumn("decrease_ppm",
           col("parent_gini_ppm") - col("child_gini_ppm"))

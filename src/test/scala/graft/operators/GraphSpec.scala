@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphSpec extends AnyFunSuite {
@@ -123,6 +124,39 @@ class GraphSpec extends AnyFunSuite {
     val b = Graph.pageRankScaled(edges.repartition(13), "u", "v", 3)
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
+  }
+
+  test("pageRankScaled: graphs beyond the old static star-bound run exact") {
+    // 150k-node ring at the default scale=1e12: the former static guard
+    // (85*N*scale < 2^63, star-graph worst case) rejected any graph
+    // past ~108k nodes — the 10x sf1 co-purchase graph (200k nodes)
+    // failed the bench on it while its true in-sums sit near `scale`.
+    // The guard is per-row now; this graph must run and stay exact:
+    // every ring node has deg 2 and holds (close to) its initial mass.
+    val n = 150000L
+    val edges = spark.range(n).select(col("id").as("u"),
+      ((col("id") + 1) % n).as("v"))
+    val ranks = Graph.pageRankScaled(edges, "u", "v", iterations = 2)
+    val Array(row) = ranks.agg(count(lit(1)), min(col("rank_scaled")),
+      max(col("rank_scaled"))).collect()
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getLong(1) - 1000000000000L) < 10L)
+    assert(math.abs(row.getLong(2) - 1000000000000L) < 10L)
+  }
+
+  test("pageRankScaled: real in-sum overflow raises instead of wrapping") {
+    // scale at the single-node ceiling: a 3-leaf star's center in-sum
+    // (3*scale) overflows 85*s in the first damping update — the
+    // per-row guard must fail the query loudly, not wrap the BIGINT
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val e = intercept[Throwable] {
+      Graph.pageRankScaled(edges, "u", "v", iterations = 1,
+        scale = Long.MaxValue / 85)
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
+    assert(messages(e).contains("overflows 85*s"))
   }
 
   test("triangleCount: duplicate/reversed/self edges canonicalize first") {
