@@ -374,12 +374,30 @@ object SequenceQueries {
         .withColumn("blk", substring(col("sig"), 1, 1))
       val a = sig.toDF("ua", "siga", "blk")
       val b = sig.toDF("ub", "sigb", "blk")
-      a.join(b, Seq("blk")).where(col("ua") < col("ub"))
+      // global top-20 as TakeOrdered (per-partition top-20, merge of
+      // 20·partitions rows), NOT a no-partition row_number window — the
+      // window funneled EVERY candidate pair into one task (the q209
+      // single-task-sort class; at 10× the pair frame is ~100× the base
+      // and that one task was the whole query). rk is then a window
+      // over the 20 SURVIVING rows only.
+      // broadcast the b side (the ~|alphabet|-value block key makes a
+      // shuffled join degenerate to that many busy tasks) AND
+      // repartition the probe side explicitly: the signature aggregate's
+      // output is ~1 MB, so AQE's byte-based coalescing folds its 32
+      // post-shuffle partitions into ~1 — blind to the ~1500-pairs-per-
+      // row amplification the join is about to apply (the SCALING.md
+      // hot-band trap, in catalog form; measured at 10×: 1.5 busy cores
+      // over a 26 s run). A user-specified repartition count is exempt
+      // from AQE coalescing, so the 22.6 M-pair levenshtein stage runs
+      // full-width. Past broadcast range the dial is Skew.saltedJoin on
+      // (blk, salt) with the same pinned partitioning.
+      val top = a.repartition(64).join(broadcast(b), Seq("blk"))
+        .where(col("ua") < col("ub"))
         .select(col("ua"), col("ub"),
           levenshtein(col("siga"), col("sigb")).cast("long").as("dist"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("dist"), col("ua"), col("ub"))).cast("long"))
-        .where(col("rk") <= 20)
+        .orderBy(col("dist"), col("ua"), col("ub")).limit(20)
+      top.withColumn("rk", row_number().over(
+        Window.orderBy(col("dist"), col("ua"), col("ub"))).cast("long"))
     })
 
   /** Portable floor-division for SIGNED dividend / positive divisor

