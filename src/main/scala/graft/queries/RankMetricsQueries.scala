@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Rank
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Exact rank/order statistics — the evaluation battery a
   * training-data pipeline runs when a quality score (q221), a dedup
@@ -127,13 +129,49 @@ object RankMetricsQueries {
           .as("sc"),
         col("l_orderkey"), col("l_linenumber"),
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
-      val o = Window.partitionBy("grp")
-        .orderBy(col("sc").desc, col("l_orderkey"), col("l_linenumber"))
-      val r = b.select(col("grp"), col("pos"),
-        row_number().over(o).cast("long").as("rk"),
-        sum("pos").over(
-          o.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("cp"))
+      // per-group rank + running positives, COUNT-THEN-DIALED (the
+      // broadcast/graph-dial stance): grp is l_linestatus (2-3 distinct
+      // values), so the window plan drains every row through that many
+      // tasks — fine while a group fits one task's appetite (the window
+      // plan wins below the dial: 1.15 s vs the two-pass's shuffle
+      // constants at sf0.1), a 2-core ceiling past it (measured at 10×:
+      // 2.4 busy cores over 8.2 s; two-pass 6.3 s and widening with
+      // cores). Above the dial: with grp as the LEADING key of the
+      // global order, group blocks are contiguous — two-pass
+      // distributed rank/prefix (Rank.globalRank/globalPrefixSum, the
+      // q209 stance) computes global rkg/cpg and subtracts each group's
+      // rows/positives-before (bounded |groups|-row driver scan) for
+      // the identical per-group rk/cp at full width.
+      val r = if (b.count() < 2000000L) {
+        val o = Window.partitionBy("grp")
+          .orderBy(col("sc").desc, col("l_orderkey"), col("l_linenumber"))
+        b.select(col("grp"), col("pos"),
+          row_number().over(o).cast("long").as("rk"),
+          sum("pos").over(
+            o.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cp"))
+      } else {
+        val ord: Seq[Column] =
+          Seq(col("grp"), col("sc").desc, col("l_orderkey"),
+            col("l_linenumber"))
+        val withRank = Rank.globalPrefixSum(
+          Rank.globalRank(b, "rkg", ord: _*), "cpg", "pos", ord: _*)
+        val gtot = b.groupBy("grp")
+          .agg(count(lit(1)).as("gn"), sum("pos").as("gp"))
+          .orderBy("grp").collect() // bounded: one row per linestatus
+        var rowsB = 0L
+        var posB = 0L
+        val offs = gtot.toSeq.map { t =>
+          val o = (t.getString(0), rowsB, posB)
+          rowsB += t.getLong(1); posB += t.getLong(2); o
+        }
+        val offDf = broadcast(
+          s.createDataFrame(offs).toDF("grp", "rows_b", "pos_b"))
+        withRank.join(offDf, "grp")
+          .select(col("grp"), col("pos"),
+            (col("rkg") - col("rows_b")).as("rk"),
+            (col("cpg") - col("pos_b")).as("cp"))
+      }
       r.groupBy("grp").agg(max("cp").as("n_pos"),
           sum(when(col("pos") === 1,
             expr("(cp * 1000000) DIV rk")).otherwise(0L)).as("tsum"),
