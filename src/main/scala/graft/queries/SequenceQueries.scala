@@ -372,30 +372,19 @@ object SequenceQueries {
           sort_array(collect_list(struct(col("rn"), col("ini")))),
           x => x.getField("ini")), "").as("sig"))
         .withColumn("blk", substring(col("sig"), 1, 1))
-      val a = sig.toDF("ua", "siga", "blk")
-      val b = sig.toDF("ub", "sigb", "blk")
-      // global top-20 as TakeOrdered (per-partition top-20, merge of
-      // 20·partitions rows), NOT a no-partition row_number window — the
-      // window funneled EVERY candidate pair into one task (the q209
-      // single-task-sort class; at 10× the pair frame is ~100× the base
-      // and that one task was the whole query). rk is then a window
-      // over the 20 SURVIVING rows only.
-      // broadcast the b side (the ~|alphabet|-value block key makes a
-      // shuffled join degenerate to that many busy tasks) AND
-      // repartition the probe side explicitly: the signature aggregate's
-      // output is ~1 MB, so AQE's byte-based coalescing folds its 32
-      // post-shuffle partitions into ~1 — blind to the ~1500-pairs-per-
-      // row amplification the join is about to apply (the SCALING.md
-      // hot-band trap, in catalog form; measured at 10×: 1.5 busy cores
-      // over a 26 s run). A user-specified repartition count is exempt
-      // from AQE coalescing, so the 22.6 M-pair levenshtein stage runs
-      // full-width. Past broadcast range the dial is Skew.saltedJoin on
-      // (blk, salt) with the same pinned partitioning.
-      val top = a.repartition(64).join(broadcast(b), Seq("blk"))
-        .where(col("ua") < col("ub"))
-        .select(col("ua"), col("ub"),
-          levenshtein(col("siga"), col("sigb")).cast("long").as("dist"))
-        .orderBy(col("dist"), col("ua"), col("ub")).limit(20)
+      // EXACT top-20 WITHOUT the in-block pair space (VERDICT r12 #1:
+      // the block key has ~5 fixed values, so in-block pairs grow
+      // quadratically per data decade no matter how good the plan) —
+      // the count-then-dial ladder of Linkage.topKClosestPairs:
+      // identical-sig groups, then PassJoin segment-pigeonhole
+      // candidates at radius 1..3 (exact: any pair the rung excludes
+      // is farther than the rung's verified 20th-best), then the old
+      // block join only below ladder range. The winning rung FALLS as
+      // data grows (cutoff dist 3 at sf0.1, 2 at 10×), so scale runs
+      // the linear rungs. rk is a window over the 20 surviving rows.
+      val top = graft.operators.Linkage
+        .topKClosestPairs(sig, "user_id", "sig", "blk", k = 20)
+        .select(col("id1").as("ua"), col("id2").as("ub"), col("dist"))
       top.withColumn("rk", row_number().over(
         Window.orderBy(col("dist"), col("ua"), col("ub"))).cast("long"))
     })

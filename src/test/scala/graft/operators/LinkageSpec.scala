@@ -54,4 +54,134 @@ class LinkageSpec extends AnyFunSuite {
     // sort order is (score, id): a-side is never strictly greater
     assert(got.where(col("a_score") > col("b_score")).count() == 0L)
   }
+
+  // ---- edit-distance family (VERDICT r12 #1) -------------------------
+
+  /** Deterministic pseudo-random strings over a small alphabet —
+    * variable lengths (including the short tail the segment grid's
+    * empty-width edge exists for) and enough collisions to exercise
+    * every rung. */
+  private def strings(n: Int, alphabet: String, maxLen: Int): Seq[(Long, String)] =
+    (1 to n).map { i =>
+      var h = i * 2654435761L
+      def next(m: Int) = { h = h * 6364136223846793005L + 1442695040888963407L
+        (math.abs(h >> 33) % m).toInt }
+      val len = 1 + next(maxLen)
+      (i.toLong, (1 to len).map(_ => alphabet(next(alphabet.length))).mkString)
+    }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Brute-force same-block pairs at dist ≤ r (blk = first char). */
+  private def bruteWithin(rows: Seq[(Long, String)], r: Int): Set[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.head == sb.head && lev(sa, sb) <= r
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+
+  test("editCandidates is a superset of every same-block pair at dist <= r") {
+    val rows = strings(220, "abc", 9)
+    val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
+    for (r <- 1 to 3) {
+      val cands = Linkage.editCandidates(df, "id", "s", "blk", r)
+        .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+      val need = bruteWithin(rows, r).map(t => (t._1, t._2))
+      assert(need.subsetOf(cands),
+        s"rung $r missed ${(need -- cands).take(5)} of ${need.size}")
+      // no duplicate pairs, no self-pairs, ordered ids
+      val all = Linkage.editCandidates(df, "id", "s", "blk", r)
+        .select("id1", "id2").collect()
+      assert(all.length == all.distinct.length)
+      assert(all.forall(row => row.getLong(0) < row.getLong(1)))
+    }
+  }
+
+  /** Brute-force global top-k by (dist, id1, id2) over same-blk pairs. */
+  private def bruteTopK(rows: Seq[(Long, String)], k: Int): Seq[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.head == sb.head
+    } yield (ia, ib, lev(sa, sb).toLong))
+      .sortBy { case (a, b, d) => (d, a, b) }.take(k)
+
+  test("topKClosestPairs: rung-0 branch (duplicate-heavy corpus)") {
+    // 2-char alphabet, short strings → many identical-sig groups
+    val rows = strings(300, "ab", 3)
+    val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
+    val got = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == bruteTopK(rows, 15))
+    assert(got.forall(_._3 == 0L), "rung 0 must have fired (all dist 0)")
+  }
+
+  test("topKClosestPairs: ladder branch (distinct strings, close pairs)") {
+    val rows = strings(260, "abcde", 10)
+    val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
+    val got = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == bruteTopK(rows, 20))
+  }
+
+  test("topKClosestPairs: fallback branch (sparse corpus, cutoff past maxRung)") {
+    // long strings over a wide alphabet → nearest pairs sit far apart
+    val rows = strings(40, "abcdefghijklmnop", 14).filter(_._2.length >= 8)
+    val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
+    val brute = bruteTopK(rows, 10)
+    assert(brute.exists(_._3 > 3), "fixture must force the fallback rung")
+    val got = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == brute)
+    // budget 0 forces the salted-join fallback — identical answer
+    val salted = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 10,
+        broadcastBudget = 0L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(salted == brute)
+  }
+
+  test("editJoinByDistinct equals the brute-force block join") {
+    // low-distinct values: ~12 names over 150 rows, blocked on tag
+    val rows = (1 to 150).map { i =>
+      val name = Seq("alpha", "alpine", "alpaca", "beta", "betta", "bertha",
+        "gamma", "gamba", "gumbo", "delta", "dalta", "delia")(i * 7 % 12)
+      (i.toLong, name, s"t${i % 3}")
+    }
+    val df = rows.toDF("id", "name", "tag")
+    val got = Linkage.editJoinByDistinct(df, "id", "name", Seq("tag"), maxDist = 2)
+      .select(col("id1"), col("id2"), col("dist").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (ia, na, ta) <- rows; (ib, nb, tb) <- rows
+      if ia < ib && ta == tb && lev(na, nb) <= 2
+    } yield (ia, ib, lev(na, nb).toLong)).toSet
+    assert(got == want)
+    // each unordered pair ships exactly once
+    val cnt = Linkage.editJoinByDistinct(df, "id", "name", Seq("tag"), maxDist = 2)
+      .groupBy("id1", "id2").count().where(col("count") > 1).count()
+    assert(cnt == 0L)
+  }
+
+  test("editJoinByDistinct: shuffled (non-broadcast) name-pair path parity") {
+    val rows = (1 to 80).map { i =>
+      (i.toLong, Seq("kilo", "kila", "milo", "mila")(i % 4), "x")
+    }
+    val df = rows.toDF("id", "name", "tag")
+    // budget 0 forces the shuffled value-pair path; salt=3 exercises
+    // the fragment grid — same rows as the broadcast path
+    val got = Linkage.editJoinByDistinct(df, "id", "name", Seq("tag"),
+        maxDist = 1, salt = 3, broadcastBudget = 0L)
+      .select(col("id1"), col("id2"), col("dist").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (ia, na, _) <- rows; (ib, nb, _) <- rows
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb).toLong)).toSet
+    assert(got == want)
+  }
 }
