@@ -386,6 +386,18 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+      // Per-round committed copy (VERDICT r12 #6): the 3×-median
+      // arbitration gate reads bench_detail_r<N>*.json history, so each
+      // round must leave its own full-coverage detail or the gate's
+      // window stops sliding. SPARK_GRAFT_ROUND is set by the builder's
+      // bench invocation; driver runs (env unset) keep writing only
+      // bench_detail.json, which the builder commits under the round
+      // name.
+      sys.env.get("SPARK_GRAFT_ROUND").filter(_.matches("\\d+")).foreach {
+        r => java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"bench_detail_r$r.json"),
+          full.getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () }
     // Per-query keys at full catalog size no longer fit the driver's
     // ~2000-char tail window (162 queries measured 1767 chars). The

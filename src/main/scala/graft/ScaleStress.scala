@@ -1086,7 +1086,13 @@ object ScaleStress {
         ("defaults (AQE coalesce, 32 parts)", true, 32),
         ("coalesce off, 32 parts", false, 32),
         ("coalesce off, 256 parts", false, 256))
-      sweeps.foreach { case (tag, coalesce, parts) =>
+      // restore the values IN EFFECT before the sweep, not hard-coded
+      // builder defaults — silently wrong for any later section if the
+      // session builder changes (ADVICE r12)
+      val savedCoalesce =
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      try sweeps.foreach { case (tag, coalesce, parts) =>
         spark.conf.set(
           "spark.sql.adaptive.coalescePartitions.enabled", coalesce)
         spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -1098,9 +1104,11 @@ object ScaleStress {
           Thread.sleep(200) // drain task-end events
           println(f"          max task ${maxTaskMs.get / 1e3}%.1f s")
         }
+      } finally {
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
       }
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", true)
-      spark.conf.set("spark.sql.shuffle.partitions", 32)
       df.unpersist(blocking = true)
     }
 

@@ -50,6 +50,31 @@ object BandJoin {
   private def allSalts(salt: Int): Column =
     explode(array((0 until salt).map(s => lit(s.toLong)): _*))
 
+  /** Pin the salted join's partitioning INSIDE the operator (VERDICT
+    * r12 #3 — previously the pin lived in documentation only, and
+    * SCALING.md measured salt=32 running WORSE than salt=1 under
+    * default config). Two config traps, one fix:
+    *  1. AQE byte-coalescing sees the join's tiny shuffle BYTES (the
+    *     inputs) and merges the salt groups back into few reduce
+    *     partitions, blind to the n²-pair amplification the join is
+    *     about to apply — a USER-SPECIFIED repartition count is exempt
+    *     from coalescing;
+    *  2. `salt` groups hashed into ≈`salt` partitions put several
+    *     groups on one task — the count must be well above the salt
+    *     (salt × 8, the SCALING.md sweep's winning 256-for-32 shape),
+    *     and at least the session parallelism.
+    * Both join sides repartition on the join keys with the same pinned
+    * count, so the exchanges satisfy the join's required distribution
+    * and no extra shuffle is inserted. Only the salt > 1 path pins:
+    * salt = 1 keeps AQE's runtime re-plan (coalescing AND skew-split)
+    * exactly as before. */
+  private def pinSalted(df: DataFrame, joinKeys: Seq[String],
+                        salt: Int): DataFrame = {
+    val p = math.max(
+      df.sparkSession.sparkContext.defaultParallelism, salt * 8)
+    df.repartition(p, joinKeys.map(col): _*)
+  }
+
   /** All ordered pairs (a, b) with equal `key`, a.ts < b.ts, and
     * b.ts − a.ts < deltaUs (microseconds). Output: left columns aliased
     * `<name>_1`, right `<name>_2`. Both inputs must contain `key` and
@@ -77,9 +102,13 @@ object BandJoin {
     // the un-exploded (left) side takes the deterministic content salt;
     // the bucket-exploded right side replicates over every salt value
     val left = if (salt <= 1) left0
-               else left0.withColumn("__salt", contentSalt(left0, salt))
+               else pinSalted(
+                 left0.withColumn("__salt", contentSalt(left0, salt)),
+                 joinKeys, salt)
     val right = if (salt <= 1) right0
-                else right0.withColumn("__salt", allSalts(salt))
+                else pinSalted(
+                  right0.withColumn("__salt", allSalts(salt)),
+                  joinKeys, salt)
 
     left.join(right, joinKeys)
       .where(col("__us_1") < col("__us_2") &&
@@ -108,9 +137,11 @@ object BandJoin {
     // the right side takes the deterministic content salt; the left side
     // (already exploded ×2 over buckets) replicates over every salt
     val r = if (salt <= 1) r0
-            else r0.withColumn("__salt", contentSalt(r0, salt))
+            else pinSalted(r0.withColumn("__salt", contentSalt(r0, salt)),
+              joinKeys, salt)
     val l = if (salt <= 1) l0
-            else l0.withColumn("__salt", allSalts(salt))
+            else pinSalted(l0.withColumn("__salt", allSalts(salt)),
+              joinKeys, salt)
     l.join(r, joinKeys)
       .where(col("__lus") < col("__rus") &&
         col("__rus") - col("__lus") < deltaUs)

@@ -97,13 +97,25 @@ object Bootstrap {
     * draw-for-draw identical, PlannerSpec). Replicates that drew no
     * rows (n = 0, impossible beyond toy sizes) are dropped to match
     * the exploded form's `w > 0` semantics. */
-  def replicateSums(base: DataFrame, b: Int): DataFrame =
-    base.groupBy("g")
+  def replicateSums(base: DataFrame, b: Int): DataFrame = {
+    // The partial aggregate does B md5 draws PER ROW — the per-row cost
+    // is ~64× a scan's — but it runs at the SCAN's parallelism, and the
+    // local testdata fact table is a couple of parquet splits (measured
+    // r12: q196 at 7.2 s cpu≈wall on ~1 of 32 cores). Widen only when
+    // the input is narrower than the session parallelism: one
+    // round-robin shuffle of the narrow (g, key, cents) rows buys
+    // full-width hashing; on a real cluster the fact scan already has
+    // thousands of splits and this is a no-op.
+    val want = base.sparkSession.sparkContext.defaultParallelism
+    val wide = if (base.rdd.getNumPartitions < want)
+      base.repartition(want) else base
+    wide.groupBy("g")
       .agg(graft.functions.BootstrapExpr.bootstrapSums(
         col("key"), col("cents"), b, Thresholds).as("bs"))
       .select(col("g"), posexplode(col("bs")).as(Seq("b", "p")))
       .select(col("g"), col("b"), col("p.s").as("s"), col("p.n").as("n"))
       .where(col("n") > 0)
+  }
 
   /** Two-sample bootstrap: CI on mean(gA) − mean(gB). The SAME B
     * replicates resample both groups (keys are globally unique, so the

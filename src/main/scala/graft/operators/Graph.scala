@@ -393,10 +393,17 @@ object Graph {
     * at 200 k nodes) a factor ~N early. */
   private def guardInSum(scale: Long): Column = {
     val maxS = Long.MaxValue / 85
-    when(coalesce(col("s"), lit(0L)) <= lit(maxS), lit(true))
+    // BETWEEN, not ≤: rank contributions are non-negative by
+    // construction, so a NEGATIVE in-sum is only reachable through a
+    // 64-bit wrap in the contribution sum itself — under ANSI that sum
+    // raises before reaching here, but with spark.sql.ansi.enabled=false
+    // it wraps silently, and an upper bound alone would wave the wrapped
+    // value through (ADVICE r12). Rejecting s < 0 makes the
+    // never-a-silent-wrap guarantee ANSI-independent.
+    when(coalesce(col("s"), lit(0L)).between(0L, maxS), lit(true))
       .otherwise(raise_error(concat(
         lit(s"pagerank in-sum overflows 85*s at scale=$scale: s="),
-        col("s"), lit(s" > $maxS - lower `scale`"))))
+        col("s"), lit(s" outside [0, $maxS] - lower `scale`"))))
   }
 
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,

@@ -185,6 +185,32 @@ object Ivf {
       "id", "v", k, nprobe, excludeSelf = true)
   }
 
+  /** The deterministic twin's COUNT-THEN-DIAL sizing (VERDICT r12 #4:
+    * a fixed nlist makes candidate work a constant corpus fraction —
+    * q160's 10× exponent was 0.92, i.e. linear): nlist = √n (textbook
+    * IVF sizing, same rule as [[ivfTopKAuto]]) FLOORED at the dial's
+    * engagement constants, nprobe = nlist/8 floored likewise. The
+    * floors keep every corpus up to floorNlist² rows on the exact
+    * historical (64, 16) index — bit-identical replay, oracle rows
+    * unchanged at the test SFs — while larger corpora get √n cells and
+    * per-query candidate work that scales √n instead of n. Pure
+    * integer/IEEE-sqrt arithmetic (correctly rounded on both engines),
+    * so the DuckDB oracle computes the identical dial from count(*). */
+  private[operators] def detDial(n: Long, floorNlist: Int = 64,
+                                 floorNprobe: Int = 16): (Int, Int) = {
+    val nlist = math.max(floorNlist,
+      math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt)
+    (nlist, math.max(floorNprobe, nlist / 8))
+  }
+
+  /** [[ivfTopKDeterministic]] with the [[detDial]] √n sizing from one
+    * bounded `count()` action. */
+  def ivfTopKDeterministicAuto(emb: DataFrame, idCol: String,
+                               vecCol: String, k: Int): DataFrame = {
+    val (nlist, nprobe) = detDial(emb.count())
+    ivfTopKDeterministic(emb, idCol, vecCol, k, nlist, nprobe)
+  }
+
   /** One FULLY DETERMINISTIC Lloyd (k-means) step, exact enough to
     * hash-check across engines: seeds are the hash-sample centroids of
     * [[buildIndexDeterministic]] (first k vectors by md5(id) — KMeans'

@@ -607,6 +607,13 @@ object CausalQueries {
             .as("post"),
           (col("value").cast("decimal(18,6)") * 1000000).cast("long")
             .as("vm"))
+        // full width BEFORE the checkpoint: the 64-way explode below
+        // does one md5 per (row, replicate) at b's partitioning, and b
+        // otherwise inherits the events scan's couple of splits
+        // (measured r12: 5.4 s cpu≈wall on ~1 of 32 cores). The
+        // checkpoint stores the widened layout, so every consumer —
+        // the observed cells and the permutation explode — runs wide.
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(true) // observed cells AND the 64-way explode
       def didOf(df: org.apache.spark.sql.DataFrame, flag: String,
                 extra: Seq[String]): org.apache.spark.sql.DataFrame = {

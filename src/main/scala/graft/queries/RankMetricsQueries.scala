@@ -34,6 +34,58 @@ import org.apache.spark.sql.Column
   */
 object RankMetricsQueries {
 
+  /** q282's rank + running-positives kernel over a (grp, sc,
+    * l_orderkey, l_linenumber, pos) frame, COUNT-THEN-DIALED (the
+    * broadcast/graph-dial stance): grp is l_linestatus (2-3 distinct
+    * values), so the window plan drains every row through that many
+    * tasks — fine while a group fits one task's appetite (the window
+    * plan wins below the dial: 1.15 s vs the two-pass's shuffle
+    * constants at sf0.1), a 2-core ceiling past it (measured at 10×:
+    * 2.4 busy cores over 8.2 s; two-pass 6.3 s and widening with
+    * cores). Above the dial: with grp as the LEADING key of the
+    * global order, group blocks are contiguous — two-pass distributed
+    * rank/prefix (Rank.globalRank/globalPrefixSum, the q209 stance)
+    * computes global rkg/cpg and subtracts each group's rows/
+    * positives-before (bounded |groups|-row driver scan) for the
+    * identical per-group rk/cp at full width. `twoPassAt` is
+    * injectable so RankMetricsSpec can force the two-pass branch on a
+    * small frame and pin row-for-row parity (ADVICE r12: the branch
+    * must not exist only in the unverified 10× bench). */
+  private[queries] def rankAndRunningPos(
+      b: org.apache.spark.sql.DataFrame, twoPassAt: Long)
+      : org.apache.spark.sql.DataFrame = {
+    if (b.count() < twoPassAt) {
+      val o = Window.partitionBy("grp")
+        .orderBy(col("sc").desc, col("l_orderkey"), col("l_linenumber"))
+      b.select(col("grp"), col("pos"),
+        row_number().over(o).cast("long").as("rk"),
+        sum("pos").over(
+          o.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cp"))
+    } else {
+      val ord: Seq[Column] =
+        Seq(col("grp"), col("sc").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      val withRank = Rank.globalPrefixSum(
+        Rank.globalRank(b, "rkg", ord: _*), "cpg", "pos", ord: _*)
+      val gtot = b.groupBy("grp")
+        .agg(count(lit(1)).as("gn"), sum("pos").as("gp"))
+        .orderBy("grp").collect() // bounded: one row per linestatus
+      var rowsB = 0L
+      var posB = 0L
+      val offs = gtot.toSeq.map { t =>
+        val o = (t.getString(0), rowsB, posB)
+        rowsB += t.getLong(1); posB += t.getLong(2); o
+      }
+      val offDf = broadcast(b.sparkSession.createDataFrame(offs)
+        .toDF("grp", "rows_b", "pos_b"))
+      withRank.join(offDf, "grp")
+        .select(col("grp"), col("pos"),
+          (col("rkg") - col("rows_b")).as("rk"),
+          (col("cpg") - col("pos_b")).as("cp"))
+    }
+  }
+
   /** Portable floor-division for a SIGNED dividend and positive
     * divisor: `//`/DIV truncate toward zero in both engines, so
     * negative quotients need the CASE spelling (same as
@@ -129,49 +181,10 @@ object RankMetricsQueries {
           .as("sc"),
         col("l_orderkey"), col("l_linenumber"),
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
-      // per-group rank + running positives, COUNT-THEN-DIALED (the
-      // broadcast/graph-dial stance): grp is l_linestatus (2-3 distinct
-      // values), so the window plan drains every row through that many
-      // tasks — fine while a group fits one task's appetite (the window
-      // plan wins below the dial: 1.15 s vs the two-pass's shuffle
-      // constants at sf0.1), a 2-core ceiling past it (measured at 10×:
-      // 2.4 busy cores over 8.2 s; two-pass 6.3 s and widening with
-      // cores). Above the dial: with grp as the LEADING key of the
-      // global order, group blocks are contiguous — two-pass
-      // distributed rank/prefix (Rank.globalRank/globalPrefixSum, the
-      // q209 stance) computes global rkg/cpg and subtracts each group's
-      // rows/positives-before (bounded |groups|-row driver scan) for
-      // the identical per-group rk/cp at full width.
-      val r = if (b.count() < 2000000L) {
-        val o = Window.partitionBy("grp")
-          .orderBy(col("sc").desc, col("l_orderkey"), col("l_linenumber"))
-        b.select(col("grp"), col("pos"),
-          row_number().over(o).cast("long").as("rk"),
-          sum("pos").over(
-            o.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("cp"))
-      } else {
-        val ord: Seq[Column] =
-          Seq(col("grp"), col("sc").desc, col("l_orderkey"),
-            col("l_linenumber"))
-        val withRank = Rank.globalPrefixSum(
-          Rank.globalRank(b, "rkg", ord: _*), "cpg", "pos", ord: _*)
-        val gtot = b.groupBy("grp")
-          .agg(count(lit(1)).as("gn"), sum("pos").as("gp"))
-          .orderBy("grp").collect() // bounded: one row per linestatus
-        var rowsB = 0L
-        var posB = 0L
-        val offs = gtot.toSeq.map { t =>
-          val o = (t.getString(0), rowsB, posB)
-          rowsB += t.getLong(1); posB += t.getLong(2); o
-        }
-        val offDf = broadcast(
-          s.createDataFrame(offs).toDF("grp", "rows_b", "pos_b"))
-        withRank.join(offDf, "grp")
-          .select(col("grp"), col("pos"),
-            (col("rkg") - col("rows_b")).as("rk"),
-            (col("cpg") - col("pos_b")).as("cp"))
-      }
+      // per-group rank + running positives, count-then-dialed between
+      // the window plan and the two-pass distributed rank — see
+      // rankAndRunningPos (both branches spec-pinned for parity)
+      val r = rankAndRunningPos(b, twoPassAt = 2000000L)
       r.groupBy("grp").agg(max("cp").as("n_pos"),
           sum(when(col("pos") === 1,
             expr("(cp * 1000000) DIV rk")).otherwise(0L)).as("tsum"),

@@ -233,12 +233,18 @@ object SimilarityQueries {
     * recall-spec'd); this pins the serving machinery end-to-end. */
   val q160 = QueryDef.sql("q160_ann_ivf_det",
     """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dial AS (SELECT CAST(greatest(64, ceil(sqrt(count(*)))) AS BIGINT)
+      |           AS nlist,
+      |         greatest(16, CAST(greatest(64, ceil(sqrt(count(*))))
+      |           AS BIGINT) // 8) AS nprobe
+      |  FROM v),
       |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
       |cent AS (
       |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
       |           AS cell,
       |         v AS cv, list_dot_product(v, v) AS cn2
-      |  FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 64),
+      |  FROM v ORDER BY md5(CAST(id AS VARCHAR)), id
+      |  LIMIT (SELECT nlist FROM dial)),
       |d AS (SELECT n.id, c.cell,
       |        n.nrm * n.nrm - 2.0::DOUBLE * list_dot_product(n.v, c.cv)
       |          + c.cn2 AS d2
@@ -247,7 +253,7 @@ object SimilarityQueries {
       |        row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS r
       |      FROM d),
       |asgn AS (SELECT id, cell FROM rkd WHERE r = 1),
-      |probe AS (SELECT id, cell FROM rkd WHERE r <= 16),
+      |probe AS (SELECT id, cell FROM rkd, dial WHERE r <= nprobe),
       |cand AS (SELECT p.id AS id_a, a.id AS id_b
       |      FROM probe p JOIN asgn a ON p.cell = a.cell
       |      WHERE p.id <> a.id),
@@ -261,9 +267,11 @@ object SimilarityQueries {
       |                           ORDER BY cosine DESC, id_b) AS rnk
       |      FROM scored)
       |SELECT id_a, id_b, round(cosine, 6) AS sim, rnk FROM r WHERE rnk <= 5""")(
-    (s, dir) => graft.operators.Ivf.ivfTopKDeterministic(
-      Tables.embeddings(s, dir), "vec_id", "embedding",
-      k = 5, nlist = 64, nprobe = 16))
+    // count-then-dialed nlist/nprobe (√n with floors 64/16 — VERDICT
+    // r12 #4; the oracle computes the identical dial from count(*), so
+    // the replay stays bit-for-bit at every SF)
+    (s, dir) => graft.operators.Ivf.ivfTopKDeterministicAuto(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 5))
 
   /** Matryoshka truncation audit: per vector, L2-norm fraction
     * retained by the first k ∈ {8,16,32} of 64 dimensions. In-row

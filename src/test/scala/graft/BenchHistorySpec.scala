@@ -56,6 +56,15 @@ class BenchHistorySpec extends AnyFunSuite {
     val h2 = Bench.loadHistory(dir.toString, sfShort = Some("sf0.1"))
     assert(h2.get("q05").contains(Vector(1.5, 2.1)), h2.toString)
     assert(Bench.loadHistory(dir.toString, sfShort = Some("sf10x")).isEmpty)
+    // MULTI-ROUND detail merge (VERDICT r12 #6): a second round's
+    // committed detail slides the window — each detail contributes one
+    // sample per query, in round order, including rest-riders the
+    // driver records never itemize
+    w("bench_detail_r43.json",
+      """{"queries":{"q05_batch_date":{"sec":2.5},"q77_rest_rider":{"sec":1.1}},"sf":"/root/testdata/sf0.1"}""")
+    val h3 = Bench.loadHistory(dir.toString, sfShort = Some("sf0.1"))
+    assert(h3.get("q77").contains(Vector(0.9, 1.1)), h3.toString)
+    assert(h3.get("q05").contains(Vector(1.5, 2.1, 2.5)), h3.toString)
   }
 
   test("median: odd, even, and singleton vectors") {

@@ -73,6 +73,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  test("streaming twin DEFAULTS to the incremental dials; its fact read prunes to <= 2 partitions") {
+    import org.apache.spark.sql.functions._
+    // the defaults ARE these constants (VERDICT r12 #7: flat-in-history
+    // is the twin's default; reference-parity rescan is the named flag)
+    assert(graft.streaming.IngestStream.DefaultIncrementalRules12)
+    assert(graft.streaming.IngestStream.DefaultIncrementalRules34)
+    val root = java.nio.file.Files.createTempDirectory("pq_twin").toString
+    val wh = new graft.bank.Warehouse(spark, root)
+    Seq("2021-03-01", "2021-03-02", "2021-03-03", "2021-03-04").foreach { d =>
+      wh.append(graft.bank.Pipeline.FactTransactions,
+        spark.range(10).select(col("id").cast("string").as("transaction_id"),
+          lit(java.sql.Date.valueOf(d)).as("txn_date")),
+        partitionCols = Seq("txn_date"))
+    }
+    // ruleFacts under the twin's default dials: the rules-3/4 frame
+    // must be a partition-pruned [day-1, day] read — 2 of 4 partitions
+    val (_, facts12, facts34) = graft.bank.Pipeline.ruleFacts(wh,
+      java.sql.Date.valueOf("2021-03-04"),
+      graft.streaming.IngestStream.DefaultIncrementalRules12,
+      graft.streaming.IngestStream.DefaultIncrementalRules34)
+    val p34 = facts34.queryExecution.executedPlan.toString
+    assert(p34.contains("PartitionFilters"), p34)
+    assert(p34.linesIterator.find(_.contains("PartitionFilters"))
+      .get.contains("txn_date"), p34)
+    assert(facts34.select("txn_date").distinct().count() == 2)
+    assert(facts34.count() == 20)
+    assert(facts12.count() == 10) // rules 1/2: today's partition only
+  }
+
   test("rule1 blacklist join: broadcast below the dial, shuffle join above it") {
     import org.apache.spark.sql.functions._
     val seed = graft.bank.Seeds.load(spark, "/root/reference/data/ddl_dml.sql")
@@ -124,6 +153,33 @@ class PlanQualitySpec extends AnyFunSuite {
     // point: a hot (key, bucket) pair hashes to `salt` partitions
     assert(p.contains("__salt"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("salted band join pins its partition count against AQE coalescing") {
+    // VERDICT r12 #3: under default AQE byte-coalescing the salted
+    // join's tiny shuffle bytes collapsed the salt groups into ~1
+    // partition (salt=32 measured WORSE than salt=1). The pin is a
+    // user-specified repartition (exempt from coalescing) at
+    // max(parallelism, salt × 8) — so the executed salted join must
+    // come out at exactly that many partitions, AQE enabled.
+    import org.apache.spark.sql.functions._
+    val salt = 4
+    val want = math.max(spark.sparkContext.defaultParallelism, salt * 8)
+    val df = spark.range(0, 2000).select(
+      lit("hotkey").as("k"),
+      timestamp_micros(lit(1600000000000000L) + col("id") * 1000L).as("ts"),
+      col("id").as("payload"))
+    val out = graft.operators.BandJoin.pairsWithin(
+      df, "k", "ts", deltaUs = 3600L * 1000000L,
+      payload = Seq("payload"), salt = salt)
+    out.count() // materialize under AQE so final partitioning is real
+    assert(out.rdd.getNumPartitions == want,
+      s"salted join ran at ${out.rdd.getNumPartitions} partitions, want $want")
+    // and the unsalted path keeps AQE's coalescing (no pin)
+    val plain = graft.operators.BandJoin.pairsWithin(
+      df, "k", "ts", deltaUs = 3600L * 1000000L, payload = Seq("payload"))
+    assert(!plain.queryExecution.executedPlan.toString
+      .contains("REPARTITION_BY_NUM"))
   }
 
   test("fraud rule 3 default plan is the Δ-bucketed band join") {

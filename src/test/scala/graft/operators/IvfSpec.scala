@@ -83,6 +83,27 @@ class IvfSpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("deterministic dial: sqrt(n) floored at (64, 16), boundary pinned") {
+    // VERDICT r12 #4: the dial engages exactly past floorNlist² rows —
+    // below it the historical (64, 16) index replays unchanged (q160's
+    // oracle rows at every test SF), above it nlist tracks √n
+    assert(Ivf.detDial(1) == (64, 16))
+    assert(Ivf.detDial(500) == (64, 16))   // sf0.01 embeddings
+    assert(Ivf.detDial(2000) == (64, 16))  // sf0.1 embeddings
+    assert(Ivf.detDial(4096) == (64, 16))  // the exact boundary
+    assert(Ivf.detDial(4097) == (65, 16))  // first dialed corpus
+    assert(Ivf.detDial(20000) == (142, 17)) // the 10× embeddings
+    assert(Ivf.detDial(1000000) == (1000, 125))
+    // below the boundary the auto variant IS the historical fixed one
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val auto = Ivf.ivfTopKDeterministicAuto(emb, "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val fixed = Ivf.ivfTopKDeterministic(emb, "vec_id", "embedding",
+        k = 5, nlist = 64, nprobe = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == fixed)
+  }
+
   test("kmeansStepDeterministic: members partition the corpus, " +
     "stable under repartitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

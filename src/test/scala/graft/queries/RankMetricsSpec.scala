@@ -239,4 +239,23 @@ class RankMetricsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q282: two-pass branch is row-for-row identical to the window branch") {
+    // ADVICE r12: the dial (2e6 rows) sat above every test SF, so the
+    // two-pass rank/prefix path only ever ran in the unverified 10×
+    // bench. Force BOTH branches on the same small frame and compare.
+    val b = graft.Tables.lineitem(spark, sf).select(
+      col("l_linestatus").as("grp"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("sc"),
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("grp", "pos", "rk", "cp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    val window = rows(RankMetricsQueries.rankAndRunningPos(b, Long.MaxValue))
+    val twoPass = rows(RankMetricsQueries.rankAndRunningPos(b, 0L))
+    assert(window.nonEmpty && window == twoPass)
+  }
 }
