@@ -286,6 +286,7 @@ object Similarity {
   def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
                       iters: Int = 6): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val q = emb
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -294,25 +295,51 @@ object Similarity {
           .otherwise(transform(col("v"),
             x => floor(x / col("nrm") * 127.0 + 0.5).cast("long")))
           .as("qv"))
+      // full width for the T per-round scans: the embeddings table is a
+      // single parquet split locally, and T serial narrow scans were
+      // most of q264's wall (r12: 4.2 s cpu≈wall on ~1 core)
+      .repartition(spark.sparkContext.defaultParallelism)
       .cache()
     val dim = 64
+    // The T rounds run as ONE TYPED FOLD per round (partition-local
+    // u = ⟨qv, v⟩ then acc += qv·u, exact-integer Math.*Exact so an
+    // overflow raises exactly where the former ANSI sum did; addition
+    // is associative/commutative in exact integers, so merge order
+    // cannot perturb the result). The former expression formulation
+    // rebuilt a 64-literal Catalyst plan per round — per-round PLANNING
+    // AND CODEGEN, not data, dominated its serial constant (the per-
+    // round scan is |corpus| rows); the closure captures v with zero
+    // plan rebuilding, and the driver still holds only the 64-long
+    // vector per round, the textbook distributed power iteration. */
+    val codes = q.select("qv").as[Array[Long]]
     var v: Array[Long] = Array.fill(dim)(1000L)
     var wmax = 0L
     for (_ <- 1 to iters) {
-      val u = aggregate(
-        zip_with(col("qv"), typedlit(v.toSeq), (x, y) => x * y),
-        lit(0L), (a, x) => a + x)
-      val w = q.select(col("id"), u.as("u"),
-          posexplode(col("qv")).as(Seq("d", "x")))
-        .groupBy("d").agg(sum(col("x") * col("u")).as("w"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val warr = Array.tabulate(dim)(d => w.getOrElse(d, 0L))
+      val vcap = v
+      val warr = codes.mapPartitions { it =>
+        val acc = new Array[Long](dim)
+        while (it.hasNext) {
+          val qv = it.next()
+          var u = 0L
+          var d = 0
+          while (d < dim) {
+            u = Math.addExact(u, Math.multiplyExact(qv(d), vcap(d))); d += 1
+          }
+          d = 0
+          while (d < dim) {
+            acc(d) = Math.addExact(acc(d), Math.multiplyExact(qv(d), u))
+            d += 1
+          }
+        }
+        Iterator.single(acc)
+      }.reduce { (a, b) =>
+        Array.tabulate(dim)(d => Math.addExact(a(d), b(d)))
+      }
       wmax = warr.map(math.abs).max
       val m = math.max(wmax / 1000000L, 1L)
       // all operands non-negative: / is floor-div on both engines
       v = warr.map(wd => (wd + wmax) / m - wmax / m)
     }
-    import spark.implicits._
     (v.zipWithIndex.map { case (c, d) => (d.toLong, c) }.toSeq
       :+ ((-1L, wmax))).toDF("dim", "v_comp")
   }
