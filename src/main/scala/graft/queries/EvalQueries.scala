@@ -323,7 +323,14 @@ object EvalQueries {
         k = 8, bands = 4, rowsPerBand = 3)
       val nt = truth.agg(count(lit(1)).as("n_true"))
       val nc = cand.agg(count(lit(1)).as("n_cand"))
-      val hit = truth.join(cand, Seq("id1", "id2"))
+      // merge hint: BOTH sides are pair-id frames that grow
+      // superlinearly with the corpus, but they arrive as
+      // post-aggregation subtrees whose size ESTIMATES sit under the
+      // broadcast threshold — at 10× the planner's broadcast build ran
+      // the driver out of heap mid-bench (r13 sf1 run, the only red
+      // row). A pair-frame side is never a safe broadcast at scale;
+      // the sort-merge join is the plan a 100 TB eval needs anyway.
+      val hit = truth.hint("merge").join(cand, Seq("id1", "id2"))
         .agg(count(lit(1)).as("n_hit"))
       nt.crossJoin(broadcast(nc)).crossJoin(broadcast(hit))
         .select(col("n_true"), col("n_cand"), col("n_hit"),
