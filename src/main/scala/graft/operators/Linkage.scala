@@ -155,60 +155,94 @@ object Linkage {
   def topKClosestPairs(df: DataFrame, idCol: String, strCol: String,
                        blkCol: String, k: Int, maxRung: Int = 3,
                        // injectable fallback-broadcast budget (spec dial)
-                       broadcastBudget: Long = 64L << 20): DataFrame = {
+                       broadcastBudget: Long = 64L << 20,
+                       // below this row count, ONE max-rung candidate
+                       // pass replaces the upward ladder (injectable so
+                       // the spec can force the ladder on a small
+                       // frame). The single pass only saves the
+                       // ladder's ~1 s of driver rounds while its cost
+                       // is the max-rung generation the ladder usually
+                       // avoids — measured crossover on the events
+                       // signatures: 1.5 k rows single-pass 1.8 s vs
+                       // ladder 2.2 s; 15 k rows single-pass 3.8 s vs
+                       // ladder 1.4 s — so the dial sits at the few-
+                       // thousand-row corpus where max-rung gen is
+                       // still cheaper than one extra driver round.
+                       singlePassBelow: Long = 5000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val sig = df.select(col(idCol).cast("long").as("__id"),
         col(strCol).as("__s"), col(blkCol).as("__blk"))
       .localCheckpoint(true) // every rung + the counts re-read it
-    val grp = sig.groupBy("__blk", "__s")
-      .agg(count(lit(1)).as("m"),
-        graft.functions.TopKAggregate
-          .bottomkByKey(col("__id"), lit(0.0), k + 1).as("ids"))
-      .where(col("m") >= 2)
-      .localCheckpoint(true) // the count AND the pair gen read it
-    val total0 = grp.agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)))
-      .collect()(0).getLong(0)
-    if (total0 >= k) {
-      // in-row pair generation over the ≤ k+1 kept ids — ≤ C(k+1,2)
-      // rows per group, TakeOrdered k across groups
-      grp.select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids)),
-            |    y -> struct(x.h AS id1, y.h AS id2))))""".stripMargin))
-          .as("p"))
-        .select(col("p.id1"), col("p.id2"), lit(0L).as("dist"))
-        .orderBy("id1", "id2").limit(k)
+    val n = sig.count()
+    def rung(r: Int): DataFrame =
+      editCandidates(sig, "__id", "__s", "__blk", r)
+        .withColumn("dist",
+          levenshtein(col("s1"), col("s2"), r).cast("long"))
+        .where(col("dist") >= 0)
+        .select("id1", "id2", "dist")
+        .cache() // count populates it; the top-k re-reads it
+    def fallback(): DataFrame = {
+      // < k pairs within maxRung ⇒ near-pair density is low ⇒ n is
+      // small on any realistic growth path; still dial the broadcast
+      // (ADVICE r12) instead of assuming it
+      val a = sig.toDF("id1", "s1", "__blk")
+      val b = sig.toDF("id2", "s2", "__blk")
+      val joined =
+        if (n * 64 < broadcastBudget)
+          // the probe side must not inherit file-count parallelism:
+          // per-row cost downstream is blockmates × a full DP
+          a.repartition(64).join(broadcast(b), Seq("__blk"))
+        else Skew.saltedJoin(a, b, "__blk", salt = 32)
+      joined.where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
+        .orderBy("dist", "id1", "id2").limit(k)
+    }
+    if (n < singlePassBelow) {
+      // SMALL corpus: the max-rung candidate pass is trivially cheap
+      // (≤ (r+1)(2r+1)²·n probe keys), so run it ONCE instead of the
+      // driver-round-per-rung ladder. Exact: every pair at dist ≤
+      // maxRung is in the set, so whenever ≥ k verified pairs exist
+      // their top-k is the global top-k (any excluded pair is farther
+      // than the k-th). The ladder's economy only matters when a low
+      // rung can answer WITHOUT paying the max-rung generation — a
+      // big-corpus concern by construction.
+      val cand = rung(maxRung)
+      if (cand.count() >= k) cand.orderBy("dist", "id1", "id2").limit(k)
+      else fallback()
     } else {
-      var out: Option[DataFrame] = None
-      var r = 1
-      while (out.isEmpty && r <= maxRung) {
-        val cand = editCandidates(sig, "__id", "__s", "__blk", r)
-          .withColumn("dist",
-            levenshtein(col("s1"), col("s2"), r).cast("long"))
-          .where(col("dist") >= 0)
-          .select("id1", "id2", "dist")
-          .localCheckpoint(true) // the count AND the top-k read it
-        if (cand.count() >= k)
-          out = Some(cand.orderBy("dist", "id1", "id2").limit(k))
-        r += 1
-      }
-      out.getOrElse {
-        // < k pairs within maxRung ⇒ near-pair density is low ⇒ n is
-        // small on any realistic growth path; still dial the broadcast
-        // (ADVICE r12) instead of assuming it
-        val a = sig.toDF("id1", "s1", "__blk")
-        val b = sig.toDF("id2", "s2", "__blk")
-        val n = sig.count()
-        val joined =
-          if (n * 64 < broadcastBudget)
-            // the probe side must not inherit file-count parallelism:
-            // per-row cost downstream is blockmates × a full DP
-            a.repartition(64).join(broadcast(b), Seq("__blk"))
-          else Skew.saltedJoin(a, b, "__blk", salt = 32)
-        joined.where(col("id1") < col("id2"))
-          .select(col("id1"), col("id2"),
-            levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
-          .orderBy("dist", "id1", "id2").limit(k)
+      // BIG corpus: dist-0 groups first (their pair count can be
+      // enormous; the bounded per-group buffer never materializes it),
+      // then the upward ladder — the winning rung FALLS as n grows, so
+      // this path normally stops at rung 0-1.
+      val grp = sig.groupBy("__blk", "__s")
+        .agg(count(lit(1)).as("m"),
+          graft.functions.TopKAggregate
+            .bottomkByKey(col("__id"), lit(0.0), k + 1).as("ids"))
+        .where(col("m") >= 2)
+        .cache() // the count AND the pair gen read it
+      val total0 = grp.agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)))
+        .collect()(0).getLong(0)
+      if (total0 >= k) {
+        // in-row pair generation over the ≤ k+1 kept ids — ≤ C(k+1,2)
+        // rows per group, TakeOrdered k across groups
+        grp.select(explode(expr(
+            """flatten(transform(ids, (x, i) ->
+              |  transform(slice(ids, i + 2, size(ids)),
+              |    y -> struct(x.h AS id1, y.h AS id2))))""".stripMargin))
+            .as("p"))
+          .select(col("p.id1"), col("p.id2"), lit(0L).as("dist"))
+          .orderBy("id1", "id2").limit(k)
+      } else {
+        var out: Option[DataFrame] = None
+        var r = 1
+        while (out.isEmpty && r <= maxRung) {
+          val cand = rung(r)
+          if (cand.count() >= k)
+            out = Some(cand.orderBy("dist", "id1", "id2").limit(k))
+          r += 1
+        }
+        out.getOrElse(fallback())
       }
     }
   }

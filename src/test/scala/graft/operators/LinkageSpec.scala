@@ -112,21 +112,33 @@ class LinkageSpec extends AnyFunSuite {
       .sortBy { case (a, b, d) => (d, a, b) }.take(k)
 
   test("topKClosestPairs: rung-0 branch (duplicate-heavy corpus)") {
-    // 2-char alphabet, short strings → many identical-sig groups
+    // 2-char alphabet, short strings → many identical-sig groups;
+    // singlePassBelow = 0 forces the big-corpus path on a small frame
     val rows = strings(300, "ab", 3)
     val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
-    val got = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 15)
+    val got = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 15,
+        singlePassBelow = 0L)
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == bruteTopK(rows, 15))
     assert(got.forall(_._3 == 0L), "rung 0 must have fired (all dist 0)")
+    // and the small-corpus single-pass default agrees
+    val sp = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sp == got)
   }
 
   test("topKClosestPairs: ladder branch (distinct strings, close pairs)") {
     val rows = strings(260, "abcde", 10)
     val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
-    val got = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 20)
+    // forced ladder (big-corpus path) and the single-pass default must
+    // both equal brute force
+    val ladder = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 20,
+        singlePassBelow = 0L)
       .as[(Long, Long, Long)].collect().toSeq
-    assert(got == bruteTopK(rows, 20))
+    assert(ladder == bruteTopK(rows, 20))
+    val single = Linkage.topKClosestPairs(df, "id", "s", "blk", k = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(single == bruteTopK(rows, 20))
   }
 
   test("topKClosestPairs: fallback branch (sparse corpus, cutoff past maxRung)") {
