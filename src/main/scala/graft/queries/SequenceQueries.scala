@@ -839,6 +839,51 @@ object SequenceQueries {
             .as("day7_retention_ppm"))
     })
 
+  /** All same-block signature pairs at edit distance ≤ 3 — the PassJoin
+    * segment-pigeonhole filter ([[graft.operators.Linkage
+    * .editCandidates]], q271's ladder rung) as a FIRST-CLASS exact
+    * join, standalone and oracled: candidates from the filter (zero
+    * false negatives — the untouched-segment pigeonhole, proof in the
+    * operator scaladoc), verified with the banded thresholded DP. The
+    * oracle computes the naive in-block join, so the driver hash proves
+    * the filter exact against an engine that never saw it. Unlike
+    * q271's top-k (whose rung adapts to density), this is the
+    * fixed-radius similarity-join shape — record linkage's "give me
+    * every match" query — and its cost tracks the MATCH count, not the
+    * block-pair space. */
+  val q341 = QueryDef.sql("q341_sig_edit_join",
+    """WITH r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |sig AS (SELECT user_id,
+      |    string_agg(substring(event_type, 1, 1), '' ORDER BY rn)
+      |      AS sig
+      |  FROM r WHERE rn <= 12 GROUP BY 1)
+      |SELECT a.user_id AS id1, b.user_id AS id2,
+      |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+      |FROM sig a JOIN sig b
+      |  ON substring(a.sig, 1, 1) = substring(b.sig, 1, 1)
+      |  AND a.user_id < b.user_id
+      |WHERE levenshtein(a.sig, b.sig) <= 3""")(
+    (s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sig = Tables.events(s, dir)
+        .select(col("user_id"),
+          substring(col("event_type"), 1, 1).as("ini"),
+          row_number().over(ord).as("rn"))
+        .where(col("rn") <= 12)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("ini")))),
+          x => x.getField("ini")), "").as("sig"))
+        .withColumn("blk", substring(col("sig"), 1, 1))
+      graft.operators.Linkage.editCandidates(sig, "user_id", "sig", "blk", 3)
+        .withColumn("dist", levenshtein(col("s1"), col("s2"), 3).cast("long"))
+        .where(col("dist") >= 0)
+        .select("id1", "id2", "dist")
+    })
+
   val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272,
-    q275, q276, q277, q301, q302, q310, q311)
+    q275, q276, q277, q301, q302, q310, q311, q341)
 }
