@@ -10,18 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * case this arbitration exists for, so it doubles as the fixture. */
 class BenchHistorySpec extends AnyFunSuite {
 
-  test("loadHistory parses the last three committed driver records") {
+  test("loadHistory parses the last three committed rounds, window sliding") {
     val h = Bench.loadHistory(".")
-    assert(h.nonEmpty, "no BENCH_r*.json parsed from the repo root")
-    // r8/r9/r10 all carried q115 individually (it is a headline query)
+    assert(h.nonEmpty, "no BENCH_r*.json / bench_detail_r* parsed from the repo root")
     val q115 = h.getOrElse("q115", fail("q115 missing from history"))
     assert(q115.size == 3)
-    // the r10 environmental spike is IN the history and the median
-    // shrugs it off — that robustness is why the gate uses median
-    assert(q115.max > 30.0, s"expected the 41 s r10 spike, got $q115")
-    assert(Bench.median(q115) < 5.0,
-      s"median must ignore the single-round spike: $q115")
-    // "rest"-bucketed queries must not leak in as a pseudo-query
+    // r12/r13 commit FULL per-round details (VERDICT r12 #6), so the
+    // three-round window is now r11/r12/r13 and the r10 41 s
+    // environmental spike has slid OUT — the sliding is the point
+    assert(q115.max < 30.0,
+      s"the r10 spike should have slid out of the window, got $q115")
+    assert(Bench.median(q115) < 5.0, q115.toString)
+    // detail records cover the whole catalog: a rest-bucketed query
+    // has history too
+    assert(h.contains("q341") || h.contains("q85"),
+      "full-detail rounds must contribute rest-bucketed queries")
+    // "rest"-bucketed pseudo-key must not leak in as a query
     assert(!h.contains("rest"))
   }
 
