@@ -78,7 +78,16 @@ object Bench {
         listed.flatMap { p =>
           rx.findFirstMatchIn(p.getFileName.toString)
             .map(m => m.group(1).toInt -> p)
-        }.toMap
+        }.groupBy(_._1).map { case (r, ps) =>
+          // deterministic winner when several files match one round
+          // (ADVICE r13 — Files.list order is filesystem-dependent):
+          // shortest filename first, so the canonical
+          // bench_detail_r<N>.json beats suffixed variants like
+          // bench_detail_r<N>_builder.json; ties break lexicographically
+          r -> ps.map(_._2).minBy { p =>
+            val nm = p.getFileName.toString; (nm.length, nm)
+          }
+        }
       val drivers = byRound(rxDriver)
       val details = byRound(rxDetail)
       val perRound = (drivers.keySet ++ details.keySet).toVector.sorted

@@ -1253,6 +1253,147 @@ object ScaleStress {
           f"(x${mean(ts.takeRight(3)) / mean(ts.slice(1, 4))}%.2f)")
       }
     }
+
+    if (sections("sf2")) {
+      // --- THIRD decade (VERDICT r13 #5): 100× of the sf0.1 flagship
+      // tables — events/part (q271/q341/q342/q340/q49) and embeddings
+      // (q160) — with the BENCH_sf1 inflation philosophy: NEW keys per
+      // replica, per-key density preserved, and p_name's value domain
+      // deliberately UNCHANGED (its saturation is exactly what q49's
+      // collapse stance exists for; a 100× part table still has ~1.6k
+      // distinct (brand, initial, name) triples). Embeddings
+      // decorrelate per replica by rotation (13·i mod 64) COMPOSED
+      // with a per-replica ±1 diagonal (sign pattern from
+      // xxhash64(i, dim)): both are isometries, so intra-replica norms
+      // and cosines carry over EXACTLY, while cross-replica cosines
+      // stay uncorrelated — the rotation alone would repeat after 64
+      // replicas and hand every vector an exact duplicate, turning the
+      // ANN truth set degenerate.
+      val out = if (args.length > 3) args(3)
+                else sys.props("java.io.tmpdir") + "/graft_sf2"
+      val reps = 100
+      val C = 1000000000L
+      def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until reps).map(i => f(df, i)).reduce(_ unionByName _)
+      def save(name: String, df: DataFrame): Unit =
+        time(s"sf2 write $name") {
+          df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+          spark.read.parquet(s"$out/$name.parquet").count()
+        }
+      save("part", rep(Tables.part(spark, sf))((d, i) =>
+        d.withColumn("p_partkey", col("p_partkey") + lit(i * C))))
+      save("events", rep(Tables.events(spark, sf))((d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * C))
+          .withColumn("user_id", col("user_id") + lit(i * 100000000L))))
+      save("embeddings", rep(Tables.embeddings(spark, sf))((d, i) => {
+        val k = (i * 13) % 64
+        val rotated =
+          if (k == 0) col("embedding")
+          else concat(slice(col("embedding"), k + 1, 64 - k),
+                      slice(col("embedding"), 1, k))
+        // ±1 diagonal: float negation is exact, type preserved
+        val signed = transform(rotated, (x, j) =>
+          when(pmod(xxhash64(lit(i), j), lit(2L)) === 0, x).otherwise(-x))
+        d.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
+          .withColumn("embedding", signed)
+      }))
+      println(s"sf2: 100x flagship tables at $out")
+    }
+
+    if (sections("ivfdial")) {
+      // --- VERDICT r13 #1 (the round's one `weak`): the old dial
+      // nprobe = max(16, nlist/8) floors the probed FRACTION at 1/8 —
+      // Θ(n²/8) candidate work at every scale; the new dial
+      // nprobe = max(16, bitlen(n)) decouples nprobe from nlist so the
+      // fraction falls as log n/√n. For each input dir (sf + extra
+      // args beyond position 3), measure BOTH dials on the same
+      // deterministic index: total candidate volume (the scale
+      // driver), wall of the full self-search, and recall@5 against
+      // the exact truth on the deterministic query sample
+      // vec_id % 37 = 0 (the q225 treatment: truth measured, not
+      // assumed).
+      import graft.operators.Similarity.dot
+      val dirs = (Seq(sf) ++ args.drop(3)).distinct
+      dirs.foreach { dir =>
+        val emb = Tables.embeddings(spark, dir)
+        val n = emb.count()
+        val (nlist, nprobeNew) = Ivf.detDial(n)
+        val nprobeOld = math.max(16, nlist / 8)
+        val index = Ivf.buildIndexDeterministic(
+          emb, "vec_id", "embedding", nlist)
+        val sizes = index.indexed.groupBy("cell")
+          .agg(count(lit(1)).as("cnt")).cache()
+        def cand(np: Int): Long = index.indexed
+          .select(explode(Ivf.probeCellsFused(col("v"), index, np)).as("cell"))
+          .join(sizes, "cell")
+          .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+        // exact truth for the sampled queries: one corpus scan against
+        // the broadcast sample, bounded top-k aggregation
+        val qs = index.indexed.where(pmod(col("id"), lit(37L)) === 0)
+          .select(col("id").as("id_a"), col("v").as("va"),
+            col("nrm").as("na"))
+        val cs = index.indexed.select(col("id").as("id_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        val truth = Similarity.rankTopK(
+            cs.crossJoin(broadcast(qs))
+              .where(col("id_a") =!= col("id_b"))
+              .withColumn("cosine",
+                dot(col("va"), col("vb")) / (col("na") * col("nb")))
+              .select("id_a", "id_b", "cosine"), 5)
+          .select("id_a", "id_b").cache()
+        val nTruth = truth.count()
+        Seq("old" -> nprobeOld, "new" -> nprobeNew).foreach {
+          case (tag, np) =>
+            val t0 = System.nanoTime()
+            val res = Ivf.probeTopK(
+                index.indexed.select(col("id"), col("v")), index,
+                "id", "v", k = 5, nprobe = np, excludeSelf = true)
+              .select("id_a", "id_b").cache()
+            val rows = res.count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val hit = truth.join(res, Seq("id_a", "id_b")).count()
+            println(f"ivfdial $dir n=$n nlist=$nlist $tag%-3s nprobe=$np%-3d " +
+              f"frac=${np.toDouble / nlist}%.4f cand=${cand(np)}%,d " +
+              f"wall=$wall%7.2f s recall@5=${hit.toDouble / nTruth}%.3f " +
+              f"($hit/$nTruth) rows=$rows")
+            res.unpersist()
+        }
+        truth.unpersist(); sizes.unpersist(); index.unpersist()
+      }
+    }
+
+    if (sections("flagship")) {
+      // --- third-decade flagship re-measure (VERDICT r13 #5): run the
+      // named headline queries against each input dir (sf + extra args
+      // beyond position 3 — pass sf0.1, the sf1 10× dir, the sf2 100×
+      // dir) with the bench protocol (noop write, blocking cache
+      // release). One run per (query, dir): these are decade-shape
+      // probes, not medians — SCALING.md records the table.
+      val headline = Seq("q271_behavior_editdist", "q341_sig_edit_join",
+        "q342_incr_edit_join", "q49_fuzzy_match", "q340_band_pairs_salted",
+        "q160_ann_ivf_det")
+      val dirs = (Seq(sf) ++ args.drop(3)).distinct
+      dirs.foreach { dir =>
+        headline.foreach { name =>
+          try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            val wall = (System.nanoTime() - t0) / 1e9
+            println(f"flagship $dir $name%-24s $wall%8.2f s")
+          } catch {
+            case e: Throwable =>
+              println(s"flagship $dir $name FAILED: " +
+                Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .linesIterator.take(1).mkString)
+          } finally {
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
+          }
+        }
+      }
+    }
     spark.stop()
   }
 

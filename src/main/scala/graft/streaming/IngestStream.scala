@@ -413,7 +413,15 @@ object IngestStream {
     *
     * Drive order within a day mirrors `main.py`: blacklist and
     * terminals drains first, then this one, so the rules see the day's
-    * dimension and blacklist state. */
+    * dimension and blacklist state.
+    *
+    * PRECONDITION (enforced, not assumed — ADVICE r13): days must
+    * arrive in calendar order. The incremental rule dials (the
+    * streaming defaults) are byte-parity with the full rescan only
+    * when no later fact day exists at rule time; the streaming
+    * checkpoint delivers in order, and a DIRECT caller who doesn't is
+    * rejected loudly by two guards — against the META completion
+    * markers and against the fact table's own max day. */
   private[streaming] def applyTransactionsBatch(wh: Warehouse,
       seed: Seeds.Seed, batch: DataFrame,
       incrementalRules12: Boolean = DefaultIncrementalRules12,
@@ -449,6 +457,18 @@ object IngestStream {
       // LATER day must fail loudly; replays of completed days (the
       // branch below) are exempt.
       val maxDone = done.toSeq.sortBy(_.toLocalDate.toEpochDay).lastOption
+      // Second guard, against the FACT table itself (ADVICE r13): the
+      // incremental rule dials (the streaming defaults) are byte-parity
+      // with the reference only under in-day-order delivery, and the
+      // META completion guard above is blind to fact partitions whose
+      // day never finished its rules — a crashed later day, or a
+      // warehouse populated outside this twin. A NEW day must not sort
+      // below any already-written fact day. One max() over the
+      // partition column per batch, bounded by the fact's day count.
+      val maxFact: Option[java.sql.Date] =
+        Option(wh.readOr(Pipeline.FactTransactions,
+            Schemas.factTransactions.add("txn_date", "date"))
+          .agg(max(col("txn_date"))).head().getDate(0))
       days.foreach { day =>
         maxDone.foreach { last =>
           require(done(day) || day.after(last),
@@ -456,6 +476,13 @@ object IngestStream {
               s"day $last completed; the fraud rules are day-order " +
               "sensitive — deliver drops in day order (a whole-backlog " +
               "batch folds them in day order)")
+        }
+        maxFact.foreach { last =>
+          require(done(day) || !day.before(last),
+            s"out-of-order transactions drop: day $day arrived while " +
+              s"fact partitions already reach $last; the incremental " +
+              "rule dials assume in-day-order delivery — deliver drops " +
+              "in day order, or replay the completed day verbatim")
         }
       }
       val factCols = Schemas.factTransactions.fieldNames.toSeq :+ "txn_date"

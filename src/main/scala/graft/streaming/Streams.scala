@@ -311,6 +311,56 @@ object Streams {
     graft.operators.Dedup
       .lshBuckets(corpus, idCol, textCol, k, bands, rowsPerBand)
 
+  /** Streaming fixed-radius edit-distance join — the live twin of
+    * [[graft.operators.Linkage.incrementalEditCandidates]] (and of
+    * batch q342), the [[lshDedupStream]] contract applied to PassJoin:
+    * arriving rows generate their (r+1)(2r+1)² probe keys IN-ROW
+    * ([[graft.operators.Linkage.editProbeKeys]] — explode only, no
+    * aggregation, NO STREAM STATE, so it runs in append mode with no
+    * watermark), probe the broadcast STATIC corpus index
+    * ([[editCorpusIndex]] — the r+1 segment keys per corpus string a
+    * daily linkage pipeline persists), and candidates verify inline
+    * with the banded thresholded DP. Output: (id1, id2, dist) with
+    * dist = levenshtein ≤ r, id1 < id2.
+    *
+    * Same split as [[lshDedupStream]]: the stream covers
+    * stream×corpus; stream×stream pairs belong to a session-windowed
+    * variant or periodic batch compaction (two near rows can arrive
+    * arbitrarily far apart — unbounded cross-batch state is what a
+    * stream must not hold). A pair sharing several grid keys emits
+    * once per key (at-least-once; the sink dedupes) — the stateless
+    * price of append mode, identical to the band-repeat contract of
+    * [[lshDedupStream]]. StreamsSpec proves the replayed stream's
+    * distinct pairs ≡ the batch incremental operator's stream×corpus
+    * slice. */
+  def editJoinStream(docs: DataFrame, corpusIndex: DataFrame,
+                     idCol: String, strCol: String, blkCol: String,
+                     r: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      col(blkCol).as("__blk"))
+    graft.operators.Linkage.editProbeKeys(base, r)
+      .join(broadcast(corpusIndex), Seq("__blk", "__i", "__l", "__seg"))
+      .where(col("__idi") =!= col("__idp"))
+      .select(least(col("__idi"), col("__idp")).as("id1"),
+        greatest(col("__idi"), col("__idp")).as("id2"),
+        when(col("__idi") < col("__idp"), col("__si"))
+          .otherwise(col("__sp")).as("s1"),
+        when(col("__idi") < col("__idp"), col("__sp"))
+          .otherwise(col("__si")).as("s2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), r).cast("long"))
+      .where(col("dist") >= 0)
+      .select("id1", "id2", "dist")
+  }
+
+  /** The static corpus side for [[editJoinStream]]: the PassJoin
+    * segment-key index of the existing corpus, one row per (string,
+    * segment slot) — r+1 rows per string. */
+  def editCorpusIndex(corpus: DataFrame, idCol: String, strCol: String,
+                      blkCol: String, r: Int): DataFrame =
+    graft.operators.Linkage.editIndexKeys(
+      corpus.select(col(idCol).as("__id"), col(strCol).as("__s"),
+        col(blkCol).as("__blk")), r)
+
   /** Streaming chunk-level novelty — the live twin of
     * [[graft.operators.Dedup.chunkContainment]] for incremental crawl
     * intake: each arriving document is cut into content-defined chunks

