@@ -1254,6 +1254,48 @@ object ScaleStress {
       }
     }
 
+    if (sections("hotsalt")) {
+      // --- VERDICT r13 #2 re-measure: the adversarial hot-key corpus
+      // THROUGH Skew.saltedJoin (the r12 salt inversion was measured
+      // and fixed on BandJoin; saltedJoin carried the same trap until
+      // the round-14 pin). One key owns 75% of the big side; the
+      // small side fans every key out ×16 and each joined pair pays a
+      // banded edit-distance DP — the EXACT per-pair work of
+      // saltedJoin's production call site (topKClosestPairs'
+      // block-join fallback) — so the hot key's 3n/4 × 16 DPs land on
+      // ONE task at salt=1 and must spread ~linearly with the dial.
+      // Run under DEFAULT config (AQE coalescing on, 32 shuffle
+      // partitions) — the exact regime that inverted r12.
+      val n = sys.env.getOrElse("SPARK_GRAFT_HOT_ROWS", "1000000").toInt
+      val big = spark.range(n).select(
+        when(pmod(col("id"), lit(4L)) =!= 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L)) + 1L).as("k"),
+        md5(col("id").cast("string")).as("s1")).cache()
+      val small = spark.range(100001L * 16).select(
+        pmod(col("id"), lit(100001L)).as("k"),
+        md5((col("id") + 7L).cast("string")).as("s2")).cache()
+      println(s"hotsalt corpus: big ${big.count()} rows " +
+        s"(${big.where(col("k") === 0).count()} on the hot key), " +
+        s"small ${small.count()} rows")
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            maxTaskMs.updateAndGet(m => math.max(m, t.taskInfo.duration))
+        })
+      Seq(1, 8, 32).foreach { s =>
+        maxTaskMs.set(0)
+        time(f"hotsalt saltedJoin salt=$s%-2d [defaults]")(
+          graft.operators.Skew.saltedJoin(big, small, "k", salt = s)
+            .select(levenshtein(col("s1"), col("s2"), 8).as("d"))
+            .agg(coalesce(sum("d"), lit(0L))).head().getLong(0))
+        Thread.sleep(200)
+        println(f"          max task ${maxTaskMs.get / 1e3}%.1f s")
+      }
+      big.unpersist(blocking = true); small.unpersist(blocking = true)
+    }
+
     if (sections("sf2")) {
       // --- THIRD decade (VERDICT r13 #5): 100× of the sf0.1 flagship
       // tables — events/part (q271/q341/q342/q340/q49) and embeddings
@@ -1313,12 +1355,20 @@ object ScaleStress {
       // vec_id % 37 = 0 (the q225 treatment: truth measured, not
       // assumed).
       import graft.operators.Similarity.dot
+      // dev knobs for targeted re-runs: LEGS picks which dials run
+      // (old/new/ma2, comma-separated; default all), MA_NPROBE
+      // overrides the multi-assigned leg's nprobe (budget-matching
+      // probes)
+      val legs = sys.env.getOrElse("SPARK_GRAFT_IVF_LEGS", "old,new,ma2")
+        .split(",").map(_.trim).toSet
       val dirs = (Seq(sf) ++ args.drop(3)).distinct
       dirs.foreach { dir =>
         val emb = Tables.embeddings(spark, dir)
         val n = emb.count()
         val (nlist, nprobeNew) = Ivf.detDial(n)
         val nprobeOld = math.max(16, nlist / 8)
+        val nprobeMa = sys.env.get("SPARK_GRAFT_IVF_MA_NPROBE")
+          .map(_.toInt).getOrElse(nprobeNew)
         val index = Ivf.buildIndexDeterministic(
           emb, "vec_id", "embedding", nlist)
         val sizes = index.indexed.groupBy("cell")
@@ -1342,7 +1392,8 @@ object ScaleStress {
               .select("id_a", "id_b", "cosine"), 5)
           .select("id_a", "id_b").cache()
         val nTruth = truth.count()
-        Seq("old" -> nprobeOld, "new" -> nprobeNew).foreach {
+        Seq("old" -> nprobeOld, "new" -> nprobeNew)
+          .filter(t => legs(t._1)).foreach {
           case (tag, np) =>
             val t0 = System.nanoTime()
             val res = Ivf.probeTopK(
@@ -1357,6 +1408,36 @@ object ScaleStress {
               f"wall=$wall%7.2f s recall@5=${hit.toDouble / nTruth}%.3f " +
               f"($hit/$nTruth) rows=$rows")
             res.unpersist()
+        }
+        // the MULTI-ASSIGNED variant of the new dial: each corpus
+        // vector indexed into its 2 nearest cells (constant ×2 on the
+        // candidate volume, still Θ(n^1.5 log n)) — the boundary-miss
+        // fix, measured against the same truth
+        if (legs("ma2")) {
+          val index2 = Ivf.buildIndexDeterministic(
+            emb, "vec_id", "embedding", nlist, assign = 2)
+          val t0 = System.nanoTime()
+          val res2 = Ivf.probeTopK(
+              emb.select(col("vec_id"), col("embedding")), index2,
+              "vec_id", "embedding", k = 5, nprobe = nprobeMa,
+              excludeSelf = true, distinctCandidates = true)
+            .select("id_a", "id_b").cache()
+          val rows2 = res2.count()
+          val wall2 = (System.nanoTime() - t0) / 1e9
+          val sizes2 = index2.indexed.groupBy("cell")
+            .agg(count(lit(1)).as("cnt"))
+          val cand2 = index2.indexed.select(col("id"), col("v"))
+            .dropDuplicates("id")
+            .select(explode(
+              Ivf.probeCellsFused(col("v"), index2, nprobeMa)).as("cell"))
+            .join(sizes2, "cell")
+            .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+          val hit2 = truth.join(res2, Seq("id_a", "id_b")).count()
+          println(f"ivfdial $dir n=$n nlist=$nlist ma2 nprobe=$nprobeMa%-3d " +
+            f"frac=${nprobeMa.toDouble / nlist}%.4f cand=$cand2%,d " +
+            f"wall=$wall2%7.2f s recall@5=${hit2.toDouble / nTruth}%.3f " +
+            f"($hit2/$nTruth) rows=$rows2")
+          res2.unpersist(); index2.unpersist()
         }
         truth.unpersist(); sizes.unpersist(); index.unpersist()
       }

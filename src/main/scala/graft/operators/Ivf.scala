@@ -92,26 +92,33 @@ object Ivf {
 
   /** Top-k corpus neighbours by cosine for a BATCH of queries against a
     * built index. `excludeSelf` drops id_a = id_b matches (self-search).
-    * Scale shape: per-row cell probing (no shuffle), one equi-join on
-    * cell, bounded TopKAggregate ranking (shuffle = queries × k). */
+    * `distinctCandidates` must be set when the index is MULTI-ASSIGNED
+    * ([[buildIndexDeterministic]] with assign > 1): a pair can then
+    * arise once per shared assigned cell, and the ranking dedupes by
+    * neighbour id inside the bounded aggregate (the q34 LSH treatment —
+    * duplicate pairs carry the identical cosine, so distinct-by-id is
+    * exact). Scale shape: per-row cell probing (no shuffle), one
+    * equi-join on cell, bounded TopKAggregate ranking (shuffle =
+    * queries × k). */
   def probeTopK(queries: DataFrame, index: IvfIndex, idCol: String,
                 vecCol: String, k: Int, nprobe: Int,
-                excludeSelf: Boolean = false): DataFrame = {
+                excludeSelf: Boolean = false,
+                distinctCandidates: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("id_a"),
         transform(col(vecCol), x => x.cast("double")).as("va"))
       .withColumn("na", Similarity.norm(col("va")))
       .withColumn("cell",
         explode(probeCellsFused(col("va"), index, nprobe)))
-    // no distinct before the ranking: a candidate pair (a, b) arises at
-    // most once — b sits in exactly ONE primary cell, so at most one of
-    // a's probed cells can contain it
+    // single-assignment needs no distinct before the ranking: a
+    // candidate pair (a, b) arises at most once — b sits in exactly ONE
+    // primary cell, so at most one of a's probed cells can contain it
     val cand = q.join(index.indexed.select(col("id").as("id_b"),
         col("v").as("vb"), col("nrm").as("nb"), col("cell")), Seq("cell"))
     val scored = (if (excludeSelf) cand.where(col("id_a") =!= col("id_b"))
                   else cand)
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .select("id_a", "id_b", "cosine")
-    Similarity.rankTopK(scored, k)
+    Similarity.rankTopK(scored, k, distinctIds = distinctCandidates)
   }
 
   /** Approximate top-k by cosine using an IVF index built on the same
@@ -169,7 +176,8 @@ object Ivf {
     * nprobe = 1 (ties → lowest cell, matching the replay's
     * `row_number() OVER (ORDER BY d2, cell)`). */
   def buildIndexDeterministic(emb: DataFrame, idCol: String, vecCol: String,
-                              nlist: Int): IvfIndex = {
+                              nlist: Int, assign: Int = 1): IvfIndex = {
+    require(assign >= 1, s"assign must be >= 1, got $assign")
     val v = emb.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
@@ -181,19 +189,38 @@ object Ivf {
     val dim = cents.head._2.length
     val flat = new Array[Double](cents.length * dim)
     cents.foreach { case (i, c) => System.arraycopy(c, 0, flat, i * dim, dim) }
-    val indexed = v.withColumn("cell", element_at(
-        graft.functions.VectorExpressions.ivfProbeNative(col("v"), flat, dim, 1), 1))
+    // assign > 1 is MULTI-ASSIGNMENT (cell replication / spill lists):
+    // every vector is indexed into its `assign` nearest cells, so a
+    // query whose true neighbour sits just across a cell boundary — the
+    // dominant IVF miss mode — still meets it. Index size ×assign
+    // (a constant), probe math unchanged; a candidate pair can now
+    // arise up to `assign` times, so multi-assigned serving must rank
+    // with distinct ids ([[probeTopK]]'s distinctCandidates).
+    val probeCells = graft.functions.VectorExpressions
+      .ivfProbeNative(col("v"), flat, dim, assign)
+    val indexed = (if (assign == 1)
+        v.withColumn("cell", element_at(probeCells, 1))
+      else v.withColumn("cell", explode(probeCells)))
       .select("id", "v", "nrm", "cell").cache()
     IvfIndex(indexed, cents)
   }
 
   /** Self-search ANN over a [[buildIndexDeterministic]] index — the
-    * fully-deterministic IVF twin of [[ivfTopK]]. */
+    * fully-deterministic IVF twin of [[ivfTopK]]. assign > 1 serves a
+    * multi-assigned index (queries come from the raw frame, not the
+    * replicated index rows, and the ranking dedupes candidates). */
   def ivfTopKDeterministic(emb: DataFrame, idCol: String, vecCol: String,
-                           k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val index = buildIndexDeterministic(emb, idCol, vecCol, nlist)
-    probeTopK(index.indexed.select(col("id"), col("v")), index,
-      "id", "v", k, nprobe, excludeSelf = true)
+                           k: Int, nlist: Int, nprobe: Int,
+                           assign: Int = 1): DataFrame = {
+    val index = buildIndexDeterministic(emb, idCol, vecCol, nlist, assign)
+    if (assign == 1)
+      // v/nrm already computed on the index rows; reuse them as queries
+      probeTopK(index.indexed.select(col("id"), col("v")), index,
+        "id", "v", k, nprobe, excludeSelf = true)
+    else
+      probeTopK(emb.select(col(idCol), col(vecCol)), index,
+        idCol, vecCol, k, nprobe, excludeSelf = true,
+        distinctCandidates = true)
   }
 
   /** The deterministic twin's COUNT-THEN-DIAL sizing. nlist = √n
@@ -231,11 +258,21 @@ object Ivf {
   }
 
   /** [[ivfTopKDeterministic]] with the [[detDial]] √n sizing from one
-    * bounded `count()` action. */
+    * bounded `count()` action, serving a 2-ASSIGNED index (each corpus
+    * vector in its 2 nearest cells). The replication is a constant ×2
+    * on index size and candidate volume — the asymptotic Θ(n^1.5 log n)
+    * shape is the dial's — and it buys back the boundary-miss recall
+    * the leaner nprobe gives up: measured on the deterministic index
+    * (ScaleStress `ivfdial`, SCALING.md round 14), recall@5 vs exact
+    * truth 0.80/0.70/0.66 across sf0.1/10×/100× against the old
+    * constant-fraction dial's 0.58/0.49/0.65 at up to 3× the
+    * candidates. Assignment rank and candidate dedup replay exactly in
+    * SQL (q160's oracle: `r <= 2` on the assignment window, DISTINCT
+    * candidate pairs). */
   def ivfTopKDeterministicAuto(emb: DataFrame, idCol: String,
                                vecCol: String, k: Int): DataFrame = {
     val (nlist, nprobe) = detDial(emb.count())
-    ivfTopKDeterministic(emb, idCol, vecCol, k, nlist, nprobe)
+    ivfTopKDeterministic(emb, idCol, vecCol, k, nlist, nprobe, assign = 2)
   }
 
   /** One FULLY DETERMINISTIC Lloyd (k-means) step, exact enough to

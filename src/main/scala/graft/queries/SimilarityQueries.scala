@@ -217,20 +217,24 @@ object SimilarityQueries {
         "vec_id", "embedding", "label")
     })
 
-  /** Deterministic IVF ANN — hash-sampled centroids (the 64 corpus
-    * vectors ranking first by md5(id) become cells 0..63), fused
-    * one-loop assignment/probing, nprobe = 8, exact rescoring.
+  /** Deterministic IVF ANN — hash-sampled centroids (the corpus
+    * vectors ranking first by md5(id) become the cells), fused
+    * one-loop 2-ASSIGNMENT and probing, count-then-dialed nlist/nprobe,
+    * exact rescoring with candidate dedup.
     *
     * HASH-CHECKED against a full DuckDB replay (the q34 treatment for
     * the IVF family): centroid choice is a pure md5-rank sample,
     * d² = nrm² − 2⟨v,c⟩ + ‖c‖² is evaluated in the same literal order
     * with in-index-order dot folds on both engines (the q32
     * `list_dot_product` contract; nrm² is sqrt-then-square, matching
-    * IvfProbe), assignment/probe ties break to the lowest cell, and a
-    * candidate pair arises at most once (a corpus vector has ONE
-    * primary cell), so the final (cosine DESC, id_b) top-5 replays
-    * bit-for-bit. The fitted-KMeans path stays q39 (rows-only +
-    * recall-spec'd); this pins the serving machinery end-to-end. */
+    * IvfProbe), assignment (rank ≤ 2 — multi-assignment, the
+    * boundary-miss recall fix) and probe ties break to the lowest
+    * cell, duplicate candidate pairs collapse identically on both
+    * sides (they carry the identical cosine; Spark dedupes by id in
+    * the bounded top-k buffer, the oracle with DISTINCT), so the final
+    * (cosine DESC, id_b) top-5 replays bit-for-bit. The fitted-KMeans
+    * path stays q39 (rows-only + recall-spec'd); this pins the serving
+    * machinery end-to-end. */
   val q160 = QueryDef.sql("q160_ann_ivf_det",
     """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       |dial AS (SELECT CAST(greatest(64, ceil(sqrt(count(*)))) AS BIGINT)
@@ -251,9 +255,9 @@ object SimilarityQueries {
       |rkd AS (SELECT id, cell,
       |        row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS r
       |      FROM d),
-      |asgn AS (SELECT id, cell FROM rkd WHERE r = 1),
+      |asgn AS (SELECT id, cell FROM rkd WHERE r <= 2),
       |probe AS (SELECT id, cell FROM rkd, dial WHERE r <= nprobe),
-      |cand AS (SELECT p.id AS id_a, a.id AS id_b
+      |cand AS (SELECT DISTINCT p.id AS id_a, a.id AS id_b
       |      FROM probe p JOIN asgn a ON p.cell = a.cell
       |      WHERE p.id <> a.id),
       |scored AS (SELECT c.id_a, c.id_b,

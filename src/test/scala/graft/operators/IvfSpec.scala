@@ -106,14 +106,56 @@ class IvfSpec extends AnyFunSuite {
       val (nl, np) = Ivf.detDial(n); np.toDouble / nl
     }
     assert(fracs == fracs.sorted.reverse && fracs.head < 0.125, fracs.toString)
-    // below the boundary the auto variant IS the historical fixed one
+    // below the boundary the auto variant IS the historical fixed
+    // index (64, 16) served 2-assigned
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val auto = Ivf.ivfTopKDeterministicAuto(emb, "vec_id", "embedding", k = 5)
       .collect().map(_.toString).sorted.toSeq
     val fixed = Ivf.ivfTopKDeterministic(emb, "vec_id", "embedding",
-        k = 5, nlist = 64, nprobe = 16)
+        k = 5, nlist = 64, nprobe = 16, assign = 2)
       .collect().map(_.toString).sorted.toSeq
     assert(auto == fixed)
+  }
+
+  test("multi-assignment (assign=2): replicated index, deduped serving, " +
+      "recall strictly above single-assignment at equal nprobe") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = emb.count()
+    val i1 = Ivf.buildIndexDeterministic(emb, "vec_id", "embedding", 64)
+    val i2 = Ivf.buildIndexDeterministic(emb, "vec_id", "embedding", 64,
+      assign = 2)
+    try {
+      // exactly 2 rows per vector, and the rank-1 cell set equals the
+      // single-assignment cells (the 2-assignment is a superset)
+      assert(i2.indexed.count() == 2 * n)
+      assert(i2.indexed.groupBy("id").count()
+        .where(col("count") =!= 2).count() == 0)
+      val a1 = i1.indexed.select("id", "cell").as[(Long, Int)]
+        .collect().toSet
+      val a2 = i2.indexed.select("id", "cell").as[(Long, Int)]
+        .collect().toSet
+      assert(a1.subsetOf(a2))
+      // deduped serving: <= k rows per query, no duplicate neighbour
+      val served = Ivf.ivfTopKDeterministic(emb, "vec_id", "embedding",
+        k = 5, nlist = 64, nprobe = 16, assign = 2)
+      assert(served.groupBy("id_a", "id_b").count()
+        .where(col("count") > 1).count() == 0)
+      assert(served.groupBy("id_a").count()
+        .where(col("count") > 5).count() == 0)
+      // recall: 2-assignment must beat 1-assignment at equal nprobe
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      def recall(df: org.apache.spark.sql.DataFrame) = exact.count(
+        df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+          .contains).toDouble / exact.size
+      val r1 = recall(Ivf.ivfTopKDeterministic(emb, "vec_id", "embedding",
+        k = 5, nlist = 64, nprobe = 16))
+      val r2 = recall(served)
+      info(f"deterministic IVF recall at sf0.01: assign=1 $r1%.3f, " +
+        f"assign=2 $r2%.3f")
+      assert(r2 > r1, s"2-assignment recall $r2 not above $r1")
+    } finally { i1.unpersist(); i2.unpersist() }
   }
 
   test("kmeansStepDeterministic: members partition the corpus, " +
