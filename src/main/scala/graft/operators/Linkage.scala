@@ -409,6 +409,103 @@ object Linkage {
       .select(col("id1"), col("id2"), col("__dist").as("dist"))
   }
 
+  /** Distinct-value collapse stance of the INCREMENTAL fixed-radius
+    * edit join: every (corpus ∪ delta) pair at levenshtein ≤ maxDist
+    * within equal `__blk` involving ≥ 1 delta ROW, computed by running
+    * the DP once per (delta-value × any-value) distinct pair and
+    * expanding back output-proportionally — [[editJoinByDistinct]]'s
+    * plan shape with the delta algebra of
+    * [[incrementalEditCandidates]]. The right stance when the string
+    * domain saturates: with v distinct values over n rows the PassJoin
+    * grid buckets hold n/v replicas each and candidate volume rides
+    * the replication squared, while this plan's DP work is bounded by
+    * (delta domain × full domain) and everything after is output.
+    *
+    * Pair uniqueness: the value-pair frame is ORDERED (delta-side
+    * value, any-side value); a delta×corpus row pair has exactly one
+    * capture (corpus rows never sit on the delta-probe side) and a
+    * delta×delta pair exactly two, so the residual keeps corpus
+    * partners unconditionally and delta partners only at
+    * id_d < id_o — each unordered pair ships once (spec-pinned
+    * against the brute join). Inputs are the NORMALIZED
+    * (__id, __s, __blk) frames; corpus and delta row sets must be
+    * disjoint (the split contract of every incremental operator
+    * here). */
+  private def incrementalEditJoinCollapsed(c: DataFrame, d: DataFrame,
+                                           maxDist: Int, salt: Int,
+                                           broadcastBudget: Long): DataFrame = {
+    val all = c.unionByName(d)
+    val dnAll = all.select("__blk", "__s").distinct()
+      .withColumnRenamed("__s", "__sb")
+      .localCheckpoint(true) // value-pair build side + the dial count
+    val np = d.select("__blk", "__s").distinct()
+      .withColumnRenamed("__s", "__sa")
+      .join(dnAll, Seq("__blk"))
+      .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .where(col("__dist") >= 0)
+      .localCheckpoint(true) // the dial count AND the expansion read it
+    val npStats = np.agg(count(lit(1)),
+      coalesce(sum(length(col("__sa")) + length(col("__sb"))), lit(0L))).head()
+    val npBytes = npStats.getLong(1) * 2L + npStats.getLong(0) * 64L
+    val dialedNp = if (npBytes < broadcastBudget) broadcast(np) else np
+    val left = d.withColumnRenamed("__s", "__sa")
+      .withColumnRenamed("__id", "__idd")
+      .join(dialedNp, Seq("__blk", "__sa"))
+    val right0 = c.withColumn("__isd", lit(false))
+      .unionByName(d.withColumn("__isd", lit(true)))
+      .withColumnRenamed("__s", "__sb")
+      .withColumnRenamed("__id", "__ido")
+    val expandKeys = Seq("__blk", "__sb", "__salt")
+    val leftSalted0 = left.withColumn("__salt",
+      pmod(xxhash64(col("__idd")), lit(salt.toLong)))
+    val rightSalted0 = right0.withColumn("__salt",
+      explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
+    val (leftSalted, rightSalted) =
+      if (salt <= 1) (leftSalted0, rightSalted0)
+      else (Skew.pinSalted(leftSalted0, expandKeys, salt),
+            Skew.pinSalted(rightSalted0, expandKeys, salt))
+    leftSalted.join(rightSalted, expandKeys)
+      .where(col("__idd") =!= col("__ido") &&
+        (!col("__isd") || col("__idd") < col("__ido")))
+      .select(least(col("__idd"), col("__ido")).as("id1"),
+        greatest(col("__idd"), col("__ido")).as("id2"),
+        col("__dist").cast("long").as("dist"))
+  }
+
+  /** ONE front door for the incremental fixed-radius edit join — the
+    * [[editJoin]] count-then-dial stance choice applied to the
+    * delta-vs-corpus shape (every ≤-maxDist pair involving a delta
+    * row, VERIFIED — output (id1, id2, dist)): saturating domains take
+    * the distinct-value collapse ([[incrementalEditJoinCollapsed]]),
+    * growing domains the PassJoin candidates + banded-DP verify
+    * ([[incrementalEditCandidates]]). Both stances exact — the dial is
+    * a pure plan choice, hash-checked by q342's oracle at whichever
+    * branch each SF selects. The probe aggregates the UNION frame
+    * (one bounded action), mirroring [[editJoin]]. */
+  def incrementalEditJoin(corpus: DataFrame, delta: DataFrame,
+                          idCol: String, strCol: String, blkCol: String,
+                          maxDist: Int, salt: Int = 16,
+                          maxDomain: Long = 65536L,
+                          broadcastBudget: Long = 64L << 20): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    def norm(df: DataFrame) = df.select(col(idCol).as("__id"),
+      col(strCol).as("__s"), col(blkCol).as("__blk"))
+    val c = norm(corpus)
+    val d = norm(delta)
+    val probe = c.unionByName(d).agg(count(lit(1)),
+      count_distinct(struct(col("__blk"), col("__s")))).head()
+    val (n, dn) = (probe.getLong(0), probe.getLong(1))
+    if (maxDist == 0 || chooseCollapse(n, dn, maxDomain))
+      incrementalEditJoinCollapsed(c, d, maxDist, salt, broadcastBudget)
+    else
+      incrementalEditCandidates(corpus, delta, idCol, strCol, blkCol, maxDist)
+        .withColumn("dist",
+          levenshtein(col("s1"), col("s2"), maxDist).cast("long"))
+        .where(col("dist") >= 0)
+        .select("id1", "id2", "dist")
+  }
+
   /** The stance dial for [[editJoin]], pure so LinkageSpec can pin it
     * (the q282 lesson: an untested branch is an unverified branch).
     * Collapse wins when the string domain SATURATES — distinct values

@@ -319,6 +319,49 @@ class LinkageSpec extends AnyFunSuite {
     assert(eq0 == eqWant)
   }
 
+  test("incrementalEditJoin front door: both stances equal the brute " +
+      ">=1-delta join, each pair ships once") {
+    val rows = strings(240, "abc", 9)
+    val deltaIds = rows.map(_._1).filter(_ % 3 == 0).toSet
+    val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
+    val corpus = df.where(col("id") % 3 =!= 0)
+    val delta = df.where(col("id") % 3 === 0)
+    val want = bruteWithin(rows, 2)
+      .filter(t => deltaIds(t._1) || deltaIds(t._2))
+    // growing domain (ratio ~1): default dial -> PassJoin stance
+    val pass = Linkage.incrementalEditJoin(corpus, delta,
+        "id", "s", "blk", maxDist = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pass.toSet == want)
+    assert(pass.length == pass.distinct.length)
+    // maxDomain huge on a DUPLICATED corpus -> collapse stance; same rows
+    val dupRows = rows.map { case (i, s) => (i, s.take(3), s"b") }
+    val dupDeltaIds = dupRows.map(_._1).filter(_ % 3 == 0).toSet
+    val ddf = dupRows.toDF("id", "s", "blk")
+    val dCorpus = ddf.where(col("id") % 3 =!= 0)
+    val dDelta = ddf.where(col("id") % 3 === 0)
+    val dWant = (for {
+      (ia, sa, _) <- dupRows; (ib, sb, _) <- dupRows
+      if ia < ib && lev(sa, sb) <= 1 &&
+        (dupDeltaIds(ia) || dupDeltaIds(ib))
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val collapsed = Linkage.incrementalEditJoin(dCorpus, dDelta,
+        "id", "s", "blk", maxDist = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(collapsed.toSet == dWant)
+    assert(collapsed.length == collapsed.distinct.length)
+    // and the PassJoin stance FORCED onto the duplicated corpus agrees
+    val forced = Linkage.incrementalEditJoin(dCorpus, dDelta,
+        "id", "s", "blk", maxDist = 1, maxDomain = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(forced == dWant)
+    // shuffled (non-broadcast) value-pair path parity on the collapse
+    val shuffled = Linkage.incrementalEditJoin(dCorpus, dDelta,
+        "id", "s", "blk", maxDist = 1, salt = 3, broadcastBudget = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(shuffled == dWant)
+  }
+
   test("editJoin composite blocks: struct equality, not string concat") {
     // two block columns whose CONCAT collides ("ab","c") vs ("a","bc")
     // but whose struct values differ — the pairs must NOT match
