@@ -527,6 +527,14 @@ object Linkage {
     * levenshtein ≤ maxDist, as (id1 < id2, dist). Count-then-dial —
     * one bounded aggregate probes the distinct-value ratio, then:
     *
+    * (This probe is NOT the decide-scan anti-pattern SCALING.md
+    * round-13 rejected for the Gini dial: there a full-table scan
+    * chose between two CONSTANT-factor arithmetic widths, so the scan
+    * cost what the choice saved. Here one map-side-combined aggregate
+    * — tiny against either branch's own work — picks between plans
+    * whose costs diverge by ORDERS OF MAGNITUDE at scale; the probe
+    * amortizes the first time the dial is right.)
+    *
     *  - SATURATING domain ([[chooseCollapse]] true — the q49 p_name
     *    shape, where distinct values stop growing with rows):
     *    [[editJoinByDistinct]] — DP once per distinct value pair,

@@ -226,6 +226,26 @@ class PlanQualitySpec extends AnyFunSuite {
       .contains("REPARTITION_BY_NUM"))
   }
 
+  test("incrementalEditJoin collapsed stance pins its salted expansion") {
+    // the collapse branch is a SEPARATE implementation from
+    // editJoinByDistinct (delta-probe value pairs + ≥-one-delta
+    // residual) — pin its expansion partitioning independently
+    import org.apache.spark.sql.functions._
+    val salt = 4
+    val want = math.max(spark.sparkContext.defaultParallelism, salt * 8)
+    val rows = (1 to 600).map(i =>
+      (i.toLong, Seq("kilo", "kila", "milo", "mila")(i % 4), "x"))
+    val df = spark.createDataFrame(rows).toDF("id", "name", "tag")
+    val out = graft.operators.Linkage.incrementalEditJoin(
+      df.where(col("id") % 3 =!= 0), df.where(col("id") % 3 === 0),
+      "id", "name", "tag", maxDist = 1, salt = salt)
+    out.count()
+    assert(out.rdd.getNumPartitions == want,
+      s"expansion ran at ${out.rdd.getNumPartitions} partitions, want $want")
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
   test("fraud rule 3 default plan is the Δ-bucketed band join") {
     import org.apache.spark.sql.Row
     def empty(schema: org.apache.spark.sql.types.StructType) =
