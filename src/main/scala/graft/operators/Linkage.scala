@@ -406,7 +406,9 @@ object Linkage {
             Skew.pinSalted(rightSalted0, expandKeys, salt))
     leftSalted.join(rightSalted, expandKeys)
       .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("__dist").as("dist"))
+      // long like every other stance, so editJoin's output schema does
+      // not depend on which branch the dial picked
+      .select(col("id1"), col("id2"), col("__dist").cast("long").as("dist"))
   }
 
   /** Distinct-value collapse stance of the INCREMENTAL fixed-radius
