@@ -264,10 +264,13 @@ object Ivf {
     * shape is the dial's — and it buys back the boundary-miss recall
     * the leaner nprobe gives up: measured on the deterministic index
     * (ScaleStress `ivfdial`, SCALING.md round 14), recall@5 vs exact
-    * truth 0.80/0.70/0.66 across sf0.1/10×/100× against the old
-    * constant-fraction dial's 0.58/0.49/0.65 at up to 3× the
-    * candidates. Assignment rank and candidate dedup replay exactly in
-    * SQL (q160's oracle: `r <= 2` on the assignment window, DISTINCT
+    * truth 0.800/0.695/0.568 across sf0.1/10×/100× against the old
+    * constant-fraction dial's 0.582/0.491/0.646 — ahead at the first
+    * two decades outright, and at 100× budget-matched (nprobe raised
+    * to meet the old dial's own 5.0 B candidates) it wins 0.683 vs
+    * 0.646 at 19% less wall; nprobe stays the user's recall dial.
+    * Assignment rank and candidate dedup replay exactly in SQL
+    * (q160's oracle: `r <= 2` on the assignment window, DISTINCT
     * candidate pairs). */
   def ivfTopKDeterministicAuto(emb: DataFrame, idCol: String,
                                vecCol: String, k: Int): DataFrame = {
