@@ -79,6 +79,52 @@ object Rank {
       .drop("__pid", "__off")
   }
 
+  /** Distributed EXCLUSIVE prefix MAX of a long column in `orderCols`
+    * order — `max(x) OVER (ORDER BY … ROWS BETWEEN UNBOUNDED PRECEDING
+    * AND 1 PRECEDING)` without the single-partition cliff, NULL where
+    * no strictly-earlier row exists (the first row globally). The
+    * high-water-mark shape: "the largest event time seen before this
+    * arrival minute" (watermark sizing), "the running record so far".
+    * Same two-pass skeleton as [[globalPrefixSum]]: range-exchange on
+    * the order key, per-partition MAXes to the driver (one row per
+    * partition), exclusive cross-partition running maxes broadcast
+    * back, in-partition exclusive-max window. `greatest` skips NULLs,
+    * so the partition boundary and the global first row fall out of
+    * NULL offsets for free. `valueCol` must be long; the order-key
+    * tuple must be unique per row. */
+  def globalPrefixMax(df: DataFrame, outCol: String, valueCol: String,
+                      orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val maxes = parted.groupBy("__pid").agg(max(col(valueCol)).as("__m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive: partition p sees the max over partitions strictly
+    // before it; the first non-empty partition sees NULL
+    val offsets = maxes.scanLeft(Option.empty[Long]) {
+      case (acc, (_, m)) => Some(acc.fold(m)(math.max(_, m)))
+    }.init.zip(maxes).map { case (off, (pid, _)) =>
+      (pid, off.map(java.lang.Long.valueOf).orNull)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq.map {
+        case (pid, off) => org.apache.spark.sql.Row(pid, off)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    parted.join(broadcast(offDf), "__pid")
+      .withColumn(outCol, greatest(col("__off"),
+        max(col(valueCol)).over(Window.partitionBy("__pid")
+          .orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1))))
+      .drop("__pid", "__off")
+  }
+
   /** EXACT median (the ⌈n/2⌉-th order statistic) of a long column in
     * TWO scans and zero global sorts — the shape that survives 100 TB
     * where `ORDER BY` + rank drains the table through a range exchange

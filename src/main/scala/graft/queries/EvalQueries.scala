@@ -181,9 +181,15 @@ object EvalQueries {
     * prefixes iff max(ra, rb) ≤ d, so the per-depth overlap X_d is a
     * count over the joined rank table and the truncated series
     * Σ p^(d-1)·X_d/d is a 50-row sum after a range join on
-    * max(ra,rb) ≤ d. Revenue in exact integer cents; the full-outer
-    * rank join is on ~n_parts rows; only the 50-term series is
-    * floating point. */
+    * max(ra,rb) ≤ d. Revenue in exact integer cents; only the 50-term
+    * series is floating point. Because only items with BOTH ranks ≤ 50
+    * can ever contribute (mx ≤ d ≤ 50), each half needs only its exact
+    * top-50 — a distributed TakeOrdered (per-partition top-50, driver
+    * merge of 50-row heads), NOT a global row_number over the
+    * per-partkey aggregate: that frame grows linearly with distinct
+    * l_partkey (~2 B keys at the 100 TB design point) and would sort
+    * through one task. The residual row_number window ranks the 50
+    * surviving rows, a literal-bounded frame. */
   val q217 = QueryDef.sql("q217_rank_biased_overlap",
     """WITH h AS (SELECT (SELECT
       |      (min(date_diff('day', DATE '1970-01-01',
@@ -229,12 +235,15 @@ object EvalQueries {
           .cast("long") *
           (lit(100L) - (col("l_discount") * 100).cast("long")))
           .cast("long").as("rev"))
+      // Exact top-50 per half via TakeOrdered (limit after orderBy):
+      // per-partition top-50 + driver merge — never a single-task sort
+      // of the full per-partkey frame. Ranks within the 50 survivors
+      // equal the global ranks (same total order, unique tiebreaker),
+      // and rows with either rank > 50 contribute nothing downstream.
       def ranked(h: Int) = g.where(col("half") === h)
+        .orderBy(col("rev").desc, col("l_partkey")).limit(50)
         .select(col("l_partkey"), row_number()
           .over(Window.orderBy(col("rev").desc, col("l_partkey"))).as("r"))
-      // Global row_number over ~n_parts aggregated rows (not the fact
-      // table) — bounded by the distinct-key count, same stance as the
-      // catalog's other post-aggregate windows.
       val j = ranked(0).as("ra")
         .join(ranked(1).as("rb"), col("ra.l_partkey") === col("rb.l_partkey"))
         .where(col("ra.r") <= 50 || col("rb.r") <= 50)

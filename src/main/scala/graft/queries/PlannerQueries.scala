@@ -1524,7 +1524,10 @@ object PlannerQueries {
     * mark of event time among strictly-earlier arrival minutes, and
     * report the drop rate per event type at four candidate watermarks.
     * The per-minute high-water prefix runs over the arrival-minute
-    * frame (calendar-bounded, the q131 stance), never over rows; all
+    * frame via [[graft.operators.Rank.globalPrefixMax]] — the minute
+    * count grows with the corpus's covered time span (a decade of
+    * 100 TB telemetry is ~5 M minutes), so the prefix max must NOT be
+    * a partitionless window draining those rows through one task; all
     * lateness arithmetic is integer µs; shares are floor-ppm. The
     * output row that first shows ≈ 0 drops is the watermark to
     * deploy — this is q22/q48's missing sizing step. */
@@ -1553,7 +1556,6 @@ object PlannerQueries {
       |    AS drop_ppm
       |FROM l, w GROUP BY 1, 2""")(
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, dir).select(col("event_type"),
         unix_micros(col("ts")).as("us"),
         (unix_micros(col("ts")) +
@@ -1562,9 +1564,12 @@ object PlannerQueries {
             .cast("long") % 600000000L).as("arr"))
       val b = e.withColumn("abk", expr("arr DIV 60000000"))
       val m = b.groupBy("abk").agg(max("us").as("mx"))
-      // calendar-bounded frame (arrival minutes), not a row window
-      val p = m.withColumn("hwm", max("mx").over(Window.orderBy("abk")
-        .rowsBetween(Window.unboundedPreceding, -1)))
+      // the minute frame scales with the covered time span — exclusive
+      // prefix max through the two-pass range-exchange operator, not a
+      // single-task global window (caught by PlanQualitySpec's growth
+      // guard once it measured real metrics)
+      val p = graft.operators.Rank.globalPrefixMax(m, "hwm", "mx",
+        col("abk"))
       val l = b.join(p.select("abk", "hwm"), "abk")
         .select(col("event_type"),
           greatest(coalesce(col("hwm") - col("us"), lit(0L)), lit(0L))

@@ -563,6 +563,10 @@ class PlanQualitySpec extends AnyFunSuite {
                _: org.apache.spark.sql.execution.exchange.Exchange |
                _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
             inputRows(n.children.head)
+          // a reused exchange carries no metrics of its own; the
+          // original Exchange it points at counted the rows
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            inputRows(r.child)
           case _ => None
         })
     }
@@ -572,7 +576,13 @@ class PlanQualitySpec extends AnyFunSuite {
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
            if names.forall(_(name))) {
         val df = fn(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
+        // Execute THIS QueryExecution (not a re-planned copy): a
+        // `df.write.format("noop")` plans the write in its own
+        // QueryExecution, leaving df.queryExecution.executedPlan's
+        // metrics at zero — which made every cap below pass vacuously
+        // (how q217's key-scaled window survived 14 rounds of this
+        // test). toRdd executes the very plan we then inspect.
+        df.queryExecution.toRdd.foreach(_ => ())
         val ws = collectGlobalWindows(df.queryExecution.executedPlan)
         if (ws.nonEmpty) {
           // max over sites: the cap is per window, a query is as
