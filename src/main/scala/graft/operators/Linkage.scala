@@ -234,10 +234,18 @@ object Linkage {
     // fresh local frame with no lineage into the caches — a long
     // session (the 339-query bench loop, a daily driver) accumulates
     // NOTHING from abandoned rungs.
-    def materialize(topk: DataFrame): DataFrame = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(topk.collect().toSeq.asJava, topk.schema)
-    }
+    // k is caller-chosen and unbounded (ADVICE r14): a bounded k
+    // collects to a fresh driver-local frame, but past the cap the
+    // result stays DISTRIBUTED — an eager localCheckpoint gives the
+    // same lineage cut (the unpersists below can never trigger a
+    // recompute) with executor-resident storage instead of pulling
+    // every row + string payload through driver memory.
+    val driverRowCap = 100000
+    def materialize(topk: DataFrame): DataFrame =
+      if (k <= driverRowCap) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(topk.collect().toSeq.asJava, topk.schema)
+      } else topk.localCheckpoint(true)
     val sig = df.select(col(idCol).cast("long").as("__id"),
         col(strCol).as("__s"), col(blkCol).as("__blk"))
       .cache() // every rung + the counts re-read it
@@ -326,6 +334,44 @@ object Linkage {
     } finally sig.unpersist()
   }
 
+  /** Ordered distinct-VALUE pairs at levenshtein ≤ r via the PassJoin
+    * grid run on the VALUE DOMAINS — the value-pair generator the
+    * collapse stances switch to when the domain outgrows `gridDomain`
+    * (VERDICT r14 #4: a corpus of 10⁶ distinct strings duplicated
+    * 100× saturates — dn ≪ n — yet a domain² block join over 10¹²
+    * value pairs is no plan either; the grid's candidates track the
+    * true match count on the DOMAIN, the only frame the DP ever has
+    * to touch). Inputs are distinct (`blockCols`…, `__s`) frames;
+    * output (`blockCols`…, __sa ∈ probe domain, __sb ∈ idx domain,
+    * __dist) — both directions of every unordered pair when
+    * probe = idx (each side probes the other — the pigeonhole
+    * guarantee is per ordered (index, probe) pair), plus the identity
+    * pairs the block join emits via its equal-value rows. Exactness:
+    * candidates are a superset ([[editCandidates]]' proof), the banded
+    * DP verifies, equal values ride the identity union — so the
+    * emitted set equals the block self-join's rows at any domain
+    * size. */
+  private def gridValuePairs(idx: DataFrame, probe: DataFrame,
+                             blockCols: Seq[String], r: Int): DataFrame = {
+    // the value IS its own id: pairsFromKeys-style dedup and the
+    // ordered-pair algebra work on (__blk, value) directly
+    def base(df: DataFrame) = df.select(
+      struct(blockCols.map(col): _*).as("__blk"),
+      col("__s").as("__id"), col("__s"))
+    val restore = blockCols.map(c => col("__blk").getField(c).as(c))
+    val paired = editIndexKeys(base(idx), r)
+      .join(editProbeKeys(base(probe), r), Seq("__blk", "__i", "__l", "__seg"))
+      .where(col("__idi") =!= col("__idp"))
+      .select(col("__blk"), col("__sp").as("__sa"), col("__si").as("__sb"))
+      .dropDuplicates("__blk", "__sa", "__sb")
+      .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), r))
+      .where(col("__dist") >= 0)
+    val ident = base(probe).select(col("__blk"),
+      col("__s").as("__sa"), col("__s").as("__sb"), lit(0).as("__dist"))
+    paired.unionByName(ident)
+      .select((restore ++ Seq(col("__sa"), col("__sb"), col("__dist"))): _*)
+  }
+
   /** EXACT edit-distance ≤ `maxDist` self-join for LOW-DISTINCT string
     * columns: collapse to distinct (block, value), run the DP on
     * distinct-VALUE pairs (bounded by the value domain², not the row
@@ -335,7 +381,11 @@ object Linkage {
     * density is a constant (~19% on part), so no candidate filter can
     * beat the output size, and the only scalable win is making the
     * quadratic DP work collapse to the value domain and the remaining
-    * cost pure output materialization.
+    * cost pure output materialization. Past `gridDomain` distinct
+    * values the value pairs come from [[gridValuePairs]]' PassJoin
+    * grid instead of the domain² block join (VERDICT r14 #4) — same
+    * rows, match-proportional generation; maxDist = 0 needs neither
+    * (the value pairs ARE the identity pairs).
     *
     * Output: (id1, id2, dist) with id1 < id2, both rows sharing every
     * `blockCols` value, dist = levenshtein ≤ maxDist (exact, the
@@ -361,7 +411,12 @@ object Linkage {
                          // shuffled value-pair path (the q282 dial
                          // lesson: an untested branch is an unverified
                          // branch)
-                         broadcastBudget: Long = 64L << 20): DataFrame = {
+                         broadcastBudget: Long = 64L << 20,
+                         // distinct-value count above which the value
+                         // pairs come from the PassJoin grid instead
+                         // of the block self-join (injectable: q344
+                         // oracles the grid path at the test SFs)
+                         gridDomain: Long = 65536L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val bcols = blockCols.map(col)
@@ -369,12 +424,21 @@ object Linkage {
       :+ col(strCol).as("__s")): _*)
     val dn = rows.select((bcols :+ col("__s")): _*).distinct()
       .localCheckpoint(true) // both name-pair sides + the dial count
-    val a = dn.withColumnRenamed("__s", "__sa")
-    val b = dn.withColumnRenamed("__s", "__sb")
-    val np = a.join(b, blockCols)
-      .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-      .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
-      .where(col("__dist") >= 0)
+    val np0 =
+      if (maxDist == 0)
+        // degenerate collapse: the only value pairs are the identity
+        // pairs — no join at all
+        dn.select((bcols :+ col("__s").as("__sa")
+          :+ col("__s").as("__sb") :+ lit(0).as("__dist")): _*)
+      else if (dn.count() <= gridDomain) {
+        val a = dn.withColumnRenamed("__s", "__sa")
+        val b = dn.withColumnRenamed("__s", "__sb")
+        a.join(b, blockCols)
+          .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+          .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+          .where(col("__dist") >= 0)
+      } else gridValuePairs(dn, dn, blockCols, maxDist)
+    val np = np0
       .localCheckpoint(true) // the dial count AND the expansion read it
     // broadcast dial on the ACTUAL payload (ADVICE r13): the value-pair
     // frame carries two full strings per row, so a flat 64-bytes/row
@@ -432,20 +496,31 @@ object Linkage {
     * against the brute join). Inputs are the NORMALIZED
     * (__id, __s, __blk) frames; corpus and delta row sets must be
     * disjoint (the split contract of every incremental operator
-    * here). */
+    * here). Past `gridDomain` distinct values the (delta × all) value
+    * pairs come from the PassJoin grid on the two domains — index
+    * keys on the full domain, probe blow-up on the DELTA domain only
+    * (VERDICT r14 #4); maxDist = 0 needs only the delta-domain
+    * identity pairs. */
   private def incrementalEditJoinCollapsed(c: DataFrame, d: DataFrame,
                                            maxDist: Int, salt: Int,
-                                           broadcastBudget: Long): DataFrame = {
+                                           broadcastBudget: Long,
+                                           gridDomain: Long): DataFrame = {
     val all = c.unionByName(d)
     val dnAll = all.select("__blk", "__s").distinct()
-      .withColumnRenamed("__s", "__sb")
       .localCheckpoint(true) // value-pair build side + the dial count
-    val np = d.select("__blk", "__s").distinct()
-      .withColumnRenamed("__s", "__sa")
-      .join(dnAll, Seq("__blk"))
-      .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-      .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
-      .where(col("__dist") >= 0)
+    val dnD = d.select("__blk", "__s").distinct()
+    val np0 =
+      if (maxDist == 0)
+        dnD.select(col("__blk"), col("__s").as("__sa"),
+          col("__s").as("__sb"), lit(0).as("__dist"))
+      else if (dnAll.count() <= gridDomain)
+        dnD.withColumnRenamed("__s", "__sa")
+          .join(dnAll.withColumnRenamed("__s", "__sb"), Seq("__blk"))
+          .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+          .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+          .where(col("__dist") >= 0)
+      else gridValuePairs(dnAll, dnD, Seq("__blk"), maxDist)
+    val np = np0
       .localCheckpoint(true) // the dial count AND the expansion read it
     val npStats = np.agg(count(lit(1)),
       coalesce(sum(length(col("__sa")) + length(col("__sb"))), lit(0L))).head()
@@ -475,6 +550,27 @@ object Linkage {
         col("__dist").cast("long").as("dist"))
   }
 
+  /** The collapse STANCE of the incremental edit join, public and
+    * oracled in its own right (q343 hash-checks it at the test SFs,
+    * where the auto dial would pick PassJoin — both stances exact, so
+    * forcing one is a pure plan choice): every (corpus ∪ delta) pair
+    * at levenshtein ≤ maxDist within equal `blkCol` involving ≥ 1
+    * delta row, via the distinct-value collapse
+    * ([[incrementalEditJoinCollapsed]]'s contract). Corpus and delta
+    * row sets must be disjoint. */
+  def incrementalEditJoinByDistinct(corpus: DataFrame, delta: DataFrame,
+                                    idCol: String, strCol: String,
+                                    blkCol: String, maxDist: Int,
+                                    salt: Int = 16,
+                                    broadcastBudget: Long = 64L << 20,
+                                    gridDomain: Long = 65536L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    def norm(df: DataFrame) = df.select(col(idCol).as("__id"),
+      col(strCol).as("__s"), col(blkCol).as("__blk"))
+    incrementalEditJoinCollapsed(norm(corpus), norm(delta),
+      maxDist, salt, broadcastBudget, gridDomain)
+  }
+
   /** ONE front door for the incremental fixed-radius edit join — the
     * [[editJoin]] count-then-dial stance choice applied to the
     * delta-vs-corpus shape (every ≤-maxDist pair involving a delta
@@ -483,25 +579,37 @@ object Linkage {
     * growing domains the PassJoin candidates + banded-DP verify
     * ([[incrementalEditCandidates]]). Both stances exact — the dial is
     * a pure plan choice, hash-checked by q342's oracle at whichever
-    * branch each SF selects. The probe aggregates the UNION frame
-    * (one bounded action), mirroring [[editJoin]]. */
+    * branch each SF selects. The normalized inputs are materialized
+    * ONCE (eager localCheckpoint) before the probe (ADVICE r14: the
+    * probe otherwise re-ran the full upstream lineage — q342's
+    * window + groupBy over events — a second time for the chosen
+    * branch); the probe itself aggregates the UNION frame (one bounded
+    * action), mirroring [[editJoin]]. */
   def incrementalEditJoin(corpus: DataFrame, delta: DataFrame,
                           idCol: String, strCol: String, blkCol: String,
                           maxDist: Int, salt: Int = 16,
-                          maxDomain: Long = 65536L,
+                          // explicit stance override (None = the
+                          // count-then-dial probe): both stances are
+                          // exact, so forcing one is a pure plan
+                          // choice — the spec pins each branch with it
+                          collapse: Option[Boolean] = None,
+                          gridDomain: Long = 65536L,
                           broadcastBudget: Long = 64L << 20): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     def norm(df: DataFrame) = df.select(col(idCol).as("__id"),
       col(strCol).as("__s"), col(blkCol).as("__blk"))
-    val c = norm(corpus)
-    val d = norm(delta)
-    val probe = c.unionByName(d).agg(count(lit(1)),
-      count_distinct(struct(col("__blk"), col("__s")))).head()
-    val (n, dn) = (probe.getLong(0), probe.getLong(1))
-    if (maxDist == 0 || chooseCollapse(n, dn, maxDomain))
-      incrementalEditJoinCollapsed(c, d, maxDist, salt, broadcastBudget)
+    val c = norm(corpus).localCheckpoint(true)
+    val d = norm(delta).localCheckpoint(true)
+    def dialed = {
+      val probe = c.unionByName(d).agg(count(lit(1)),
+        count_distinct(struct(col("__blk"), col("__s")))).head()
+      chooseCollapse(probe.getLong(0), probe.getLong(1))
+    }
+    if (maxDist == 0 || collapse.getOrElse(dialed))
+      incrementalEditJoinCollapsed(c, d, maxDist, salt, broadcastBudget,
+        gridDomain)
     else
-      incrementalEditCandidates(corpus, delta, idCol, strCol, blkCol, maxDist)
+      incrementalEditCandidates(c, d, "__id", "__s", "__blk", maxDist)
         .withColumn("dist",
           levenshtein(col("s1"), col("s2"), maxDist).cast("long"))
         .where(col("dist") >= 0)
@@ -511,18 +619,19 @@ object Linkage {
   /** The stance dial for [[editJoin]], pure so LinkageSpec can pin it
     * (the q282 lesson: an untested branch is an unverified branch).
     * Collapse wins when the string domain SATURATES — distinct values
-    * stop tracking rows — because then the DP work is domain²-bounded
-    * while any candidate filter still pays per row. Two conditions:
-    *  - dn·2 ≤ n: values actually repeat (at dn ≈ n the collapse
-    *    merely renames the row-level join);
-    *  - dn ≤ maxDomain: the value-pair DP space (Σ per-block dn²) stays
-    *    bounded work even if the PER-ROW ratio looks favorable — a
-    *    half-duplicated corpus of a billion distinct strings must
-    *    still take the match-proportional PassJoin filter, never a
-    *    domain² block join. */
-  private[operators] def chooseCollapse(n: Long, dn: Long,
-                                        maxDomain: Long = 65536L): Boolean =
-    dn * 2 <= n && dn <= maxDomain
+    * stop tracking rows (at dn ≈ n the collapse merely renames the
+    * row-level join): the DP then runs once per VALUE pair while any
+    * candidate filter still pays per row, and everything downstream is
+    * output-proportional expansion. No upper domain cap anymore
+    * (VERDICT r14 #4): past `gridDomain` distinct values the collapse
+    * stances generate their value pairs through the PassJoin grid on
+    * the domains ([[gridValuePairs]]) instead of the domain² block
+    * join, so a 10⁶-distinct corpus duplicated 100× gets domain-level
+    * match-proportional DP work plus the salted expansion — never
+    * replication² on the grid buckets (the row-level PassJoin cost the
+    * old cap forced it into) and never a 10¹²-pair block join. */
+  private[operators] def chooseCollapse(n: Long, dn: Long): Boolean =
+    dn * 2 <= n
 
   /** ONE front door for the exact fixed-radius edit-distance self-join
     * (VERDICT r13 #6): all pairs with equal `blockCols` values and
@@ -550,24 +659,35 @@ object Linkage {
     * q341), so the dial is a pure plan choice — it can change the
     * cost, never the rows. maxDist = 0 always takes the collapse
     * branch (exact equality is the degenerate collapse; the PassJoin
-    * grid needs r ≥ 1). */
+    * grid needs r ≥ 1). The projected input is materialized ONCE
+    * (eager localCheckpoint) before the probe (ADVICE r14: the probe
+    * otherwise re-ran the full upstream lineage — q341's
+    * window + groupBy over events — a second time for the chosen
+    * branch); linear executor-resident storage, one job. */
   def editJoin(df: DataFrame, idCol: String, strCol: String,
                blockCols: Seq[String], maxDist: Int,
                salt: Int = 16,
-               maxDomain: Long = 65536L,
+               // explicit stance override (None = the count-then-dial
+               // probe); both stances exact, so a pure plan choice
+               collapse: Option[Boolean] = None,
+               gridDomain: Long = 65536L,
                broadcastBudget: Long = 64L << 20): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val probe = df.agg(count(lit(1)),
-      count_distinct(struct((blockCols.map(col) :+ col(strCol)): _*))).head()
-    val (n, dn) = (probe.getLong(0), probe.getLong(1))
-    if (maxDist == 0 || chooseCollapse(n, dn, maxDomain))
-      editJoinByDistinct(df, idCol, strCol, blockCols, maxDist, salt,
-        broadcastBudget)
+    val base = df.select((blockCols :+ idCol :+ strCol)
+      .distinct.map(col): _*).localCheckpoint(true)
+    def dialed = {
+      val probe = base.agg(count(lit(1)),
+        count_distinct(struct((blockCols.map(col) :+ col(strCol)): _*))).head()
+      chooseCollapse(probe.getLong(0), probe.getLong(1))
+    }
+    if (maxDist == 0 || collapse.getOrElse(dialed))
+      editJoinByDistinct(base, idCol, strCol, blockCols, maxDist, salt,
+        broadcastBudget, gridDomain)
     else {
       // single composite block column: struct equality is exactly
       // conjunctive equality on the parts (no separator-collision risk
       // a string concat would carry)
-      val withBlk = df.withColumn("__blk0",
+      val withBlk = base.withColumn("__blk0",
         struct(blockCols.map(col): _*))
       editCandidates(withBlk, idCol, strCol, "__blk0", maxDist)
         .withColumn("dist",

@@ -850,7 +850,10 @@ object SequenceQueries {
     * q271's top-k (whose rung adapts to density), this is the
     * fixed-radius similarity-join shape — record linkage's "give me
     * every match" query — and its cost tracks the MATCH count, not the
-    * block-pair space. */
+    * block-pair space. Signatures are capped at 8 symbols (ADVICE
+    * r14: the 12-symbol cap left the test-SF oracle at 2 rows —
+    * 8 symbols put real match density under the hash at every SF:
+    * 118 rows at sf0.01, ~11 k at sf0.1). */
   val q341 = QueryDef.sql("q341_sig_edit_join",
     """WITH r AS (SELECT user_id, event_type,
       |    row_number() OVER (PARTITION BY user_id
@@ -859,7 +862,7 @@ object SequenceQueries {
       |sig AS (SELECT user_id,
       |    string_agg(substring(event_type, 1, 1), '' ORDER BY rn)
       |      AS sig
-      |  FROM r WHERE rn <= 12 GROUP BY 1)
+      |  FROM r WHERE rn <= 8 GROUP BY 1)
       |SELECT a.user_id AS id1, b.user_id AS id2,
       |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
       |FROM sig a JOIN sig b
@@ -872,7 +875,7 @@ object SequenceQueries {
         .select(col("user_id"),
           substring(col("event_type"), 1, 1).as("ini"),
           row_number().over(ord).as("rn"))
-        .where(col("rn") <= 12)
+        .where(col("rn") <= 8)
         .groupBy("user_id")
         .agg(array_join(transform(
           sort_array(collect_list(struct(col("rn"), col("ini")))),
@@ -899,7 +902,12 @@ object SequenceQueries {
     * ≥-one-delta-member pairs, so the driver hash proves both the
     * filter's exactness AND the delta algebra against an engine that
     * never saw either. Streaming twin: [[graft.streaming.Streams
-    * .editJoinStream]] (StreamsSpec proves batch ≡ replayed stream). */
+    * .editJoinStream]] (StreamsSpec proves batch ≡ replayed stream).
+    * Signatures are capped at 8 symbols (ADVICE r14: the 12-symbol
+    * cap left this oracle at ONE row at the test SF — 8 symbols put
+    * 72 rows at sf0.01 / ~6 k at sf0.1 under the hash); the COLLAPSE
+    * stance the dial picks at saturated decades is separately oracled
+    * by q343's forced-stance query. */
   val q342 = QueryDef.sql("q342_incr_edit_join",
     """WITH r AS (SELECT user_id, event_type,
       |    row_number() OVER (PARTITION BY user_id
@@ -908,7 +916,7 @@ object SequenceQueries {
       |sig AS (SELECT user_id,
       |    string_agg(substring(event_type, 1, 1), '' ORDER BY rn)
       |      AS sig
-      |  FROM r WHERE rn <= 12 GROUP BY 1)
+      |  FROM r WHERE rn <= 8 GROUP BY 1)
       |SELECT a.user_id AS id1, b.user_id AS id2,
       |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
       |FROM sig a JOIN sig b
@@ -922,7 +930,7 @@ object SequenceQueries {
         .select(col("user_id"),
           substring(col("event_type"), 1, 1).as("ini"),
           row_number().over(ord).as("rn"))
-        .where(col("rn") <= 12)
+        .where(col("rn") <= 8)
         .groupBy("user_id")
         .agg(array_join(transform(
           sort_array(collect_list(struct(col("rn"), col("ini")))),

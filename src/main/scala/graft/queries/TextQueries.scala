@@ -430,6 +430,58 @@ object TextQueries {
         "p_partkey", "p_name", Seq("p_brand", "initial"), maxDist = 3)
     })
 
+  /** q49's shape through the INCREMENTAL COLLAPSE stance
+    * ([[graft.operators.Linkage.incrementalEditJoinByDistinct]]),
+    * forced explicitly: parts with p_partkey % 3 = 0 are the delta,
+    * the rest the corpus; output is every same-block pair at
+    * levenshtein ≤ 3 involving a delta member. At the test SFs the
+    * auto dial would pick PassJoin (distinct ratio ~1), which is
+    * exactly why this query FORCES the collapse — both stances are
+    * exact, so the stance choice is a pure plan decision, and this
+    * oracle hash-checks the collapsed incremental path the bench
+    * decades dial into (ADVICE r14: q342's test-SF oracle never
+    * exercised it). */
+  val q343 = QueryDef.sql("q343_fuzzy_match_incr",
+    """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand
+      |  AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |  AND (a.p_partkey % 3 = 0 OR b.p_partkey % 3 = 0)""")(
+    (s, dir) => {
+      val p = Tables.part(s, dir).withColumn("blk",
+        struct(col("p_brand"), substring(col("p_name"), 1, 1).as("initial")))
+      graft.operators.Linkage.incrementalEditJoinByDistinct(
+        p.where(pmod(col("p_partkey"), lit(3)) =!= 0),
+        p.where(pmod(col("p_partkey"), lit(3)) === 0),
+        "p_partkey", "p_name", "blk", maxDist = 3)
+    })
+
+  /** q49's shape through the collapse stance with the GRID value-pair
+    * generator forced (gridDomain = 0): the PassJoin grid runs on the
+    * distinct-value DOMAIN instead of the domain² block self-join —
+    * the branch the collapse stances take past 65 536 distinct values
+    * (VERDICT r14 #4: a saturated-but-large domain, e.g. 10⁶ distinct
+    * strings duplicated 100×, must neither pay replication² on
+    * row-level grid buckets nor a domain² block join). Same oracle as
+    * q49 — the dial can change the cost, never the rows — so the
+    * driver hash-checks the grid branch at both SFs. */
+  val q344 = QueryDef.sql("q344_fuzzy_match_grid",
+    """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand
+      |  AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""")(
+    (s, dir) => graft.operators.Linkage.editJoin(
+      Tables.part(s, dir)
+        .withColumn("initial", substring(col("p_name"), 1, 1)),
+      "p_partkey", "p_name", Seq("p_brand", "initial"), maxDist = 3,
+      collapse = Some(true), gridDomain = 0L))
+
   /** Benchmark decontamination: corpus docs (doc_id % 19 ≠ 0) whose
     * distinct word-3-gram sets overlap the "benchmark" slice
     * (doc_id % 19 = 0) by ≥ 5% — the eval-set leak filter every
@@ -2151,5 +2203,5 @@ object TextQueries {
     q74, q75, q76, q77, q87, q88, q92, q93, q94, q100, q110, q111, q163,
     q168, q171, q172, q173, q174, q175, q177, q178, q179, q180, q181, q184,
     q185, q236, q259, q260, q261, q274, q298, q305, q313, q322, q331,
-    q334, q336)
+    q334, q336, q343, q344)
 }

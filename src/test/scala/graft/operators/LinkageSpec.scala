@@ -177,6 +177,25 @@ class LinkageSpec extends AnyFunSuite {
     val cnt = Linkage.editJoinByDistinct(df, "id", "name", Seq("tag"), maxDist = 2)
       .groupBy("id1", "id2").count().where(col("count") > 1).count()
     assert(cnt == 0L)
+    // grid value-pair generation (gridDomain = 0 forces the PassJoin
+    // grid on the value domain — VERDICT r14 #4): identical rows, and
+    // still one row per unordered pair
+    val grid = Linkage.editJoinByDistinct(df, "id", "name", Seq("tag"),
+        maxDist = 2, gridDomain = 0L)
+      .select(col("id1"), col("id2"), col("dist").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(grid.toSet == want)
+    assert(grid.length == grid.distinct.length)
+    // grid path with maxDist = 0: identity value pairs only
+    val grid0 = Linkage.editJoinByDistinct(df, "id", "name", Seq("tag"),
+        maxDist = 0, gridDomain = 0L)
+      .select(col("id1"), col("id2"), col("dist").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want0 = (for {
+      (ia, na, ta) <- rows; (ib, nb, tb) <- rows
+      if ia < ib && ta == tb && na == nb
+    } yield (ia, ib, 0L)).toSet
+    assert(grid0 == want0)
   }
 
   test("editJoinByDistinct: shuffled (non-broadcast) name-pair path parity") {
@@ -276,15 +295,19 @@ class LinkageSpec extends AnyFunSuite {
 
   test("editJoin front door: dial pinned pure, both stances exact and equal") {
     // the dial itself (q282 lesson: pin the decision, not just the
-    // branches): collapse iff values repeat AND the domain is bounded
+    // branches): collapse iff values repeat — saturation only, no
+    // upper domain cap (VERDICT r14 #4: past gridDomain the collapse
+    // stances generate value pairs through the PassJoin grid, so a
+    // huge-but-saturated domain no longer needs the row-level stance)
     assert(!Linkage.chooseCollapse(n = 100, dn = 100))
     assert(!Linkage.chooseCollapse(n = 100, dn = 51))
     assert(Linkage.chooseCollapse(n = 100, dn = 50))
-    assert(Linkage.chooseCollapse(n = 2000000, dn = 65536))
-    assert(!Linkage.chooseCollapse(n = 2000000, dn = 65537))
-    assert(!Linkage.chooseCollapse(n = 1000000000L, dn = 400000000L))
-    // duplicate-heavy corpus: default dial -> collapse; maxDomain = 0
-    // forces the PassJoin stance on the SAME frame — identical rows
+    assert(Linkage.chooseCollapse(n = 2000000, dn = 65537))
+    assert(Linkage.chooseCollapse(n = 1000000000L, dn = 400000000L))
+    assert(!Linkage.chooseCollapse(n = 1000000000L, dn = 500000001L))
+    // duplicate-heavy corpus: default dial -> collapse; the explicit
+    // override forces the PassJoin stance on the SAME frame —
+    // identical rows
     val rows = (1 to 150).map { i =>
       val name = Seq("alpha", "alpine", "alpaca", "beta", "betta", "bertha",
         "gamma", "gamba", "gumbo", "delta", "dalta", "delia")(i * 7 % 12)
@@ -298,10 +321,16 @@ class LinkageSpec extends AnyFunSuite {
     val collapsed = Linkage.editJoin(df, "id", "name", Seq("tag"), maxDist = 2)
       .as[(Long, Long, Long)].collect().toSet
     val passjoin = Linkage.editJoin(df, "id", "name", Seq("tag"), maxDist = 2,
-        maxDomain = 0L)
+        collapse = Some(false))
       .as[(Long, Long, Long)].collect().toSet
     assert(collapsed == want)
     assert(passjoin == want)
+    // the GRID value-pair path (gridDomain = 0 forces it inside the
+    // collapse stance — the VERDICT r14 #4 branch): same rows again
+    val grid = Linkage.editJoin(df, "id", "name", Seq("tag"), maxDist = 2,
+        collapse = Some(true), gridDomain = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grid == want)
     // distinct-domain corpus (ratio ~1): the default dial takes the
     // PassJoin stance; brute parity again
     val uniq = strings(180, "abcd", 8)
@@ -334,7 +363,7 @@ class LinkageSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(pass.toSet == want)
     assert(pass.length == pass.distinct.length)
-    // maxDomain huge on a DUPLICATED corpus -> collapse stance; same rows
+    // DUPLICATED corpus -> default dial takes the collapse stance
     val dupRows = rows.map { case (i, s) => (i, s.take(3), s"b") }
     val dupDeltaIds = dupRows.map(_._1).filter(_ % 3 == 0).toSet
     val ddf = dupRows.toDF("id", "s", "blk")
@@ -352,7 +381,7 @@ class LinkageSpec extends AnyFunSuite {
     assert(collapsed.length == collapsed.distinct.length)
     // and the PassJoin stance FORCED onto the duplicated corpus agrees
     val forced = Linkage.incrementalEditJoin(dCorpus, dDelta,
-        "id", "s", "blk", maxDist = 1, maxDomain = 0L)
+        "id", "s", "blk", maxDist = 1, collapse = Some(false))
       .as[(Long, Long, Long)].collect().toSet
     assert(forced == dWant)
     // shuffled (non-broadcast) value-pair path parity on the collapse
@@ -360,6 +389,20 @@ class LinkageSpec extends AnyFunSuite {
         "id", "s", "blk", maxDist = 1, salt = 3, broadcastBudget = 0L)
       .as[(Long, Long, Long)].collect().toSet
     assert(shuffled == dWant)
+    // the GRID value-pair path inside the incremental collapse
+    // (gridDomain = 0 forces it), via the PUBLIC stance door q343
+    // oracles — same rows once more
+    val gridIncr = Linkage.incrementalEditJoinByDistinct(dCorpus, dDelta,
+        "id", "s", "blk", maxDist = 1, gridDomain = 0L)
+      .as[(Long, Long, Long)].collect()
+    assert(gridIncr.toSet == dWant)
+    assert(gridIncr.length == gridIncr.distinct.length)
+    // the public stance door on the GROWING-domain frame (where the
+    // auto dial would pick PassJoin): the collapse stance stays exact
+    val forcedCollapse = Linkage.incrementalEditJoinByDistinct(
+        corpus, delta, "id", "s", "blk", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(forcedCollapse == want)
   }
 
   test("editJoin composite blocks: struct equality, not string concat") {
@@ -368,7 +411,7 @@ class LinkageSpec extends AnyFunSuite {
     val df = Seq((1L, "same", "ab", "c"), (2L, "same", "a", "bc"))
       .toDF("id", "s", "b1", "b2")
     assert(Linkage.editJoin(df, "id", "s", Seq("b1", "b2"), maxDist = 2,
-      maxDomain = 0L).count() == 0L)
+      collapse = Some(false)).count() == 0L)
     assert(Linkage.editJoin(df, "id", "s", Seq("b1", "b2"),
       maxDist = 2).count() == 0L)
   }
