@@ -12,9 +12,26 @@ object Bench {
     * that same run. `cpuNs` (executor CPU) and `gcMs` (JVM GC) make
     * stalled-vs-CPU-bound decidable from the artifact alone: a query
     * whose wall seconds dwarf its CPU seconds was waiting, not
-    * computing. */
+    * computing. `load` is the 1-min system load average sampled when
+    * the winning run STARTED — the per-query noise annotation
+    * (VERDICT r14 #7). */
   final case class M(sec: Double, sr: Long, sw: Long, sp: Long,
-                     in: Long, fs: Long, cpuNs: Long, gcMs: Long)
+                     in: Long, fs: Long, cpuNs: Long, gcMs: Long,
+                     load: Double)
+
+  /** The per-query NOISY predicate, pure so BenchHistorySpec can pin
+    * it (VERDICT r14 #7: three rounds of headline numbers carried
+    * visible box interference — q312's 6.0 s driver row vs 4.17 s
+    * quiet detail at loadavg 5.5 — and adjudication needed the
+    * builder's side detail each time). A measurement is flagged when
+    * the load average at its winning run's start exceeds the
+    * threshold: the record then self-identifies as contended, per
+    * query, from the artifact alone. Sub-second rows are exempt —
+    * interference that cannot move a number past 1 s is not worth an
+    * annotation. */
+  private[graft] def noisyShaped(sec: Double, load: Double,
+                                 threshold: Double): Boolean =
+    sec >= 1.0 && load > threshold
 
   /** Committed per-query history from the last `n` rounds' records:
     * short query key → seconds per round. Two record shapes merge per
@@ -254,6 +271,7 @@ object Bench {
         n: Int): M = {
       val runs = Iterator.range(0, n).takeWhile(_ =>
         !errors.contains(name)).map { _ =>
+        val repLoad = loadAvg // the run's own noise context (r14 #7)
         val before = snap()
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column (a count() would
@@ -284,9 +302,9 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         M(elapsed, after._1 - before._1, after._2 - before._2,
           after._3 - before._3, after._4 - before._4, after._5 - before._5,
-          after._6 - before._6, after._7 - before._7)
+          after._6 - before._6, after._7 - before._7, repLoad)
       }.toVector
-      if (errors.contains(name)) M(-1.0, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      if (errors.contains(name)) M(-1.0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0.0)
       else runs.minBy(_.sec)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -383,12 +401,20 @@ object Bench {
     // COMPACT line. The driver keeps only the last ~2000 chars of
     // output, so the parseable line must stay well under that — short
     // "qNN" keys + ms precision keep 70 queries near ~1 KB.
+    // per-query noisy annotation (VERDICT r14 #7): flag measurements
+    // whose winning run started under external load, so a contended
+    // record adjudicates itself without the builder's quiet-box detail
+    val noisyLoad = sys.env.getOrElse("SPARK_GRAFT_NOISY_LOAD", "4.0").toDouble
+    val noisyQs = results.filter { case (n, m) =>
+      !errors.contains(n) && noisyShaped(m.sec, m.load, noisyLoad) }
     val fullQs = results.map { case (k, m) =>
       s"\"" + k + "\":{\"sec\":" + m.sec + ",\"shuffle_read\":" + m.sr +
         ",\"shuffle_write\":" + m.sw + ",\"spilled\":" + m.sp +
         ",\"input_read\":" + m.in + ",\"fs_read\":" + m.fs +
         ",\"cpu_sec\":" + f"${m.cpuNs / 1e9}%.3f" +
-        ",\"gc_sec\":" + f"${m.gcMs / 1e3}%.3f" + "}"
+        ",\"gc_sec\":" + f"${m.gcMs / 1e3}%.3f" +
+        ",\"load\":" + f"${m.load}%.2f" +
+        ",\"noisy\":" + noisyShaped(m.sec, m.load, noisyLoad) + "}"
     }.mkString("{", ",", "}")
     val runMeta = f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"wall_sec":$wallSec%.1f,"reps":$reps"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",$runMeta,"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
@@ -439,9 +465,18 @@ object Bench {
     // basename only ("sf0.1") — the driver wrapper records the full dir
     // itself, and every char here is headroom against its tail window.
     // "load" [before, after] makes a contended record self-identifying
-    // from the metric line alone.
+    // from the metric line alone; "noisy" names the specific queries
+    // whose winning run started under load > threshold (slowest 12 —
+    // usually empty, so usually zero chars), each with that run's
+    // loadavg.
+    val noisyJson =
+      if (noisyQs.isEmpty) ""
+      else "\"noisy\":" + noisyQs.sortBy { case (_, m) => -m.sec }.take(12)
+        .map { case (n, m) =>
+          "\"" + n.takeWhile(_ != '_') + "\":" + f"${m.load}%.1f" }
+        .mkString("{", ",", "},")
     def mkLine(qs: String, errs: String) =
-      f"""{"metric":"total","value":${sec(total)},"unit":"sec","load":[$loadBefore%.1f,$loadAfter%.1f],"queries":$qs,"errors":$errs,"sf":"$sfShort"}"""
+      f"""{"metric":"total","value":${sec(total)},"unit":"sec","load":[$loadBefore%.1f,$loadAfter%.1f],$noisyJson"queries":$qs,"errors":$errs,"sf":"$sfShort"}"""
     // The driver json-parses the last ~2000 chars of raw stdout; an
     // over-long line silently truncates to parsed:null there. Degrade
     // in order: (1) full error messages at topN 110; (2) error NAMES

@@ -1439,6 +1439,34 @@ object ScaleStress {
             f"($hit2/$nTruth) rows=$rows2")
           res2.unpersist(); index2.unpersist()
         }
+        // the RECALL-FLOOR calibrated dial (VERDICT r14 #3): report
+        // the measured ladder (the SCALING recall-vs-wall curve) and
+        // the full-corpus serve at the calibrated nprobe
+        if (legs("cal")) {
+          val floor = sys.env.getOrElse("SPARK_GRAFT_IVF_FLOOR", "0.8")
+            .toDouble
+          val index2 = Ivf.buildIndexDeterministic(
+            emb, "vec_id", "embedding", nlist, assign = 2)
+          val (npCal, curve) = Ivf.calibrateNprobe(index2, k = 5,
+            recallFloor = floor, n = n, startNprobe = nprobeNew)
+          println(s"ivfdial $dir n=$n nlist=$nlist cal floor=$floor " +
+            "curve=" + curve.map { case (p, r) =>
+              f"$p:$r%.3f" }.mkString(","))
+          val t0 = System.nanoTime()
+          val res3 = Ivf.probeTopK(
+              emb.select(col("vec_id"), col("embedding")), index2,
+              "vec_id", "embedding", k = 5, nprobe = npCal,
+              excludeSelf = true, distinctCandidates = true)
+            .select("id_a", "id_b").cache()
+          val rows3 = res3.count()
+          val wall3 = (System.nanoTime() - t0) / 1e9
+          val hit3 = truth.join(res3, Seq("id_a", "id_b")).count()
+          println(f"ivfdial $dir n=$n nlist=$nlist cal nprobe=$npCal%-3d " +
+            f"frac=${npCal.toDouble / nlist}%.4f " +
+            f"wall=$wall3%7.2f s recall@5=${hit3.toDouble / nTruth}%.3f " +
+            f"($hit3/$nTruth) rows=$rows3")
+          res3.unpersist(); index2.unpersist()
+        }
         truth.unpersist(); sizes.unpersist(); index.unpersist()
       }
     }

@@ -276,6 +276,33 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     Files.move(tmp, partDir)
   }
 
+  /** Hive-layout partition VALUES of `partCol` from the directory
+    * listing alone — one readdir, zero data scan (heals first like
+    * every accessor; unmarked `_tmppart_` leaves are gone by then).
+    * The metadata read the streaming guards use instead of aggregating
+    * the fact table per micro-batch (ADVICE r14: `max(txn_date)` over
+    * the whole fact was a full-table scan whose cost grew with
+    * warehouse history — the partition directory names carry the same
+    * answer for free). Values are URL-decoded; the null-partition
+    * sentinel (`__HIVE_DEFAULT_PARTITION__`) is excluded — callers
+    * guard against null partition values before writing. */
+  def partitionValues(name: String, partCol: String): Seq[String] = {
+    heal(name)
+    if (!exists(name)) return Nil
+    val stream = Files.list(dir(name))
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(partCol + "="))
+        .map(s => java.net.URLDecoder
+          .decode(s.substring(partCol.length + 1), "UTF-8"))
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+        .toList
+    } finally stream.close()
+  }
+
   /** Heal [[compactPartition]] crash windows, per leaf, with the same
     * [[CommitMarker]] rules as [[recover]]: target gone → move the tmp
     * in; target present + MARKED tmp → roll forward (the crash may have

@@ -278,6 +278,93 @@ object Ivf {
     ivfTopKDeterministic(emb, idCol, vecCol, k, nlist, nprobe, assign = 2)
   }
 
+  /** Measured-recall nprobe calibration for a deterministic index
+    * (VERDICT r14 #3 / ADVICE r14: [[detDial]]'s bitlen nprobe keeps
+    * the probed FRACTION falling with the corpus — the right
+    * asymptotic — but its default-dial recall@5 also falls per decade,
+    * 0.800 → 0.695 → 0.568 across sf0.1/10×/100× in SCALING round-14's
+    * table; an AUTO entry point must not silently degrade recall with
+    * corpus growth). The harness is the ivfdial truth probe made
+    * first-class: a deterministic hash sample of ~`sampleTarget` query
+    * vectors (xxhash64(id) mod m — the % 37 probe, size-bounded so the
+    * truth stays one broadcast-sample corpus scan at any n), exact
+    * top-k truth for the sample, then the nprobe ladder
+    * start, 2·start, 4·start, … measured against it until the sampled
+    * recall@k holds `recallFloor` (or nprobe reaches nlist, where the
+    * probe is exhaustive and recall is exactly 1.0 — the ladder always
+    * terminates at or above any floor ≤ 1). Every step is a bounded
+    * action on the sample, not the corpus; the whole calibration is a
+    * pure function of the data, so repeated runs choose the identical
+    * dial. Returns (chosen nprobe, the measured (nprobe, recall)
+    * curve) — the curve is the SCALING row. */
+  private[graft] def calibrateNprobe(index: IvfIndex, k: Int,
+                                     recallFloor: Double, n: Long,
+                                     startNprobe: Int,
+                                     sampleTarget: Int = 1024)
+      : (Int, Seq[(Int, Double)]) = {
+    require(recallFloor <= 1.0, s"recallFloor must be <= 1, got $recallFloor")
+    val nlist = index.centroids.length
+    // sample ≈ clamp(n/37, 1, sampleTarget) ids; hash-mod keeps the
+    // choice deterministic and engine-independent
+    val want = math.min(sampleTarget.toLong, math.max(1L, n / 37L))
+    val m = math.max(1L, n / want)
+    val rows = index.indexed.select(col("id"), col("v"), col("nrm"))
+      .dropDuplicates("id") // multi-assigned index carries replicas
+    val qs0 = rows.where(pmod(xxhash64(col("id")), lit(m)) === 0)
+    // hash sampling is probabilistic in COUNT; an empty sample (tiny
+    // corpus, unlucky hashes) falls back to every row
+    val qs = (if (qs0.isEmpty) rows else qs0)
+      .select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .cache()
+    val truth = Similarity.rankTopK(
+        rows.select(col("id").as("id_b"), col("v").as("vb"),
+            col("nrm").as("nb"))
+          .crossJoin(broadcast(qs))
+          .where(col("id_a") =!= col("id_b"))
+          .withColumn("cosine",
+            dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .select("id_a", "id_b", "cosine"), k)
+      .select("id_a", "id_b").cache()
+    val nTruth = math.max(truth.count(), 1L)
+    try {
+      val curve = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+      var np = math.min(nlist, math.max(1, startNprobe))
+      var chosen = -1
+      while (chosen < 0) {
+        val res = probeTopK(qs.select(col("id_a").as("id"),
+            col("va").as("v")), index, "id", "v", k, np,
+          excludeSelf = true, distinctCandidates = true)
+        val hit = truth.join(res, Seq("id_a", "id_b")).count()
+        val rec = hit.toDouble / nTruth
+        curve += ((np, rec))
+        if (rec >= recallFloor || np >= nlist) chosen = np
+        else np = math.min(nlist, np * 2)
+      }
+      (chosen, curve.toList)
+    } finally { qs.unpersist(); truth.unpersist() }
+  }
+
+  /** [[ivfTopKDeterministicAuto]] with a RECALL FLOOR: same √n /
+    * 2-assigned deterministic index, but nprobe comes from
+    * [[calibrateNprobe]]'s measured ladder instead of the static
+    * bitlen rule — the auto entry point that holds its recall as the
+    * corpus grows, at whatever probed fraction that costs (the dial
+    * table in SCALING.md round-15 records the trade). Deterministic
+    * end to end, but not SQL-replayable (the choice depends on
+    * measured recall), so its catalog coverage is IvfSpec's
+    * two-SF floor assertion rather than a DuckDB-oracled query —
+    * q160 keeps the pure-replayable static dial. */
+  def ivfTopKDeterministicAuto(emb: DataFrame, idCol: String,
+                               vecCol: String, k: Int,
+                               recallFloor: Double): DataFrame = {
+    val n = emb.count()
+    val (nlist, nprobe0) = detDial(n)
+    val index = buildIndexDeterministic(emb, idCol, vecCol, nlist, assign = 2)
+    val (np, _) = calibrateNprobe(index, k, recallFloor, n, nprobe0)
+    probeTopK(emb.select(col(idCol), col(vecCol)), index, idCol, vecCol,
+      k, np, excludeSelf = true, distinctCandidates = true)
+  }
+
   /** One FULLY DETERMINISTIC Lloyd (k-means) step, exact enough to
     * hash-check across engines: seeds are the hash-sample centroids of
     * [[buildIndexDeterministic]] (first k vectors by md5(id) — KMeans'

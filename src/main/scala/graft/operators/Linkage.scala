@@ -630,7 +630,7 @@ object Linkage {
     * match-proportional DP work plus the salted expansion — never
     * replication² on the grid buckets (the row-level PassJoin cost the
     * old cap forced it into) and never a 10¹²-pair block join. */
-  private[operators] def chooseCollapse(n: Long, dn: Long): Boolean =
+  private[graft] def chooseCollapse(n: Long, dn: Long): Boolean =
     dn * 2 <= n
 
   /** ONE front door for the exact fixed-radius edit-distance self-join

@@ -463,12 +463,16 @@ object IngestStream {
       // META completion guard above is blind to fact partitions whose
       // day never finished its rules — a crashed later day, or a
       // warehouse populated outside this twin. A NEW day must not sort
-      // below any already-written fact day. One max() over the
-      // partition column per batch, bounded by the fact's day count.
+      // below any already-written fact day. The max day comes from the
+      // hive partition DIRECTORY NAMES (one readdir — ADVICE r14: the
+      // previous max(txn_date) aggregate scanned the whole fact table
+      // every micro-batch, a cost that grew with warehouse history
+      // while answering a metadata question).
       val maxFact: Option[java.sql.Date] =
-        Option(wh.readOr(Pipeline.FactTransactions,
-            Schemas.factTransactions.add("txn_date", "date"))
-          .agg(max(col("txn_date"))).head().getDate(0))
+        wh.partitionValues(Pipeline.FactTransactions, "txn_date")
+          .filter(_.matches("\\d{4}-\\d{2}-\\d{2}"))
+          .map(java.sql.Date.valueOf)
+          .sortBy(_.toLocalDate.toEpochDay).lastOption
       days.foreach { day =>
         maxDone.foreach { last =>
           require(done(day) || day.after(last),

@@ -361,6 +361,79 @@ object Streams {
       corpus.select(col(idCol).as("__id"), col(strCol).as("__s"),
         col(blkCol).as("__blk")), r)
 
+  /** The DISTINCT-VALUE-COLLAPSE streaming twin of [[editJoinStream]]
+    * (VERDICT r14 #5): the same stream×corpus fixed-radius edit join,
+    * for corpora whose string domain SATURATES. [[editJoinStream]]'s
+    * broadcast index is per corpus ROW — n·(r+1) rows — and every
+    * probe key meets every replica of a matching value, so on a
+    * saturated domain the candidate×DP volume rides the corpus
+    * replication. This twin broadcasts the VALUE-level index instead
+    * (dn·(r+1) rows — the domain, not the corpus), verifies ONE
+    * banded DP per (arriving row, matched value), and expands to
+    * corpus ids afterwards with a stateless STREAM-STATIC equi-join
+    * on (block, value) — pure output materialization, the
+    * [[graft.operators.Linkage.editJoinByDistinct]] plan shape in
+    * append mode. Still zero stream state, no watermark: probe keys
+    * are per-row explodes, the index is a broadcast artifact, and the
+    * expansion join's static side carries no streaming semantics.
+    * Same at-least-once contract (a pair reachable through several
+    * grid keys emits once per key; the sink dedupes) and the same
+    * stream×corpus split as [[editJoinStream]].
+    *
+    * `corpus` is the RAW static corpus (id, string, block) — the twin
+    * derives both artifacts (value index, expansion side) from it, so
+    * a daily rebuild job refreshes one table. */
+  def editJoinCollapsedStream(docs: DataFrame, corpus: DataFrame,
+                              idCol: String, strCol: String,
+                              blkCol: String, r: Int): DataFrame = {
+    val cNorm = corpus.select(col(idCol).as("__cid"),
+      col(strCol).as("__si"), col(blkCol).as("__blk"))
+    // value-level PassJoin index: the value is its own id (the
+    // gridValuePairs treatment); tiny — dn·(r+1) rows
+    val valIndex = graft.operators.Linkage.editIndexKeys(
+      cNorm.select(col("__blk"), col("__si").as("__s")).distinct()
+        .select(col("__blk"), col("__s").as("__id"), col("__s")), r)
+    val base = docs.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      col(blkCol).as("__blk"))
+    // ONE DP per (arriving row, candidate VALUE) — never per replica
+    val cand = graft.operators.Linkage.editProbeKeys(base, r)
+      .join(broadcast(valIndex), Seq("__blk", "__i", "__l", "__seg"))
+      .withColumn("dist", levenshtein(col("__sp"), col("__si"), r).cast("long"))
+      .where(col("dist") >= 0)
+      .select(col("__blk"), col("__idp"), col("__si"), col("dist"))
+    // output-proportional expansion to corpus ids (stream-static)
+    cand.join(cNorm, Seq("__blk", "__si"))
+      .where(col("__idp") =!= col("__cid"))
+      .select(least(col("__idp"), col("__cid")).as("id1"),
+        greatest(col("__idp"), col("__cid")).as("id2"),
+        col("dist"))
+  }
+
+  /** ONE front door for the streaming edit join — the
+    * [[graft.operators.Linkage.editJoin]] count-then-dial stance
+    * choice applied to the stream×corpus shape: one bounded aggregate
+    * on the STATIC corpus at stream-assembly time (the stream side
+    * cannot be probed, and need not be — the corpus is what
+    * saturates) picks the row-level PassJoin twin
+    * ([[editJoinStream]]) for growing domains and the value-collapse
+    * twin ([[editJoinCollapsedStream]]) for saturated ones. Both
+    * twins are exact on the stream×corpus slice (StreamsSpec pins
+    * each against the batch incremental operator), so the dial is a
+    * pure plan choice, decided once per stream, not per batch. */
+  def editJoinStreamDialed(docs: DataFrame, corpus: DataFrame,
+                           idCol: String, strCol: String,
+                           blkCol: String, r: Int): DataFrame = {
+    val probe = corpus.agg(count(lit(1)),
+      count_distinct(struct(col(blkCol), col(strCol)))).head()
+    if (graft.operators.Linkage.chooseCollapse(probe.getLong(0),
+        probe.getLong(1)))
+      editJoinCollapsedStream(docs, corpus, idCol, strCol, blkCol, r)
+    else
+      editJoinStream(docs,
+        editCorpusIndex(corpus, idCol, strCol, blkCol, r),
+        idCol, strCol, blkCol, r)
+  }
+
   /** Streaming chunk-level novelty — the live twin of
     * [[graft.operators.Dedup.chunkContainment]] for incremental crawl
     * intake: each arriving document is cut into content-defined chunks

@@ -106,4 +106,19 @@ class BenchHistorySpec extends AnyFunSuite {
     // spill disqualifies the byte gate (heavy work, honest seconds)
     assert(!Bench.stallShaped(5.0, 1 * MB, 10 * MB, 1, None))
   }
+
+  test("noisyShaped: per-query contention flag (VERDICT r14 #7)") {
+    // the r14 case: q312 measured 6.0 s with loadavg 5.5 at run start
+    // against a 4.0 threshold — flagged, so the driver record
+    // adjudicates itself without the builder's quiet-box detail
+    assert(Bench.noisyShaped(sec = 6.0, load = 5.5, threshold = 4.0))
+    // quiet box: same query, loadavg 1.0 — clean
+    assert(!Bench.noisyShaped(sec = 4.17, load = 1.0, threshold = 4.0))
+    // at the threshold exactly: not flagged (strictly above fires)
+    assert(!Bench.noisyShaped(sec = 6.0, load = 4.0, threshold = 4.0))
+    // sub-second rows are exempt — interference that cannot move a
+    // number past 1 s is run noise, not an adjudication case
+    assert(!Bench.noisyShaped(sec = 0.9, load = 9.0, threshold = 4.0))
+    assert(Bench.noisyShaped(sec = 1.0, load = 9.0, threshold = 4.0))
+  }
 }

@@ -111,4 +111,27 @@ class WarehouseRecoverySpec extends AnyFunSuite {
     val ks = wh.read("p").select("k").collect().map(_.getInt(0)).toSet
     assert(ks == Set(10, 2, 3))
   }
+
+  test("partitionValues: directory-listing metadata read (ADVICE r14)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh_parts").toString
+    val wh = new Warehouse(spark, root)
+    // absent table: empty, no crash
+    assert(wh.partitionValues("f", "dt").isEmpty)
+    wh.append("f", Seq((1, "2021-01-02"), (2, "2021-01-01"),
+        (3, "2021-01-02")).toDF("k", "dt"),
+      partitionCols = Seq("dt"))
+    assert(wh.partitionValues("f", "dt").sorted ==
+      Seq("2021-01-01", "2021-01-02"))
+    // a later append extends the listing; wrong column name: empty
+    wh.append("f", Seq((4, "2021-01-03")).toDF("k", "dt"),
+      partitionCols = Seq("dt"))
+    assert(wh.partitionValues("f", "dt").sorted ==
+      Seq("2021-01-01", "2021-01-02", "2021-01-03"))
+    assert(wh.partitionValues("f", "nope").isEmpty)
+    // values needing URL decoding round-trip (space in the value)
+    wh.append("g", Seq((1, "a b")).toDF("k", "dt"),
+      partitionCols = Seq("dt"))
+    assert(wh.partitionValues("g", "dt") == Seq("a b"))
+  }
 }

@@ -158,6 +158,58 @@ class IvfSpec extends AnyFunSuite {
     } finally { i1.unpersist(); i2.unpersist() }
   }
 
+  test("recall-floor calibration: ladder contract, floor held at two SFs, " +
+      "exhaustive rung is exact") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = Tables.embeddings(spark, s"/root/testdata/$sf")
+      val n = emb.count()
+      val (nlist, np0) = Ivf.detDial(n)
+      val index = Ivf.buildIndexDeterministic(emb, "vec_id", "embedding",
+        nlist, assign = 2)
+      try {
+        val floor = 0.95
+        val (np, curve) = Ivf.calibrateNprobe(index, k = 5,
+          recallFloor = floor, n = n, startNprobe = np0)
+        info(s"$sf calibration curve: " + curve.map { case (p, r) =>
+          f"nprobe=$p recall=$r%.3f" }.mkString(", "))
+        // ladder contract: chosen = FIRST rung at/above the floor (or
+        // the exhaustive rung); every earlier rung measured below it
+        assert(np == curve.last._1)
+        assert(curve.last._2 >= floor || np == nlist)
+        assert(curve.init.forall(_._2 < floor))
+        assert(curve.map(_._1) == curve.map(_._1).distinct)
+        // determinism: the whole calibration is a pure function of the
+        // data — a second run chooses the identical dial and curve
+        val (np2, curve2) = Ivf.calibrateNprobe(index, k = 5,
+          recallFloor = floor, n = n, startNprobe = np0)
+        assert(np2 == np && curve2 == curve)
+        // at the exhaustive rung the probe covers every cell: recall
+        // is exactly 1.0 (the ladder's termination guarantee)
+        val (_, curveAll) = Ivf.calibrateNprobe(index, k = 5,
+          recallFloor = 1.0, n = n, startNprobe = nlist)
+        assert(curveAll == Seq((nlist, 1.0)))
+      } finally index.unpersist()
+    }
+    // end-to-end: the floored auto mode's FULL-corpus recall at the
+    // spec SF beats the static dial's (the ADVICE r14 regression is
+    // what the floor exists to prevent)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = exact.count(
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        .contains).toDouble / exact.size
+    val rStatic = recall(Ivf.ivfTopKDeterministicAuto(
+      emb, "vec_id", "embedding", k = 5))
+    val rFloored = recall(Ivf.ivfTopKDeterministicAuto(
+      emb, "vec_id", "embedding", k = 5, recallFloor = 0.95))
+    info(f"sf0.01 full recall: static dial $rStatic%.3f, " +
+      f"floored(0.95) $rFloored%.3f")
+    assert(rFloored >= rStatic)
+    assert(rFloored >= 0.9, s"floored auto full recall $rFloored")
+  }
+
   test("kmeansStepDeterministic: members partition the corpus, " +
     "stable under repartitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{coalesce, col, expr, lag, levenshtein, lit, round, substring, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, expr, lag, levenshtein, lit, round, struct, substring, sum, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -304,6 +304,71 @@ class StreamsSpec extends AnyFunSuite {
     val got = spark.table("edit_join_out")
       .as[(Long, Long, Long)].collect().toSet
     assert(got == want)
+  }
+
+  test("streaming collapsed edit join equals the batch stream×corpus " +
+      "slice on a SATURATED replayed delta, and the dial picks it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // saturated domain: 240 rows over ~27 distinct 3-char strings —
+    // the q342-at-100× shape the PassJoin twin pays replication for
+    // (VERDICT r14 #5)
+    val rows = (1 to 240).map { i =>
+      var h = i * 2654435761L
+      def next(m: Int) = { h = h * 6364136223846793005L + 1442695040888963407L
+        (math.abs(h >> 33) % m).toInt }
+      (i.toLong, (1 to 3).map(_ => "abc"(next(3))).mkString)
+    }
+    val df = rows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
+    val corpus = df.where(col("id") % 3 =!= 0)
+    val delta = df.where(col("id") % 3 === 0)
+    val deltaIds = rows.map(_._1).filter(_ % 3 == 0).toSet
+    val r = 1
+    val want = graft.operators.Linkage
+      .incrementalEditCandidates(corpus, delta, "id", "s", "blk", r)
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), r).cast("long"))
+      .where(col("dist") >= 0)
+      .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._1) ^ deltaIds(p._2))
+    assert(want.nonEmpty)
+    // the corpus saturates, so the DIALED front door must route to
+    // the collapsed twin — prove it by pinning the dial's inputs
+    val pr = corpus.agg(count(lit(1)),
+      count_distinct(struct(col("blk"), col("s")))).head()
+    assert(graft.operators.Linkage.chooseCollapse(
+      pr.getLong(0), pr.getLong(1)))
+    val mem = MemoryStream[(Long, String)]
+    val drows = delta.select("id", "s").as[(Long, String)].collect()
+    val (first, rest) = drows.splitAt(drows.length / 2)
+    val q = Streams.editJoinStreamDialed(
+        mem.toDF().toDF("id", "s")
+          .withColumn("blk", substring(col("s"), 1, 1)),
+        corpus, "id", "s", "blk", r)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("edit_join_collapsed_out").start()
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(rest: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("edit_join_collapsed_out")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // and the dialed door on the GROWING-domain frame of the previous
+    // test's recipe still equals its batch slice (PassJoin branch)
+    val vrows = (1 to 240).map { i =>
+      var h = i * 2654435761L
+      def next(m: Int) = { h = h * 6364136223846793005L + 1442695040888963407L
+        (math.abs(h >> 33) % m).toInt }
+      val len = 1 + next(9)
+      (i.toLong, (1 to len).map(_ => "abc"(next(3))).mkString)
+    }
+    val vdf = vrows.toDF("id", "s").withColumn("blk", substring(col("s"), 1, 1))
+    val vCorpus = vdf.where(col("id") % 3 =!= 0)
+    val vpr = vCorpus.agg(count(lit(1)),
+      count_distinct(struct(col("blk"), col("s")))).head()
+    assert(!graft.operators.Linkage.chooseCollapse(
+      vpr.getLong(0), vpr.getLong(1)))
   }
 
   test("streaming boilerplate strip matches the batch operator on a replayed corpus") {
