@@ -1339,6 +1339,14 @@ object ScaleStress {
         d.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
           .withColumn("embedding", signed)
       }))
+      // documents (VERDICT r14 #6 — the text/dedup family's third
+      // decade): replica-decorrelated text via the per-replica affine
+      // character bijection (see caesarText — 100 distinct bijections,
+      // so no cross-replica exact duplicates), shingle structure and
+      // per-replica df preserved exactly
+      save("documents", rep(Tables.documents(spark, sf))((d, i) =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", caesarText(col("text"), i))))
       println(s"sf2: 100x flagship tables at $out")
     }
 
@@ -1471,6 +1479,51 @@ object ScaleStress {
       }
     }
 
+    if (sections("streamtwin")) {
+      // --- streaming edit-join twin crossover (VERDICT r14 #5): the
+      // two stream twins are STATELESS, so one micro-batch's cost is
+      // exactly the twin's DataFrame plan applied to a static delta —
+      // measure both plans on a fixed-size delta against corpora of
+      // growing REPLICATION (v distinct strings, m replicas each).
+      // The row-level twin's broadcast index grows with n = v·m and
+      // every probe key meets every replica; the collapse twin's
+      // index stays at v and pays replicas only in the (output-
+      // proportional) expansion join. SCALING.md records the table.
+      // 128-char strings: the banded DP is the cost the collapse twin
+      // exists to deduplicate — the row-level twin runs it once per
+      // CORPUS REPLICA met, the collapse twin once per VALUE
+      val v = 200
+      val dRows = 2000
+      def mkStr(idc: Column): Column = {
+        val vid = pmod(idc, lit(v.toLong))
+        concat((0 until 4).map(j =>
+          md5(concat(vid.cast("string"), lit(s"#$j")))): _*)
+      }
+      val delta = spark.range(dRows).select(
+          (col("id") + 10000000L).as("id"), mkStr(col("id")).as("s"))
+        .withColumn("blk", substring(col("s"), 1, 1))
+        .localCheckpoint(true)
+      Seq(1, 16, 64, 256).foreach { m =>
+        val corpus = spark.range(v.toLong * m).select(col("id"),
+            mkStr(col("id")).as("s"))
+          .withColumn("blk", substring(col("s"), 1, 1))
+          .localCheckpoint(true)
+        val idx = graft.streaming.Streams
+          .editCorpusIndex(corpus, "id", "s", "blk", r = 3)
+          .localCheckpoint(true) // the persisted artifact, not the cost
+        println(s"streamtwin m=$m broadcast index: row-level " +
+          s"${idx.count()} rows vs value-level ${v * 4} rows")
+        time(f"streamtwin m=$m%-3d row-level twin")(
+          graft.streaming.Streams.editJoinStream(
+            delta, idx, "id", "s", "blk", r = 3)
+            .agg(count(lit(1))).head().getLong(0))
+        time(f"streamtwin m=$m%-3d collapse twin ")(
+          graft.streaming.Streams.editJoinCollapsedStream(
+            delta, corpus, "id", "s", "blk", r = 3)
+            .agg(count(lit(1))).head().getLong(0))
+      }
+    }
+
     if (sections("flagship")) {
       // --- third-decade flagship re-measure (VERDICT r13 #5): run the
       // named headline queries against each input dir (sf + extra args
@@ -1478,9 +1531,13 @@ object ScaleStress {
       // dir) with the bench protocol (noop write, blocking cache
       // release). One run per (query, dir): these are decade-shape
       // probes, not medians — SCALING.md records the table.
-      val headline = Seq("q271_behavior_editdist", "q341_sig_edit_join",
-        "q342_incr_edit_join", "q49_fuzzy_match", "q340_band_pairs_salted",
-        "q160_ann_ivf_det")
+      // SPARK_GRAFT_FLAGSHIP overrides the list (round-15: the
+      // text/dedup family's third decade over sf2 documents)
+      val headline = sys.env.get("SPARK_GRAFT_FLAGSHIP")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq("q271_behavior_editdist", "q341_sig_edit_join",
+          "q342_incr_edit_join", "q49_fuzzy_match", "q340_band_pairs_salted",
+          "q160_ann_ivf_det"))
       val dirs = (Seq(sf) ++ args.drop(3)).distinct
       dirs.foreach { dir =>
         headline.foreach { name =>
@@ -1506,21 +1563,36 @@ object ScaleStress {
     spark.stop()
   }
 
-  /** Per-replica Caesar translation for document inflation: letters AND
-    * digits rotate (digits per ADVICE r11 — an all-digit shingle would
-    * otherwise coincide across replicas and merge their posting lists),
-    * so each replica's shingles live in a disjoint space and the
-    * inflated corpus behaves as `reps` independent corpora of NEW
-    * documents — intra-replica near-dup structure and per-shingle df
-    * preserved exactly, clusters never merged across replicas. Residual
-    * caveat: shingles of ONLY punctuation/whitespace still coincide —
-    * noted in SCALING.md, immeasurably rare in this corpus. */
+  /** Per-replica deterministic character BIJECTION for document
+    * inflation — letters AND digits map (digits per ADVICE r11: an
+    * all-digit shingle would otherwise coincide across replicas and
+    * merge their posting lists), so each replica's shingles live in a
+    * disjoint space and the inflated corpus behaves as `reps`
+    * independent corpora of NEW documents. Residual caveat: shingles
+    * of ONLY punctuation/whitespace still coincide — noted in
+    * SCALING.md, immeasurably rare in this corpus. The map is an
+    * affine permutation
+    * x ↦ a·x + b on each alphabet (a coprime to the alphabet size, so
+    * always a permutation). For i < 26 the letter map has a = 1 —
+    * exactly the original Caesar rotation, so every sf1/sf10x replica
+    * is byte-identical to previous rounds — but a Caesar-only family
+    * repeats at period 26: at the sf2 decade (100 replicas) it would
+    * hand every letters-only document an EXACT duplicate 26 replicas
+    * over, quietly corrupting the dedup/cluster truth the corpus
+    * exists to measure. The (a, b) pair is injective over i ∈ 0..103,
+    * so all 100 sf2 replicas decorrelate. A character bijection
+    * preserves word lengths, whitespace and punctuation, hence
+    * per-replica shingle structure and df counts — EXACTLY what the
+    * text-family scale measurements need. */
   private def caesarText(c: Column, i: Int): Column = {
+    def affine(s: String, a: Int, b: Int): String =
+      s.indices.map(j => s((a * j + b) % s.length)).mkString
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val digits = "0123456789"
-    def rot(s: String): String = { val k = i % s.length; s.drop(k) + s.take(k) }
+    val mapped = affine(lower, Seq(1, 3, 5, 7)((i / 26) % 4), i % 26)
+    val mappedD = affine(digits, Seq(1, 3, 7, 9)((i / 10) % 4), i % 10)
     translate(c, lower + lower.toUpperCase + digits,
-      rot(lower) + rot(lower.toUpperCase) + rot(digits))
+      mapped + mapped.toUpperCase + mappedD)
   }
 
   /** Adversarial near-dup CHAIN corpus: doc i = 4 consecutive 100-char
