@@ -30,9 +30,10 @@ object Dedup {
     * is semantically identical but runs as interpreted lambdas
     * (CodegenFallback) and measured 2.7 s of q29's ~5.5 s by itself. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol),
-      explode(graft.functions.TextExpressions
-        .shingleArray(col(textCol), k)).as("s"))
+    Spread.scaleOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(graft.functions.TextExpressions
+          .shingleArray(col(textCol), k)).as("s"))
 
   /** One-pass audit of the 64-bit shingle-hash trade every hashed-index
     * operator rides on: number of distinct shingle STRINGS that share a
@@ -107,7 +108,8 @@ object Dedup {
     * string to md5). */
   private[graft] def invertedIndexHashed(df: DataFrame, idCol: String,
                                          textCol: String, k: Int): DataFrame =
-    df.select(col(idCol),
+    Spread.scaleOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         explode(graft.functions.TextExpressions
           .shingleHashArray(col(textCol), k)).as("xh"))
       .groupBy(col("xh"))
@@ -413,7 +415,8 @@ object Dedup {
       .minhashSig(col(textCol), k, numHashes)
     val fields = (0 until numHashes).map(i =>
       element_at(col("__sig"), i + 1).as(s"h$i"))
-    df.select(col(idCol), sig.as("__sig"))
+    Spread.scaleOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), sig.as("__sig"))
       .select(col(idCol) +: fields: _*)
   }
 
@@ -760,7 +763,7 @@ object Dedup {
     require(modulus >= 2, s"modulus=$modulus must be >= 2")
     val n = length(col(textCol))
     val bounds = chunkBoundsCol(col(textCol), window, modulus)
-    df.where(n > 0)
+    Spread.scaleOut(df.where(n > 0).select(col(idCol), col(textCol)))
       .select(col(idCol), col(textCol).as("__text"), bounds.as("__bounds"))
       .select(col(idCol),
         explode(transform(col("__bounds"), (b, i) =>

@@ -38,7 +38,7 @@ object Multimodal {
   /** Build a media corpus from the documents table: the text payload
     * stands in for encoded media bytes (deterministic fake). */
   def corpusFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+    Spread.scaleOut(docs.select("doc_id", "text", "source", "lang")).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),

@@ -28,25 +28,8 @@ object Rank {
 
   /** @return `df` + `rankCol` (1-based, dense, deterministic), ranked
     *         by `orderCols` lexicographically ascending */
-  def globalRank(df: DataFrame, rankCol: String, orderCols: Column*): DataFrame = {
-    val spark = df.sparkSession
-    // cached: the count pass and the rank pass must see the SAME
-    // range partitioning (session-scoped; Bench/Verify clear per query)
-    val parted = df.repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .cache()
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
-      (pid, acc + n)
-    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
-    parted.join(broadcast(offDf), "__pid")
-      .withColumn(rankCol, col("__off") +
-        row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)))
-      .drop("__pid", "__off")
-  }
+  def globalRank(df: DataFrame, rankCol: String, orderCols: Column*): DataFrame =
+    globalOrderStats(df, Nil, Some(rankCol), orderCols: _*)
 
   /** Distributed inclusive prefix SUM of a long column in `orderCols`
     * order — `sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`
@@ -56,27 +39,141 @@ object Rank {
     * backbone of cumulative-share reports (ABC / Pareto
     * classification) and of [[Sampling.systematicSample]]'s weight
     * line. `valueCol` must be integral (exact under any summation
-    * order); the order-key tuple must be unique per row. */
+    * order); the order-key tuple must be unique per row.
+    *
+    * Needing SEVERAL running stats in the same order? Call
+    * [[globalOrderStats]] ONCE — chaining two of these pays the whole
+    * two-exchange + collect machinery twice for the same ordering. */
   def globalPrefixSum(df: DataFrame, sumCol: String, valueCol: String,
-                      orderCols: Column*): DataFrame = {
+                      orderCols: Column*): DataFrame =
+    globalOrderStats(df, Seq(sumCol -> valueCol), None, orderCols: _*)
+
+  /** The fused engine behind [[globalRank]] / [[globalPrefixSum]]: any
+    * number of inclusive prefix sums plus an optional 1-based rank, all
+    * in `orderCols` order, for ONE range exchange, ONE cache, ONE
+    * bounded driver collect and ONE window pass. The former
+    * double-invocation pattern (`globalPrefixSum(globalPrefixSum(g, …))`,
+    * used by the CDF/KS/Youden/Gini family) re-ranged, re-cached and
+    * re-windowed the SAME frame once per running stat — at k stats
+    * that is k range exchanges + k pid-clustering exchanges where this
+    * does one of each (guide §2.4: two operations keyed the same way
+    * share one exchange).
+    *
+    * `sums` are (outputCol, valueCol) pairs; value columns must be
+    * integral (exact under any summation order) and non-null. The
+    * order-key tuple must uniquely identify a row. Driver state: one
+    * row per shuffle partition — bounded by parallelism, not data. */
+  def globalOrderStats(df: DataFrame, sums: Seq[(String, String)],
+                       rankCol: Option[String], orderCols: Column*): DataFrame = {
+    require(sums.nonEmpty || rankCol.isDefined,
+      "globalOrderStats: nothing to compute")
     val spark = df.sparkSession
+    // cached: the totals pass and the window pass must see the SAME
+    // range partitioning (session-scoped; Bench/Verify clear per query)
     val parted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
-    val totals = parted.groupBy("__pid")
-      .agg(sum(col(valueCol).cast("long")).as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-      (pid, acc + t)
+    // one aggregate per requested stat (+ a row count for the rank),
+    // all in a single per-partition pass
+    val width = sums.size + (if (rankCol.isDefined) 1 else 0)
+    val aggCols = sums.zipWithIndex.map { case ((_, v), i) =>
+      sum(col(v).cast("long")).as(s"__t$i")
+    } ++ rankCol.map(_ => count(lit(1)).as(s"__t${sums.size}")).toSeq
+    val totals = parted.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), Array.tabulate(width)(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    // exclusive running offsets per stat, in partition order
+    val offsets = totals.scanLeft((0, Array.fill(width)(0L))) {
+      case ((_, acc), (pid, t)) =>
+        (pid, Array.tabulate(width)(i => acc(i) + t(i)))
     }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
-    parted.join(broadcast(offDf), "__pid")
-      .withColumn(sumCol, col("__off") +
-        sum(col(valueCol).cast("long")).over(
-          Window.partitionBy("__pid").orderBy(orderCols: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("__pid", "__off")
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        (0 until width).map(i => org.apache.spark.sql.types.StructField(
+          s"__o$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    // LocalRelation, NOT an RDD-backed frame: a LogicalRDD has no size
+    // statistics (defaults to defaultSizeInBytes = huge), which poisons
+    // every downstream join estimate of the returned frame — measured as
+    // a non-equi join in q240 degrading BroadcastNestedLoop →
+    // CartesianProduct (caught by PlanQualitySpec)
+    import scala.jdk.CollectionConverters._
+    val offDf = spark.createDataFrame(
+      offsets.toSeq.map { case (pid, off) =>
+        org.apache.spark.sql.Row.fromSeq(pid +: off.toSeq)
+      }.asJava, offSchema)
+    val wBase = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    val wSum = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = parted.join(broadcast(offDf), "__pid")
+    val withSums = sums.zipWithIndex.foldLeft(joined) {
+      case (d, ((out, v), i)) =>
+        d.withColumn(out, col(s"__o$i") + sum(col(v).cast("long")).over(wSum))
+    }
+    val withRank = rankCol.fold(withSums)(rc => withSums.withColumn(rc,
+      col(s"__o${sums.size}") + row_number().over(wBase)))
+    withRank.drop("__pid" +: (0 until width).map(i => s"__o$i"): _*)
+  }
+
+  /** [[globalOrderStats]] with a PARTITION KEY: inclusive prefix sums
+    * of `sums` in `orderCols` order WITHIN each distinct `keyCols`
+    * group — `sum(x) OVER (PARTITION BY key ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` without the one-task-per-key cliff. A per-key window
+    * puts each key's ENTIRE frame through one task, so a key whose
+    * frame grows with the corpus (q312: distinct prices of the `price`
+    * feature) serializes exactly like the partitionless window it was
+    * meant to avoid. Here the range exchange runs on (key, order) —
+    * a hot key spreads over MANY contiguous partitions — and the
+    * cross-partition carry is resolved per (partition, key) on the
+    * driver: one row per partition per key it touches, bounded by
+    * parallelism × |keys|, so `keyCols` must be LOW-cardinality
+    * (features, event types — not user ids). */
+  def keyedPrefixSums(df: DataFrame, sums: Seq[(String, String)],
+                      keyCols: Seq[String], orderCols: Column*): DataFrame = {
+    require(sums.nonEmpty, "keyedPrefixSums: nothing to compute")
+    require(keyCols.nonEmpty, "keyedPrefixSums: no key (use globalOrderStats)")
+    val spark = df.sparkSession
+    val rangeCols = keyCols.map(col) ++ orderCols
+    val parted = df.repartitionByRange(rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val width = sums.size
+    val aggCols = sums.zipWithIndex.map { case ((_, v), i) =>
+      sum(col(v).cast("long")).as(s"__t$i") }
+    val totals = parted.groupBy("__pid", keyCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map { r =>
+        val key = keyCols.indices.map(i => r.get(i + 1)).toVector
+        (r.getInt(0), key,
+          Array.tabulate(width)(i => r.getLong(i + 1 + keyCols.size)))
+      }
+    // exclusive running offsets per KEY across partitions in pid order
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      inOrder.scanLeft(Array.fill(width)(0L)) { case (acc, (_, _, t)) =>
+        Array.tabulate(width)(i => acc(i) + t(i))
+      }.init.zip(inOrder).map { case (off, (pid, key, _)) => (pid, key, off) }
+    }
+    val keyFields = keyCols.map(k => df.schema(k))
+    val offSchema = org.apache.spark.sql.types.StructType(
+      (org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +: keyFields) ++
+        (0 until width).map(i => org.apache.spark.sql.types.StructField(
+          s"__o$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val offDf = spark.createDataFrame(
+      offsets.map { case (pid, key, off) =>
+        org.apache.spark.sql.Row.fromSeq((pid +: key) ++ off.toSeq)
+      }.asJava, offSchema)
+    val wSum = Window.partitionBy("__pid", keyCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = parted.join(broadcast(offDf), "__pid" +: keyCols)
+    sums.zipWithIndex.foldLeft(joined) { case (d, ((out, v), i)) =>
+      d.withColumn(out, col(s"__o$i") + sum(col(v).cast("long")).over(wSum))
+    }.drop("__pid" +: (0 until width).map(i => s"__o$i"): _*)
   }
 
   /** Distributed EXCLUSIVE prefix MAX of a long column in `orderCols`

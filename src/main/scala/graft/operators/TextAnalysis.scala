@@ -206,9 +206,10 @@ object TextAnalysis {
     // composable chain (transform/slice/array_min over interpreted
     // lambdas) computes the same set; [[graft.functions.WinnowArray]]
     // does it in one JIT-compiled pass (q45 3.9 s → 1.95 s at sf0.1; SCALING.md).
-    df.select(col(idCol),
-      explode(graft.functions.TextExpressions
-        .winnowArray(col(textCol), k, w)).as("fp"))
+    Spread.scaleOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(graft.functions.TextExpressions
+          .winnowArray(col(textCol), k, w)).as("fp"))
 
   /** Within-document repetition metrics — the Gopher-style cheap
     * signals that flag templated/spammy text before it reaches
@@ -281,11 +282,14 @@ object TextAnalysis {
                     textCol: String, n: Int, threshold: Double): DataFrame = {
     val grams = graft.functions.TextExpressions.tokenNgrams(col(textCol), n)
     val benchGrams = bench.select(explode(grams).as("gram")).distinct()
+    // both corpus passes (size scan + gram explode) tokenize every row;
+    // spread once so neither runs inside a one-task scan
+    val corpusP = Spread.scaleOut(corpus.select(col(idCol), col(textCol)))
     // distinct-gram count comes from the array length in the same scan
     // — no corpus-wide (doc, gram) aggregation for a per-row value
-    val sz = corpus.select(col(idCol), size(grams).cast("long").as("n_grams"))
+    val sz = corpusP.select(col(idCol), size(grams).cast("long").as("n_grams"))
       .where(col("n_grams") > 0)
-    val hits = corpus.select(col(idCol), explode(grams).as("gram"))
+    val hits = corpusP.select(col(idCol), explode(grams).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
     sz.join(hits, Seq(idCol), "left")
@@ -362,9 +366,10 @@ object TextAnalysis {
       .select(org.apache.spark.sql.graftshim.Shim
         .bloomAgg(col("gram"), nBench, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val sz = corpus.select(col(idCol), size(grams).cast("long").as("n_grams"))
+    val corpusP = Spread.scaleOut(corpus.select(col(idCol), col(textCol)))
+    val sz = corpusP.select(col(idCol), size(grams).cast("long").as("n_grams"))
       .where(col("n_grams") > 0)
-    val hits = corpus.select(col(idCol), explode(grams).as("gram"))
+    val hits = corpusP.select(col(idCol), explode(grams).as("gram"))
       .where(org.apache.spark.sql.graftshim.Shim
         .bloomMightContain(bloomBytes, col("gram")))
       .join(benchGrams, Seq("gram")) // exact verify: kills Bloom FPs

@@ -618,9 +618,9 @@ object EvalQueries {
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
         .groupBy("sc")
         .agg(sum("y").as("np"), (count(lit(1)) - sum("y")).as("nn"))
-      val c = Rank.globalPrefixSum(
-          Rank.globalPrefixSum(g, "cnp", "np", col("sc")),
-          "cnn", "nn", col("sc"))
+      // both running class counts fused onto one range exchange
+      val c = Rank.globalOrderStats(g,
+        Seq("cnp" -> "np", "cnn" -> "nn"), None, col("sc"))
       val t = g.agg(sum("np").as("tp_all"), sum("nn").as("tn_all"))
       val j = c.crossJoin(broadcast(t))
         .select(col("sc"),

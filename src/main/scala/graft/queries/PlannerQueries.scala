@@ -1259,9 +1259,9 @@ object PlannerQueries {
         .groupBy("sc")
         .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
         .localCheckpoint(true) // two prefix passes + the totals read it
-      val c = Rank.globalPrefixSum(
-        Rank.globalPrefixSum(g, "cuma", "ca", col("sc")),
-        "cumb", "cb", col("sc"))
+      // both running class counts fused onto one range exchange
+      val c = Rank.globalOrderStats(g,
+        Seq("cuma" -> "ca", "cumb" -> "cb"), None, col("sc"))
       val t = g.agg(sum("ca").as("na"), sum("cb").as("nb"))
       val d = c.crossJoin(broadcast(t))
         .select(col("sc"),

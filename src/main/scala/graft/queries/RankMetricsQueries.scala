@@ -66,8 +66,8 @@ object RankMetricsQueries {
       val ord: Seq[Column] =
         Seq(col("grp"), col("sc").desc, col("l_orderkey"),
           col("l_linenumber"))
-      val withRank = Rank.globalPrefixSum(
-        Rank.globalRank(b, "rkg", ord: _*), "cpg", "pos", ord: _*)
+      val withRank = Rank.globalOrderStats(b,
+        Seq("cpg" -> "pos"), Some("rkg"), ord: _*)
       val gtot = b.groupBy("grp")
         .agg(count(lit(1)).as("gn"), sum("pos").as("gp"))
         .orderBy("grp").collect() // bounded: one row per linestatus

@@ -886,11 +886,12 @@ object ScoringQueries {
       val g = b.groupBy("sc").agg(sum("y").as("p"),
         (count(lit(1)) - sum("y")).as("q"))
       val t = g.agg(sum("p").as("tp"), sum("q").as("tq"))
-      // two-pass distributed prefix sums (the q210 stance — no
-      // single-task window over the distinct-score frame)
-      val c = Rank.globalPrefixSum(
-          Rank.globalPrefixSum(g, "cp", "p", col("sc")),
-          "cq", "q", col("sc"))
+      // fused two-pass distributed prefix sums (the q210 stance — no
+      // single-task window over the distinct-score frame; both running
+      // class counts ride ONE range exchange instead of chaining two
+      // full globalPrefixSum invocations)
+      val c = Rank.globalOrderStats(g,
+          Seq("cp" -> "p", "cq" -> "q"), None, col("sc"))
         .select("sc", "cp", "cq")
       val sdf = c.crossJoin(broadcast(t))
         .where(col("cp") + col("cq") > 0 &&
@@ -983,12 +984,16 @@ object ScoringQueries {
         (count(lit(1)) - sum("y")).as("q"))
       val t = g.groupBy("feature")
         .agg(sum("p").as("tp"), sum("q").as("tq"))
-      val o = org.apache.spark.sql.expressions.Window
-        .partitionBy("feature").orderBy("sc")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
-      val c = g.select(col("feature"), col("sc"),
-        sum("p").over(o).as("cp"), sum("q").over(o).as("cq"))
+      // keyed two-pass prefix sums: a per-feature window puts EACH
+      // feature's whole distinct-score frame through one task (the
+      // `price` feature's frame grows with the corpus — ~460k rows at
+      // sf0.1, serialized exactly like the partitionless windows this
+      // catalog bans); range-exchanging on (feature, sc) spreads a hot
+      // feature over many partitions and carries the per-feature
+      // offsets through a bounded driver pass
+      val c = Rank.keyedPrefixSums(g, Seq("cp" -> "p", "cq" -> "q"),
+          Seq("feature"), col("sc"))
+        .select("feature", "sc", "cp", "cq")
       val sdf = c.join(broadcast(t), "feature")
         .where(col("cp") + col("cq") > 0 &&
           (col("tp") - col("cp")) + (col("tq") - col("cq")) > 0)

@@ -505,11 +505,11 @@ object SignalQueries {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("cb"))
       val n = g.agg(sum("ca").as("na"), sum("cb").as("nb"))
-      // two-pass prefix sums + a distributed lead via a rank self-join
-      val c0 = Rank.globalPrefixSum(
-        Rank.globalPrefixSum(g, "cuma", "ca", col("vm")),
-        "cumb", "cb", col("vm"))
-      val r = Rank.globalRank(c0, "rk", col("vm"))
+      // two-pass prefix sums + rank for the distributed lead self-join,
+      // all three fused onto ONE range exchange (was three chained
+      // globalPrefixSum/globalRank invocations = three of everything)
+      val r = Rank.globalOrderStats(g,
+        Seq("cuma" -> "ca", "cumb" -> "cb"), Some("rk"), col("vm"))
       val nxt = r.select((col("rk") - 1).as("rk"), col("vm").as("nxt"))
       val t = r.join(nxt, "rk")
         .crossJoin(broadcast(n))

@@ -352,12 +352,21 @@ class PlanQualitySpec extends AnyFunSuite {
     // aggregations to single-pass expressions — a regression that
     // reintroduces an exchange is a 100 TB shuffle of the whole corpus;
     // sliding chunking (q71) is a pure tokenize-explode-slice generator
-    // cdc chunking (q173) cuts chunks with in-row sequence/filter —
-    // the md5-per-position cost is per-row CPU, never a shuffle
-    for (q <- Seq("q31_simhash", "q59_repetition", "q71_chunk_sliding",
-        "q173_cdc_chunks")) {
+    for (q <- Seq("q31_simhash", "q59_repetition", "q71_chunk_sliding")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q reintroduced a shuffle: $p")
+    }
+    // cdc chunking (q173) cuts chunks with in-row sequence/filter — the
+    // md5-per-position cost is per-row CPU. The ONLY admissible exchange
+    // is Spread.scaleOut's guarded single-split fan-out (round-robin of
+    // the narrow (id, text) projection, identity once the input exceeds
+    // one scan split — SpreadSpec pins the guard); a KEY-partitioned
+    // exchange would be a real 100 TB shuffle regression.
+    locally {
+      val p = plan("q173_cdc_chunks")
+      for (line <- p.linesIterator.filter(_.contains("Exchange")))
+        assert(line.contains("RoundRobinPartitioning"),
+          s"q173 planned a non-spread exchange: $line")
     }
   }
 
